@@ -1,0 +1,123 @@
+"""Text analysis: the engine's canonical analyzer chain.
+
+Reference semantics (Layer B): the ``text_general`` index/query analysis chain
+the importer's configset installs --
+/root/reference/src/main/resources/default-base-config/managed-schema.xml:298-313:
+StandardTokenizer -> StopFilter (stopwords.txt ships EMPTY -> no-op) ->
+[query-time only: SynonymGraph from synonyms.txt] -> LowerCaseFilter.
+
+Frozen spec (shared verbatim by the engine, the numpy oracle and the DuckDB
+oracle SQL, so disagreement is impossible by construction):
+
+    tokens(text) = regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+
+i.e. lowercase, then maximal runs of ASCII [a-z0-9]. This is a deterministic
+simplification of UAX#29 word-break; it is applied identically at index and
+query time. Stop set is empty (matching the shipped stopwords.txt), so hot
+terms like "the" ARE indexed -- which is exactly why the index build needs
+hot-term salting (see index/build.py).
+
+Three implementations, one spec:
+- ``TOKEN_RE`` / ``analyze_text`` - plain Python (oracle + query-side driver code)
+- ``tokens_col`` - JVM-side Column expression (whole-stage codegen, zero Python)
+- ``term_freqs_udf`` - Arrow-batched pandas UDF computing per-doc tf WITHOUT
+  exploding tokens into the shuffle (SURVEY.md section 7 "10^12-turn posture":
+  (doc, term, tf) is 5-10x smaller than (doc, token))
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+TOKEN_PATTERN = "[a-z0-9]+"
+TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def analyze_text(text: str | None) -> list[str]:
+    """Frozen analyzer, plain-Python form (used by oracle + query parsing)."""
+    if text is None:
+        return []
+    return TOKEN_RE.findall(text.lower())
+
+
+def tokens_col(col: Column | str) -> Column:
+    """Frozen analyzer as a JVM Column expression (codegen'd, no Python).
+
+    Identical output to :func:`analyze_text` -- the pattern is pure ASCII so
+    Java and Python regex semantics coincide; golden tests assert equality.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(F.coalesce(c, F.lit(""))), F.lit(TOKEN_PATTERN), F.lit(0))
+
+
+def tokens_sql(expr: str) -> str:
+    """Frozen analyzer as a SQL fragment valid in BOTH Spark SQL and DuckDB."""
+    return f"regexp_extract_all(lower(coalesce({expr}, '')), '{TOKEN_PATTERN}')"
+
+
+@pandas_udf(T.MapType(T.StringType(), T.IntegerType()))
+def term_freqs_udf(texts: pd.Series) -> pd.Series:
+    """text -> {term: tf} map, Arrow-batched.
+
+    Replaces the reference's external gRPC analysis hop (the importer ships
+    analysis to Solr; ChunkDocumentCreator.java:95-103 ships chunking to a
+    gRPC service) with an in-engine vectorized kernel.
+    """
+    out = []
+    findall = TOKEN_RE.findall
+    for t in texts:
+        if t is None:
+            out.append({})
+        else:
+            out.append(dict(Counter(findall(t.lower()))))
+    return pd.Series(out)
+
+
+@pandas_udf(T.IntegerType())
+def doc_len_udf(texts: pd.Series) -> pd.Series:
+    """text -> token count (doc length dl for BM25's b-normalization)."""
+    findall = TOKEN_RE.findall
+    return pd.Series(
+        [0 if t is None else len(findall(t.lower())) for t in texts], dtype="int32"
+    )
+
+
+# --- query-time synonym expansion (T4) -------------------------------------
+# Reference: SynonymGraphFilter, query-time only, managed-schema.xml:311 with
+# default-base-config/synonyms.txt. The shipped file's effective entries
+# (synonyms.txt:15-28), lowercased because LowerCaseFilter follows in the chain.
+# "a => b" is a one-way mapping; "a,b,c" an equivalence class.
+_EQUIV_CLASSES = [
+    ("fooaaa", "baraaa", "bazaaa"),  # synonyms.txt:18
+    ("gb", "gib", "gigabyte", "gigabytes"),  # synonyms.txt:21
+    ("mb", "mib", "megabyte", "megabytes"),  # synonyms.txt:22
+    ("television", "televisions", "tv", "tvs"),  # synonyms.txt:23
+]
+DEFAULT_SYNONYMS: dict[str, tuple[str, ...]] = {
+    "aaafoo": ("aaabar",),  # synonyms.txt:15 (replacement)
+    "bbbfoo": ("bbbfoo", "bbbbar"),  # synonyms.txt:16
+    "cccfoo": ("cccbar", "cccbaz"),  # synonyms.txt:17
+    "pixima": ("pixma",),  # synonyms.txt:28 (replacement)
+}
+for _cls in _EQUIV_CLASSES:
+    for _w in _cls:
+        DEFAULT_SYNONYMS[_w] = _cls
+
+
+def expand_query_terms(
+    terms: list[str], synonyms: dict[str, tuple[str, ...]] | None = None
+) -> list[str]:
+    """Query-time synonym expansion; preserves first-seen order, dedupes."""
+    syn = DEFAULT_SYNONYMS if synonyms is None else synonyms
+    seen: dict[str, None] = {}
+    for t in terms:
+        for e in syn.get(t, (t,)):
+            seen.setdefault(e, None)
+    return list(seen)
