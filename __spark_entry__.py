@@ -1,38 +1,470 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` -- flagship BM25 query end-to-end on sf0.001.
+``queries()`` -- one entry per implemented operator from SURVEY.md section 2
+(Layer A dataflow ops, Layer B index/query engine ops, and the training-data
+pipeline suite: dedup, similarity search, text metrics).
+``oracle_sql()`` -- independent DuckDB SQL recomputing each result.
+
+Hash-stability convention: every float-derived output column is emitted as an
+integer milli/micro value on both sides (see oracle/duckdb_sql.py docstring),
+so cross-engine ulp differences cannot flip the driver's value hash.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solr_semantic_importer_spark.functions import text_metrics as TM
+from solr_semantic_importer_spark.functions.analysis import tokens_col
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.operators import chunking as CH
+from solr_semantic_importer_spark.operators import dedup as DD
+from solr_semantic_importer_spark.operators import similarity as SIM
+from solr_semantic_importer_spark.operators import transforms as TR
+from solr_semantic_importer_spark.oracle import duckdb_sql as OSQL
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.sources.transcripts import (
+    transcripts_from_documents,
+)
+
+ENTRY_BUILD_ID = "entry-v1"
+_INDEX_CACHE: dict[str, BM25Index] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> BM25Index:
+    if sf_dir not in _INDEX_CACHE:
+        h = hashlib.md5(f"{sf_dir}:{ENTRY_BUILD_ID}".encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"ssi_entry_idx_{h}")
+        t = transcripts_from_documents(spark, sf_dir)
+        cfg = BuildConfig(
+            segment_size=256,
+            block_size=64,
+            n_term_buckets=8,
+            hot_df_threshold=150,
+            hot_salts=4,
+            build_id=ENTRY_BUILD_ID,
+        )
+        build_index(spark, t, idx_dir, cfg)  # resumes (no-op) if already built
+        _INDEX_CACHE[sf_dir] = BM25Index(spark, idx_dir)
+    return _INDEX_CACHE[sf_dir]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _milli(c) -> F.Column:
+    return F.round(c * 1000).cast("long")
+
+
+def _micro(c) -> F.Column:
+    return F.round(c * 1_000_000).cast("long")
+
+
+def _bm25(q: str, **kw):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index_for(spark, sf_dir)
+        res = idx.search(q, order_key="milli", **kw)
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    return run
+
+
+# corpus with injected duplicates/near-duplicates for the dedup suite
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.lit("mutated")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_DEDUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, concat_ws(' ', text, 'mutated') AS text
+    FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end index build + BM25 top-10 with stored fields."""
+    idx = _index_for(spark, "/root/testdata/sf0.001")
+    return idx.search("table merge window query", k=10, with_stored=True).select(
+        "doc_id", "score", "conv_id", "turn_idx", "role", "text"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- Layer B: BM25 engine (SURVEY 2.5/2.6/2.8, I1, Q1-Q4, O1-O2) ----
+    q["bm25_topk_hot"] = _bm25("table the a", k=10)
+    q["bm25_topk_mixed"] = _bm25("merge window customer", k=10)
+    q["bm25_topk_selective"] = _bm25("vector stream", k=10)
+    q["bm25_and"] = _bm25("spark window", k=10, op="AND", mode="exhaustive")
+    q["bm25_fq_role"] = _bm25("table scan", k=10, fq="role = 'user'")
+    q["bm25_paged"] = _bm25("data column", k=5, offset=5, mode="exhaustive")
+    q["bm25_oov"] = _bm25("zzzunknown qqqterm", k=10)
 
+    def term_df_top20(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        return (
+            idx.dictionary()
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(20)
+        )
+
+    q["term_df_top20"] = term_df_top20
+
+    def corpus_stats(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        st = spark.read.parquet(os.path.join(idx.index_dir, "corpus_stats"))
+        return st.select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            _milli(F.col("avgdl")).alias("avgdl_milli"),
+        )
+
+    q["corpus_stats"] = corpus_stats
+
+    def doc_lengths(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        return (
+            idx.docs()
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", F.col("dl").cast("long").alias("dl"))
+        )
+
+    q["doc_lengths"] = doc_lengths
+
+    # ---- Layer A: scans / transforms (SURVEY 2.1/2.2) ----
+    def scan_filter_project(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200)).select(
+            "doc_id", "source", "n_chars"
+        )
+
+    q["scan_filter_project"] = scan_filter_project
+
+    def date_normalize(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        return e.select(
+            "event_id",
+            TR.normalize_date("ts").alias("iso_ts"),
+            TR.normalize_epoch_millis(
+                (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+            ).alias("iso_from_millis"),
+        )
+
+    q["date_normalize"] = date_normalize
+
+    def crawl_stamp_facet(spark, sf_dir):
+        d = TR.stamp_crawl(_docs(spark, sf_dir), "crawl-2026-001")
+        return d.groupBy("crawl_id", "lang").agg(F.count("*").alias("n"))
+
+    q["crawl_stamp_facet"] = crawl_stamp_facet
+
+    def truncate_project(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        ex = TR.truncate_field("text", 100)
+        return d.select("doc_id", ex.alias("excerpt"), F.length(ex).alias("excerpt_len"))
+
+    q["truncate_project"] = truncate_project
+
+    def facet_lang(spark, sf_dir):
+        return TR.facet_field(_docs(spark, sf_dir), "lang")
+
+    q["facet_lang"] = facet_lang
+
+    def orphan_anti(spark, sf_dir):
+        d = _docs(spark, sf_dir).withColumn(
+            "crawl_id",
+            F.when(F.col("doc_id") % 4 == 0, F.lit("crawl-old")).otherwise(
+                F.lit("crawl-new")
+            ),
+        )
+        return TR.orphan_anti_filter(d, "crawl_id", "crawl-new").select(
+            "doc_id", "crawl_id"
+        )
+
+    q["orphan_anti"] = orphan_anti
+
+    def upsert_reindex(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        old = d.select(F.col("doc_id").alias("id"), "text", F.lit(1).alias("version"))
+        new = d.filter(F.col("doc_id") % 5 == 0).select(
+            F.col("doc_id").alias("id"),
+            F.concat_ws(" ", "text", F.lit("v2")).alias("text"),
+            F.lit(2).alias("version"),
+        )
+        merged = TR.upsert_by_key(old, new, "id", "version")
+        return merged.groupBy("version").agg(F.count("*").alias("n"))
+
+    q["upsert_reindex"] = upsert_reindex
+
+    # ---- chunking (T7/P7/J2/A5/O4) ----
+    def chunk_explode(spark, sf_dir):
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+        return CH.chunk_documents(d, "doc_id", "text", size=30, overlap=5, field_name="text")
+
+    q["chunk_explode"] = chunk_explode
+
+    def chunks_per_doc(spark, sf_dir):
+        c = chunk_explode(spark, sf_dir)
+        return c.groupBy("parent_id").agg(F.count("*").alias("n_chunks"))
+
+    q["chunks_per_doc"] = chunks_per_doc
+
+    def parent_chunk_join(spark, sf_dir):
+        c = chunk_explode(spark, sf_dir)
+        d = _docs(spark, sf_dir).select(F.col("doc_id").alias("parent_id"), "lang", "source")
+        return c.join(F.broadcast(d), "parent_id").select(
+            "chunk_id", "parent_id", "lang", "source"
+        )
+
+    q["parent_chunk_join"] = parent_chunk_join
+
+    # ---- text metrics ----
+    def lang_id(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select("doc_id", TM.lang_id_col("text").alias("lang_pred"))
+
+    q["lang_id"] = lang_id
+
+    def quality_scores(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select("doc_id", _micro(TM.quality_score_col("text")).alias("q_micro"))
+
+    q["quality_scores"] = quality_scores
+
+    def token_counts(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            TM.token_count_ws("text").cast("long").alias("ws_tokens"),
+            TM.token_count_bpe("text").cast("long").alias("bpe_tokens"),
+        )
+
+    q["token_counts"] = token_counts
+
+    def fingerprints(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select("doc_id", TM.fingerprint_col("text").alias("fp"))
+
+    q["fingerprints"] = fingerprints
+
+    # ---- dedup suite ----
+    def dedup_exact(spark, sf_dir):
+        return DD.exact_dedup(_dedup_corpus(spark, sf_dir), "text", "doc_id")
+
+    q["dedup_exact"] = dedup_exact
+
+    def minhash_lsh_pairs(spark, sf_dir):
+        c = _dedup_corpus(spark, sf_dir)
+        sig = DD.minhash_signature(c, "doc_id", "text", n_hashes=16, k=3)
+        return DD.lsh_candidate_pairs(sig, n_hashes=16, band_size=4)
+
+    q["minhash_lsh_pairs"] = minhash_lsh_pairs
+
+    def simhash_fp(spark, sf_dir):
+        return DD.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=16)
+
+    q["simhash_fp"] = simhash_fp
+
+    def ngram_jaccard(spark, sf_dir):
+        c = _dedup_corpus(spark, sf_dir)
+        pairs = minhash_lsh_pairs(spark, sf_dir)
+        j = DD.ngram_jaccard_pairs(c, "doc_id", "text", pairs, k=3)
+        return j.select("id_a", "id_b", _micro(F.col("jaccard")).alias("jaccard_micro"))
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    # ---- similarity search ----
+    def cosine_topk_emb(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        res = SIM.cosine_topk(e, [float(x) for x in qv], k=20, exclude_id=0)
+        return res.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
+
+    q["cosine_topk_emb"] = cosine_topk_emb
+
+    def ann_lsh_topk_emb(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        res = SIM.ann_lsh_topk(e, [float(x) for x in qv], k=10, n_planes=8, seed=42)
+        return res.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
+
+    q["ann_lsh_topk_emb"] = ann_lsh_topk_emb
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["bm25_topk_hot"] = OSQL.bm25_topk_sql("table the a", k=10)
+    o["bm25_topk_mixed"] = OSQL.bm25_topk_sql("merge window customer", k=10)
+    o["bm25_topk_selective"] = OSQL.bm25_topk_sql("vector stream", k=10)
+    o["bm25_and"] = OSQL.bm25_topk_sql("spark window", k=10, op="AND")
+    o["bm25_fq_role"] = OSQL.bm25_topk_sql("table scan", k=10, fq="role = 'user'")
+    o["bm25_paged"] = OSQL.bm25_topk_sql("data column", k=5, offset=5)
+    o["bm25_oov"] = OSQL.bm25_topk_sql("zzzunknown qqqterm", k=10)
+    o["term_df_top20"] = OSQL.term_df_top_sql(20)
+    o["corpus_stats"] = OSQL.corpus_stats_sql()
+    o["doc_lengths"] = OSQL.doc_lengths_sql(50)
+
+    o["scan_filter_project"] = (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars >= 200"
+    )
+    o["date_normalize"] = (
+        "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso_ts, "
+        "strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso_from_millis FROM events"
+    )
+    o["crawl_stamp_facet"] = (
+        "SELECT 'crawl-2026-001' AS crawl_id, lang, count(*) AS n "
+        "FROM documents GROUP BY 1, 2"
+    )
+    o["truncate_project"] = (
+        "SELECT doc_id, substr(text, 1, 100) AS excerpt, "
+        "length(substr(text, 1, 100)) AS excerpt_len FROM documents"
+    )
+    o["facet_lang"] = "SELECT lang, count(*) AS facet_count FROM documents GROUP BY lang"
+    o["orphan_anti"] = (
+        "SELECT doc_id, 'crawl-old' AS crawl_id FROM documents WHERE doc_id % 4 = 0"
+    )
+    o["upsert_reindex"] = """
+        WITH u AS (
+          SELECT doc_id AS id, 1 AS version FROM documents
+          UNION ALL
+          SELECT doc_id AS id, 2 AS version FROM documents WHERE doc_id % 5 = 0
+        ),
+        win AS (SELECT id, max(version) AS version FROM u GROUP BY id)
+        SELECT version, count(*) AS n FROM win GROUP BY version
     """
-    return {}
+
+    chunks_sql = CH.chunks_duckdb_sql(
+        "SELECT * FROM documents WHERE doc_id < 100", "doc_id", "text", 30, 5, "text"
+    )
+    o["chunk_explode"] = chunks_sql
+    o["chunks_per_doc"] = (
+        f"SELECT parent_id, count(*) AS n_chunks FROM ({chunks_sql}) GROUP BY parent_id"
+    )
+    o["parent_chunk_join"] = f"""
+        SELECT c.chunk_id, c.parent_id, d.lang, d.source
+        FROM ({chunks_sql}) c JOIN documents d ON d.doc_id = c.parent_id
+    """
+
+    o["lang_id"] = f"SELECT doc_id, {TM.lang_id_sql('text')} AS lang_pred FROM documents"
+    o["quality_scores"] = (
+        f"SELECT doc_id, CAST(round(({TM.quality_score_sql('text')}) * 1000000) AS BIGINT)"
+        " AS q_micro FROM documents"
+    )
+    ws_sql, bpe_sql = TM.token_count_sql("text")
+    o["token_counts"] = (
+        f"SELECT doc_id, CAST({ws_sql} AS BIGINT) AS ws_tokens, "
+        f"CAST({bpe_sql} AS BIGINT) AS bpe_tokens FROM documents"
+    )
+    o["fingerprints"] = (
+        f"SELECT doc_id, CAST({TM.fingerprint_sql('text')} AS BIGINT) AS fp FROM documents"
+    )
+
+    o["dedup_exact"] = f"""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM ({_DEDUP_CORPUS_SQL})
+        GROUP BY md5(coalesce(text, ''))
+    """
+    o["minhash_lsh_pairs"] = DD.minhash_lsh_sql(
+        _DEDUP_CORPUS_SQL, "doc_id", "text", n_hashes=16, band_size=4, k=3
+    )
+    o["simhash_fp"] = DD.simhash_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", bits=16
+    )
+    o["ngram_jaccard"] = f"""
+        WITH pairs AS ({DD.minhash_lsh_sql(_DEDUP_CORPUS_SQL, 'doc_id', 'text', 16, 4, 3)}),
+        corpus AS ({_DEDUP_CORPUS_SQL}),
+        sh AS (
+          SELECT doc_id AS id, list_distinct(CASE
+            WHEN len(toks) >= 3 THEN
+              list_transform(generate_series(0, len(toks) - 3),
+                             i -> array_to_string(toks[i + 1 : i + 3], ' '))
+            WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+            ELSE [] END) AS s
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+                FROM corpus)
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(round(
+                 CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN NULL
+                      ELSE round(len(list_intersect(a.s, b.s)) * 1.0
+                           / len(list_distinct(a.s || b.s)), 6) END * 1000000
+               ) AS BIGINT) AS jaccard_micro
+        FROM pairs p JOIN sh a ON a.id = p.id_a JOIN sh b ON b.id = p.id_b
+    """
+
+    o["cosine_topk_emb"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(round(round(list_dot_product(emb, qv) /
+                     (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 6)
+                    * 1000000) AS BIGINT) AS cosine_micro
+        FROM e, q WHERE vec_id != 0
+        ORDER BY cosine_micro DESC, vec_id ASC LIMIT 20
+    """
+    o["ann_lsh_topk_emb"] = _ann_oracle_sql()
+
+    return o
+
+
+def _ann_oracle_sql() -> str:
+    planes = SIM.hyperplanes(64, 8, 42)
+    bucket = lambda col: " + ".join(  # noqa: E731
+        f"(CASE WHEN list_dot_product({col}, {SIM._vec_sql(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS qv, {bucket('emb')} AS qbucket FROM e WHERE vec_id = 0),
+        b AS (SELECT vec_id, emb, {bucket('emb')} AS bucket FROM e)
+        SELECT vec_id,
+               CAST(round(round(list_dot_product(emb, qv) /
+                     (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 6)
+                    * 1000000) AS BIGINT) AS cosine_micro
+        FROM b, q WHERE b.bucket = q.qbucket
+        ORDER BY cosine_micro DESC, vec_id ASC LIMIT 10
+    """

@@ -1,0 +1,171 @@
+"""Benchmark harness: index-build throughput + BM25 query latency at sf0.1.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...,
+   "build": {...}, "latency": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  SSI_BENCH_AMPLIFY    deterministic corpus amplification factor (default 8
+                       -> ~40k turns at sf0.1)
+
+`--scaling` runs the build+query job at local[8] and local[32] in
+subprocesses on the same input and reports throughput at both plus
+efficiency (see BASELINE.md; the sandbox stand-in for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    ("q_hot", "table the a"),
+    ("q_mixed", "merge window customer"),
+    ("q_selective", "vector stream"),
+    ("q_and", "spark window"),
+    ("q_fq", "table scan"),
+    ("q_long", "data column group order filter"),
+]
+
+
+def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -> dict:
+    from pyspark.sql import functions as F
+
+    from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.query.engine import BM25Index
+    from solr_semantic_importer_spark.session import get_spark
+    from solr_semantic_importer_spark.sources.transcripts import (
+        amplify_transcripts,
+        transcripts_from_documents,
+    )
+
+    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
+    t = transcripts_from_documents(spark, sf_dir)
+    t = amplify_transcripts(t, amplify)
+    # materialize the input once so build timing excludes synthesis
+    src_dir = tempfile.mkdtemp(prefix="ssi_bench_src_")
+    t.write.mode("overwrite").parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+    n_turns = src.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="ssi_bench_idx_")
+    cfg = BuildConfig(
+        segment_size=1 << 14,
+        block_size=128,
+        n_term_buckets=16,
+        hot_df_threshold=max(1000, n_turns // 20),
+        hot_salts=8,
+        build_id=f"bench-{cores}",
+    )
+    t0 = time.monotonic()
+    man = build_index(spark, src, idx_dir, cfg)
+    build_sec = time.monotonic() - t0
+
+    idx = BM25Index(spark, idx_dir)
+    q_secs: dict[str, float] = {}
+    lat_all: list[float] = []
+    for name, q in BENCH_QUERIES:
+        kw = {"fq": "role = 'user'"} if name == "q_fq" else {}
+        if name == "q_and":
+            kw = {"op": "AND", "mode": "exhaustive"}
+        t1 = time.monotonic()
+        idx.search(q, k=10, **kw).collect()
+        dt = time.monotonic() - t1
+        q_secs[name] = round(dt, 3)
+        lat_all.append(dt)
+    # repeat queries for p50/p95 (warm)
+    lat_warm: list[float] = []
+    for _ in range(3):
+        for name, q in BENCH_QUERIES:
+            t1 = time.monotonic()
+            idx.search(q, k=10).collect()
+            lat_warm.append(time.monotonic() - t1)
+    lat_warm.sort()
+    p50 = lat_warm[len(lat_warm) // 2]
+    p95 = lat_warm[int(len(lat_warm) * 0.95) - 1]
+
+    post = man.steps.get("postings")
+    result = {
+        "cores": cores,
+        "n_turns": n_turns,
+        "build_sec": round(build_sec, 2),
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "postings": post.rows if post else 0,
+        "postings_per_sec": round(post.rows / build_sec, 1) if post else 0,
+        "query_p50_sec": round(p50, 3),
+        "query_p95_sec": round(p95, 3),
+        "queries": q_secs,
+    }
+    spark.stop()
+    shutil.rmtree(src_dir, ignore_errors=True)
+    if not keep_index:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    amplify = int(os.environ.get("SSI_BENCH_AMPLIFY", "8"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for c in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", str(c)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[c] = json.loads(line)
+        t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+        eff = t32 / (4 * t8)
+        print(json.dumps({"scaling": results, "efficiency_8_to_32": round(eff, 3)}))
+        return
+
+    if "--single" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--single") + 1])
+        print(json.dumps(run_bench(cores, sf_dir, amplify)))
+        return
+
+    r = run_bench(cores, sf_dir, amplify)
+    total = r["build_sec"] + sum(r["queries"].values())
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_sec",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": r["queries"],
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "build": {
+                    "n_turns": r["n_turns"],
+                    "build_sec": r["build_sec"],
+                    "turns_per_sec": r["turns_per_sec"],
+                    "postings": r["postings"],
+                    "postings_per_sec": r["postings_per_sec"],
+                },
+                "latency": {
+                    "query_p50_sec": r["query_p50_sec"],
+                    "query_p95_sec": r["query_p95_sec"],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

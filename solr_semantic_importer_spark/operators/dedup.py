@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH over word shingles, SimHash, and n-gram
+Jaccard -- all expressed with built-in JVM Column expressions so the plans
+stay inside whole-stage codegen (no Python in the hot path) and every step
+is a plain shuffle Catalyst can plan/AQE-skew-handle.
+
+Shared hash primitive (identical in Spark and DuckDB, so every operator is
+oracle-checkable): H(s) = int(md5(s)[:15 hex], 16)  (60 bits), reduced mod
+P = 2**31 - 1. The MinHash family is h_i(x) = (a_i * x + b_i) mod P with
+a_i = 2i+1, b_i = i*i + 7 -- products stay < 2**37, no int64 overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import tokens_col
+
+P = 2_147_483_647  # 2**31 - 1
+
+
+def md5_int(col: Column) -> Column:
+    """First 60 bits of md5 as a bigint (same value as the DuckDB oracle's
+    ('0x' || substr(md5(s),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_int_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _hash_params(i: int) -> tuple[int, int]:
+    return 2 * i + 1, i * i + 7
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest id per identical text (hash-groupBy dedup).
+
+    Scale note: groups by a 60-bit content hash, not the text itself, so the
+    shuffle carries ~24 bytes/row instead of the document body.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"), md5_int(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")
+    )
+    keep = keyed.groupBy("_h").agg(
+        F.min("id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+    return keep.select("keep_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles; texts with < k tokens yield one shingle of
+    all their tokens (empty text -> no shingles)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    full = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    short = F.array(F.array_join(toks, " "))
+    return F.array_distinct(
+        F.when(n >= k, full).when(n > 0, short).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): MinHash signature over word k-shingles.
+
+    Plan shape: project shingles (codegen) -> explode -> single groupBy(id)
+    computing all n mins as one aggregate pass (map-side partial agg makes
+    the shuffle carry n*8 bytes per doc, not per shingle).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, k)).alias("sh")
+    ).withColumn("x", md5_int(F.col("sh")) % P)
+    aggs = []
+    for i in range(n_hashes):
+        a, b = _hash_params(i)
+        aggs.append(F.min((F.col("x") * a + b) % P).alias(f"sig_{i}"))
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band.
+
+    Bands via a single explode of (band_idx, band_key) -- one self-join on
+    the band key, which Spark executes as a shuffle join keyed by band; hot
+    buckets are the classic skew case and AQE skew-join splits them.
+    """
+    n_bands = n_hashes // band_size
+    bands = []
+    for bdx in range(n_bands):
+        cols = [F.col(f"sig_{i}").cast("string") for i in range(bdx * band_size, (bdx + 1) * band_size)]
+        bands.append(F.struct(F.lit(bdx).alias("band"), F.concat_ws("_", *cols).alias("key")))
+    banded = sig.select("id", F.explode(F.array(*bands)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_lsh_sql(source_sql: str, id_expr: str, text_expr: str,
+                    n_hashes: int = 16, band_size: int = 4, k: int = 3) -> str:
+    """DuckDB oracle for minhash_signature + lsh_candidate_pairs."""
+    step_hashes = ",\n      ".join(
+        f"min((x * {2*i+1} + {i*i+7}) % {P}) AS sig_{i}" for i in range(n_hashes)
+    )
+    n_bands = n_hashes // band_size
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band, concat_ws('_', {cols}) AS key FROM sig".format(
+            b=b,
+            cols=", ".join(f"sig_{i}::VARCHAR" for i in range(b * band_size, (b + 1) * band_size)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH src AS ({source_sql}),
+    tok AS (
+      SELECT {id_expr} AS id,
+             regexp_extract_all(lower(coalesce({text_expr}, '')), '[a-z0-9]+') AS toks
+      FROM src
+    ),
+    sh AS (
+      SELECT id, unnest(list_distinct(CASE
+        WHEN len(toks) >= {k} THEN
+          list_transform(generate_series(0, len(toks) - {k}),
+                         i -> array_to_string(toks[i + 1 : i + {k}], ' '))
+        WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        ELSE [] END)) AS s
+      FROM tok
+    ),
+    hx AS (SELECT id, {md5_int_sql('s')} % {P} AS x FROM sh),
+    sig AS (SELECT id, {step_hashes} FROM hx GROUP BY id),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    FROM bands l JOIN bands r USING (band, key)
+    WHERE l.id < r.id
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash): tf-weighted SimHash fingerprint, fully JVM-side.
+
+    Per term: bit_j = ((a_j * H + b_j) mod P) mod 2; fingerprint bit j is 1
+    iff sum over terms of tf * (2*bit_j - 1) > 0. One explode + one groupBy.
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("t"))
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("x", md5_int(F.col("t")) % P)
+    sums = []
+    for j in range(bits):
+        a, b = _hash_params(j)
+        bit = ((F.col("x") * a + b) % P) % 2
+        sums.append(F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"s_{j}"))
+    agg = tf.groupBy("id").agg(*sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return agg.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_sql(source_sql: str, id_expr: str, text_expr: str, bits: int = 16) -> str:
+    sums = ",\n      ".join(
+        f"sum(tf * (2 * (((x * {2*j+1} + {j*j+7}) % {P}) % 2) - 1)) AS s_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH src AS ({source_sql}),
+    tok AS (
+      SELECT {id_expr} AS id,
+             unnest(regexp_extract_all(lower(coalesce({text_expr}, '')), '[a-z0-9]+')) AS t
+      FROM src
+    ),
+    tf AS (SELECT id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+    hx AS (SELECT id, tf, {md5_int_sql('t')} % {P} AS x FROM tf),
+    agg AS (SELECT id, {sums} FROM hx GROUP BY id)
+    SELECT id, CAST({fp} AS BIGINT) AS simhash FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, k: int = 3
+) -> DataFrame:
+    """Exact k-shingle Jaccard for given candidate pairs (id_a, id_b).
+
+    The candidate relation is small (LSH output); the shingle sets are
+    broadcast-joined to it per side and compared with array set ops.
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, k).alias("sh")
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.when(union == 0, F.lit(None)).otherwise(union), 6).alias(
+            "jaccard"
+        ),
+    )

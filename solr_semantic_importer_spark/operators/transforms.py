@@ -1,0 +1,91 @@
+"""Layer-A scalar transforms and set-style operators (SURVEY sections 2.2/2.4/2.5).
+
+Each function is the Spark-native form of a reference behavior, cited inline.
+All are pure built-in Column expressions -- Catalyst folds/pushes them; no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ISO_MILLIS = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def normalize_date(col: Column | str) -> Column:
+    """P3: timestamp-or-epoch-millis -> ISO-8601 UTC string with millis.
+
+    Reference: SolrSemanticIndexer.insertCreationDate normalizes
+    ``creation_date`` (Long epoch or Date) to yyyy-MM-dd'T'HH:mm:ss.SSS'Z'
+    (SolrSemanticIndexer.java:244-276).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, ISO_MILLIS)
+
+
+def normalize_epoch_millis(col: Column | str) -> Column:
+    """P3 variant: long epoch-millis input."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(F.timestamp_millis(c), ISO_MILLIS)
+
+
+def stamp_crawl(df: DataFrame, crawl_id: str) -> DataFrame:
+    """P4: stamp crawl-id (+ crawl-date) on every doc
+    (SolrSemanticIndexer.java:240-247). crawl_date is current_timestamp in
+    the reference; callers needing determinism pass their own literal."""
+    return df.withColumn("crawl_id", F.lit(crawl_id))
+
+
+def truncate_field(col: Column | str, max_chars: int) -> Column:
+    """P5: cap text at max-chars before embedding
+    (InlineDocumentListener.java:117-123)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, max_chars)
+
+
+def drop_internal_fields(df: DataFrame) -> DataFrame:
+    """P2: `_version_` (and Spark-internal columns) never round-trip
+    (JsonToSolrDocParser.java:48,81,118)."""
+    internal = [c for c in df.columns if c.startswith("_")]
+    return df.drop(*internal)
+
+
+def facet_field(df: DataFrame, field: str) -> DataFrame:
+    """Q5/A2: field facet with unlimited buckets
+    (SolrAdminActions.java:233-245, setFacetLimit(-1))."""
+    return df.groupBy(field).agg(F.count("*").alias("facet_count"))
+
+
+def orphan_anti_filter(df: DataFrame, crawl_id_col: str, current: str) -> DataFrame:
+    """J3/I5: delete-by-query `-crawl_id:X` == keep only current crawl;
+    the returned frame is the orphan set that WOULD be deleted
+    (SolrAdminActions.java:228-264, query at :248)."""
+    return df.filter(F.col(crawl_id_col) != current)
+
+
+def upsert_by_key(old: DataFrame, new: DataFrame, key: str, version_col: str) -> DataFrame:
+    """J5: Solr add-by-uniqueKey upsert semantics -- rerunning a crawl
+    overwrites docs by id (uniqueKey, managed-schema.xml:172; idempotence
+    asserted by SolrIndexerIntegrationTest.java:69-79). Latest version wins,
+    implemented as union + row_number -- the MERGE INTO shape without Iceberg.
+    """
+    unioned = old.unionByName(new)
+    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def nest_children(parents: DataFrame, children: DataFrame, parent_key: str,
+                  child_parent_key: str, child_cols: list[str],
+                  nested_col: str = "children") -> DataFrame:
+    """J4: child docs attached as a nested field of the parent
+    (InlineDocumentListener.java:106-115, `body-child` config) ->
+    ArrayType(StructType) column, order-stable by the child sort key."""
+    kids = children.groupBy(F.col(child_parent_key).alias(parent_key)).agg(
+        F.sort_array(F.collect_list(F.struct(*child_cols))).alias(nested_col)
+    )
+    return parents.join(kids, parent_key, "left")

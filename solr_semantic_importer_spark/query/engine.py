@@ -156,14 +156,20 @@ class BM25Index:
         offset: int = 0,
         mode: str = "wand",
         with_stored: bool = False,
+        order_key: str = "round6",
     ) -> DataFrame:
-        """Top-k BM25. Returns DataFrame(doc_id, score[, stored fields])."""
+        """Top-k BM25. Returns DataFrame(doc_id, score[, stored fields]).
+
+        order_key: 'round6' (canonical: round(score,6) desc, doc_id asc) or
+        'milli' (integer key round(score*1000) -- used for cross-engine
+        hash-stable comparisons; same semantics, coarser ties).
+        """
         terms = self.analyze_query(query, synonyms=synonyms)
         idf = self.idf_map(terms)
         terms = [t for t in terms if t in idf]  # OOV terms contribute nothing
         empty = self.spark.createDataFrame([], _SCORE_ROW)
         if not terms:
-            return self._finish(empty, k, offset, with_stored)
+            return self._finish(empty, k, offset, with_stored, order_key)
 
         allowed_docs: DataFrame | None = None
         if fq is not None:
@@ -182,18 +188,21 @@ class BM25Index:
                 scored = partials.groupBy("doc_id").agg(F.sum("score").alias("score"))
             if allowed_docs is not None:
                 scored = scored.join(allowed_docs, "doc_id", "left_semi")
-        return self._finish(scored, k, offset, with_stored)
+        return self._finish(scored, k, offset, with_stored, order_key)
 
     def _finish(
-        self, scored: DataFrame, k: int, offset: int, with_stored: bool
+        self, scored: DataFrame, k: int, offset: int, with_stored: bool,
+        order_key: str = "round6",
     ) -> DataFrame:
-        out = scored.orderBy(
-            F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()
-        )
+        if order_key == "milli":
+            key = F.round(F.col("score") * 1000).cast("long")
+        else:
+            key = F.round(F.col("score"), 6)
+        out = scored.orderBy(key.desc(), F.col("doc_id").asc())
         out = out.offset(offset).limit(k) if offset else out.limit(k)
         if with_stored:
             out = out.join(self.docs(), "doc_id", "left").orderBy(
-                F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()
+                key.desc(), F.col("doc_id").asc()
             )
         return out
 
