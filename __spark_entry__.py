@@ -29,15 +29,18 @@ from solr_semantic_importer_spark.functions.analysis import tokens_col
 from solr_semantic_importer_spark.index.build import BuildConfig, build_index
 from solr_semantic_importer_spark.operators import chunking as CH
 from solr_semantic_importer_spark.operators import dedup as DD
+from solr_semantic_importer_spark.operators import multimodal as MM
 from solr_semantic_importer_spark.operators import similarity as SIM
 from solr_semantic_importer_spark.operators import transforms as TR
+from solr_semantic_importer_spark.operators.flatten import flatten_columns
+from solr_semantic_importer_spark.streaming.incremental import windowed_event_counts
 from solr_semantic_importer_spark.oracle import duckdb_sql as OSQL
 from solr_semantic_importer_spark.query.engine import BM25Index
 from solr_semantic_importer_spark.sources.transcripts import (
     transcripts_from_documents,
 )
 
-ENTRY_BUILD_ID = "entry-v1"
+ENTRY_BUILD_ID = "entry-v2"
 _INDEX_CACHE: dict[str, BM25Index] = {}
 
 
@@ -99,6 +102,29 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.col("text"), F.lit("mutated")).alias("text"),
     )
     return d.unionByName(exact).unionByName(near)
+
+
+# embeddings with injected near-duplicates: scaled copies have cosine 1.0
+# with their source (positive scale preserves LSH sign buckets too)
+def _neardup_emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.1)).alias("embedding"),
+    )
+    return e.unionByName(copies)
+
+
+_NEARDUP_EMB_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS embedding
+    FROM embeddings WHERE vec_id < 300
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding::DOUBLE[], x -> x * 1.1) AS embedding
+    FROM embeddings WHERE vec_id < 300 AND vec_id % 20 = 0
+"""
 
 
 _DEDUP_CORPUS_SQL = """
@@ -325,6 +351,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk_emb"] = ann_lsh_topk_emb
 
+    def embedding_neardup(spark, sf_dir):
+        c = _neardup_emb_corpus(spark, sf_dir)
+        pairs = DD.embedding_neardup_pairs(c, threshold=0.999)
+        return pairs.select(
+            "id_a", "id_b", _micro(F.col("cosine")).alias("cosine_micro")
+        )
+
+    q["embedding_neardup"] = embedding_neardup
+
+    # ---- query-time synonym expansion (T4, managed-schema.xml:311) ----
+    q["bm25_synonyms"] = _bm25("gb table", k=10, synonyms=True, mode="exhaustive")
+
+    # ---- multimodal binary columns ----
+    def multimodal_digest(spark, sf_dir):
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        return MM.payload_digest(MM.attach_binary_payload(d))
+
+    q["multimodal_digest"] = multimodal_digest
+
+    def multimodal_frames(spark, sf_dir):
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        fr = MM.sample_frames(MM.attach_binary_payload(d), every_nth=2)
+        return fr.select(
+            "doc_id", "frame_idx", F.octet_length("frame_bytes").cast("long").alias("frame_len")
+        )
+
+    q["multimodal_frames"] = multimodal_frames
+
+    # ---- nested flatten (S5 protobuf analog) ----
+    def flatten_events(spark, sf_dir):
+        e = _events(spark, sf_dir).select(
+            "event_id",
+            F.struct(
+                F.struct(F.col("user_id"), F.col("event_type")).alias("u"),
+                F.col("value"),
+            ).alias("nested"),
+        )
+        flat = flatten_columns(e)
+        return flat.select(
+            "event_id",
+            "nested_u_user_id",
+            "nested_u_event_type",
+            _micro(F.col("nested_value")).alias("nested_value_micro"),
+        )
+
+    q["flatten_events"] = flatten_events
+
+    # ---- JSON round-trip (S4 parse + P8 serialize, _version_ strip) ----
+    def json_roundtrip(spark, sf_dir):
+        from pyspark.sql import types as T
+
+        d = _docs(spark, sf_dir).select("doc_id", "text", "lang").withColumn(
+            "_version_", F.lit(1700000000000)
+        )
+        js = TR.docs_to_json(d)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("_version_", T.LongType()),
+            ]
+        )
+        return TR.parse_json_docs(js.select("doc_json"), schema)
+
+    q["json_roundtrip"] = json_roundtrip
+
+    # ---- nested child documents (J4) ----
+    def nested_children(spark, sf_dir):
+        parents = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+            F.col("doc_id").alias("parent_id"), "lang"
+        )
+        chunks = chunk_explode(spark, sf_dir)
+        nested = TR.nest_children(
+            parents, chunks, "parent_id", "parent_id",
+            ["chunk_number", "chunk_id"], nested_col="children",
+        )
+        return nested.select(
+            "parent_id",
+            F.size("children").alias("n_children"),
+            F.col("children")[0]["chunk_id"].alias("first_child"),
+            F.element_at("children", -1)["chunk_id"].alias("last_child"),
+        )
+
+    q["nested_children"] = nested_children
+
+    # ---- streaming-shaped windowed aggregation (2.10; batch form) ----
+    def event_windows(spark, sf_dir):
+        w = windowed_event_counts(_events(spark, sf_dir))
+        return w.select(
+            TR.normalize_date("window_start").alias("window_start"), "event_type", "n"
+        )
+
+    q["event_windows"] = event_windows
+
     return q
 
 
@@ -447,6 +568,73 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_micro DESC, vec_id ASC LIMIT 20
     """
     o["ann_lsh_topk_emb"] = _ann_oracle_sql()
+
+    nd = DD.embedding_neardup_sql(
+        0.999, dim=64, n_planes=8, seed=42,
+        table=f"({_NEARDUP_EMB_SQL}) ndsrc", id_expr="vec_id", vec_expr="embedding",
+    )
+    o["embedding_neardup"] = f"""
+        SELECT id_a, id_b, CAST(round(cosine * 1000000) AS BIGINT) AS cosine_micro
+        FROM ({nd})
+    """
+
+    # synonym expansion is deterministic: gb -> {{gb, gib, gigabyte, gigabytes}}
+    o["bm25_synonyms"] = OSQL.bm25_topk_sql("gb gib gigabyte gigabytes table", k=10)
+
+    o["multimodal_digest"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+               md5(coalesce(text, '')) AS payload_md5
+        FROM documents WHERE doc_id < 200
+    """
+    # fake video decode: payload split into n_frames slices, every 2nd kept
+    o["multimodal_frames"] = """
+        WITH v AS (
+          SELECT doc_id,
+                 CAST(doc_id % 7 + 2 AS INT) AS n_frames,
+                 octet_length(encode(coalesce(text, ''))) AS blen
+          FROM documents
+          WHERE doc_id < 200 AND CAST(doc_id % 3 AS INT) = 2
+        ),
+        f AS (
+          SELECT doc_id, blen, n_frames,
+                 GREATEST(blen // n_frames, 1) AS step,
+                 unnest(range(0, n_frames, 2)) AS frame_idx
+          FROM v
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(GREATEST(LEAST(blen, (frame_idx + 1) * step) - frame_idx * step, 0)
+                    AS BIGINT) AS frame_len
+        FROM f
+    """
+    o["flatten_events"] = (
+        "SELECT event_id, user_id AS nested_u_user_id, "
+        "event_type AS nested_u_event_type, "
+        "CAST(round(value * 1000000) AS BIGINT) AS nested_value_micro FROM events"
+    )
+    o["json_roundtrip"] = "SELECT doc_id, text, lang FROM documents"
+
+    chunks_sql2 = CH.chunks_duckdb_sql(
+        "SELECT * FROM documents WHERE doc_id < 100", "doc_id", "text", 30, 5, "text"
+    )
+    o["nested_children"] = f"""
+        WITH c AS ({chunks_sql2})
+        SELECT d.doc_id AS parent_id,
+               CAST(coalesce(g.n, -1) AS INT) AS n_children,
+               g.first_child, g.last_child
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        LEFT JOIN (
+          SELECT parent_id, count(*) AS n,
+                 min(chunk_id) AS first_child, max(chunk_id) AS last_child
+          FROM c GROUP BY parent_id
+        ) g ON g.parent_id = d.doc_id
+    """
+    o["event_windows"] = (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S.%gZ') AS window_start, "
+        "event_type, count(*) AS n FROM events GROUP BY 1, 2"
+    )
 
     return o
 

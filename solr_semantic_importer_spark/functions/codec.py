@@ -21,6 +21,39 @@ _MAX_GROUPS = 10  # ceil(64 / 7)
 _SHIFTS = np.arange(_MAX_GROUPS, dtype=np.uint64) * np.uint64(7)
 
 
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a 1-D array; also return bytes-per-value.
+
+    The length vector lets a caller encode MANY logical blocks in ONE
+    vectorized pass and then slice the shared buffer per block
+    (np.add.reduceat over block starts) -- the trick that makes the
+    partition-level posting encoder free of per-block encode calls.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    groups = np.ones(v.shape, dtype=np.int64)
+    thresh = np.uint64(1) << np.uint64(7)
+    tmp = v.copy()
+    while True:
+        more = tmp >= thresh
+        if not more.any():
+            break
+        groups[more] += 1
+        tmp = tmp >> np.uint64(7)
+    total = int(groups.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(groups)[:-1]))
+    for g in range(_MAX_GROUPS):
+        mask = groups > g
+        if not mask.any():
+            break
+        byte = ((v[mask] >> _SHIFTS[g]) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (groups[mask] > (g + 1)).astype(np.uint8) << 7
+        out[starts[mask] + g] = byte | cont
+    return out.tobytes(), groups
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a 1-D array of non-negative ints (any int dtype)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)

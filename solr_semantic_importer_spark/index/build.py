@@ -36,7 +36,6 @@ are skipped on resume; rows/bytes/duration/skew metrics per step.
 
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass
 
@@ -48,7 +47,7 @@ from pyspark.sql import types as T
 
 from .. import B, K1
 from ..functions.analysis import term_freqs_udf
-from ..functions.codec import varint_encode
+from ..functions.codec import varint_encode_with_lengths
 from ..plans.manifest import Manifest, dir_bytes
 from .docids import assign_doc_ids
 
@@ -85,63 +84,99 @@ class BuildConfig:
     build_id: str = "build-0"
 
 
-def _tf_pairs(docs: DataFrame) -> DataFrame:
-    """docs (with doc_id, segment_id, text) -> (doc_id, segment_id, dl, term, tf)."""
-    with_tf = docs.select(
-        "doc_id",
-        "segment_id",
-        term_freqs_udf(F.col("text")).alias("tfmap"),
-    ).withColumn(
-        "dl",
-        F.coalesce(
-            F.aggregate(F.map_values("tfmap"), F.lit(0), lambda a, x: a + x),
-            F.lit(0),
-        ),
-    )
-    return with_tf.select(
-        "doc_id", "segment_id", "dl", F.explode_outer("tfmap").alias("term", "tf")
-    ).filter(F.col("term").isNotNull())
-
-
-def _make_encode_fn(block_size: int, avgdl: float):
+def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
+    """Encode a chunk of rows sorted by (term, segment_id, salt, doc_id) into
+    posting blocks -- FULLY vectorized: one boundary scan finds all groups and
+    blocks, ONE varint pass encodes every stream, reduceat computes per-block
+    aggregates, and the only Python loop slices the shared byte buffers.
+    """
     k1, b = K1, B
+    term = pdf["term"].to_numpy(object)
+    seg = pdf["segment_id"].to_numpy(np.int64)
+    salt = pdf["salt"].to_numpy(np.int64)
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.int64)
+    dl = pdf["dl"].to_numpy(np.int64)
+    n = len(doc)
+    new_group = np.ones(n, dtype=bool)
+    if n > 1:
+        new_group[1:] = (
+            (term[1:] != term[:-1]) | (seg[1:] != seg[:-1]) | (salt[1:] != salt[:-1])
+        )
+    grp_starts = np.flatnonzero(new_group)
+    grp = np.cumsum(new_group) - 1
+    pos = np.arange(n, dtype=np.int64) - grp_starts[grp]
+    new_block = new_group | (pos % block_size == 0)
+    block_starts = np.flatnonzero(new_block)
+    nb = len(block_starts)
+    block_ends = np.empty(nb, dtype=np.int64)
+    block_ends[:-1] = block_starts[1:]
+    block_ends[-1] = n
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, segment_id, salt = key
-        pdf = pdf.sort_values("doc_id")
-        doc = pdf["doc_id"].to_numpy(np.int64)
-        tf = pdf["tf"].to_numpy(np.int64)
-        dl = pdf["dl"].to_numpy(np.int64)
-        norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0)))
-        rows = []
-        for i, s in enumerate(range(0, len(doc), block_size)):
-            d, t, l2, nm = (
-                doc[s : s + block_size],
-                tf[s : s + block_size],
-                dl[s : s + block_size],
-                norm[s : s + block_size],
-            )
-            gaps = np.empty_like(d)
-            gaps[0] = d[0]
-            gaps[1:] = np.diff(d)
-            rows.append(
-                {
-                    "term": term,
-                    "segment_id": segment_id,
-                    "salt": int(salt),
-                    "block_id": i,
-                    "count": len(d),
-                    "min_doc": int(d[0]),
-                    "max_doc": int(d[-1]),
-                    "max_tf_norm": float(nm.max()),
-                    "doc_gaps": varint_encode(gaps.astype(np.uint64)),
-                    "tfs": varint_encode(t.astype(np.uint64)),
-                    "dls": varint_encode(l2.astype(np.uint64)),
-                }
-            )
-        return pd.DataFrame(rows)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = doc[0]
+    gaps[1:] = doc[1:] - doc[:-1]
+    gaps[block_starts] = doc[block_starts]  # absolute restart per block
+    norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0)))
 
-    return encode
+    gbuf, glen = varint_encode_with_lengths(gaps.astype(np.uint64))
+    tbuf, tlen = varint_encode_with_lengths(tf.astype(np.uint64))
+    lbuf, llen = varint_encode_with_lengths(dl.astype(np.uint64))
+
+    def offsets(lens: np.ndarray) -> np.ndarray:
+        o = np.zeros(nb + 1, dtype=np.int64)
+        o[1:] = np.cumsum(np.add.reduceat(lens, block_starts))
+        return o
+
+    go, to, lo = offsets(glen), offsets(tlen), offsets(llen)
+    gm, tm, lm = memoryview(gbuf), memoryview(tbuf), memoryview(lbuf)
+    return pd.DataFrame(
+        {
+            "term": term[block_starts],
+            "segment_id": seg[block_starts],
+            "salt": salt[block_starts].astype(np.int32),
+            "block_id": (pos[block_starts] // block_size).astype(np.int32),
+            "count": (block_ends - block_starts).astype(np.int32),
+            "min_doc": doc[block_starts],
+            "max_doc": doc[block_ends - 1],
+            "max_tf_norm": np.maximum.reduceat(norm, block_starts),
+            "doc_gaps": [bytes(gm[go[i] : go[i + 1]]) for i in range(nb)],
+            "tfs": [bytes(tm[to[i] : to[i + 1]]) for i in range(nb)],
+            "dls": [bytes(lm[lo[i] : lo[i + 1]]) for i in range(nb)],
+        }
+    )
+
+
+def _make_partition_encoder(block_size: int, avgdl: float):
+    """mapInPandas kernel over partitions sorted by (term, segment_id, salt,
+    doc_id). Arrow batches can split a group, so the trailing group of each
+    batch is carried into the next before encoding."""
+
+    def kernel(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            term = pdf["term"].to_numpy(object)
+            seg = pdf["segment_id"].to_numpy(np.int64)
+            salt = pdf["salt"].to_numpy(np.int64)
+            new_group = np.ones(len(pdf), dtype=bool)
+            new_group[1:] = (
+                (term[1:] != term[:-1]) | (seg[1:] != seg[:-1]) | (salt[1:] != salt[:-1])
+            )
+            last_start = int(np.flatnonzero(new_group)[-1])
+            if last_start == 0:
+                carry = pdf  # whole batch is one group; keep accumulating
+                continue
+            yield _encode_sorted_chunk(pdf.iloc[:last_start], block_size, avgdl)
+            carry = pdf.iloc[last_start:].reset_index(drop=True)
+        if carry is not None and len(carry):
+            yield _encode_sorted_chunk(carry, block_size, avgdl)
+
+    return kernel
 
 
 def build_index(
@@ -156,28 +191,42 @@ def build_index(
     man = Manifest(index_dir, cfg.build_id)
 
     docs_path = os.path.join(index_dir, "docs")
+    pairs_path = os.path.join(index_dir, "tf_pairs")
     dict_path = os.path.join(index_dir, "dictionary")
     stats_path = os.path.join(index_dir, "corpus_stats")
     post_path = os.path.join(index_dir, "postings")
 
-    # -- step 1: docs table (stored fields + dl + segment) ------------------
+    # -- steps 1+2: ONE analysis pass feeds both the docs table (stored
+    # fields + dl) and the tf_pairs relation (doc_id, segment_id, dl, term,
+    # tf). The analyzed frame is persisted across the two writes in a fresh
+    # build; a resume that lost it just recomputes (deterministically).
+    _analyzed: list[DataFrame] = []
+
+    def analyzed() -> DataFrame:
+        if not _analyzed:
+            ids = assign_doc_ids(transcripts)
+            a = (
+                ids.withColumn(
+                    "segment_id", (F.col("doc_id") / cfg.segment_size).cast("long")
+                )
+                .withColumn("tfmap", term_freqs_udf(F.col("text")))
+                .withColumn(
+                    "dl",
+                    F.coalesce(
+                        F.aggregate(
+                            F.map_values("tfmap"), F.lit(0), lambda a_, x: a_ + x
+                        ),
+                        F.lit(0),
+                    ),
+                )
+            )
+            _analyzed.append(a.persist())
+        return _analyzed[0]
+
     def step_docs():
-        ids = assign_doc_ids(transcripts)
-        docs = ids.withColumn(
-            "segment_id", (F.col("doc_id") / cfg.segment_size).cast("long")
-        ).withColumn(
-            "dl",
-            F.coalesce(
-                F.aggregate(
-                    F.map_values(term_freqs_udf(F.col("text"))),
-                    F.lit(0),
-                    lambda a, x: a + x,
-                ),
-                F.lit(0),
-            ),
-        )
+        docs_df = analyzed().drop("tfmap")
         (
-            docs.repartition("segment_id")
+            docs_df.repartition("segment_id")
             .write.mode("overwrite")
             .partitionBy("segment_id")
             .parquet(docs_path)
@@ -188,7 +237,20 @@ def build_index(
     man.run_step("docs", step_docs)
     docs = spark.read.parquet(docs_path)
 
-    # -- step 2: corpus stats ------------------------------------------------
+    def step_pairs():
+        p = analyzed().select(
+            "doc_id", "segment_id", "dl", F.explode("tfmap").alias("term", "tf")
+        )
+        p.write.mode("overwrite").parquet(pairs_path)
+        n = spark.read.parquet(pairs_path).count()
+        return n, dir_bytes(pairs_path), {}
+
+    man.run_step("pairs", step_pairs)
+    for a in _analyzed:
+        a.unpersist()
+    pairs = spark.read.parquet(pairs_path)
+
+    # -- step 3: corpus stats ------------------------------------------------
     def step_stats():
         stats = docs.agg(
             F.count("*").alias("n_docs"),
@@ -202,9 +264,7 @@ def build_index(
     srow = spark.read.parquet(stats_path).collect()[0]
     n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"] or 0.0)
 
-    pairs = _tf_pairs(docs)
-
-    # -- step 3: dictionary (term -> df, cf) ---------------------------------
+    # -- step 4: dictionary (term -> df, cf) ---------------------------------
     def step_dict():
         d = pairs.groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
@@ -221,7 +281,7 @@ def build_index(
     man.run_step("dictionary", step_dict)
     dictionary = spark.read.parquet(dict_path)
 
-    # -- step 4: salted, blocked, compressed postings ------------------------
+    # -- step 5: salted, blocked, compressed postings ------------------------
     def step_postings():
         hot = dictionary.filter(F.col("df") >= cfg.hot_df_threshold).select(
             "term", F.lit(cfg.hot_salts).alias("n_salts")
@@ -238,17 +298,22 @@ def build_index(
                 / cfg.segment_size
             ).cast("int"),
         )
-        encode = _make_encode_fn(cfg.block_size, avgdl)
-        enc = p.groupBy("term", "segment_id", "salt").applyInPandas(
-            encode, schema=POSTINGS_SCHEMA
+        # ONE shuffle colocates each (term, segment, salt) group; the sorted
+        # partitions stream through the vectorized block encoder (no
+        # per-group Python invocation -- SURVEY 4.2 skew/scale design).
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        enc = (
+            p.repartition(shuffle_n, "term", "segment_id", "salt")
+            .sortWithinPartitions("term", "segment_id", "salt", "doc_id")
+            .mapInPandas(
+                _make_partition_encoder(cfg.block_size, avgdl), schema=POSTINGS_SCHEMA
+            )
         )
         enc = enc.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int")
         )
         (
-            enc.repartition("bucket", "segment_id")
-            .sortWithinPartitions("term", "segment_id", "salt", "block_id")
-            .write.mode("overwrite")
+            enc.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(post_path)
         )

@@ -35,8 +35,13 @@ def assign_doc_ids_window(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
 
 
-def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Scalable stable ids: range partition -> local sort -> offset + rank."""
+def assign_doc_ids(
+    df: DataFrame, num_partitions: int | None = None, start: int = 0
+) -> DataFrame:
+    """Scalable stable ids: range partition -> local sort -> offset + rank.
+
+    ``start`` offsets the id space (streaming/incremental builds allocate a
+    contiguous range per micro-batch; see streaming/incremental.py)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -52,7 +57,7 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
     offsets = {}
-    acc = 0
+    acc = start
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]

@@ -233,3 +233,74 @@ def ngram_jaccard_pairs(
             "jaccard"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Scale path: random-hyperplane LSH bucket (deterministic planes shared
+    with the similarity module and the DuckDB oracle) -> self-join on the
+    bucket id -> exact cosine re-check. The candidate join is keyed by an
+    int bucket -- a plain shuffle join AQE can skew-split; the exact check
+    runs only on candidates (recall < 1 by construction, like every LSH
+    dedup; raise n_bands/probe buckets for higher recall).
+    """
+    from .similarity import cosine_sim, hyperplanes, lsh_bucket_col
+
+    planes = hyperplanes(_vec_dim(emb, vec_col), n_planes, seed)
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = l.join(r, "bucket").filter(F.col("l.id") < F.col("r.id"))
+    cos = F.round(cosine_sim(F.col("l.v"), F.col("r.v")), 6)
+    return (
+        cand.select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), cos.alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _vec_dim(emb: DataFrame, vec_col: str) -> int:
+    row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0
+
+
+def embedding_neardup_sql(
+    threshold: float, dim: int, n_planes: int = 8, seed: int = 42,
+    table: str = "embeddings", id_expr: str = "vec_id", vec_expr: str = "embedding",
+) -> str:
+    """DuckDB oracle: identical buckets (same literal planes), exact cosine."""
+    from .similarity import _vec_sql, hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_vec_sql(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT {id_expr} AS id, {vec_expr}::DOUBLE[] AS v FROM {table}),
+    b AS (SELECT id, v, {bucket} AS bucket FROM e)
+    SELECT l.id AS id_a, r.id AS id_b,
+           round(list_dot_product(l.v, r.v) /
+                 (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+             AS cosine
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+    WHERE round(list_dot_product(l.v, r.v) /
+                (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+          >= {threshold}
+    """

@@ -89,3 +89,21 @@ def nest_children(parents: DataFrame, children: DataFrame, parent_key: str,
         F.sort_array(F.collect_list(F.struct(*child_cols))).alias(nested_col)
     )
     return parents.join(kids, parent_key, "left")
+
+
+def docs_to_json(df: DataFrame) -> DataFrame:
+    """P8: re-serialize docs to JSON strings minus internal fields
+    (JsonToSolrDocParser.java:32-56, SolrDocumentConverter.java:22-31).
+    Output: (id-preserving columns stay) + `doc_json`."""
+    clean = drop_internal_fields(df)
+    return clean.select(
+        *clean.columns, F.to_json(F.struct(*clean.columns)).alias("doc_json")
+    )
+
+
+def parse_json_docs(json_df: DataFrame, schema, json_col: str = "doc_json") -> DataFrame:
+    """S4: JSON response docs -> typed rows, `_version_` (and any internal
+    `_`-prefixed field) stripped (JsonToSolrDocParser.java:58-101, strip at
+    :81). `schema` may include `_version_`; it is dropped after parse."""
+    parsed = json_df.select(F.from_json(F.col(json_col), schema).alias("d")).select("d.*")
+    return drop_internal_fields(parsed)

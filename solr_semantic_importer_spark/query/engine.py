@@ -55,12 +55,21 @@ _SCORE_ROW = T.StructType(
 )
 
 
-def _bucket_of(term: str, n_buckets: int, spark: SparkSession) -> int:
-    # xxhash64 identical to the build side: evaluate via a literal expression
-    row = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).cast("int").alias("b")
-    ).collect()[0]
-    return int(row["b"])
+def _buckets_of(terms: list[str], n_buckets: int, spark: SparkSession) -> dict[str, int]:
+    """term -> build-side bucket, ONE tiny local job for the whole query.
+
+    Must match the build exactly (pmod(xxhash64(term), n)); evaluating the
+    same JVM expression over a literal column guarantees that without
+    reimplementing XXH64 in Python.
+    """
+    if not terms:
+        return {}
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
+    )
+    return {r["term"]: int(r["b"]) for r in rows}
 
 
 class BM25Index:
@@ -69,14 +78,29 @@ class BM25Index:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        srow = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
-        self.n_docs = int(srow["n_docs"])
-        self.avgdl = float(srow["avgdl"] or 0.0)
+        # corpus_stats may hold one row per batch (streaming/incremental
+        # appends, streaming/incremental.py) -- aggregate additively.
+        srow = (
+            spark.read.parquet(os.path.join(index_dir, "corpus_stats"))
+            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+            .collect()[0]
+        )
+        self.n_docs = int(srow["n"] or 0)
+        self.avgdl = (float(srow["s"]) / self.n_docs) if self.n_docs else 0.0
         import json
 
         with open(os.path.join(index_dir, "_manifest.json")) as f:
             fin = json.load(f)["steps"].get("finalize", {}).get("metrics", {})
         self.n_term_buckets = int(fin.get("n_term_buckets", 16))
+        self._bucket_cache: dict[str, int] = {}
+
+    def _buckets(self, terms: list[str]) -> list[int]:
+        missing = [t for t in terms if t not in self._bucket_cache]
+        if missing:
+            self._bucket_cache.update(
+                _buckets_of(missing, self.n_term_buckets, self.spark)
+            )
+        return sorted({self._bucket_cache[t] for t in terms})
 
     # -- pieces --------------------------------------------------------------
 
@@ -95,13 +119,13 @@ class BM25Index:
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         if not terms:
             return {}
-        buckets = sorted(
-            {_bucket_of(t, self.n_term_buckets, self.spark) for t in terms}
-        )
+        buckets = self._buckets(terms)
+        # groupBy sum: incremental builds append one df row per (term, batch)
         d = (
             self.dictionary()
             .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", "df")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
             .collect()
         )
         n = self.n_docs
@@ -110,9 +134,7 @@ class BM25Index:
         }
 
     def postings_for(self, terms: list[str]) -> DataFrame:
-        buckets = sorted(
-            {_bucket_of(t, self.n_term_buckets, self.spark) for t in terms}
-        )
+        buckets = self._buckets(terms)
         return self.spark.read.parquet(os.path.join(self.index_dir, "postings")).filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )

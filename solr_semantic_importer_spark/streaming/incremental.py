@@ -1,0 +1,197 @@
+"""Structured Streaming ingestion: incremental, resumable index builds.
+
+The reference is batch-with-streaming-internals: a bounded crawl pushed
+through Reactor Flux publishers with a 30k-doc backpressure buffer
+(/root/reference/src/main/java/com/krickert/search/indexer/solr/vector/event/
+SolrSourceDocumentPublisher.java:17,22-25; parallel consumption
+SubscriptionManager.java:49-56; completion polling
+SolrSemanticIndexer.java:132-183). Spark-first, that machinery becomes
+Structured Streaming: ``readStream`` -> ``foreachBatch`` -> per-micro-batch
+segment build, with the checkpoint + manifest replacing the tracker/watchdog.
+
+Design (Lucene-like segment-per-batch, the standard incremental-index shape):
+
+- each micro-batch allocates a contiguous doc-id range ``[base, base+n)``
+  from the manifest (``next_doc_id``), orders rows by the stable
+  ``(conv_id, turn_idx)`` key within the batch, and writes its own postings /
+  dictionary / stats *increments* (parquet append).
+- global stats stay additive: corpus_stats rows sum to (N, sum_dl);
+  dictionary df rows sum per term (BM25Index aggregates on read).
+- exactly-once: the manifest commits step ``batch-<id>`` after the batch's
+  writes; a foreachBatch replay of a committed id is a no-op (the engine-side
+  analog of Solr's idempotent add-by-uniqueKey upsert,
+  SolrIndexerIntegrationTest.java:69-79).
+- backpressure: ``maxFilesPerTrigger`` bounds batch size (the analog of the
+  30k buffer); late/out-of-order data needs no watermark for indexing
+  because doc identity is (conv_id, turn_idx) upsert.
+
+Block max_tf_norm in appended segments uses the avgdl known *at append time*
+(it drifts as N grows). That affects only WAND pruning tightness, never
+scores: scoring always reads the posting-local exact dl against the current
+global avgdl.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.build import POSTINGS_SCHEMA, BuildConfig, _make_partition_encoder
+from ..index.docids import SORT_KEYS, assign_doc_ids
+from ..functions.analysis import term_freqs_udf
+from ..plans.manifest import Manifest, dir_bytes
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def append_batch(
+    batch_df: DataFrame, index_dir: str, cfg: BuildConfig, batch_id: int
+) -> bool:
+    """Index one micro-batch as a new doc-id range. Returns False if the
+    batch id was already committed (foreachBatch replay after failure)."""
+    spark = batch_df.sparkSession
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifest(index_dir, cfg.build_id)
+    step = f"batch-{batch_id}"
+    if man.is_committed(step):
+        return False
+    base = _next_doc_id(man)
+
+    def run():
+        ids = assign_doc_ids(batch_df, start=base)
+        analyzed = (
+            ids.withColumn(
+                "segment_id", (F.col("doc_id") / cfg.segment_size).cast("long")
+            )
+            .withColumn("tfmap", term_freqs_udf(F.col("text")))
+            .withColumn(
+                "dl",
+                F.coalesce(
+                    F.aggregate(F.map_values("tfmap"), F.lit(0), lambda a, x: a + x),
+                    F.lit(0),
+                ),
+            )
+            .persist()
+        )
+        docs = analyzed.drop("tfmap")
+        docs.write.mode("append").parquet(os.path.join(index_dir, "docs"))
+        pairs = analyzed.select(
+            "doc_id", "segment_id", "dl", F.explode("tfmap").alias("term", "tf")
+        ).persist()
+        stats = analyzed.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.avg("dl").alias("avgdl"),
+        ).collect()[0]
+        n, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"] or 0)
+        avgdl = (sum_dl / n) if n else 0.0
+        spark.createDataFrame(
+            [(n, sum_dl, float(avgdl))], "n_docs long, sum_dl long, avgdl double"
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(index_dir, "corpus_stats")
+        )
+        d = (
+            pairs.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
+            )
+        )
+        d.repartition(cfg.n_term_buckets, "bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(index_dir, "dictionary"))
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        salted = pairs.withColumn("salt", F.lit(0))  # hot-splitting: batch-local
+        enc = (
+            salted.repartition(shuffle_n, "term", "segment_id", "salt")
+            .sortWithinPartitions("term", "segment_id", "salt", "doc_id")
+            .mapInPandas(
+                _make_partition_encoder(cfg.block_size, avgdl), schema=POSTINGS_SCHEMA
+            )
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
+            )
+        )
+        enc.write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(index_dir, "postings")
+        )
+        analyzed.unpersist()
+        pairs.unpersist()
+        return n, dir_bytes(index_dir), {"base": base, "next_doc_id": base + n}
+
+    man.run_step(step, run)
+    # advance the global id cursor (also re-derivable from batch steps)
+    man.commit(
+        "finalize",
+        rows=0,
+        next_doc_id=int(man.steps[step].metrics["next_doc_id"]),
+        n_term_buckets=cfg.n_term_buckets,
+        segment_size=cfg.segment_size,
+        block_size=cfg.block_size,
+    )
+    return True
+
+
+def _next_doc_id(man: Manifest) -> int:
+    nxt = 0
+    for name, s in man.steps.items():
+        if name.startswith("batch-") and s.status == "committed":
+            nxt = max(nxt, int(s.metrics.get("next_doc_id", 0)))
+    return nxt
+
+
+def stream_build(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    cfg: BuildConfig,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """File-source streaming index build: drain all available input
+    (Trigger.AvailableNow), one segment range per micro-batch, resumable via
+    the Spark checkpoint AND the manifest (either alone suffices)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: append_batch(
+                bdf.sortWithinPartitions(*SORT_KEYS), index_dir, cfg, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming windowed aggregation with late-data watermark (SURVEY 2.10:
+    the reference has none of this; it is the Spark-native form its
+    backpressure/completion machinery would take at unbounded scale).
+
+    Works identically on a batch frame (no watermark applied) and a streaming
+    frame -- tests assert batch/stream equivalence.
+    """
+    ts = F.col("ts").cast("timestamp")
+    df = events.withColumn("_ts", ts)
+    if df.isStreaming:
+        df = df.withWatermark("_ts", watermark)
+    return (
+        df.groupBy(F.window("_ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n"),
+        )
+    )
