@@ -121,19 +121,41 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     if "--scaling" in sys.argv:
+        # N vs 4N cores. Default 2 vs 8: on this 32-cpu box both levels run
+        # un-oversubscribed (each task = 1 JVM thread + 1 python worker, both
+        # CPU-busy in UDF stages), which is what a real N -> 4N executor
+        # cluster looks like. local[8] vs local[32] instead measures
+        # oversubscription of the single host, not the algorithm -- see
+        # BASELINE.md "Scaling evidence".
+        cores_pair = [
+            int(x)
+            for x in os.environ.get("SSI_SCALING_CORES", "2,8").split(",")
+        ]
+        amp = int(os.environ.get("SSI_SCALING_AMPLIFY", "128"))
         results = {}
-        for c in (8, 32):
+        for c in cores_pair:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single", str(c)],
                 capture_output=True,
                 text=True,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+                     "SSI_BENCH_AMPLIFY": str(amp)},
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[c] = json.loads(line)
-        t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
-        eff = t32 / (4 * t8)
-        print(json.dumps({"scaling": results, "efficiency_8_to_32": round(eff, 3)}))
+        n, n4 = cores_pair
+        tn, t4n = results[n]["turns_per_sec"], results[n4]["turns_per_sec"]
+        factor = n4 / n
+        eff = t4n / (factor * tn)
+        print(
+            json.dumps(
+                {
+                    "scaling": results,
+                    "cores": cores_pair,
+                    f"efficiency_{n}_to_{n4}": round(eff, 3),
+                }
+            )
+        )
         return
 
     if "--single" in sys.argv:

@@ -41,7 +41,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -223,27 +223,32 @@ def build_index(
             _analyzed.append(a.persist())
         return _analyzed[0]
 
+    _docs_obs: dict = {}
+
     def step_docs():
-        docs_df = analyzed().drop("tfmap")
+        obs = Observation()
+        docs_df = analyzed().drop("tfmap").observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        )
         (
             docs_df.repartition("segment_id")
             .write.mode("overwrite")
             .partitionBy("segment_id")
             .parquet(docs_path)
         )
-        n = spark.read.parquet(docs_path).count()
-        return n, dir_bytes(docs_path), {}
+        _docs_obs.update(obs.get)
+        return int(_docs_obs["n"]), dir_bytes(docs_path), {}
 
     man.run_step("docs", step_docs)
     docs = spark.read.parquet(docs_path)
 
     def step_pairs():
+        obs = Observation()
         p = analyzed().select(
             "doc_id", "segment_id", "dl", F.explode("tfmap").alias("term", "tf")
-        )
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         p.write.mode("overwrite").parquet(pairs_path)
-        n = spark.read.parquet(pairs_path).count()
-        return n, dir_bytes(pairs_path), {}
+        return int(obs.get["n"]), dir_bytes(pairs_path), {}
 
     man.run_step("pairs", step_pairs)
     for a in _analyzed:
@@ -252,11 +257,19 @@ def build_index(
 
     # -- step 3: corpus stats ------------------------------------------------
     def step_stats():
-        stats = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-            F.avg("dl").alias("avgdl"),
-        )
+        if _docs_obs:  # same-run fast path: reuse the docs-write observation
+            nd = int(_docs_obs["n"])
+            sd = int(_docs_obs["sum_dl"] or 0)
+            stats = spark.createDataFrame(
+                [(nd, sd, (sd / nd) if nd else 0.0)],
+                "n_docs long, sum_dl long, avgdl double",
+            )
+        else:  # resume path: recompute from the committed docs table
+            stats = docs.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+                F.avg("dl").alias("avgdl"),
+            )
         stats.coalesce(1).write.mode("overwrite").parquet(stats_path)
         return 1, dir_bytes(stats_path), {}
 
@@ -266,35 +279,44 @@ def build_index(
 
     # -- step 4: dictionary (term -> df, cf) ---------------------------------
     def step_dict():
+        obs = Observation()
         d = pairs.groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         )
         d = d.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int")
-        )
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         d.repartition(cfg.n_term_buckets, "bucket").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(dict_path)
-        n = spark.read.parquet(dict_path).count()
-        return n, dir_bytes(dict_path), {}
+        return int(obs.get["n"]), dir_bytes(dict_path), {}
 
     man.run_step("dictionary", step_dict)
     dictionary = spark.read.parquet(dict_path)
 
     # -- step 5: salted, blocked, compressed postings ------------------------
     def step_postings():
-        hot = dictionary.filter(F.col("df") >= cfg.hot_df_threshold).select(
-            "term", F.lit(cfg.hot_salts).alias("n_salts")
-        )
-        p = pairs.join(F.broadcast(hot), "term", "left").withColumn(
-            "n_salts", F.coalesce(F.col("n_salts"), F.lit(1))
+        # hot list is tiny by construction (df >= threshold under Zipf), so
+        # collect it once; the salt expression then needs no join at all
+        hot_terms = [
+            r["term"]
+            for r in dictionary.filter(F.col("df") >= cfg.hot_df_threshold)
+            .select("term")
+            .collect()
+        ]
+        n_salts = (
+            F.when(F.col("term").isin(hot_terms), F.lit(cfg.hot_salts)).otherwise(
+                F.lit(1)
+            )
+            if hot_terms
+            else F.lit(1)
         )
         # doc-contiguous range salt: preserves global doc order across salts
-        p = p.withColumn(
+        p = pairs.withColumn(
             "salt",
             (
                 (F.col("doc_id") % cfg.segment_size)
-                * F.col("n_salts")
+                * n_salts
                 / cfg.segment_size
             ).cast("int"),
         )
@@ -309,23 +331,24 @@ def build_index(
                 _make_partition_encoder(cfg.block_size, avgdl), schema=POSTINGS_SCHEMA
             )
         )
+        obs = Observation()
         enc = enc.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int")
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("count").alias("postings"),
         )
         (
             enc.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(post_path)
         )
-        written = spark.read.parquet(post_path)
-        agg = written.agg(
-            F.count("*").alias("blocks"), F.sum("count").alias("postings")
-        ).collect()[0]
-        n_hot = hot.count()
+        m = obs.get
         return (
-            int(agg["postings"]),
+            int(m["postings"] or 0),
             dir_bytes(post_path),
-            {"blocks": int(agg["blocks"]), "hot_terms": int(n_hot)},
+            {"blocks": int(m["blocks"]), "hot_terms": len(hot_terms)},
         )
 
     man.run_step("postings", step_postings)

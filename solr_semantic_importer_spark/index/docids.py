@@ -41,12 +41,18 @@ def assign_doc_ids(
     """Scalable stable ids: range partition -> local sort -> offset + rank.
 
     ``start`` offsets the id space (streaming/incremental builds allocate a
-    contiguous range per micro-batch; see streaming/incremental.py)."""
+    contiguous range per micro-batch; see streaming/incremental.py).
+
+    Only the KEY COLUMNS take the range shuffle + Python hop; the full rows
+    (text payloads) join the ids afterwards -- at 10^12 rows the wide columns
+    cross the wire once (the join shuffle) instead of twice, and never enter
+    Python here."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = df.select(*SORT_KEYS)
     ranged = (
-        df.repartitionByRange(num_partitions, *SORT_KEYS)
+        keys.repartitionByRange(num_partitions, *SORT_KEYS)
         .sortWithinPartitions(*SORT_KEYS)
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -62,9 +68,9 @@ def assign_doc_ids(
         offsets[pid] = acc
         acc += counts[pid]
     out_schema = T.StructType(
-        df.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
+        keys.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
     )
-    in_cols = df.columns
+    in_cols = keys.columns
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
@@ -77,5 +83,5 @@ def assign_doc_ids(
             local += len(pdf)
             yield out
 
-    result = ranged.mapInPandas(add_ids, schema=out_schema)
-    return result
+    ids = ranged.mapInPandas(add_ids, schema=out_schema)
+    return df.join(ids, SORT_KEYS)

@@ -103,12 +103,29 @@ class BM25Index:
         return sorted({self._bucket_cache[t] for t in terms})
 
     # -- pieces --------------------------------------------------------------
+    # DataFrame handles are cached per index: re-reading re-lists files and
+    # re-infers partitioning on every call, which costs a driver round-trip
+    # per query at no benefit (the underlying files are immutable between
+    # manifest commits).
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if not hasattr(self, "_docs_df"):
+            self._docs_df = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        return self._docs_df
 
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+        if not hasattr(self, "_dict_df"):
+            self._dict_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "dictionary")
+            )
+        return self._dict_df
+
+    def _postings(self) -> DataFrame:
+        if not hasattr(self, "_post_df"):
+            self._post_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings")
+            )
+        return self._post_df
 
     def analyze_query(self, query: str, synonyms: bool = False) -> list[str]:
         terms = analyze_text(query)
@@ -135,7 +152,7 @@ class BM25Index:
 
     def postings_for(self, terms: list[str]) -> DataFrame:
         buckets = self._buckets(terms)
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings")).filter(
+        return self._postings().filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
@@ -249,49 +266,120 @@ class BM25Index:
             # correct because WAND pruning with fq disabled just scores more.
             pass
 
-        def score_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            # Decode each term's blocks (kept in doc order: salt ranges are
-            # doc-contiguous, block_ids ordered within salt).
-            per_term: list[tuple[float, np.ndarray, np.ndarray]] = []
-            for term, tpdf in pdf.groupby("term", sort=False):
-                w = bidf.get(term)
-                if w is None:
-                    continue
-                tpdf = tpdf.sort_values(["salt", "block_id"])
-                doc_parts, score_parts = [], []
-                # block-max pre-skip needs a threshold; gather lazily instead:
-                for row in tpdf.itertuples(index=False):
-                    gaps = varint_decode(row.doc_gaps, row.count)
-                    docs = np.cumsum(gaps).astype(np.int64)
-                    tf = varint_decode(row.tfs, row.count).astype(np.float64)
-                    dl = varint_decode(row.dls, row.count).astype(np.float64)
-                    denom = tf + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0))
-                    doc_parts.append(docs)
-                    score_parts.append(w * tf * (k1 + 1.0) / denom)
-                if doc_parts:
-                    per_term.append(
-                        (w, np.concatenate(doc_parts), np.concatenate(score_parts))
-                    )
-            if not per_term:
-                return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                    {"doc_id": "int64", "score": "float64"}
-                )
-            # vectorized OR-sum within segment (numpy grouped add), then local
-            # top-k; WAND block skipping matters once per-segment postings are
-            # big -- the vector path is faster below ~10M postings/segment and
-            # exactly equivalent.
-            all_docs = np.concatenate([d for _, d, _ in per_term])
-            all_scores = np.concatenate([s for _, _, s in per_term])
-            uniq, inv = np.unique(all_docs, return_inverse=True)
+        def _decode_block(row) -> tuple[np.ndarray, np.ndarray]:
+            gaps = varint_decode(row.doc_gaps, row.count)
+            docs = np.cumsum(gaps).astype(np.int64)
+            tf = varint_decode(row.tfs, row.count).astype(np.float64)
+            dl = varint_decode(row.dls, row.count).astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0))
+            return docs, tf * (k1 + 1.0) / denom
+
+        def _topk_local(docs: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
+            uniq, inv = np.unique(docs, return_inverse=True)
             sums = np.zeros(len(uniq), dtype=np.float64)
-            np.add.at(sums, inv, all_scores)
-            if len(uniq) > kk:
-                # partial select by (-round(score,6), doc_id)
-                key_score = np.round(sums, 6)
-                order = np.lexsort((uniq, -key_score))[:kk]
-            else:
-                order = np.lexsort((uniq, -np.round(sums, 6)))
+            np.add.at(sums, inv, scores)
+            order = np.lexsort((uniq, -np.round(sums, 6)))[:kk]
             return pd.DataFrame({"doc_id": uniq[order], "score": sums[order]})
+
+        # below this many postings a single vector pass beats skipping;
+        # overridable (tests force 0 to exercise the zone path on tiny data)
+        EXHAUSTIVE_CUTOFF = getattr(self, "exhaustive_cutoff", 1 << 15)
+
+        def score_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            pdf = pdf[pdf["term"].map(bidf.__contains__)]
+            if not len(pdf):
+                return empty
+            n_post = int(pdf["count"].sum())
+            w = pdf["term"].map(bidf).to_numpy(np.float64)
+
+            if n_post <= EXHAUSTIVE_CUTOFF:
+                # small segment: single vectorized OR-sum, exactly equivalent
+                parts_d, parts_s = [], []
+                for i, row in enumerate(pdf.itertuples(index=False)):
+                    d, s = _decode_block(row)
+                    parts_d.append(d)
+                    parts_s.append(w[i] * s)
+                return _topk_local(np.concatenate(parts_d), np.concatenate(parts_s))
+
+            # ---- block-max WAND (zone form) -------------------------------
+            # Zones are fixed doc-ranges of the segment. A doc's per-term
+            # contribution is bounded by idf * max_tf_norm of the ONE block
+            # containing it; that block overlaps the doc's zone, so
+            # ub(zone) = sum_t idf_t * max(max_tf_norm of t-blocks
+            # overlapping the zone) bounds every doc in the zone. Zones are
+            # scored exactly in descending-ub order; once the running k-th
+            # best exceeds the next zone's ub, every remaining zone (and all
+            # its un-decoded blocks) is skipped. Exact by construction.
+            lo = int(pdf["min_doc"].min())
+            hi = int(pdf["max_doc"].max())
+            n_zones = min(64, max(8, n_post // (1 << 13)))
+            span = max((hi - lo + 1 + n_zones - 1) // n_zones, 1)
+            z_of = lambda d: (d - lo) // span  # noqa: E731
+
+            bmin = pdf["min_doc"].to_numpy(np.int64)
+            bmax = pdf["max_doc"].to_numpy(np.int64)
+            ub_blk = w * pdf["max_tf_norm"].to_numpy(np.float64)
+            terms_arr = pdf["term"].to_numpy(object)
+            uniq_terms, term_idx = np.unique(terms_arr, return_inverse=True)
+            nz = int(z_of(hi)) + 1
+            # per (zone, term) max block ub, then sum over terms
+            zt = np.zeros((nz, len(uniq_terms)), dtype=np.float64)
+            z0 = (bmin - lo) // span
+            z1 = (bmax - lo) // span
+            for i in range(len(pdf)):
+                zt[z0[i] : z1[i] + 1, term_idx[i]] = np.maximum(
+                    zt[z0[i] : z1[i] + 1, term_idx[i]], ub_blk[i]
+                )
+            ub_zone = zt.sum(axis=1)
+            zone_order = np.argsort(-ub_zone, kind="stable")
+
+            rows = list(pdf.itertuples(index=False))
+            decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            best_d = np.empty(0, dtype=np.int64)
+            best_s = np.empty(0, dtype=np.float64)
+            theta = -np.inf
+            blocks_by_zone: list[list[int]] = [[] for _ in range(nz)]
+            for i in range(len(rows)):
+                for z in range(z0[i], z1[i] + 1):
+                    blocks_by_zone[z].append(i)
+            # 1e-6 margin: theta is the round-to-6 k-th key; a doc with true
+            # score in (theta - 5e-7, theta) still ROUNDS to theta and can
+            # win its tie on doc_id, so only zones provably below that band
+            # may be skipped -- keeps rank-identity exact.
+            for z in zone_order:
+                if ub_zone[z] < theta - 1e-6:  # sorted desc -> all rest skip
+                    continue
+                zlo, zhi = lo + z * span, lo + (z + 1) * span - 1
+                parts_d, parts_s = [], []
+                for i in blocks_by_zone[z]:
+                    if i not in decoded:
+                        decoded[i] = _decode_block(rows[i])
+                    d, s = decoded[i]
+                    m = (d >= zlo) & (d <= zhi)
+                    if m.any():
+                        parts_d.append(d[m])
+                        parts_s.append(w[i] * s[m])
+                if not parts_d:
+                    continue
+                zd = np.concatenate(parts_d)
+                zs = np.concatenate(parts_s)
+                uniq, inv = np.unique(zd, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(sums, inv, zs)
+                best_d = np.concatenate([best_d, uniq])
+                best_s = np.concatenate([best_s, sums])
+                if len(best_d) > kk:
+                    order = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
+                    best_d, best_s = best_d[order], best_s[order]
+                if len(best_d) >= kk:
+                    theta = float(np.round(best_s, 6).min())
+            if not len(best_d):
+                return empty
+            order = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
+            return pd.DataFrame({"doc_id": best_d[order], "score": best_s[order]})
 
         local = post.groupBy("segment_id").applyInPandas(
             score_segment,

@@ -72,6 +72,19 @@ def test_topk_rank_identical(corpus, q, mode):
     assert_rank_identical(got, want)
 
 
+@pytest.mark.parametrize("q", QUERIES)
+def test_topk_rank_identical_bmw_zones(corpus, q):
+    """Force the block-max zone-skipping path (cutoff 0) -- must stay exact."""
+    _, index, oracle = corpus
+    index.exhaustive_cutoff = 0
+    try:
+        got = _spark_topk(index, q, k=10, mode="wand")
+    finally:
+        del index.exhaustive_cutoff
+    want = oracle.search(q, k=10)
+    assert_rank_identical(got, want)
+
+
 def test_and_semantics(corpus):
     _, index, oracle = corpus
     got = _spark_topk(index, "error tool", k=10, op="AND", mode="exhaustive")
