@@ -8,12 +8,16 @@ Prints ONE JSON line:
 Env knobs:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] (default 32)
-  SSI_BENCH_AMPLIFY    deterministic corpus amplification factor (default 8
-                       -> ~40k turns at sf0.1)
+  SSI_BENCH_AMPLIFY    deterministic corpus amplification factor (default 32
+                       -> ~160k turns at sf0.1)
+  SSI_BENCH_SHUFFLE    fixed shuffle/source partition count (default 64)
+  SSI_SCALING_CORES    N,4N core pair for --scaling (default 2,8)
+  SSI_SCALING_AMPLIFY  amplification for --scaling legs (default 128)
 
-`--scaling` runs the build+query job at local[8] and local[32] in
-subprocesses on the same input and reports throughput at both plus
-efficiency (see BASELINE.md; the sandbox stand-in for N vs 4N executors).
+`--scaling` runs the same build+query job at N and 4N cores in separate
+subprocess JVMs on identically-partitioned input and reports throughput at
+both plus efficiency eff = T(4N) / (4 * T(N)) (see BASELINE.md "Scaling
+evidence"; the sandbox stand-in for N vs 4N executors).
 """
 
 from __future__ import annotations
@@ -50,14 +54,35 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         transcripts_from_documents,
     )
 
-    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
+    # Fixed shuffle partitioning for every core count: identical physical
+    # plan and task sizes, so a scaling run varies ONLY the executor-thread
+    # count (partitions = cores would make the 2-core leg sort 31M-row
+    # partitions that spill -- measuring the spill path, not the algorithm).
+    shuffle_n = int(os.environ.get("SSI_BENCH_SHUFFLE", "64"))
+    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=shuffle_n)
     t = transcripts_from_documents(spark, sf_dir)
     t = amplify_transcripts(t, amplify)
-    # materialize the input once so build timing excludes synthesis
+    # materialize the input once so build timing excludes synthesis; spread
+    # over shuffle_n files so the scan parallelizes regardless of the
+    # upstream file count
     src_dir = tempfile.mkdtemp(prefix="ssi_bench_src_")
-    t.write.mode("overwrite").parquet(src_dir)
+    t.repartition(shuffle_n).write.mode("overwrite").parquet(src_dir)
     src = spark.read.parquet(src_dir)
     n_turns = src.count()
+
+    # perfectly-parallel baseline: same input, same Arrow/python-worker path,
+    # map-only + scalar agg, NO shuffle. Its N -> 4N speedup is the HOST's
+    # parallel ceiling (this sandbox's 32 vcpus saturate memory bandwidth
+    # well below 32 threads); pipeline efficiency is also reported relative
+    # to it ("algorithmic" efficiency, what a real cluster would add cores
+    # to). See BASELINE.md "Scaling evidence".
+    from solr_semantic_importer_spark.functions.analysis import term_freqs_udf
+
+    tb = time.monotonic()
+    src.select(term_freqs_udf(F.col("text")).alias("m")).select(
+        F.max(F.size(F.map_keys("m")))
+    ).collect()
+    baseline_sec = time.monotonic() - tb
 
     idx_dir = tempfile.mkdtemp(prefix="ssi_bench_idx_")
     cfg = BuildConfig(
@@ -99,6 +124,7 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
     result = {
         "cores": cores,
         "n_turns": n_turns,
+        "baseline_sec": round(baseline_sec, 2),
         "build_sec": round(build_sec, 2),
         "turns_per_sec": round(n_turns / build_sec, 1),
         "postings": post.rows if post else 0,
@@ -117,7 +143,7 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    amplify = int(os.environ.get("SSI_BENCH_AMPLIFY", "8"))
+    amplify = int(os.environ.get("SSI_BENCH_AMPLIFY", "32"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     if "--scaling" in sys.argv:
@@ -129,30 +155,46 @@ def main() -> None:
         # BASELINE.md "Scaling evidence".
         cores_pair = [
             int(x)
-            for x in os.environ.get("SSI_SCALING_CORES", "2,8").split(",")
+            for x in os.environ.get("SSI_SCALING_CORES", "1,4").split(",")
         ]
-        amp = int(os.environ.get("SSI_SCALING_AMPLIFY", "128"))
+        amp = int(os.environ.get("SSI_SCALING_AMPLIFY", "256"))
+        reps = int(os.environ.get("SSI_SCALING_REPS", "2"))
         results = {}
         for c in cores_pair:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", str(c)],
-                capture_output=True,
-                text=True,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
-                     "SSI_BENCH_AMPLIFY": str(amp)},
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            results[c] = json.loads(line)
+            best = None
+            runs = []
+            for _ in range(reps):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--single", str(c)],
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+                         "SSI_BENCH_AMPLIFY": str(amp)},
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                runs.append(
+                    {"build_sec": r["build_sec"], "baseline_sec": r["baseline_sec"]}
+                )
+                if best is None or r["build_sec"] < best["build_sec"]:
+                    best = r
+            best["all_runs"] = runs  # best-of-reps vs single-host noise
+            results[c] = best
         n, n4 = cores_pair
-        tn, t4n = results[n]["turns_per_sec"], results[n4]["turns_per_sec"]
         factor = n4 / n
+        tn, t4n = results[n]["turns_per_sec"], results[n4]["turns_per_sec"]
         eff = t4n / (factor * tn)
+        bn = min(r["baseline_sec"] for r in results[n]["all_runs"])
+        b4n = min(r["baseline_sec"] for r in results[n4]["all_runs"])
+        host_eff = bn / (factor * b4n)  # map-only job: the host's own ceiling
         print(
             json.dumps(
                 {
                     "scaling": results,
                     "cores": cores_pair,
                     f"efficiency_{n}_to_{n4}": round(eff, 3),
+                    "host_parallel_ceiling_efficiency": round(host_eff, 3),
+                    "efficiency_vs_host_ceiling": round(min(eff / host_eff, 1.5), 3),
                 }
             )
         )

@@ -20,12 +20,15 @@ Arrow-batched kernels):
    doc range -- blocks remain globally doc-ordered per term (block-max WAND
    stays valid) and the groupBy key (term, segment, salt) spreads hot terms
    across reducers instead of melting one.
-5. applyInPandas over (term, segment_id, salt): sort by doc_id, split into
-   blocks of ``block_size``, delta-gap + LEB128-varint encode doc gaps / tfs /
-   dls (dls stored per posting => scoring is posting-local, no doc join; the
-   exact-dl deviation from Lucene's 1-byte norms is documented in SURVEY I2),
-   and record per-block max_tf_norm = max over the block of
+5. ONE shuffle by (term, segment_id, salt) -> sortWithinPartitions -> a
+   mapInPandas partition encoder (_make_partition_encoder): every group and
+   block boundary found in one vectorized scan, ONE varint pass per stream
+   (doc gaps / tfs / dls; dls stored per posting => scoring is posting-local,
+   no doc join; the exact-dl deviation from Lucene's 1-byte norms is
+   documented in SURVEY I2), per-block max_tf_norm = max over the block of
    tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) -- query-time block-max = idf * that.
+   No per-group Python invocation: ~100k tiny posting groups cost one Arrow
+   batch scan, not 100k pandas calls.
 6. postings written as parquet partitioned by bucket = xxhash64(term) %
    n_term_buckets: a query prunes to its terms' buckets (directory-level
    partition pruning) before row-group/predicate pushdown on term.
