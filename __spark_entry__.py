@@ -40,7 +40,7 @@ from solr_semantic_importer_spark.sources.transcripts import (
     transcripts_from_documents,
 )
 
-ENTRY_BUILD_ID = "entry-v2"
+ENTRY_BUILD_ID = "entry-v3"
 _INDEX_CACHE: dict[str, BM25Index] = {}
 
 
@@ -363,6 +363,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- query-time synonym expansion (T4, managed-schema.xml:311) ----
     q["bm25_synonyms"] = _bm25("gb table", k=10, synonyms=True, mode="exhaustive")
 
+    # ---- phrase queries (positional index) + facet-on-results (Q5) ----
+    def bm25_phrase(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        res = idx.search_phrase("table hash", k=10, order_key="milli")
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["bm25_phrase"] = bm25_phrase
+
+    def bm25_phrase_long(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        res = idx.search_phrase("merge group", k=10, order_key="milli")
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["bm25_phrase_long"] = bm25_phrase_long
+
+    def bm25_facet_role(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        return idx.facet("table scan", "role")
+
+    q["bm25_facet_role"] = bm25_facet_role
+
     # ---- multimodal binary columns ----
     def multimodal_digest(spark, sf_dir):
         d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -580,6 +601,10 @@ def oracle_sql() -> dict[str, str]:
 
     # synonym expansion is deterministic: gb -> {{gb, gib, gigabyte, gigabytes}}
     o["bm25_synonyms"] = OSQL.bm25_topk_sql("gb gib gigabyte gigabytes table", k=10)
+
+    o["bm25_phrase"] = OSQL.bm25_phrase_sql("table hash", k=10)
+    o["bm25_phrase_long"] = OSQL.bm25_phrase_sql("merge group", k=10)
+    o["bm25_facet_role"] = OSQL.facet_on_results_sql("table scan", "role")
 
     o["multimodal_digest"] = """
         SELECT doc_id,

@@ -80,6 +80,29 @@ def term_freqs_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.IntegerType())))
+def term_positions_udf(texts: pd.Series) -> pd.Series:
+    """text -> {term: [positions]} map, Arrow-batched.
+
+    Position = 0-based token index after analysis (Lucene stores the same
+    for every indexed="true" text field by default; positionIncrementGap
+    does not apply -- one value per turn). tf(t) == len(positions[t]),
+    dl == total token count, so this strictly supersedes term_freqs_udf
+    when the index stores positions.
+    """
+    out = []
+    findall = TOKEN_RE.findall
+    for t in texts:
+        if t is None:
+            out.append({})
+            continue
+        m: dict[str, list[int]] = {}
+        for i, tok in enumerate(findall(t.lower())):
+            m.setdefault(tok, []).append(i)
+        out.append(m)
+    return pd.Series(out)
+
+
 @pandas_udf(T.IntegerType())
 def doc_len_udf(texts: pd.Series) -> pd.Series:
     """text -> token count (doc length dl for BM25's b-normalization)."""

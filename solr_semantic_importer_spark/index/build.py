@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import B, K1
-from ..functions.analysis import term_freqs_udf
+from ..functions.analysis import term_freqs_udf, term_positions_udf
 from ..functions.codec import varint_encode_with_lengths
 from ..plans.manifest import Manifest, dir_bytes
 from .docids import assign_doc_ids
@@ -73,6 +73,9 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_gaps", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
+        # per-posting position deltas (phrase queries); tf stream gives the
+        # per-posting split points. NULL when store_positions=False.
+        T.StructField("positions", T.BinaryType(), True),
     ]
 )
 
@@ -85,6 +88,9 @@ class BuildConfig:
     hot_df_threshold: int = DEFAULT_HOT_DF_THRESHOLD
     hot_salts: int = DEFAULT_HOT_SALTS
     build_id: str = "build-0"
+    # store token positions (Lucene indexes them by default for text fields;
+    # required for phrase queries). Costs ~1 varint per token in postings.
+    store_positions: bool = True
 
 
 def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
@@ -133,6 +139,30 @@ def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd
 
     go, to, lo = offsets(glen), offsets(tlen), offsets(llen)
     gm, tm, lm = memoryview(gbuf), memoryview(tbuf), memoryview(lbuf)
+
+    pos_cells: list[bytes | None] = [None] * nb
+    if "positions" in pdf.columns and pdf["positions"].iloc[0] is not None:
+        # flatten all position lists (row order == posting order), delta-
+        # encode with an absolute restart at each posting start, ONE varint pass
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["positions"]]
+        )
+        pstarts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tf, out=pstarts[1:])
+        pdelta = np.empty(len(flat), dtype=np.int64)
+        if len(flat):
+            pdelta[0] = flat[0]
+            pdelta[1:] = flat[1:] - flat[:-1]
+            pdelta[pstarts[:-1]] = flat[pstarts[:-1]]  # absolute per posting
+        pbuf, plen = varint_encode_with_lengths(pdelta.astype(np.uint64))
+        plencum = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(plen, out=plencum[1:])
+        pm = memoryview(pbuf)
+        pos_cells = [
+            bytes(pm[plencum[pstarts[block_starts[i]]] : plencum[pstarts[block_ends[i]]]])
+            for i in range(nb)
+        ]
+
     return pd.DataFrame(
         {
             "term": term[block_starts],
@@ -146,6 +176,7 @@ def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd
             "doc_gaps": [bytes(gm[go[i] : go[i + 1]]) for i in range(nb)],
             "tfs": [bytes(tm[to[i] : to[i + 1]]) for i in range(nb)],
             "dls": [bytes(lm[lo[i] : lo[i + 1]]) for i in range(nb)],
+            "positions": pos_cells,
         }
     )
 
@@ -208,12 +239,27 @@ def build_index(
     def analyzed() -> DataFrame:
         if not _analyzed:
             ids = assign_doc_ids(transcripts)
-            a = (
-                ids.withColumn(
-                    "segment_id", (F.col("doc_id") / cfg.segment_size).cast("long")
+            a = ids.withColumn(
+                "segment_id", (F.col("doc_id") / cfg.segment_size).cast("long")
+            )
+            if cfg.store_positions:
+                a = a.withColumn(
+                    "tfmap", term_positions_udf(F.col("text"))
+                ).withColumn(
+                    "dl",
+                    F.coalesce(
+                        F.aggregate(
+                            F.map_values("tfmap"),
+                            F.lit(0),
+                            lambda a_, x: a_ + F.size(x),
+                        ),
+                        F.lit(0),
+                    ),
                 )
-                .withColumn("tfmap", term_freqs_udf(F.col("text")))
-                .withColumn(
+            else:
+                a = a.withColumn(
+                    "tfmap", term_freqs_udf(F.col("text"))
+                ).withColumn(
                     "dl",
                     F.coalesce(
                         F.aggregate(
@@ -222,7 +268,6 @@ def build_index(
                         F.lit(0),
                     ),
                 )
-            )
             _analyzed.append(a.persist())
         return _analyzed[0]
 
@@ -247,9 +292,20 @@ def build_index(
 
     def step_pairs():
         obs = Observation()
-        p = analyzed().select(
-            "doc_id", "segment_id", "dl", F.explode("tfmap").alias("term", "tf")
-        ).observe(obs, F.count(F.lit(1)).alias("n"))
+        if cfg.store_positions:
+            p = analyzed().select(
+                "doc_id", "segment_id", "dl",
+                F.explode("tfmap").alias("term", "positions"),
+            ).select(
+                "doc_id", "segment_id", "dl", "term",
+                F.size("positions").alias("tf"), "positions",
+            )
+        else:
+            p = analyzed().select(
+                "doc_id", "segment_id", "dl",
+                F.explode("tfmap").alias("term", "tf"),
+            )
+        p = p.observe(obs, F.count(F.lit(1)).alias("n"))
         p.write.mode("overwrite").parquet(pairs_path)
         return int(obs.get["n"]), dir_bytes(pairs_path), {}
 

@@ -34,12 +34,17 @@ class BM25Oracle:
     def __init__(self, docs: list[tuple[int, str | None]]):
         self.doc_ids = [d for d, _ in docs]
         self.tfs: dict[int, Counter] = {}
+        self.positions: dict[int, dict[str, list[int]]] = {}
         self.dl: dict[int, int] = {}
         self.df: Counter = Counter()
         for doc_id, text in docs:
             toks = analyze_text(text)
             c = Counter(toks)
             self.tfs[doc_id] = c
+            pos: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                pos.setdefault(t, []).append(i)
+            self.positions[doc_id] = pos
             self.dl[doc_id] = len(toks)
             for t in c:
                 self.df[t] += 1
@@ -86,5 +91,38 @@ class BM25Oracle:
         if allowed is not None:
             cands &= allowed
         scored = [(d, self.score_doc(d, terms)) for d in cands]
+        scored.sort(key=lambda x: (-round(x[1], 6), x[0]))
+        return scored[:k]
+
+    def search_phrase(
+        self, phrase: str, k: int = 10, allowed: set[int] | None = None
+    ) -> list[tuple[int, float]]:
+        """Lucene PhraseQuery-under-BM25: freq = #occurrences of the exact
+        consecutive term sequence; idf weight = sum of term idfs."""
+        terms = list(analyze_text(phrase))
+        if not terms:
+            return []
+        if len(terms) == 1:
+            return self.search(phrase, k=k, allowed=allowed)
+        # Lucene sums idf over the phrase's term array (duplicates counted)
+        idf_sum = sum(self.idf(t) for t in terms)
+        scored = []
+        for d in self.doc_ids:
+            if allowed is not None and d not in allowed:
+                continue
+            pos = self.positions[d]
+            if any(t not in pos for t in terms):
+                continue
+            starts = set(pos[terms[0]])
+            for j, t in enumerate(terms[1:], start=1):
+                starts &= {p - j for p in pos[t]}
+                if not starts:
+                    break
+            freq = len(starts)
+            if not freq:
+                continue
+            dl = self.dl[d]
+            denom = freq + K1 * (1.0 - B + B * (dl / self.avgdl if self.avgdl else 0.0))
+            scored.append((d, idf_sum * freq * (K1 + 1.0) / denom))
         scored.sort(key=lambda x: (-round(x[1], 6), x[0]))
         return scored[:k]

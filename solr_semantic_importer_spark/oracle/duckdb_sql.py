@@ -86,6 +86,62 @@ def bm25_topk_sql(
     """
 
 
+def bm25_phrase_sql(phrase: str, k: int = 10, offset: int = 0) -> str:
+    """PhraseQuery-under-BM25 oracle: positions via lateral unnest, phrase
+    matches via positional self-joins, idf = sum over the phrase term array
+    (duplicates counted), freq = #occurrences."""
+    terms = list(analyze_text(phrase))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS score_milli WHERE 1=0"
+    joins = "\n      ".join(
+        f"JOIN tokp t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j} "
+        f"AND t{j}.term = '{t}'"
+        for j, t in enumerate(terms[1:], start=1)
+    )
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+    WITH {bm25_base_ctes()},
+    tokp AS (
+      SELECT doc_id, toks[i + 1] AS term, i AS pos
+      FROM docs, UNNEST(range(len(toks))) AS u(i)
+    ),
+    m AS (
+      SELECT t0.doc_id, t0.pos
+      FROM tokp t0
+      {joins}
+      WHERE t0.term = '{terms[0]}'
+    ),
+    freqs AS (SELECT doc_id, count(*)::DOUBLE AS f FROM m GROUP BY doc_id),
+    idfw AS (
+      SELECT sum(ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))) AS w
+      FROM (VALUES {values}) AS q(term) JOIN dft USING (term) CROSS JOIN st
+    )
+    SELECT freqs.doc_id AS doc_id,
+           CAST(round(idfw.w * freqs.f * ({K1} + 1)
+                / (freqs.f + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl)) * 1000)
+                AS BIGINT) AS score_milli
+    FROM freqs
+    JOIN lens ON lens.doc_id = freqs.doc_id
+    CROSS JOIN st CROSS JOIN idfw
+    ORDER BY score_milli DESC, freqs.doc_id ASC
+    LIMIT {k} OFFSET {offset}
+    """
+
+
+def facet_on_results_sql(query: str, field: str) -> str:
+    """Q5 over a result set: facet counts across all docs matching any
+    query term (non-scoring, like Solr facets over the match set)."""
+    terms = list(dict.fromkeys(analyze_text(query)))
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH {bm25_base_ctes()},
+    matched AS (SELECT DISTINCT doc_id FROM tfc WHERE term IN ({term_list}))
+    SELECT ids.{field} AS {field}, count(*) AS facet_count
+    FROM matched JOIN ids USING (doc_id)
+    GROUP BY 1
+    """
+
+
 def term_df_top_sql(n: int = 20) -> str:
     return f"""
     WITH {bm25_base_ctes()}

@@ -93,6 +93,7 @@ class BM25Index:
             fin = json.load(f)["steps"].get("finalize", {}).get("metrics", {})
         self.n_term_buckets = int(fin.get("n_term_buckets", 16))
         self._bucket_cache: dict[str, int] = {}
+        self._df_cache: dict[str, int] | None = None
 
     def _buckets(self, terms: list[str]) -> list[int]:
         missing = [t for t in terms if t not in self._bucket_cache]
@@ -133,11 +134,29 @@ class BM25Index:
             terms = expand_query_terms(terms)
         return list(dict.fromkeys(terms))
 
-    def idf_map(self, terms: list[str]) -> dict[str, float]:
-        if not terms:
-            return {}
+    DICT_CACHE_MAX = 1_000_000  # load df map driver-side below this many terms
+
+    def _dfs(self, terms: list[str]) -> dict[str, int]:
+        """term -> df. Small dictionaries (known from the manifest row count)
+        are loaded driver-side ONCE -- later queries cost zero jobs here. Big
+        dictionaries fall back to a pruned per-query lookup (bucket partition
+        pruning + term pushdown), which is the 10^12-turn path."""
+        if self._df_cache is None:
+            # parquet metadata count: cheap one-time job
+            n_terms = self.dictionary().count()
+            if 0 < n_terms <= self.DICT_CACHE_MAX:
+                rows = (
+                    self.dictionary()
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("df"))
+                    .collect()
+                )
+                self._df_cache = {r["term"]: int(r["df"]) for r in rows}
+            else:
+                self._df_cache = {}  # sentinel: too big, always query
+        if self._df_cache:
+            return {t: self._df_cache[t] for t in terms if t in self._df_cache}
         buckets = self._buckets(terms)
-        # groupBy sum: incremental builds append one df row per (term, batch)
         d = (
             self.dictionary()
             .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
@@ -145,9 +164,15 @@ class BM25Index:
             .agg(F.sum("df").alias("df"))
             .collect()
         )
+        return {r["term"]: int(r["df"]) for r in d}
+
+    def idf_map(self, terms: list[str]) -> dict[str, float]:
+        if not terms:
+            return {}
         n = self.n_docs
         return {
-            r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)) for r in d
+            t: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for t, df in self._dfs(terms).items()
         }
 
     def postings_for(self, terms: list[str]) -> DataFrame:
@@ -183,7 +208,12 @@ class BM25Index:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        return self.postings_for(terms).mapInPandas(decode, schema=_SCORE_ROW)
+        # column-prune BEFORE the kernel: term scoring never reads the
+        # positions stream, so it must not leave the parquet scan
+        cols = ["term", "count", "doc_gaps", "tfs", "dls"]
+        return self.postings_for(terms).select(*cols).mapInPandas(
+            decode, schema=_SCORE_ROW
+        )
 
     def search(
         self,
@@ -244,6 +274,144 @@ class BM25Index:
                 key.desc(), F.col("doc_id").asc()
             )
         return out
+
+    def facet(self, query: str, field: str, fq: str | None = None) -> DataFrame:
+        """Q5 over a result set: non-scoring facet counts on ``field`` across
+        all docs matching ANY query term (Solr facet.field over the match
+        set, SolrAdminActions.java:233-245; limit -1 => all buckets).
+
+        Plan: pruned postings scan -> distinct matched doc ids (small) ->
+        join to the docs table -> groupBy(field).count().
+        """
+        terms = self.analyze_query(query)
+        idf = self.idf_map(terms)
+        terms = [t for t in terms if t in idf]
+        if not terms:
+            return self.docs().limit(0).groupBy(field).agg(
+                F.count("*").alias("facet_count")
+            )
+        matched = self._decode_score_df(terms, idf).select("doc_id").distinct()
+        docs = self.docs()
+        if fq is not None:
+            docs = docs.filter(fq)
+        return (
+            matched.join(docs, "doc_id")
+            .groupBy(field)
+            .agg(F.count("*").alias("facet_count"))
+        )
+
+    # -- phrase queries (positional index) -------------------------------------
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        fq: str | None = None,
+        offset: int = 0,
+        with_stored: bool = False,
+        order_key: str = "round6",
+    ) -> DataFrame:
+        """Exact phrase top-k: docs where the analyzed phrase terms occur at
+        consecutive positions. Lucene PhraseQuery semantics under BM25:
+        freq = number of phrase occurrences, weight idf = sum of the terms'
+        idfs, score = idf_sum * freq*(k1+1)/(freq + k1*(1-b+b*dl/avgdl)).
+        Requires an index built with store_positions=True.
+
+        Plan: postings pruned to the phrase terms (bucket partition pruning +
+        term pushdown) -> segment-parallel Arrow kernel does doc-list
+        intersection + consecutive-position matching -> global top-k.
+        """
+        terms = analyze_text(phrase)  # order + duplicates matter for phrases
+        uniq_terms = list(dict.fromkeys(terms))
+        idf = self.idf_map(uniq_terms)
+        empty = self.spark.createDataFrame([], _SCORE_ROW)
+        if not terms or any(t not in idf for t in uniq_terms):
+            return self._finish(empty, k, offset, with_stored, order_key)
+        if len(terms) == 1:
+            return self.search(
+                phrase, k=k, fq=fq, offset=offset,
+                with_stored=with_stored, order_key=order_key,
+            )
+        # Lucene sums idf over the phrase's term array (duplicates counted)
+        idf_sum = float(sum(idf[t] for t in terms))
+        k1, b, avgdl = K1, B, self.avgdl
+
+        def match_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            res_empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            per_term: dict[str, tuple] = {}
+            for term, tpdf in pdf.groupby("term", sort=False):
+                tpdf = tpdf.sort_values(["salt", "block_id"])
+                docs_l, tf_l, dl_l, pos_l = [], [], [], []
+                for row in tpdf.itertuples(index=False):
+                    if row.positions is None:
+                        raise ValueError(
+                            "phrase query needs an index built with "
+                            "store_positions=True"
+                        )
+                    gaps = varint_decode(row.doc_gaps, row.count)
+                    docs_l.append(np.cumsum(gaps).astype(np.int64))
+                    tfb = varint_decode(row.tfs, row.count).astype(np.int64)
+                    tf_l.append(tfb)
+                    dl_l.append(varint_decode(row.dls, row.count).astype(np.int64))
+                    pd_ = varint_decode(row.positions, int(tfb.sum()))
+                    # per-posting cumsum with absolute restarts
+                    c = np.cumsum(pd_.astype(np.int64))
+                    starts = np.zeros(len(tfb) + 1, dtype=np.int64)
+                    np.cumsum(tfb, out=starts[1:])
+                    base = c[starts[:-1]] - pd_.astype(np.int64)[starts[:-1]]
+                    pos_l.append(c - np.repeat(base, tfb))
+                docs = np.concatenate(docs_l)
+                tfs = np.concatenate(tf_l)
+                dls = np.concatenate(dl_l)
+                poss = np.concatenate(pos_l) if pos_l else np.empty(0, np.int64)
+                pstart = np.zeros(len(tfs) + 1, dtype=np.int64)
+                np.cumsum(tfs, out=pstart[1:])
+                per_term[term] = (docs, tfs, dls, poss, pstart)
+            if any(t not in per_term for t in uniq_terms):
+                return res_empty
+            # doc-list intersection across all phrase terms
+            cand = per_term[uniq_terms[0]][0]
+            for t in uniq_terms[1:]:
+                cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+            if not len(cand):
+                return res_empty
+            out_d, out_s = [], []
+            t0 = terms[0]
+            d0, _, dl0, _, _ = per_term[t0]
+            for doc in cand:
+                # positions of term j in this doc, matched consecutively
+                match = None
+                for j, t in enumerate(terms):
+                    docs, tfs, dls, poss, pstart = per_term[t]
+                    i = int(np.searchsorted(docs, doc))
+                    p = poss[pstart[i] : pstart[i + 1]] - j
+                    match = p if match is None else match[np.isin(match, p)]
+                    if match is None or not len(match):
+                        match = np.empty(0, np.int64)
+                        break
+                freq = len(match)
+                if not freq:
+                    continue
+                i0 = int(np.searchsorted(d0, doc))
+                dl = float(dl0[i0])
+                denom = freq + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0))
+                out_d.append(int(doc))
+                out_s.append(idf_sum * freq * (k1 + 1.0) / denom)
+            return pd.DataFrame(
+                {"doc_id": np.array(out_d, np.int64),
+                 "score": np.array(out_s, np.float64)}
+            )
+
+        post = self.postings_for(uniq_terms)
+        scored = post.groupBy("segment_id").applyInPandas(
+            match_segment, schema=_SCORE_ROW
+        )
+        if fq is not None:
+            allowed = self.docs().filter(fq).select("doc_id")
+            scored = scored.join(allowed, "doc_id", "left_semi")
+        return self._finish(scored, k, offset, with_stored, order_key)
 
     # -- block-max WAND (segment-parallel fast path) ---------------------------
 
@@ -381,7 +549,10 @@ class BM25Index:
             order = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
             return pd.DataFrame({"doc_id": best_d[order], "score": best_s[order]})
 
-        local = post.groupBy("segment_id").applyInPandas(
+        local = post.select(
+            "term", "segment_id", "salt", "block_id", "count",
+            "min_doc", "max_doc", "max_tf_norm", "doc_gaps", "tfs", "dls",
+        ).groupBy("segment_id").applyInPandas(
             score_segment,
             schema=_SCORE_ROW,
         )

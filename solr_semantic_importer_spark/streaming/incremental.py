@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..index.build import POSTINGS_SCHEMA, BuildConfig, _make_partition_encoder
 from ..index.docids import SORT_KEYS, assign_doc_ids
-from ..functions.analysis import term_freqs_udf
+from ..functions.analysis import term_freqs_udf, term_positions_udf
 from ..plans.manifest import Manifest, dir_bytes
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
@@ -60,25 +60,42 @@ def append_batch(
 
     def run():
         ids = assign_doc_ids(batch_df, start=base)
-        analyzed = (
-            ids.withColumn(
-                "segment_id", (F.col("doc_id") / cfg.segment_size).cast("long")
-            )
-            .withColumn("tfmap", term_freqs_udf(F.col("text")))
-            .withColumn(
+        a = ids.withColumn(
+            "segment_id", (F.col("doc_id") / cfg.segment_size).cast("long")
+        )
+        if cfg.store_positions:
+            a = a.withColumn("tfmap", term_positions_udf(F.col("text"))).withColumn(
                 "dl",
                 F.coalesce(
-                    F.aggregate(F.map_values("tfmap"), F.lit(0), lambda a, x: a + x),
+                    F.aggregate(
+                        F.map_values("tfmap"), F.lit(0), lambda a_, x: a_ + F.size(x)
+                    ),
                     F.lit(0),
                 ),
             )
-            .persist()
-        )
+        else:
+            a = a.withColumn("tfmap", term_freqs_udf(F.col("text"))).withColumn(
+                "dl",
+                F.coalesce(
+                    F.aggregate(F.map_values("tfmap"), F.lit(0), lambda a_, x: a_ + x),
+                    F.lit(0),
+                ),
+            )
+        analyzed = a.persist()
         docs = analyzed.drop("tfmap")
         docs.write.mode("append").parquet(os.path.join(index_dir, "docs"))
-        pairs = analyzed.select(
-            "doc_id", "segment_id", "dl", F.explode("tfmap").alias("term", "tf")
-        ).persist()
+        if cfg.store_positions:
+            pairs = analyzed.select(
+                "doc_id", "segment_id", "dl",
+                F.explode("tfmap").alias("term", "positions"),
+            ).select(
+                "doc_id", "segment_id", "dl", "term",
+                F.size("positions").alias("tf"), "positions",
+            ).persist()
+        else:
+            pairs = analyzed.select(
+                "doc_id", "segment_id", "dl", F.explode("tfmap").alias("term", "tf")
+            ).persist()
         stats = analyzed.agg(
             F.count("*").alias("n_docs"),
             F.sum("dl").alias("sum_dl"),

@@ -51,10 +51,9 @@ def corpus(spark, tmp_path_factory):
     return df, BM25Index(spark, idx_dir), oracle
 
 
-def _spark_topk(index, query, k=10, **kw):
-    return [
-        (r["doc_id"], r["score"]) for r in index.search(query, k=k, **kw).collect()
-    ]
+def _spark_topk(index, query, k=10, method="search", **kw):
+    fn = index.search_phrase if method == "phrase" else index.search
+    return [(r["doc_id"], r["score"]) for r in fn(query, k=k, **kw).collect()]
 
 
 def assert_rank_identical(got, want):
@@ -83,6 +82,55 @@ def test_topk_rank_identical_bmw_zones(corpus, q):
         del index.exhaustive_cutoff
     want = oracle.search(q, k=10)
     assert_rank_identical(got, want)
+
+
+PHRASES = [
+    "error in tool call",
+    "tool call",
+    "the a",
+    "the the",           # duplicate term
+    "error",             # single-term degenerates to term query
+    "zzz_not_a_term qqqq",
+    "topic1 rare00001",
+]
+
+
+@pytest.mark.parametrize("p", PHRASES)
+def test_phrase_rank_identical(corpus, p):
+    _, index, oracle = corpus
+    got = _spark_topk(index, p, k=10, method="phrase")
+    want = oracle.search_phrase(p, k=10)
+    assert_rank_identical(got, want)
+
+
+def test_phrase_fq(corpus):
+    df, index, oracle = corpus
+    allowed = {
+        r["doc_id"]
+        for r in assign_doc_ids_window(df)
+        .filter(F.col("role") == "user")
+        .select("doc_id")
+        .collect()
+    }
+    got = _spark_topk(index, "error in", k=10, method="phrase", fq="role = 'user'")
+    want = oracle.search_phrase("error in", k=10, allowed=allowed)
+    assert_rank_identical(got, want)
+
+
+def test_facet_on_results(corpus):
+    df, index, oracle = corpus
+    got = {
+        r["role"]: r["facet_count"]
+        for r in index.facet("error test", "role").collect()
+    }
+    terms = ["error", "test"]
+    ids = assign_doc_ids_window(df).select("doc_id", "role").collect()
+    want: dict = {}
+    for r in ids:
+        tf = oracle.tfs[r["doc_id"]]
+        if any(t in tf for t in terms):
+            want[r["role"]] = want.get(r["role"], 0) + 1
+    assert got == want
 
 
 def test_and_semantics(corpus):
