@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     ("q_and", "spark window"),
     ("q_fq", "table scan"),
     ("q_long", "data column group order filter"),
+    ("q_phrase", "table hash"),
 ]
 
 
@@ -100,12 +101,17 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
     idx = BM25Index(spark, idx_dir)
     q_secs: dict[str, float] = {}
     lat_all: list[float] = []
-    for name, q in BENCH_QUERIES:
+    def run_query(name, q):
+        if name == "q_phrase":
+            return idx.search_phrase(q, k=10).collect()
         kw = {"fq": "role = 'user'"} if name == "q_fq" else {}
         if name == "q_and":
             kw = {"op": "AND", "mode": "exhaustive"}
+        return idx.search(q, k=10, **kw).collect()
+
+    for name, q in BENCH_QUERIES:
         t1 = time.monotonic()
-        idx.search(q, k=10, **kw).collect()
+        run_query(name, q)
         dt = time.monotonic() - t1
         q_secs[name] = round(dt, 3)
         lat_all.append(dt)
@@ -114,7 +120,7 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
     for _ in range(3):
         for name, q in BENCH_QUERIES:
             t1 = time.monotonic()
-            idx.search(q, k=10).collect()
+            run_query(name, q)
             lat_warm.append(time.monotonic() - t1)
     lat_warm.sort()
     p50 = lat_warm[len(lat_warm) // 2]

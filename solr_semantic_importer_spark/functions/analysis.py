@@ -112,6 +112,35 @@ def doc_len_udf(texts: pd.Series) -> pd.Series:
     )
 
 
+def make_multi_field_analyzer(gap: int = 100):
+    """copyField-into-_text_ analyzer over N columns (Solr's catch-all field,
+    default-base-config/managed-schema.xml `_text_` + copyField convention):
+    token streams of the fields are concatenated with ``positionIncrementGap``
+    positions between values (managed-schema.xml:298 gap=100), so phrases
+    never match across a field boundary. dl counts real tokens only (gaps
+    carry no norm weight, matching Lucene).
+
+    Returns an Arrow-batched pandas UDF: (col1, ..., colN) -> {term: [pos]}.
+    """
+
+    @pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.IntegerType())))
+    def analyze_fields(*cols: pd.Series) -> pd.Series:
+        findall = TOKEN_RE.findall
+        out = []
+        for row in zip(*cols):
+            m: dict[str, list[int]] = {}
+            off = 0
+            for value in row:
+                toks = [] if value is None else findall(value.lower())
+                for i, tok in enumerate(toks):
+                    m.setdefault(tok, []).append(off + i)
+                off += len(toks) + gap
+            out.append(m)
+        return pd.Series(out)
+
+    return analyze_fields
+
+
 # --- query-time synonym expansion (T4) -------------------------------------
 # Reference: SynonymGraphFilter, query-time only, managed-schema.xml:311 with
 # default-base-config/synonyms.txt. The shipped file's effective entries

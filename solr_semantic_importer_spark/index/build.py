@@ -49,7 +49,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import B, K1
-from ..functions.analysis import term_freqs_udf, term_positions_udf
+from ..functions.analysis import (
+    make_multi_field_analyzer,
+    term_freqs_udf,
+    term_positions_udf,
+)
 from ..functions.codec import varint_encode_with_lengths
 from ..plans.manifest import Manifest, dir_bytes
 from .docids import assign_doc_ids
@@ -91,6 +95,13 @@ class BuildConfig:
     # store token positions (Lucene indexes them by default for text fields;
     # required for phrase queries). Costs ~1 varint per token in postings.
     store_positions: bool = True
+    # copyField-into-_text_ semantics: index the concatenated token streams
+    # of these columns instead of the single "text" column, with
+    # position_increment_gap positions between values (Solr catch-all
+    # `_text_` + copyField, managed-schema.xml:298 gap=100) so phrases never
+    # match across a field boundary. None -> single "text" field.
+    copy_fields: tuple[str, ...] | None = None
+    position_increment_gap: int = 100
 
 
 def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
@@ -243,9 +254,12 @@ def build_index(
                 "segment_id", (F.col("doc_id") / cfg.segment_size).cast("long")
             )
             if cfg.store_positions:
-                a = a.withColumn(
-                    "tfmap", term_positions_udf(F.col("text"))
-                ).withColumn(
+                if cfg.copy_fields:
+                    analyzer = make_multi_field_analyzer(cfg.position_increment_gap)
+                    tfmap_col = analyzer(*[F.col(c) for c in cfg.copy_fields])
+                else:
+                    tfmap_col = term_positions_udf(F.col("text"))
+                a = a.withColumn("tfmap", tfmap_col).withColumn(
                     "dl",
                     F.coalesce(
                         F.aggregate(
@@ -257,8 +271,13 @@ def build_index(
                     ),
                 )
             else:
+                text_col = (
+                    F.concat_ws(" ", *[F.col(c) for c in cfg.copy_fields])
+                    if cfg.copy_fields
+                    else F.col("text")
+                )
                 a = a.withColumn(
-                    "tfmap", term_freqs_udf(F.col("text"))
+                    "tfmap", term_freqs_udf(text_col)
                 ).withColumn(
                     "dl",
                     F.coalesce(
