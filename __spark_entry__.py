@@ -384,6 +384,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_facet_role"] = bm25_facet_role
 
+    # ---- Q6 spellcheck suggest + Q7 highlighting ----
+    def spell_suggest(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        return idx.suggest("tabel", n=5)
+
+    q["spell_suggest"] = spell_suggest
+
+    def highlight_top(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        res = idx.search("merge window", k=5, with_stored=True, order_key="milli")
+        pattern = "(?i)\\b(merge|window)\\b"
+        return res.select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), pattern, "<em>$1</em>").alias("highlighted"),
+        )
+
+    q["highlight_top"] = highlight_top
+
     # ---- multimodal binary columns ----
     def multimodal_digest(spark, sf_dir):
         d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -605,6 +623,27 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase"] = OSQL.bm25_phrase_sql("table hash", k=10)
     o["bm25_phrase_long"] = OSQL.bm25_phrase_sql("merge group", k=10)
     o["bm25_facet_role"] = OSQL.facet_on_results_sql("table scan", "role")
+
+    o["spell_suggest"] = f"""
+        WITH {OSQL.bm25_base_ctes()}
+        SELECT term, CAST(df AS BIGINT) AS df,
+               CAST(levenshtein(term, 'tabel') AS INT) AS distance
+        FROM dft
+        WHERE term != 'tabel'
+          AND abs(length(term) - 5) <= 2
+          AND levenshtein(term, 'tabel') <= 2
+        ORDER BY distance ASC, df DESC, term ASC
+        LIMIT 5
+    """
+    hl_inner = OSQL.bm25_topk_sql("merge window", k=5)
+    o["highlight_top"] = f"""
+        WITH topk AS ({hl_inner}),
+        t AS ({OSQL.transcripts_ids_cte()})
+        SELECT topk.doc_id,
+               regexp_replace(t.text, '(?i)\\b(merge|window)\\b',
+                              '<em>\\1</em>', 'g') AS highlighted
+        FROM topk JOIN t ON t.doc_id = topk.doc_id
+    """
 
     o["multimodal_digest"] = """
         SELECT doc_id,

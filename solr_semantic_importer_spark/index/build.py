@@ -55,7 +55,7 @@ from ..functions.analysis import (
     term_positions_udf,
 )
 from ..functions.codec import varint_encode_with_lengths
-from ..plans.manifest import Manifest, dir_bytes
+from ..plans.manifest import BuildHistory, Manifest, dir_bytes
 from .docids import assign_doc_ids
 
 DEFAULT_SEGMENT_SIZE = 1 << 20  # docs per segment at scale
@@ -439,4 +439,14 @@ def build_index(
     man.commit("finalize", rows=n_docs, n_docs=n_docs, avgdl=avgdl,
                segment_size=cfg.segment_size, block_size=cfg.block_size,
                n_term_buckets=cfg.n_term_buckets)
+    # A4: ring-buffer history of build summaries (IndexingTracker analog)
+    BuildHistory(index_dir).record(
+        cfg.build_id,
+        n_docs=n_docs,
+        postings=man.steps["postings"].rows,
+        total_sec=round(sum(s.duration_sec for s in man.steps.values()), 2),
+        docs_per_sec=round(
+            n_docs / max(sum(s.duration_sec for s in man.steps.values()), 1e-9), 1
+        ),
+    )
     return man

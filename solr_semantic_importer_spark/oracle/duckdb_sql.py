@@ -86,6 +86,16 @@ def bm25_topk_sql(
     """
 
 
+def transcripts_ids_cte() -> str:
+    """Standalone transcripts-with-stable-doc-ids relation (for queries that
+    join engine results back to stored fields)."""
+    return f"""
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+           conv_id, turn_idx, role, text, tool, ts
+    FROM ({transcripts_duckdb_cte()})
+    """
+
+
 def bm25_phrase_sql(phrase: str, k: int = 10, offset: int = 0) -> str:
     """PhraseQuery-under-BM25 oracle: positions via lateral unnest, phrase
     matches via positional self-joins, idf = sum over the phrase term array

@@ -89,6 +89,33 @@ class Manifest:
         return True
 
 
+HISTORY_MAX = 100  # reference: indexer.max-history-size (application.yml:35-36)
+
+
+class BuildHistory:
+    """A4: ring buffer of the last HISTORY_MAX build summaries
+    (IndexingTracker.java:165-174 keeps the last 100 job statuses)."""
+
+    def __init__(self, index_dir: str):
+        self.path = os.path.join(index_dir, "_history.json")
+        self.index_dir = index_dir
+
+    def record(self, build_id: str, **summary) -> None:
+        hist = self.entries()
+        hist.append({"build_id": build_id, "recorded_at": time.time(), **summary})
+        hist = hist[-HISTORY_MAX:]
+        fd, tmp = tempfile.mkstemp(dir=self.index_dir, prefix="._history")
+        with os.fdopen(fd, "w") as f:
+            json.dump(hist, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def entries(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return json.load(f)
+
+
 def dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):

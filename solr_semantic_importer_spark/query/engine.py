@@ -183,8 +183,14 @@ class BM25Index:
 
     # -- scoring paths ---------------------------------------------------------
 
-    def _decode_score_df(self, terms: list[str], idf: dict[str, float]) -> DataFrame:
-        """Exhaustive: decode all blocks of the query terms -> (doc_id, partial)."""
+    def _decode_score_df(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        dead: np.ndarray | None = None,
+    ) -> DataFrame:
+        """Exhaustive: decode all blocks of the query terms -> (doc_id, partial).
+        ``dead``: sorted tombstoned doc ids to exclude (I5 delete-by-query)."""
         k1, b, avgdl = K1, B, self.avgdl
         bidf = dict(idf)
 
@@ -199,6 +205,11 @@ class BM25Index:
                     docs = np.cumsum(gaps).astype(np.int64)
                     tf = varint_decode(row.tfs, row.count).astype(np.float64)
                     dl = varint_decode(row.dls, row.count).astype(np.float64)
+                    if dead is not None:
+                        live = ~np.isin(docs, dead)
+                        docs, tf, dl = docs[live], tf[live], dl[live]
+                        if not len(docs):
+                            continue
                     denom = tf + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0))
                     outs.append(
                         pd.DataFrame(
@@ -243,11 +254,14 @@ class BM25Index:
         allowed_docs: DataFrame | None = None
         if fq is not None:
             allowed_docs = self.docs().filter(fq).select("doc_id")
+        dead = self._dead_array()
 
         if mode == "wand" and op == "OR":
-            scored = self._wand_segments(terms, idf, k + offset, allowed_docs, fq)
+            scored = self._wand_segments(
+                terms, idf, k + offset, allowed_docs, fq, dead=dead
+            )
         else:
-            partials = self._decode_score_df(terms, idf)
+            partials = self._decode_score_df(terms, idf, dead=dead)
             if op == "AND":
                 agg = partials.groupBy("doc_id").agg(
                     F.sum("score").alias("score"), F.count("*").alias("nt")
@@ -275,6 +289,93 @@ class BM25Index:
             )
         return out
 
+    def suggest(
+        self,
+        term: str,
+        n: int = 5,
+        max_distance: int = 2,
+        min_query_length: int = 4,
+        max_query_frequency: float = 0.01,
+    ) -> DataFrame:
+        """Q6: DirectSolrSpellChecker-shaped suggestions from the live
+        dictionary (solrconfig.xml:678-758: minQueryLength=4,
+        maxQueryFrequency=0.01 -- only terms the corpus itself considers
+        rare get corrected; candidates ranked by df desc).
+
+        JVM-side: built-in levenshtein over the dictionary relation -- at
+        scale this prunes to same-length-band candidates before the edit
+        distance (cheap prefilter on abs(length-delta))."""
+        t = term.lower()
+        if len(t) < min_query_length:
+            return self.dictionary().limit(0).select(
+                "term", F.col("df").cast("long").alias("df")
+            )
+        qdf = self._dfs([t]).get(t, 0)
+        if self.n_docs and qdf / self.n_docs > max_query_frequency:
+            return self.dictionary().limit(0).select(
+                "term", F.col("df").cast("long").alias("df")
+            )
+        d = self.dictionary().groupBy("term").agg(F.sum("df").alias("df"))
+        cand = d.filter(
+            (F.abs(F.length("term") - F.lit(len(t))) <= max_distance)
+            & (F.col("term") != t)
+        ).withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))
+        # closest correction first, then most frequent (DirectSolrSpellChecker
+        # comparator: score/distance before docFreq)
+        return (
+            cand.filter(F.col("distance") <= max_distance)
+            .select("term", F.col("df").cast("long").alias("df"), "distance")
+            .orderBy(F.col("distance").asc(), F.col("df").desc(), F.col("term").asc())
+            .limit(n)
+        )
+
+    def highlight(
+        self, query: str, k: int = 10, pre: str = "<em>", post: str = "</em>"
+    ) -> DataFrame:
+        """Q7: highlighting over the top-k result set -- every analyzed query
+        term occurrence in the stored text wrapped in pre/post markers
+        (solrconfig.xml default highlighter semantics, whole-field fragment).
+        Pure JVM regexp over the stored field; case-insensitive on word
+        boundaries like the analysis chain."""
+        terms = self.analyze_query(query)
+        top = self.search(query, k=k, with_stored=True).select(
+            "doc_id", "score", "text"
+        )
+        if not terms:
+            return top.withColumn("highlighted", F.col("text"))
+        pattern = "(?i)\\b(" + "|".join(sorted(terms)) + ")\\b"
+        return top.withColumn(
+            "highlighted",
+            F.regexp_replace(F.col("text"), pattern, f"{pre}$1{post}"),
+        )
+
+    # -- delete-by-query (I5): Lucene-style tombstones -------------------------
+
+    def delete_by_query(self, predicate: str) -> int:
+        """I5: delete-by-query via tombstones (Lucene liveDocs analog; the
+        reference's `-crawl_id:X` delete, SolrAdminActions.java:228-264).
+        Matching doc ids are appended to a tombstone table; queries exclude
+        them. df/avgdl stay at their pre-delete values until a rebuild
+        compaction -- exactly Lucene's behavior before segment merge.
+        Returns the number of docs deleted."""
+        victims = self.docs().filter(predicate).select("doc_id")
+        path = os.path.join(self.index_dir, "tombstones")
+        victims.write.mode("append").parquet(path)
+        self._tombstones = None  # invalidate cache
+        return victims.count()
+
+    def _tombstone_ids(self) -> set[int] | None:
+        if getattr(self, "_tombstones", None) is None:
+            path = os.path.join(self.index_dir, "tombstones")
+            if not os.path.exists(path):
+                self._tombstones = set()
+            else:
+                self._tombstones = {
+                    r["doc_id"]
+                    for r in self.spark.read.parquet(path).distinct().collect()
+                }
+        return self._tombstones or None
+
     def facet(self, query: str, field: str, fq: str | None = None) -> DataFrame:
         """Q5 over a result set: non-scoring facet counts on ``field`` across
         all docs matching ANY query term (Solr facet.field over the match
@@ -290,7 +391,9 @@ class BM25Index:
             return self.docs().limit(0).groupBy(field).agg(
                 F.count("*").alias("facet_count")
             )
-        matched = self._decode_score_df(terms, idf).select("doc_id").distinct()
+        matched = self._decode_score_df(
+            terms, idf, dead=self._dead_array()
+        ).select("doc_id").distinct()
         docs = self.docs()
         if fq is not None:
             docs = docs.filter(fq)
@@ -335,6 +438,7 @@ class BM25Index:
         # Lucene sums idf over the phrase's term array (duplicates counted)
         idf_sum = float(sum(idf[t] for t in terms))
         k1, b, avgdl = K1, B, self.avgdl
+        dead = self._dead_array()
 
         def match_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
             res_empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -375,6 +479,8 @@ class BM25Index:
             cand = per_term[uniq_terms[0]][0]
             for t in uniq_terms[1:]:
                 cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+            if dead is not None and len(cand):
+                cand = cand[~np.isin(cand, dead)]
             if not len(cand):
                 return res_empty
             out_d, out_s = [], []
@@ -415,6 +521,13 @@ class BM25Index:
 
     # -- block-max WAND (segment-parallel fast path) ---------------------------
 
+    def _dead_array(self) -> np.ndarray | None:
+        """Tombstoned doc ids as a sorted numpy array (or None)."""
+        dead = self._tombstone_ids()
+        if not dead:
+            return None
+        return np.array(sorted(dead), dtype=np.int64)
+
     def _wand_segments(
         self,
         terms: list[str],
@@ -422,6 +535,7 @@ class BM25Index:
         k: int,
         allowed_docs: DataFrame | None,
         fq: str | None,
+        dead: np.ndarray | None = None,
     ) -> DataFrame:
         k1, b, avgdl = K1, B, self.avgdl
         bidf = dict(idf)
@@ -439,6 +553,9 @@ class BM25Index:
             docs = np.cumsum(gaps).astype(np.int64)
             tf = varint_decode(row.tfs, row.count).astype(np.float64)
             dl = varint_decode(row.dls, row.count).astype(np.float64)
+            if dead is not None:
+                live = ~np.isin(docs, dead)
+                docs, tf, dl = docs[live], tf[live], dl[live]
             denom = tf + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0))
             return docs, tf * (k1 + 1.0) / denom
 
@@ -559,7 +676,7 @@ class BM25Index:
         if allowed_docs is not None:
             # correctness first: re-score exhaustively under fq (local top-k
             # may have dropped allowed docs below unfiltered top-k)
-            partials = self._decode_score_df(terms, idf)
+            partials = self._decode_score_df(terms, idf, dead=dead)
             scored = partials.groupBy("doc_id").agg(F.sum("score").alias("score"))
             return scored.join(allowed_docs, "doc_id", "left_semi")
         return local

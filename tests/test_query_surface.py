@@ -1,0 +1,95 @@
+"""Q6 suggest, Q7 highlight, I5 delete-by-query tombstones, A4 history."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.oracle.bm25_ref import BM25Oracle
+from solr_semantic_importer_spark.index.docids import assign_doc_ids_window
+from solr_semantic_importer_spark.plans.manifest import BuildHistory
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=80, turns_per_conv=6, seed=11)
+    idx_dir = str(tmp_path_factory.mktemp("qs"))
+    build_index(spark, df, idx_dir, BuildConfig(build_id="qs", **CFG))
+    return df, BM25Index(spark, idx_dir), idx_dir
+
+
+def test_suggest_corrects_rare_typo(corpus):
+    _, idx, _ = corpus
+    # "topix42" is an OOV typo at distance 1 from the real "topic42"
+    got = [r["term"] for r in idx.suggest("topix42", n=5).collect()]
+    assert got, "expected suggestions"
+    assert "topic42" in got
+    # a frequent term is NOT corrected (maxQueryFrequency gate): "error" is
+    # in the hot vocab, so its df/N far exceeds 0.01
+    assert idx.suggest("error").collect() == []
+    # below minQueryLength -> no suggestions (minQueryLength=4)
+    assert idx.suggest("th").collect() == []
+
+
+def test_highlight_wraps_terms(corpus):
+    _, idx, _ = corpus
+    rows = idx.highlight("error tool", k=5).collect()
+    assert rows
+    for r in rows:
+        if r["text"] and ("error" in r["text"] or "tool" in r["text"]):
+            assert "<em>" in r["highlighted"]
+            # highlighted text minus markers == original
+            assert (
+                r["highlighted"].replace("<em>", "").replace("</em>", "")
+                == r["text"]
+            )
+
+
+def test_delete_by_query_tombstones(corpus, spark):
+    df, idx, idx_dir = corpus
+    before = [r["doc_id"] for r in idx.search("error in tool", k=20).collect()]
+    tool_ids = {
+        r["doc_id"]
+        for r in assign_doc_ids_window(df)
+        .filter(F.col("role") == "tool")
+        .select("doc_id")
+        .collect()
+    }
+    n = idx.delete_by_query("role = 'tool'")
+    assert n == len(tool_ids)
+    # every query path excludes tombstoned docs
+    for kw in (dict(mode="wand"), dict(mode="exhaustive"), dict(fq="role IS NOT NULL")):
+        got = [r["doc_id"] for r in idx.search("error in tool", k=20, **kw).collect()]
+        assert not (set(got) & tool_ids)
+    ph = [r["doc_id"] for r in idx.search_phrase("error in", k=20).collect()]
+    assert not (set(ph) & tool_ids)
+    # scores of surviving docs unchanged (df frozen until compaction,
+    # matching Lucene's delete-then-merge behavior)
+    after = [r["doc_id"] for r in idx.search("error in tool", k=20).collect()]
+    expect = [d for d in before if d not in tool_ids]
+    # the head of the filtered pre-delete ranking must be preserved
+    assert after[: len(expect[:10])][:5] == expect[:5]
+    # oracle cross-check: BM25 over live docs with frozen (full-corpus) stats
+    ids_text = [
+        (r["doc_id"], r["text"])
+        for r in assign_doc_ids_window(df).select("doc_id", "text").collect()
+    ]
+    oracle = BM25Oracle(ids_text)
+    want = [
+        d for d, _ in oracle.search("error in tool", k=200)
+        if d not in tool_ids
+    ][:20]
+    assert after == want
+
+
+def test_build_history_recorded(corpus):
+    _, _, idx_dir = corpus
+    hist = BuildHistory(idx_dir).entries()
+    assert len(hist) >= 1
+    last = hist[-1]
+    assert last["build_id"] == "qs" and last["n_docs"] > 0
+    assert "docs_per_sec" in last and "postings" in last
