@@ -384,6 +384,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_facet_role"] = bm25_facet_role
 
+    # ---- Q2 match-all (q=*:*) ----
+    def match_all_paged(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        res = idx.match_all(k=20, offset=10)
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["match_all_paged"] = match_all_paged
+
     # ---- Q6 spellcheck suggest + Q7 highlighting ----
     def spell_suggest(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -624,6 +632,11 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase_long"] = OSQL.bm25_phrase_sql("merge group", k=10)
     o["bm25_facet_role"] = OSQL.facet_on_results_sql("table scan", "role")
 
+    o["match_all_paged"] = f"""
+        WITH t AS ({OSQL.transcripts_ids_cte()})
+        SELECT doc_id, CAST(1000 AS BIGINT) AS score_milli
+        FROM t ORDER BY doc_id LIMIT 20 OFFSET 10
+    """
     o["spell_suggest"] = f"""
         WITH {OSQL.bm25_base_ctes()}
         SELECT term, CAST(df AS BIGINT) AS df,

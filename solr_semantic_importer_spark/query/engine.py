@@ -376,6 +376,49 @@ class BM25Index:
                 }
         return self._tombstones or None
 
+    def match_all(
+        self, k: int = 10, fq: str | None = None, offset: int = 0
+    ) -> DataFrame:
+        """Q2: ``q=*:*`` -- every (live) doc, constant score 1.0, internal
+        doc-id order (Solr's MatchAllDocsQuery under the default sort)."""
+        d = self.docs()
+        if fq is not None:
+            d = d.filter(fq)
+        dead = self._tombstone_ids()
+        if dead:
+            d = d.filter(~F.col("doc_id").isin(list(dead)))
+        out = d.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
+        return out.offset(offset).limit(k) if offset else out.limit(k)
+
+    def compact(self, config=None) -> "BM25Index":
+        """I3/I5 compaction: rebuild the index from the LIVE stored docs --
+        tombstones are applied permanently, df/avgdl/N recomputed, doc ids
+        re-minted from the stable (conv_id, turn_idx) order (Lucene segment
+        merge renumbers too). The rebuild happens in ``<dir>.compact`` and
+        atomically replaces the old directory. Returns a fresh handle."""
+        import shutil
+
+        from ..index.build import BuildConfig, build_index
+
+        dead = self._tombstone_ids() or set()
+        live = self.docs()
+        if dead:
+            live = live.filter(~F.col("doc_id").isin(list(dead)))
+        source_cols = [
+            c for c in live.columns if c not in ("doc_id", "segment_id", "dl")
+        ]
+        src = live.select(*source_cols)
+        new_dir = self.index_dir.rstrip("/") + ".compact"
+        shutil.rmtree(new_dir, ignore_errors=True)
+        cfg = config or BuildConfig(build_id="compact-1")
+        build_index(self.spark, src, new_dir, cfg)
+        old = self.index_dir.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.index_dir, old)
+        os.replace(new_dir, self.index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return BM25Index(self.spark, self.index_dir)
+
     def facet(self, query: str, field: str, fq: str | None = None) -> DataFrame:
         """Q5 over a result set: non-scoring facet counts on ``field`` across
         all docs matching ANY query term (Solr facet.field over the match

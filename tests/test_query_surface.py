@@ -86,6 +86,42 @@ def test_delete_by_query_tombstones(corpus, spark):
     assert after == want
 
 
+def test_match_all(corpus):
+    df, idx, _ = corpus
+    # the module fixture may already carry tombstones from the delete test
+    dead = idx._tombstone_ids() or set()
+    live = [d for d in range(idx.n_docs) if d not in dead]
+    rows = idx.match_all(k=7).collect()
+    assert [r["doc_id"] for r in rows] == live[:7]
+    assert all(r["score"] == 1.0 for r in rows)
+    paged = idx.match_all(k=3, offset=2).collect()
+    assert [r["doc_id"] for r in paged] == live[2:5]
+    filtered = idx.match_all(k=5, fq="role = 'user'").collect()
+    assert len(filtered) == 5
+
+
+def test_compaction_applies_deletes_and_refreshes_stats(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=40, turns_per_conv=5, seed=3)
+    idx_dir = str(tmp_path_factory.mktemp("cp")) + "/idx"
+    build_index(spark, df, idx_dir, BuildConfig(build_id="c1", **CFG))
+    idx = BM25Index(spark, idx_dir)
+    n_before = idx.n_docs
+    idx.delete_by_query("role = 'tool'")
+    idx2 = idx.compact(BuildConfig(build_id="c2", **CFG))
+    live_df = df.filter(F.col("role") != "tool")
+    assert idx2.n_docs == live_df.count() < n_before
+    # compacted index == fresh build over the live subset (stats refreshed)
+    fresh_dir = str(tmp_path_factory.mktemp("cp2")) + "/idx"
+    build_index(spark, live_df, fresh_dir, BuildConfig(build_id="c3", **CFG))
+    fresh = BM25Index(spark, fresh_dir)
+    for q in ["error in tool call", "the", "topic7"]:
+        a = [(r["doc_id"], round(r["score"], 6)) for r in idx2.search(q, k=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 6)) for r in fresh.search(q, k=10).collect()]
+        assert a == b
+    # tombstones gone after compaction
+    assert idx2._tombstone_ids() is None
+
+
 def test_build_history_recorded(corpus):
     _, _, idx_dir = corpus
     hist = BuildHistory(idx_dir).entries()
