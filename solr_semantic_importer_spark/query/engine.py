@@ -492,7 +492,7 @@ class BM25Index:
                 tpdf = tpdf.sort_values(["salt", "block_id"])
                 docs_l, tf_l, dl_l, pos_l = [], [], [], []
                 for row in tpdf.itertuples(index=False):
-                    if row.positions is None:
+                    if getattr(row, "positions", None) is None:
                         raise ValueError(
                             "phrase query needs an index built with "
                             "store_positions=True"
@@ -518,39 +518,42 @@ class BM25Index:
                 per_term[term] = (docs, tfs, dls, poss, pstart)
             if any(t not in per_term for t in uniq_terms):
                 return res_empty
-            # doc-list intersection across all phrase terms
-            cand = per_term[uniq_terms[0]][0]
-            for t in uniq_terms[1:]:
-                cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
-            if dead is not None and len(cand):
-                cand = cand[~np.isin(cand, dead)]
-            if not len(cand):
+            # FULLY vectorized phrase matching: pack (doc, start_position)
+            # into one uint64 key per occurrence -- for term j the key uses
+            # (pos - j), so an exact phrase occurrence is a key present in
+            # EVERY term's key set; sorted-array intersections find them all
+            # at once (no per-candidate-doc Python loop). Position budget:
+            # 2^24 per doc (docs to 2^40), enforced below.
+            SHIFT = np.uint64(1 << 24)
+            m = len(terms)
+            keysets = []
+            for j, t in enumerate(terms):
+                docs, tfs, dls, poss, pstart = per_term[t]
+                docs_rep = np.repeat(docs.astype(np.uint64), tfs)
+                adj = poss.astype(np.int64) - j + m  # keep non-negative
+                if adj.size and int(adj.max()) >= (1 << 24):
+                    raise ValueError("position exceeds 2^24 packing budget")
+                keysets.append(docs_rep * SHIFT + adj.astype(np.uint64))
+            common = keysets[0]
+            for ks in keysets[1:]:
+                if not len(common):
+                    break
+                common = np.intersect1d(common, ks, assume_unique=True)
+            if not len(common):
                 return res_empty
-            out_d, out_s = [], []
-            t0 = terms[0]
-            d0, _, dl0, _, _ = per_term[t0]
-            for doc in cand:
-                # positions of term j in this doc, matched consecutively
-                match = None
-                for j, t in enumerate(terms):
-                    docs, tfs, dls, poss, pstart = per_term[t]
-                    i = int(np.searchsorted(docs, doc))
-                    p = poss[pstart[i] : pstart[i + 1]] - j
-                    match = p if match is None else match[np.isin(match, p)]
-                    if match is None or not len(match):
-                        match = np.empty(0, np.int64)
-                        break
-                freq = len(match)
-                if not freq:
-                    continue
-                i0 = int(np.searchsorted(d0, doc))
-                dl = float(dl0[i0])
-                denom = freq + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0))
-                out_d.append(int(doc))
-                out_s.append(idf_sum * freq * (k1 + 1.0) / denom)
+            match_docs = (common // SHIFT).astype(np.int64)
+            uniq, freq = np.unique(match_docs, return_counts=True)
+            if dead is not None:
+                live = ~np.isin(uniq, dead)
+                uniq, freq = uniq[live], freq[live]
+                if not len(uniq):
+                    return res_empty
+            d0, _, dl0, _, _ = per_term[terms[0]]
+            dl = dl0[np.searchsorted(d0, uniq)].astype(np.float64)
+            f = freq.astype(np.float64)
+            denom = f + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0))
             return pd.DataFrame(
-                {"doc_id": np.array(out_d, np.int64),
-                 "score": np.array(out_s, np.float64)}
+                {"doc_id": uniq, "score": idf_sum * f * (k1 + 1.0) / denom}
             )
 
         post = self.postings_for(uniq_terms)
