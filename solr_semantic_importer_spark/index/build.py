@@ -423,10 +423,29 @@ def build_index(
             .parquet(post_path)
         )
         m = obs.get
+        n_post = int(m["postings"] or 0)
+        total_bytes = dir_bytes(post_path)
+        # north_rule metrics: bytes/partition + skew factor across the
+        # bucket partitions (max/mean bucket bytes; 1.0 = perfectly even)
+        bucket_bytes = [
+            dir_bytes(os.path.join(post_path, d))
+            for d in os.listdir(post_path)
+            if d.startswith("bucket=")
+        ]
+        mean_b = (sum(bucket_bytes) / len(bucket_bytes)) if bucket_bytes else 0
         return (
-            int(m["postings"] or 0),
-            dir_bytes(post_path),
-            {"blocks": int(m["blocks"]), "hot_terms": len(hot_terms)},
+            n_post,
+            total_bytes,
+            {
+                "blocks": int(m["blocks"]),
+                "hot_terms": len(hot_terms),
+                "bytes_per_posting": round(total_bytes / max(n_post, 1), 3),
+                "bytes_per_partition_mean": round(mean_b, 1),
+                "bytes_per_partition_max": max(bucket_bytes, default=0),
+                "skew_factor": round(max(bucket_bytes, default=0) / mean_b, 3)
+                if mean_b
+                else 0.0,
+            },
         )
 
     man.run_step("postings", step_postings)
