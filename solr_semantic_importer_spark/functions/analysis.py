@@ -112,6 +112,89 @@ def doc_len_udf(texts: pd.Series) -> pd.Series:
     )
 
 
+# --- text_en chain (T5): stop(en) -> lowercase -> Porter stem ---------------
+# Stop set = the standard Lucene/Solr English set shipped as
+# lang/stopwords_en.txt (managed-schema.xml:354-357 references it for
+# text_en; 33 words, public EnglishAnalyzer default).
+EN_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def analyze_text_en(text: str | None) -> list[str]:
+    """text_en chain, terms only (query-side): tokenize -> stop -> stem."""
+    from .stemmer import porter_stem
+
+    if text is None:
+        return []
+    return [
+        porter_stem(t)
+        for t in TOKEN_RE.findall(text.lower())
+        if t not in EN_STOPWORDS
+    ]
+
+
+def positions_map_en(text: str | None) -> dict[str, list[int]]:
+    """text_en with Lucene stop-gap position semantics: surviving tokens keep
+    their ORIGINAL token index, so phrases never match across a removed
+    stopword (StopFilter preserves position increments)."""
+    from .stemmer import MemoStemmer
+
+    stem = MemoStemmer()
+    m: dict[str, list[int]] = {}
+    if text is None:
+        return m
+    for i, tok in enumerate(TOKEN_RE.findall(text.lower())):
+        if tok in EN_STOPWORDS:
+            continue
+        m.setdefault(stem(tok), []).append(i)
+    return m
+
+
+def positions_map_general(text: str | None) -> dict[str, list[int]]:
+    m: dict[str, list[int]] = {}
+    if text is None:
+        return m
+    for i, tok in enumerate(TOKEN_RE.findall(text.lower())):
+        m.setdefault(tok, []).append(i)
+    return m
+
+
+QUERY_ANALYZERS = {"text_general": analyze_text, "text_en": analyze_text_en}
+POSITION_ANALYZERS = {
+    "text_general": positions_map_general,
+    "text_en": positions_map_en,
+}
+
+
+def make_positions_udf(chain: str = "text_general"):
+    """Arrow-batched {term: [positions]} UDF for the given analysis chain."""
+    if chain == "text_general":
+        return term_positions_udf  # the frozen default (fast path)
+    if chain != "text_en":
+        raise ValueError(f"unknown analysis chain: {chain}")
+
+    @pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.IntegerType())))
+    def analyze(texts: pd.Series) -> pd.Series:
+        from .stemmer import MemoStemmer
+
+        stem = MemoStemmer()  # shared across the batch: Zipf -> high hit rate
+        findall = TOKEN_RE.findall
+        stop = EN_STOPWORDS
+        out = []
+        for t in texts:
+            m: dict[str, list[int]] = {}
+            if t is not None:
+                for i, tok in enumerate(findall(t.lower())):
+                    if tok not in stop:
+                        m.setdefault(stem(tok), []).append(i)
+            out.append(m)
+        return pd.Series(out)
+
+    return analyze
+
+
 def make_multi_field_analyzer(gap: int = 100):
     """copyField-into-_text_ analyzer over N columns (Solr's catch-all field,
     default-base-config/managed-schema.xml `_text_` + copyField convention):

@@ -51,6 +51,7 @@ from pyspark.sql import types as T
 from .. import B, K1
 from ..functions.analysis import (
     make_multi_field_analyzer,
+    make_positions_udf,
     term_freqs_udf,
     term_positions_udf,
 )
@@ -102,6 +103,11 @@ class BuildConfig:
     # match across a field boundary. None -> single "text" field.
     copy_fields: tuple[str, ...] | None = None
     position_increment_gap: int = 100
+    # analysis chain: "text_general" (frozen default: tokenize+lowercase,
+    # empty stop set) or "text_en" (T5: + English stop set + Porter stem,
+    # Lucene stop-gap position semantics). Recorded in the manifest so the
+    # query side always analyzes with the same chain.
+    analyzer: str = "text_general"
 
 
 def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
@@ -232,6 +238,11 @@ def build_index(
 ) -> Manifest:
     """Build (or resume) the full index at ``index_dir``. Returns the manifest."""
     cfg = config or BuildConfig()
+    if cfg.analyzer != "text_general" and not cfg.store_positions:
+        from dataclasses import replace
+
+        cfg = replace(cfg, store_positions=True)  # non-default chains use the
+        # positions pipeline (stop-gap semantics live in the position map)
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir, cfg.build_id)
 
@@ -255,10 +266,14 @@ def build_index(
             )
             if cfg.store_positions:
                 if cfg.copy_fields:
+                    if cfg.analyzer != "text_general":
+                        raise ValueError(
+                            "copy_fields currently supports the text_general chain"
+                        )
                     analyzer = make_multi_field_analyzer(cfg.position_increment_gap)
                     tfmap_col = analyzer(*[F.col(c) for c in cfg.copy_fields])
                 else:
-                    tfmap_col = term_positions_udf(F.col("text"))
+                    tfmap_col = make_positions_udf(cfg.analyzer)(F.col("text"))
                 a = a.withColumn("tfmap", tfmap_col).withColumn(
                     "dl",
                     F.coalesce(
@@ -457,7 +472,7 @@ def build_index(
         man._flush()
     man.commit("finalize", rows=n_docs, n_docs=n_docs, avgdl=avgdl,
                segment_size=cfg.segment_size, block_size=cfg.block_size,
-               n_term_buckets=cfg.n_term_buckets)
+               n_term_buckets=cfg.n_term_buckets, analyzer=cfg.analyzer)
     # A4: ring-buffer history of build summaries (IndexingTracker analog)
     BuildHistory(index_dir).record(
         cfg.build_id,

@@ -22,30 +22,37 @@ from __future__ import annotations
 import math
 from collections import Counter
 
-from ..functions.analysis import analyze_text, expand_query_terms
+from ..functions.analysis import expand_query_terms
 
 K1 = 1.2
 B = 0.75
 
 
 class BM25Oracle:
-    """In-memory index over a list of (doc_id, text) pairs."""
+    """In-memory index over a list of (doc_id, text) pairs.
 
-    def __init__(self, docs: list[tuple[int, str | None]]):
+    ``analyzer``: "text_general" (default) or "text_en" -- shares the SAME
+    analysis functions as the engine (functions/analysis.py), so chain
+    disagreement is impossible by construction."""
+
+    def __init__(
+        self, docs: list[tuple[int, str | None]], analyzer: str = "text_general"
+    ):
+        from ..functions.analysis import POSITION_ANALYZERS, QUERY_ANALYZERS
+
+        self._terms_of = QUERY_ANALYZERS[analyzer]
+        posmap_of = POSITION_ANALYZERS[analyzer]
         self.doc_ids = [d for d, _ in docs]
         self.tfs: dict[int, Counter] = {}
         self.positions: dict[int, dict[str, list[int]]] = {}
         self.dl: dict[int, int] = {}
         self.df: Counter = Counter()
         for doc_id, text in docs:
-            toks = analyze_text(text)
-            c = Counter(toks)
-            self.tfs[doc_id] = c
-            pos: dict[str, list[int]] = {}
-            for i, t in enumerate(toks):
-                pos.setdefault(t, []).append(i)
+            pos = posmap_of(text)
             self.positions[doc_id] = pos
-            self.dl[doc_id] = len(toks)
+            c = Counter({t: len(ps) for t, ps in pos.items()})
+            self.tfs[doc_id] = c
+            self.dl[doc_id] = sum(c.values())
             for t in c:
                 self.df[t] += 1
         self.n = len(docs)
@@ -74,7 +81,7 @@ class BM25Oracle:
         synonyms: bool = False,
         allowed: set[int] | None = None,
     ) -> list[tuple[int, float]]:
-        terms = analyze_text(query)
+        terms = self._terms_of(query)
         if synonyms:
             terms = expand_query_terms(terms)
         terms = list(dict.fromkeys(terms))
@@ -99,7 +106,7 @@ class BM25Oracle:
     ) -> list[tuple[int, float]]:
         """Lucene PhraseQuery-under-BM25: freq = #occurrences of the exact
         consecutive term sequence; idf weight = sum of term idfs."""
-        terms = list(analyze_text(phrase))
+        terms = list(self._terms_of(phrase))
         if not terms:
             return []
         if len(terms) == 1:

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import B, K1
-from ..functions.analysis import analyze_text, expand_query_terms
+from ..functions.analysis import QUERY_ANALYZERS, expand_query_terms
 from ..functions.codec import varint_decode
 
 _SCORE_ROW = T.StructType(
@@ -92,6 +92,9 @@ class BM25Index:
         with open(os.path.join(index_dir, "_manifest.json")) as f:
             fin = json.load(f)["steps"].get("finalize", {}).get("metrics", {})
         self.n_term_buckets = int(fin.get("n_term_buckets", 16))
+        # query analysis MUST use the chain the index was built with
+        self.analyzer_chain = fin.get("analyzer", "text_general")
+        self._analyze = QUERY_ANALYZERS[self.analyzer_chain]
         self._bucket_cache: dict[str, int] = {}
         self._df_cache: dict[str, int] | None = None
 
@@ -129,7 +132,7 @@ class BM25Index:
         return self._post_df
 
     def analyze_query(self, query: str, synonyms: bool = False) -> list[str]:
-        terms = analyze_text(query)
+        terms = self._analyze(query)
         if synonyms:
             terms = expand_query_terms(terms)
         return list(dict.fromkeys(terms))
@@ -467,7 +470,7 @@ class BM25Index:
         term pushdown) -> segment-parallel Arrow kernel does doc-list
         intersection + consecutive-position matching -> global top-k.
         """
-        terms = analyze_text(phrase)  # order + duplicates matter for phrases
+        terms = self._analyze(phrase)  # order + duplicates matter for phrases
         uniq_terms = list(dict.fromkeys(terms))
         idf = self.idf_map(uniq_terms)
         empty = self.spark.createDataFrame([], _SCORE_ROW)
