@@ -53,7 +53,6 @@ from ..functions.analysis import (
     make_multi_field_analyzer,
     make_positions_udf,
     term_freqs_udf,
-    term_positions_udf,
 )
 from ..functions.codec import varint_encode_with_lengths
 from ..plans.manifest import BuildHistory, Manifest, dir_bytes

@@ -32,7 +32,6 @@ mathematically-tied docs order identically everywhere (SURVEY section 7
 
 from __future__ import annotations
 
-import heapq
 import math
 import os
 from typing import Iterator
