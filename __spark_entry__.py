@@ -40,7 +40,7 @@ from solr_semantic_importer_spark.sources.transcripts import (
     transcripts_from_documents,
 )
 
-ENTRY_BUILD_ID = "entry-v3"
+ENTRY_BUILD_ID = "entry-v4"  # bumped: postings block stats are (max_tf, min_dl)
 _INDEX_CACHE: dict[str, BM25Index] = {}
 
 
@@ -60,6 +60,32 @@ def _index_for(spark: SparkSession, sf_dir: str) -> BM25Index:
         build_index(spark, t, idx_dir, cfg)  # resumes (no-op) if already built
         _INDEX_CACHE[sf_dir] = BM25Index(spark, idx_dir)
     return _INDEX_CACHE[sf_dir]
+
+
+def _index_for_deleted(spark: SparkSession, sf_dir: str) -> BM25Index:
+    """A SEPARATE index dir carrying delete-by-query tombstones (I5): the
+    shared `_index_for` index must never see the delete, so other entries'
+    results stay unaffected. The delete predicate is deterministic and the
+    guard makes re-runs idempotent."""
+    key = f"{sf_dir}#deleted"
+    if key not in _INDEX_CACHE:
+        h = hashlib.md5(f"{sf_dir}:{ENTRY_BUILD_ID}:del".encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"ssi_entry_idx_{h}")
+        t = transcripts_from_documents(spark, sf_dir)
+        cfg = BuildConfig(
+            segment_size=256,
+            block_size=64,
+            n_term_buckets=8,
+            hot_df_threshold=150,
+            hot_salts=4,
+            build_id=ENTRY_BUILD_ID + "-del",
+        )
+        build_index(spark, t, idx_dir, cfg)
+        idx = BM25Index(spark, idx_dir)
+        if not os.path.exists(os.path.join(idx_dir, "tombstones")):
+            idx.delete_by_query("role = 'tool'")
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +410,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_facet_role"] = bm25_facet_role
 
+    # ---- I5 delete-by-query: tombstoned index, frozen-stats scoring ----
+    def bm25_after_delete(spark, sf_dir):
+        idx = _index_for_deleted(spark, sf_dir)
+        res = idx.search("table scan the", k=10, order_key="milli")
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["bm25_after_delete"] = bm25_after_delete
+
+    def match_all_after_delete(spark, sf_dir):
+        idx = _index_for_deleted(spark, sf_dir)
+        res = idx.match_all(k=20)
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["match_all_after_delete"] = match_all_after_delete
+
     # ---- Q2 match-all (q=*:*) ----
     def match_all_paged(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -632,6 +673,14 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase_long"] = OSQL.bm25_phrase_sql("merge group", k=10)
     o["bm25_facet_role"] = OSQL.facet_on_results_sql("table scan", "role")
 
+    o["bm25_after_delete"] = OSQL.bm25_topk_sql(
+        "table scan the", k=10, exclude="role = 'tool'"
+    )
+    o["match_all_after_delete"] = f"""
+        WITH t AS ({OSQL.transcripts_ids_cte()})
+        SELECT doc_id, CAST(1000 AS BIGINT) AS score_milli
+        FROM t WHERE role != 'tool' ORDER BY doc_id LIMIT 20
+    """
     o["match_all_paged"] = f"""
         WITH t AS ({OSQL.transcripts_ids_cte()})
         SELECT doc_id, CAST(1000 AS BIGINT) AS score_milli

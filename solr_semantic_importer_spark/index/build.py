@@ -25,8 +25,9 @@ Arrow-batched kernels):
    block boundary found in one vectorized scan, ONE varint pass per stream
    (doc gaps / tfs / dls; dls stored per posting => scoring is posting-local,
    no doc join; the exact-dl deviation from Lucene's 1-byte norms is
-   documented in SURVEY I2), per-block max_tf_norm = max over the block of
-   tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) -- query-time block-max = idf * that.
+   documented in SURVEY I2), per-block (max_tf, min_dl) -- the query computes
+   the block upper bound idf * tf_norm(max_tf, min_dl) with the CURRENT
+   global avgdl, so the bound stays valid after streaming appends drift avgdl.
    No per-group Python invocation: ~100k tiny posting groups cost one Arrow
    batch scan, not 100k pandas calls.
 6. postings written as parquet partitioned by bucket = xxhash64(term) %
@@ -48,7 +49,6 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .. import B, K1
 from ..functions.analysis import (
     make_multi_field_analyzer,
     make_positions_udf,
@@ -73,7 +73,14 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("count", T.IntegerType(), False),
         T.StructField("min_doc", T.LongType(), False),
         T.StructField("max_doc", T.LongType(), False),
-        T.StructField("max_tf_norm", T.DoubleType(), False),
+        # avgdl-INDEPENDENT block stats: tf_norm(tf, dl) is increasing in tf
+        # and decreasing in dl, so tf_norm(max_tf, min_dl) evaluated with the
+        # CURRENT global avgdl upper-bounds every posting in the block no
+        # matter how avgdl drifts after streaming appends (a stored
+        # max_tf_norm baked with a stale avgdl is NOT an upper bound once the
+        # global avgdl grows -- block-max WAND could skip true top-k zones).
+        T.StructField("max_tf", T.LongType(), False),
+        T.StructField("min_dl", T.LongType(), False),
         T.StructField("doc_gaps", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
@@ -109,13 +116,12 @@ class BuildConfig:
     analyzer: str = "text_general"
 
 
-def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
+def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """Encode a chunk of rows sorted by (term, segment_id, salt, doc_id) into
     posting blocks -- FULLY vectorized: one boundary scan finds all groups and
     blocks, ONE varint pass encodes every stream, reduceat computes per-block
     aggregates, and the only Python loop slices the shared byte buffers.
     """
-    k1, b = K1, B
     term = pdf["term"].to_numpy(object)
     seg = pdf["segment_id"].to_numpy(np.int64)
     salt = pdf["salt"].to_numpy(np.int64)
@@ -142,7 +148,6 @@ def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd
     gaps[0] = doc[0]
     gaps[1:] = doc[1:] - doc[:-1]
     gaps[block_starts] = doc[block_starts]  # absolute restart per block
-    norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0)))
 
     gbuf, glen = varint_encode_with_lengths(gaps.astype(np.uint64))
     tbuf, tlen = varint_encode_with_lengths(tf.astype(np.uint64))
@@ -188,7 +193,8 @@ def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd
             "count": (block_ends - block_starts).astype(np.int32),
             "min_doc": doc[block_starts],
             "max_doc": doc[block_ends - 1],
-            "max_tf_norm": np.maximum.reduceat(norm, block_starts),
+            "max_tf": np.maximum.reduceat(tf, block_starts),
+            "min_dl": np.minimum.reduceat(dl, block_starts),
             "doc_gaps": [bytes(gm[go[i] : go[i + 1]]) for i in range(nb)],
             "tfs": [bytes(tm[to[i] : to[i + 1]]) for i in range(nb)],
             "dls": [bytes(lm[lo[i] : lo[i + 1]]) for i in range(nb)],
@@ -197,7 +203,7 @@ def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd
     )
 
 
-def _make_partition_encoder(block_size: int, avgdl: float):
+def _make_partition_encoder(block_size: int):
     """mapInPandas kernel over partitions sorted by (term, segment_id, salt,
     doc_id). Arrow batches can split a group, so the trailing group of each
     batch is carried into the next before encoding."""
@@ -221,10 +227,10 @@ def _make_partition_encoder(block_size: int, avgdl: float):
             if last_start == 0:
                 carry = pdf  # whole batch is one group; keep accumulating
                 continue
-            yield _encode_sorted_chunk(pdf.iloc[:last_start], block_size, avgdl)
+            yield _encode_sorted_chunk(pdf.iloc[:last_start], block_size)
             carry = pdf.iloc[last_start:].reset_index(drop=True)
         if carry is not None and len(carry):
-            yield _encode_sorted_chunk(carry, block_size, avgdl)
+            yield _encode_sorted_chunk(carry, block_size)
 
     return kernel
 
@@ -420,7 +426,7 @@ def build_index(
             p.repartition(shuffle_n, "term", "segment_id", "salt")
             .sortWithinPartitions("term", "segment_id", "salt", "doc_id")
             .mapInPandas(
-                _make_partition_encoder(cfg.block_size, avgdl), schema=POSTINGS_SCHEMA
+                _make_partition_encoder(cfg.block_size), schema=POSTINGS_SCHEMA
             )
         )
         obs = Observation()
@@ -471,7 +477,11 @@ def build_index(
         man._flush()
     man.commit("finalize", rows=n_docs, n_docs=n_docs, avgdl=avgdl,
                segment_size=cfg.segment_size, block_size=cfg.block_size,
-               n_term_buckets=cfg.n_term_buckets, analyzer=cfg.analyzer)
+               n_term_buckets=cfg.n_term_buckets, analyzer=cfg.analyzer,
+               store_positions=cfg.store_positions,
+               copy_fields=list(cfg.copy_fields) if cfg.copy_fields else None,
+               position_increment_gap=cfg.position_increment_gap,
+               hot_df_threshold=cfg.hot_df_threshold, hot_salts=cfg.hot_salts)
     # A4: ring-buffer history of build summaries (IndexingTracker analog)
     BuildHistory(index_dir).record(
         cfg.build_id,

@@ -52,9 +52,12 @@ def bm25_topk_sql(
     op: str = "OR",
     fq: str | None = None,
     offset: int = 0,
+    exclude: str | None = None,
 ) -> str:
     """Full BM25 top-k oracle. fq is a SQL predicate over ids columns
-    (conv_id, turn_idx, role, tool)."""
+    (conv_id, turn_idx, role, tool). ``exclude`` models delete-by-query
+    tombstones: matching docs are dropped from the RESULTS while df/avgdl/N
+    stay at their full-corpus values (Lucene delete-before-merge semantics)."""
     terms = list(dict.fromkeys(analyze_text(query)))
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS score_milli WHERE 1=0"
@@ -63,6 +66,11 @@ def bm25_topk_sql(
     fq_join = ""
     if fq is not None:
         fq_join = f"JOIN ids ON ids.doc_id = tfc.doc_id AND ({fq})"
+    excl = (
+        f"AND tfc.doc_id NOT IN (SELECT doc_id FROM ids WHERE {exclude})"
+        if exclude
+        else ""
+    )
     return f"""
     WITH {bm25_base_ctes()},
     scored AS (
@@ -76,6 +84,7 @@ def bm25_topk_sql(
       {fq_join}
       CROSS JOIN st
       WHERE tfc.term IN ({term_list})
+      {excl}
       GROUP BY tfc.doc_id
       {having}
     )

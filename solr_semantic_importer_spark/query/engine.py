@@ -21,8 +21,13 @@ Execution (Spark-first):
     skipping and a local top-k heap; only local top-ks hit the global merge.
     Correct because segment-local thresholds only ever UNDER-prune.
 - fq filters (Q3, HttpSolrSelectClientImpl.java:113-115): non-scoring
-  predicates evaluated on the docs table, intersected as a semi-join (or
-  pushed into the segment kernel as an allowed-doc bitmap).
+  predicates evaluated on the docs table; on the WAND path the allowed ids
+  are COGROUPED into each segment kernel (bounded by segment_size per call)
+  so zone skipping stays exact under fq; on exhaustive paths a semi-join.
+- deletes (I5): tombstones stay a DataFrame end to end -- anti-joins on
+  exhaustive/match-all/phrase paths, cogrouped per-segment arrays on the
+  WAND path. Nothing is collected driver-side (a `-crawl_id:X`-shaped delete
+  can cover ~the whole corpus).
 - paging (O1): offset/limit after the canonical sort.
 
 All floats are float64; ordering key = (round(score, 6) DESC, doc_id ASC) so
@@ -90,7 +95,9 @@ class BM25Index:
 
         with open(os.path.join(index_dir, "_manifest.json")) as f:
             fin = json.load(f)["steps"].get("finalize", {}).get("metrics", {})
+        self._finalize_metrics = fin
         self.n_term_buckets = int(fin.get("n_term_buckets", 16))
+        self.segment_size = int(fin.get("segment_size", 1 << 20))
         # query analysis MUST use the chain the index was built with
         self.analyzer_chain = fin.get("analyzer", "text_general")
         self._analyze = QUERY_ANALYZERS[self.analyzer_chain]
@@ -186,13 +193,11 @@ class BM25Index:
     # -- scoring paths ---------------------------------------------------------
 
     def _decode_score_df(
-        self,
-        terms: list[str],
-        idf: dict[str, float],
-        dead: np.ndarray | None = None,
+        self, terms: list[str], idf: dict[str, float]
     ) -> DataFrame:
         """Exhaustive: decode all blocks of the query terms -> (doc_id, partial).
-        ``dead``: sorted tombstoned doc ids to exclude (I5 delete-by-query)."""
+        Tombstones are NOT applied here -- callers anti-join the tombstone
+        relation after aggregation (distributed, never driver-side)."""
         k1, b, avgdl = K1, B, self.avgdl
         bidf = dict(idf)
 
@@ -207,11 +212,6 @@ class BM25Index:
                     docs = np.cumsum(gaps).astype(np.int64)
                     tf = varint_decode(row.tfs, row.count).astype(np.float64)
                     dl = varint_decode(row.dls, row.count).astype(np.float64)
-                    if dead is not None:
-                        live = ~np.isin(docs, dead)
-                        docs, tf, dl = docs[live], tf[live], dl[live]
-                        if not len(docs):
-                            continue
                     denom = tf + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0))
                     outs.append(
                         pd.DataFrame(
@@ -256,14 +256,11 @@ class BM25Index:
         allowed_docs: DataFrame | None = None
         if fq is not None:
             allowed_docs = self.docs().filter(fq).select("doc_id")
-        dead = self._dead_array()
 
         if mode == "wand" and op == "OR":
-            scored = self._wand_segments(
-                terms, idf, k + offset, allowed_docs, fq, dead=dead
-            )
+            scored = self._wand_segments(terms, idf, k + offset, allowed_docs)
         else:
-            partials = self._decode_score_df(terms, idf, dead=dead)
+            partials = self._decode_score_df(terms, idf)
             if op == "AND":
                 agg = partials.groupBy("doc_id").agg(
                     F.sum("score").alias("score"), F.count("*").alias("nt")
@@ -273,6 +270,7 @@ class BM25Index:
                 scored = partials.groupBy("doc_id").agg(F.sum("score").alias("score"))
             if allowed_docs is not None:
                 scored = scored.join(allowed_docs, "doc_id", "left_semi")
+            scored = self._anti_dead(scored)
         return self._finish(scored, k, offset, with_stored, order_key)
 
     def _finish(
@@ -359,24 +357,38 @@ class BM25Index:
         Matching doc ids are appended to a tombstone table; queries exclude
         them. df/avgdl stay at their pre-delete values until a rebuild
         compaction -- exactly Lucene's behavior before segment merge.
-        Returns the number of docs deleted."""
+        Returns the number of docs deleted.
+
+        The tombstone set stays a DataFrame end to end: the reference's only
+        real delete shape (`-crawl_id:X`) can cover ~the whole corpus, so the
+        ids must never be collected to the driver or captured in task
+        closures. Queries exclude them via left-anti joins (exhaustive /
+        match-all paths) or per-segment cogrouped arrays (WAND path)."""
         victims = self.docs().filter(predicate).select("doc_id")
         path = os.path.join(self.index_dir, "tombstones")
         victims.write.mode("append").parquet(path)
-        self._tombstones = None  # invalidate cache
+        self._has_tombstones = True
         return victims.count()
 
-    def _tombstone_ids(self) -> set[int] | None:
-        if getattr(self, "_tombstones", None) is None:
-            path = os.path.join(self.index_dir, "tombstones")
-            if not os.path.exists(path):
-                self._tombstones = set()
-            else:
-                self._tombstones = {
-                    r["doc_id"]
-                    for r in self.spark.read.parquet(path).distinct().collect()
-                }
-        return self._tombstones or None
+    def _tombstones_df(self) -> DataFrame | None:
+        """Distinct tombstoned doc ids as a DataFrame (never collected)."""
+        if getattr(self, "_has_tombstones", None) is None:
+            self._has_tombstones = os.path.exists(
+                os.path.join(self.index_dir, "tombstones")
+            )
+        if not self._has_tombstones:
+            return None
+        return (
+            self.spark.read.parquet(os.path.join(self.index_dir, "tombstones"))
+            .select("doc_id")
+            .distinct()
+        )
+
+    def _anti_dead(self, df: DataFrame, key: str = "doc_id") -> DataFrame:
+        dead = self._tombstones_df()
+        if dead is None:
+            return df
+        return df.join(dead.withColumnRenamed("doc_id", key), key, "left_anti")
 
     def match_all(
         self, k: int = 10, fq: str | None = None, offset: int = 0
@@ -386,33 +398,56 @@ class BM25Index:
         d = self.docs()
         if fq is not None:
             d = d.filter(fq)
-        dead = self._tombstone_ids()
-        if dead:
-            d = d.filter(~F.col("doc_id").isin(list(dead)))
+        d = self._anti_dead(d)
         out = d.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
         return out.offset(offset).limit(k) if offset else out.limit(k)
+
+    def _config_from_manifest(self, build_id: str):
+        """Reconstruct the BuildConfig the index was built with from the
+        manifest's finalize metrics, so compaction/merge is semantics-
+        preserving (same analyzer chain, segment/block/bucket layout,
+        positions, copyFields) instead of silently reverting to defaults."""
+        from ..index.build import BuildConfig
+
+        fin = self._finalize_metrics
+        d = BuildConfig()
+        cf = fin.get("copy_fields")
+        return BuildConfig(
+            segment_size=int(fin.get("segment_size", d.segment_size)),
+            block_size=int(fin.get("block_size", d.block_size)),
+            n_term_buckets=int(fin.get("n_term_buckets", d.n_term_buckets)),
+            hot_df_threshold=int(fin.get("hot_df_threshold", d.hot_df_threshold)),
+            hot_salts=int(fin.get("hot_salts", d.hot_salts)),
+            build_id=build_id,
+            store_positions=bool(fin.get("store_positions", d.store_positions)),
+            copy_fields=tuple(cf) if cf else None,
+            position_increment_gap=int(
+                fin.get("position_increment_gap", d.position_increment_gap)
+            ),
+            analyzer=fin.get("analyzer", d.analyzer),
+        )
 
     def compact(self, config=None) -> "BM25Index":
         """I3/I5 compaction: rebuild the index from the LIVE stored docs --
         tombstones are applied permanently, df/avgdl/N recomputed, doc ids
         re-minted from the stable (conv_id, turn_idx) order (Lucene segment
         merge renumbers too). The rebuild happens in ``<dir>.compact`` and
-        atomically replaces the old directory. Returns a fresh handle."""
+        atomically replaces the old directory. Returns a fresh handle.
+
+        When ``config`` is None the original build's config is reconstructed
+        from the manifest -- compacting a text_en index stays text_en."""
         import shutil
 
-        from ..index.build import BuildConfig, build_index
+        from ..index.build import build_index
 
-        dead = self._tombstone_ids() or set()
-        live = self.docs()
-        if dead:
-            live = live.filter(~F.col("doc_id").isin(list(dead)))
+        live = self._anti_dead(self.docs())
         source_cols = [
             c for c in live.columns if c not in ("doc_id", "segment_id", "dl")
         ]
         src = live.select(*source_cols)
         new_dir = self.index_dir.rstrip("/") + ".compact"
         shutil.rmtree(new_dir, ignore_errors=True)
-        cfg = config or BuildConfig(build_id="compact-1")
+        cfg = config or self._config_from_manifest("compact-1")
         build_index(self.spark, src, new_dir, cfg)
         old = self.index_dir.rstrip("/") + ".old"
         shutil.rmtree(old, ignore_errors=True)
@@ -436,9 +471,9 @@ class BM25Index:
             return self.docs().limit(0).groupBy(field).agg(
                 F.count("*").alias("facet_count")
             )
-        matched = self._decode_score_df(
-            terms, idf, dead=self._dead_array()
-        ).select("doc_id").distinct()
+        matched = self._anti_dead(
+            self._decode_score_df(terms, idf).select("doc_id").distinct()
+        )
         docs = self.docs()
         if fq is not None:
             docs = docs.filter(fq)
@@ -483,7 +518,6 @@ class BM25Index:
         # Lucene sums idf over the phrase's term array (duplicates counted)
         idf_sum = float(sum(idf[t] for t in terms))
         k1, b, avgdl = K1, B, self.avgdl
-        dead = self._dead_array()
 
         def match_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
             res_empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -545,11 +579,6 @@ class BM25Index:
                 return res_empty
             match_docs = (common // SHIFT).astype(np.int64)
             uniq, freq = np.unique(match_docs, return_counts=True)
-            if dead is not None:
-                live = ~np.isin(uniq, dead)
-                uniq, freq = uniq[live], freq[live]
-                if not len(uniq):
-                    return res_empty
             d0, _, dl0, _, _ = per_term[terms[0]]
             dl = dl0[np.searchsorted(d0, uniq)].astype(np.float64)
             f = freq.astype(np.float64)
@@ -559,8 +588,10 @@ class BM25Index:
             )
 
         post = self.postings_for(uniq_terms)
-        scored = post.groupBy("segment_id").applyInPandas(
-            match_segment, schema=_SCORE_ROW
+        # the kernel returns ALL phrase matches (no local top-k), so deletes
+        # and fq are exact as post-hoc distributed joins -- no driver-side set
+        scored = self._anti_dead(
+            post.groupBy("segment_id").applyInPandas(match_segment, schema=_SCORE_ROW)
         )
         if fq is not None:
             allowed = self.docs().filter(fq).select("doc_id")
@@ -569,12 +600,31 @@ class BM25Index:
 
     # -- block-max WAND (segment-parallel fast path) ---------------------------
 
-    def _dead_array(self) -> np.ndarray | None:
-        """Tombstoned doc ids as a sorted numpy array (or None)."""
-        dead = self._tombstone_ids()
-        if not dead:
+    def _side_frame(self, allowed_docs: DataFrame | None) -> DataFrame | None:
+        """Per-segment doc filter relation (segment_id, doc_id, kind) that is
+        COGROUPED into the WAND segment kernels: kind 0 = tombstoned (always
+        excluded), kind 1 = fq-allowed (when an fq is active, only kind-1
+        docs may score). segment_id = doc_id // segment_size is a pure
+        function of doc_id, so routing rows to their segment needs no join,
+        and each kernel call only ever sees its own segment's ids (bounded by
+        segment_size) -- nothing is collected to the driver or captured in a
+        task closure, so corpus-scale deletes/filters cannot OOM anything."""
+        parts = []
+        dead = self._tombstones_df()
+        if dead is not None:
+            parts.append(dead.select("doc_id", F.lit(0).alias("kind")))
+        if allowed_docs is not None:
+            parts.append(allowed_docs.select("doc_id", F.lit(1).alias("kind")))
+        if not parts:
             return None
-        return np.array(sorted(dead), dtype=np.int64)
+        side = parts[0]
+        for p in parts[1:]:
+            side = side.unionByName(p)
+        return side.select(
+            (F.col("doc_id") / self.segment_size).cast("long").alias("segment_id"),
+            "doc_id",
+            "kind",
+        )
 
     def _wand_segments(
         self,
@@ -582,27 +632,29 @@ class BM25Index:
         idf: dict[str, float],
         k: int,
         allowed_docs: DataFrame | None,
-        fq: str | None,
-        dead: np.ndarray | None = None,
     ) -> DataFrame:
         k1, b, avgdl = K1, B, self.avgdl
         bidf = dict(idf)
         kk = max(k, 1)
+        has_fq = allowed_docs is not None
 
         post = self.postings_for(terms)
-        if fq is not None:
-            # allowed doc ids per segment, shipped to the kernel as extra rows
-            # is overkill here; at sandbox scale a semi-join after scoring is
-            # correct because WAND pruning with fq disabled just scores more.
-            pass
 
-        def _decode_block(row) -> tuple[np.ndarray, np.ndarray]:
+        def _decode_block(
+            row, dead: np.ndarray | None, allowed: np.ndarray | None
+        ) -> tuple[np.ndarray, np.ndarray]:
             gaps = varint_decode(row.doc_gaps, row.count)
             docs = np.cumsum(gaps).astype(np.int64)
             tf = varint_decode(row.tfs, row.count).astype(np.float64)
             dl = varint_decode(row.dls, row.count).astype(np.float64)
-            if dead is not None:
-                live = ~np.isin(docs, dead)
+            if allowed is not None or dead is not None:
+                live = (
+                    np.isin(docs, allowed)
+                    if allowed is not None
+                    else np.ones(len(docs), dtype=bool)
+                )
+                if dead is not None and dead.size:
+                    live &= ~np.isin(docs, dead)
                 docs, tf, dl = docs[live], tf[live], dl[live]
             denom = tf + k1 * (1.0 - b + b * (dl / avgdl if avgdl else 1.0))
             return docs, tf * (k1 + 1.0) / denom
@@ -618,7 +670,11 @@ class BM25Index:
         # overridable (tests force 0 to exercise the zone path on tiny data)
         EXHAUSTIVE_CUTOFF = getattr(self, "exhaustive_cutoff", 1 << 15)
 
-        def score_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_segment(
+            pdf: pd.DataFrame,
+            dead: np.ndarray | None,
+            allowed: np.ndarray | None,
+        ) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
@@ -632,17 +688,24 @@ class BM25Index:
                 # small segment: single vectorized OR-sum, exactly equivalent
                 parts_d, parts_s = [], []
                 for i, row in enumerate(pdf.itertuples(index=False)):
-                    d, s = _decode_block(row)
+                    d, s = _decode_block(row, dead, allowed)
                     parts_d.append(d)
                     parts_s.append(w[i] * s)
-                return _topk_local(np.concatenate(parts_d), np.concatenate(parts_s))
+                cat_d = np.concatenate(parts_d)
+                if not len(cat_d):
+                    return empty
+                return _topk_local(cat_d, np.concatenate(parts_s))
 
             # ---- block-max WAND (zone form) -------------------------------
             # Zones are fixed doc-ranges of the segment. A doc's per-term
-            # contribution is bounded by idf * max_tf_norm of the ONE block
-            # containing it; that block overlaps the doc's zone, so
-            # ub(zone) = sum_t idf_t * max(max_tf_norm of t-blocks
-            # overlapping the zone) bounds every doc in the zone. Zones are
+            # contribution is bounded by idf * tf_norm(max_tf, min_dl) of the
+            # ONE block containing it -- tf_norm is increasing in tf and
+            # decreasing in dl, and the bound is evaluated with the CURRENT
+            # global avgdl, so it holds even when avgdl drifted after the
+            # block was written (streaming appends). That block overlaps the
+            # doc's zone, so ub(zone) = sum_t idf_t * max(block bound of
+            # t-blocks overlapping the zone) bounds every doc in the zone.
+            # Zones are
             # scored exactly in descending-ub order; once the running k-th
             # best exceeds the next zone's ub, every remaining zone (and all
             # its un-decoded blocks) is skipped. Exact by construction.
@@ -654,7 +717,12 @@ class BM25Index:
 
             bmin = pdf["min_doc"].to_numpy(np.int64)
             bmax = pdf["max_doc"].to_numpy(np.int64)
-            ub_blk = w * pdf["max_tf_norm"].to_numpy(np.float64)
+            bmt = pdf["max_tf"].to_numpy(np.float64)
+            bml = pdf["min_dl"].to_numpy(np.float64)
+            ub_blk = w * (
+                bmt * (k1 + 1.0)
+                / (bmt + k1 * (1.0 - b + b * (bml / avgdl if avgdl else 1.0)))
+            )
             terms_arr = pdf["term"].to_numpy(object)
             uniq_terms, term_idx = np.unique(terms_arr, return_inverse=True)
             nz = int(z_of(hi)) + 1
@@ -689,7 +757,7 @@ class BM25Index:
                 parts_d, parts_s = [], []
                 for i in blocks_by_zone[z]:
                     if i not in decoded:
-                        decoded[i] = _decode_block(rows[i])
+                        decoded[i] = _decode_block(rows[i], dead, allowed)
                     d, s = decoded[i]
                     m = (d >= zlo) & (d <= zhi)
                     if m.any():
@@ -714,17 +782,31 @@ class BM25Index:
             order = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
             return pd.DataFrame({"doc_id": best_d[order], "score": best_s[order]})
 
-        local = post.select(
+        pruned = post.select(
             "term", "segment_id", "salt", "block_id", "count",
-            "min_doc", "max_doc", "max_tf_norm", "doc_gaps", "tfs", "dls",
-        ).groupBy("segment_id").applyInPandas(
-            score_segment,
-            schema=_SCORE_ROW,
+            "min_doc", "max_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls",
         )
-        if allowed_docs is not None:
-            # correctness first: re-score exhaustively under fq (local top-k
-            # may have dropped allowed docs below unfiltered top-k)
-            partials = self._decode_score_df(terms, idf, dead=dead)
-            scored = partials.groupBy("doc_id").agg(F.sum("score").alias("score"))
-            return scored.join(allowed_docs, "doc_id", "left_semi")
-        return local
+        side = self._side_frame(allowed_docs)
+        if side is None:
+            return pruned.groupBy("segment_id").applyInPandas(
+                lambda key, pdf: score_segment(pdf, None, None), schema=_SCORE_ROW
+            )
+
+        # fq-aware WAND: the allowed/tombstoned doc ids arrive as the cogroup
+        # side of each segment (bounded by segment_size per kernel call); the
+        # kernel filters candidates BEFORE local top-k, so zone skipping stays
+        # exact under fq instead of falling back to an exhaustive decode.
+        def cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            dead = np.sort(right.loc[right["kind"] == 0, "doc_id"].to_numpy(np.int64))
+            allowed = (
+                np.sort(right.loc[right["kind"] == 1, "doc_id"].to_numpy(np.int64))
+                if has_fq
+                else None
+            )
+            return score_segment(left, dead if dead.size else None, allowed)
+
+        return (
+            pruned.groupBy("segment_id")
+            .cogroup(side.groupBy("segment_id"))
+            .applyInPandas(cogrouped, schema=_SCORE_ROW)
+        )

@@ -25,10 +25,11 @@ Design (Lucene-like segment-per-batch, the standard incremental-index shape):
   30k buffer); late/out-of-order data needs no watermark for indexing
   because doc identity is (conv_id, turn_idx) upsert.
 
-Block max_tf_norm in appended segments uses the avgdl known *at append time*
-(it drifts as N grows). That affects only WAND pruning tightness, never
-scores: scoring always reads the posting-local exact dl against the current
-global avgdl.
+Blocks store avgdl-INDEPENDENT stats (max_tf, min_dl); the query side derives
+the WAND upper bound from them with the CURRENT global avgdl, so appended
+segments keep exact block-max pruning no matter how far avgdl drifts after
+the batch was written (a baked-in max_tf_norm would stop being an upper
+bound once global avgdl grows past the batch-local value).
 """
 
 from __future__ import annotations
@@ -125,7 +126,7 @@ def append_batch(
             salted.repartition(shuffle_n, "term", "segment_id", "salt")
             .sortWithinPartitions("term", "segment_id", "salt", "doc_id")
             .mapInPandas(
-                _make_partition_encoder(cfg.block_size, avgdl), schema=POSTINGS_SCHEMA
+                _make_partition_encoder(cfg.block_size), schema=POSTINGS_SCHEMA
             )
             .withColumn(
                 "bucket",

@@ -89,7 +89,8 @@ def test_delete_by_query_tombstones(corpus, spark):
 def test_match_all(corpus):
     df, idx, _ = corpus
     # the module fixture may already carry tombstones from the delete test
-    dead = idx._tombstone_ids() or set()
+    tdf = idx._tombstones_df()
+    dead = set() if tdf is None else {r["doc_id"] for r in tdf.collect()}
     live = [d for d in range(idx.n_docs) if d not in dead]
     rows = idx.match_all(k=7).collect()
     assert [r["doc_id"] for r in rows] == live[:7]
@@ -119,7 +120,87 @@ def test_compaction_applies_deletes_and_refreshes_stats(spark, tmp_path_factory)
         b = [(r["doc_id"], round(r["score"], 6)) for r in fresh.search(q, k=10).collect()]
         assert a == b
     # tombstones gone after compaction
-    assert idx2._tombstone_ids() is None
+    assert idx2._tombstones_df() is None
+
+
+def test_fq_wand_zone_path_matches_exhaustive(corpus):
+    """fq no longer disables WAND: the allowed-doc set is cogrouped into the
+    segment kernels and the zone path must agree with exhaustive scoring."""
+    _, idx, _ = corpus
+    idx.exhaustive_cutoff = 0  # force the zone-skipping branch on tiny data
+    try:
+        for fq in ("role = 'user'", "role != 'tool'"):
+            w = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in idx.search("error in tool", k=10, fq=fq, mode="wand").collect()
+            ]
+            e = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in idx.search(
+                    "error in tool", k=10, fq=fq, mode="exhaustive"
+                ).collect()
+            ]
+            assert w and w == e
+    finally:
+        del idx.exhaustive_cutoff
+
+
+def test_massive_delete_stays_distributed(spark, tmp_path_factory):
+    """Delete ~2/3 of the corpus (the reference's `-crawl_id:X` shape can
+    tombstone everything): the engine must hold tombstones only as a
+    DataFrame -- no driver-side id set, no closure-captured arrays."""
+    from pyspark.sql import DataFrame
+
+    df = generate_transcripts(spark, n_convs=60, turns_per_conv=5, seed=7)
+    idx_dir = str(tmp_path_factory.mktemp("bigdel")) + "/idx"
+    build_index(spark, df, idx_dir, BuildConfig(build_id="bd", **CFG))
+    idx = BM25Index(spark, idx_dir)
+    n = idx.delete_by_query("role IN ('tool', 'assistant')")
+    assert n >= idx.n_docs * 0.5
+    # the handle exposes tombstones ONLY as a DataFrame
+    tdf = idx._tombstones_df()
+    assert isinstance(tdf, DataFrame)
+    assert not any(
+        isinstance(getattr(idx, a), (set, frozenset))
+        for a in vars(idx)
+    ), "driver-side tombstone id set resurrected"
+    # every query path excludes the deleted majority
+    idx.exhaustive_cutoff = 0  # zone path must see the cogrouped dead ids
+    try:
+        for kw in (
+            dict(mode="wand"),
+            dict(mode="exhaustive"),
+            dict(mode="wand", fq="role IS NOT NULL"),
+        ):
+            rows = idx.search(
+                "error in tool", k=30, with_stored=True, **kw
+            ).collect()
+            assert rows and all(r["role"] == "user" for r in rows)
+    finally:
+        del idx.exhaustive_cutoff
+    live = idx.match_all(k=10_000).collect()
+    assert len(live) == idx.n_docs - n
+
+
+def test_compact_without_config_preserves_build_config(spark, tmp_path_factory):
+    """ADVICE: compact() with config=None must reconstruct the original
+    BuildConfig from the manifest (analyzer, layout), not revert to defaults."""
+    df = generate_transcripts(spark, n_convs=30, turns_per_conv=4, seed=5)
+    idx_dir = str(tmp_path_factory.mktemp("cfgkeep")) + "/idx"
+    build_index(
+        spark, df, idx_dir,
+        BuildConfig(build_id="ck1", analyzer="text_en", **CFG),
+    )
+    idx = BM25Index(spark, idx_dir)
+    idx.delete_by_query("role = 'tool'")
+    idx2 = idx.compact()
+    assert idx2.analyzer_chain == "text_en"
+    fin = idx2._finalize_metrics
+    assert int(fin["segment_size"]) == CFG["segment_size"]
+    assert int(fin["block_size"]) == CFG["block_size"]
+    assert int(fin["n_term_buckets"]) == CFG["n_term_buckets"]
+    # stemmed query still works post-compaction (chain preserved end to end)
+    assert idx2.analyze_query("errors running") == ["error", "run"]
 
 
 def test_build_history_recorded(corpus):
