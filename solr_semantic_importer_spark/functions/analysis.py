@@ -168,6 +168,25 @@ POSITION_ANALYZERS = {
 }
 
 
+def _normalize_token_general(tok: str) -> list[str]:
+    return [tok]
+
+
+def _normalize_token_en(tok: str) -> list[str]:
+    from .stemmer import porter_stem
+
+    return [] if tok in EN_STOPWORDS else [porter_stem(tok)]
+
+
+# token -> the indexed form(s) it analyzes to (for highlighting: a surface
+# token is highlighted iff any of its analyzed forms is a query term --
+# regex over stems like 'tabl' would never hit the stored surface text)
+TOKEN_NORMALIZERS = {
+    "text_general": _normalize_token_general,
+    "text_en": _normalize_token_en,
+}
+
+
 def make_positions_udf(chain: str = "text_general"):
     """Arrow-batched {term: [positions]} UDF for the given analysis chain."""
     if chain == "text_general":

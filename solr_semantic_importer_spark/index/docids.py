@@ -46,7 +46,15 @@ def assign_doc_ids(
     Only the KEY COLUMNS take the range shuffle + Python hop; the full rows
     (text payloads) join the ids afterwards -- at 10^12 rows the wide columns
     cross the wire once (the join shuffle) instead of twice, and never enter
-    Python here."""
+    Python here.
+
+    SORT_KEYS must be unique (the engine's uniqueKey contract): duplicates
+    would fan out the id join n^2-style and silently duplicate rows under
+    multiple doc_ids. The id kernel FAILS FAST on the first duplicate it
+    sees -- range partitioning routes equal keys to the same partition and
+    the partition is sorted, so adjacent-equality inside the kernel catches
+    every duplicate with zero extra jobs. Callers with upsert-shaped input
+    must resolve winners first (operators/transforms.upsert_by_key)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -74,9 +82,21 @@ def assign_doc_ids(
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
+        prev_key: tuple | None = None  # last key of the previous Arrow batch
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            dup = (pdf[in_cols] == pdf[in_cols].shift()).all(axis=1)
+            if prev_key is not None:
+                dup.iloc[0] = tuple(pdf[in_cols].iloc[0]) == prev_key
+            if dup.any():
+                bad = tuple(pdf[in_cols][dup].iloc[0])
+                raise ValueError(
+                    f"duplicate sort key {dict(zip(in_cols, bad))}: "
+                    f"{in_cols} must be unique (uniqueKey contract); "
+                    "dedup/upsert the input first"
+                )
+            prev_key = tuple(pdf[in_cols].iloc[-1])
             pid = int(pdf["_pid"].iloc[0])
             out = pdf[in_cols].copy()
             out["doc_id"] = offsets[pid] + local + pd.RangeIndex(len(pdf))

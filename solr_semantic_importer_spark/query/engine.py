@@ -332,22 +332,55 @@ class BM25Index:
     def highlight(
         self, query: str, k: int = 10, pre: str = "<em>", post: str = "</em>"
     ) -> DataFrame:
-        """Q7: highlighting over the top-k result set -- every analyzed query
-        term occurrence in the stored text wrapped in pre/post markers
-        (solrconfig.xml default highlighter semantics, whole-field fragment).
-        Pure JVM regexp over the stored field; case-insensitive on word
-        boundaries like the analysis chain."""
+        """Q7: highlighting over the top-k result set -- every stored-text
+        token whose ANALYZED form matches an analyzed query term is wrapped
+        in pre/post markers (solrconfig.xml default highlighter semantics,
+        whole-field fragment).
+
+        text_general: pure JVM regexp (analysis is lowercasing only, so the
+        query terms literally occur in the text). Stemmed chains: query terms
+        are stems ('tables' -> 'tabl') that may never appear as surface text,
+        so the stored text is re-analyzed token-by-token in an Arrow kernel
+        and tokens are wrapped when their stem is in the query term set."""
         terms = self.analyze_query(query)
         top = self.search(query, k=k, with_stored=True).select(
             "doc_id", "score", "text"
         )
         if not terms:
             return top.withColumn("highlighted", F.col("text"))
-        pattern = "(?i)\\b(" + "|".join(sorted(terms)) + ")\\b"
-        return top.withColumn(
-            "highlighted",
-            F.regexp_replace(F.col("text"), pattern, f"{pre}$1{post}"),
-        )
+        if self.analyzer_chain == "text_general":
+            pattern = "(?i)\\b(" + "|".join(sorted(terms)) + ")\\b"
+            return top.withColumn(
+                "highlighted",
+                F.regexp_replace(F.col("text"), pattern, f"{pre}$1{post}"),
+            )
+
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.analysis import TOKEN_NORMALIZERS
+
+        normalize = TOKEN_NORMALIZERS[self.analyzer_chain]
+        tset = frozenset(terms)
+        tok_re = _re.compile("[A-Za-z0-9]+")
+
+        @pandas_udf(T.StringType())
+        def mark(texts: pd.Series) -> pd.Series:
+            def one(text):
+                if text is None:
+                    return None
+                out, last = [], 0
+                for m in tok_re.finditer(text):
+                    if any(f in tset for f in normalize(m.group(0).lower())):
+                        out.append(text[last : m.start()])
+                        out.append(pre + m.group(0) + post)
+                        last = m.end()
+                return text if not out else "".join(out) + text[last:]
+
+            return texts.map(one)
+
+        return top.withColumn("highlighted", mark(F.col("text")))
 
     # -- delete-by-query (I5): Lucene-style tombstones -------------------------
 

@@ -34,30 +34,87 @@ bound once global avgdl grows past the batch-local value).
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.build import POSTINGS_SCHEMA, BuildConfig, _make_partition_encoder
 from ..index.docids import SORT_KEYS, assign_doc_ids
-from ..functions.analysis import term_freqs_udf, term_positions_udf
+from ..functions.analysis import make_positions_udf, term_freqs_udf
 from ..plans.manifest import Manifest, dir_bytes
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+_BATCH_RELATIONS = ("docs", "corpus_stats", "dictionary", "postings")
+
+
+def _batch_tag(batch_id: int) -> str:
+    return f"b{batch_id}"
+
+
+def _purge_batch_files(index_dir: str, tag: str) -> None:
+    """Delete every file a previous UNCOMMITTED attempt of this batch may
+    have left behind (tagged file names + staging dirs), so a foreachBatch
+    replay starts from a clean slate instead of double-appending rows."""
+    for rel in _BATCH_RELATIONS:
+        base = os.path.join(index_dir, rel)
+        if not os.path.isdir(base):
+            continue
+        for root, _dirs, files in os.walk(base):
+            for fn in files:
+                if fn.startswith(f"{tag}-"):
+                    os.remove(os.path.join(root, fn))
+    for d in glob.glob(os.path.join(index_dir, f"_staging_{tag}_*")):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _publish_staged(staging: str, target: str, tag: str) -> None:
+    """Move the staged parquet files into the live relation dir, preserving
+    partition subdirs (bucket=N/...) and prefixing every file with the batch
+    tag. Per-file renames are atomic; a crash mid-publish leaves only tagged
+    files that the replay purge removes."""
+    for root, _dirs, files in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        for fn in files:
+            if fn.startswith(("_", ".")):  # _SUCCESS / checksum sidecars
+                continue
+            dst_dir = target if rel == "." else os.path.join(target, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            os.replace(os.path.join(root, fn), os.path.join(dst_dir, f"{tag}-{fn}"))
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def append_batch(
     batch_df: DataFrame, index_dir: str, cfg: BuildConfig, batch_id: int
 ) -> bool:
     """Index one micro-batch as a new doc-id range. Returns False if the
-    batch id was already committed (foreachBatch replay after failure)."""
+    batch id was already committed (foreachBatch replay after failure).
+
+    Exactly-once protocol (single writer; readers open between appends):
+    every relation is written to a batch-scoped STAGING dir, then its files
+    are moved into the live dirs under a ``b<batch_id>-`` name prefix, and
+    only then does the manifest commit step ``batch-<id>``. A replay of an
+    uncommitted id first deletes all files carrying its tag -- a crash at
+    any point therefore never double-counts docs, df, or postings."""
     spark = batch_df.sparkSession
+    if cfg.copy_fields:
+        raise ValueError(
+            "streaming append_batch does not support copy_fields; "
+            "build multi-field indexes with index.build.build_index"
+        )
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir, cfg.build_id)
     step = f"batch-{batch_id}"
     if man.is_committed(step):
         return False
+    tag = _batch_tag(batch_id)
+    _purge_batch_files(index_dir, tag)
     base = _next_doc_id(man)
+
+    def _stage(rel: str) -> str:
+        return os.path.join(index_dir, f"_staging_{tag}_{rel}")
 
     def run():
         ids = assign_doc_ids(batch_df, start=base)
@@ -65,7 +122,11 @@ def append_batch(
             "segment_id", (F.col("doc_id") / cfg.segment_size).cast("long")
         )
         if cfg.store_positions:
-            a = a.withColumn("tfmap", term_positions_udf(F.col("text"))).withColumn(
+            # same per-chain analysis the batch build uses (a streamed
+            # text_en request must NOT silently downgrade to text_general)
+            a = a.withColumn(
+                "tfmap", make_positions_udf(cfg.analyzer)(F.col("text"))
+            ).withColumn(
                 "dl",
                 F.coalesce(
                     F.aggregate(
@@ -75,6 +136,10 @@ def append_batch(
                 ),
             )
         else:
+            if cfg.analyzer != "text_general":
+                raise ValueError(
+                    "non-default analyzer chains require store_positions=True"
+                )
             a = a.withColumn("tfmap", term_freqs_udf(F.col("text"))).withColumn(
                 "dl",
                 F.coalesce(
@@ -84,7 +149,7 @@ def append_batch(
             )
         analyzed = a.persist()
         docs = analyzed.drop("tfmap")
-        docs.write.mode("append").parquet(os.path.join(index_dir, "docs"))
+        docs.write.mode("overwrite").parquet(_stage("docs"))
         if cfg.store_positions:
             pairs = analyzed.select(
                 "doc_id", "segment_id", "dl",
@@ -106,9 +171,7 @@ def append_batch(
         avgdl = (sum_dl / n) if n else 0.0
         spark.createDataFrame(
             [(n, sum_dl, float(avgdl))], "n_docs long, sum_dl long, avgdl double"
-        ).coalesce(1).write.mode("append").parquet(
-            os.path.join(index_dir, "corpus_stats")
-        )
+        ).coalesce(1).write.mode("overwrite").parquet(_stage("corpus_stats"))
         d = (
             pairs.groupBy("term")
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
@@ -117,9 +180,9 @@ def append_batch(
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
             )
         )
-        d.repartition(cfg.n_term_buckets, "bucket").write.mode("append").partitionBy(
+        d.repartition(cfg.n_term_buckets, "bucket").write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(os.path.join(index_dir, "dictionary"))
+        ).parquet(_stage("dictionary"))
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         salted = pairs.withColumn("salt", F.lit(0))  # hot-splitting: batch-local
         enc = (
@@ -133,11 +196,12 @@ def append_batch(
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
             )
         )
-        enc.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(index_dir, "postings")
-        )
+        enc.write.mode("overwrite").partitionBy("bucket").parquet(_stage("postings"))
         analyzed.unpersist()
         pairs.unpersist()
+        # all staged; publish (per-file atomic renames, tagged for recovery)
+        for rel in _BATCH_RELATIONS:
+            _publish_staged(_stage(rel), os.path.join(index_dir, rel), tag)
         return n, dir_bytes(index_dir), {"base": base, "next_doc_id": base + n}
 
     man.run_step(step, run)

@@ -23,6 +23,17 @@ def test_scalable_equals_window(spark):
     assert sorted(a.values()) == list(range(len(a)))
 
 
+def test_duplicate_keys_fail_fast(spark):
+    import pytest
+
+    df = generate_transcripts(spark, n_convs=10, turns_per_conv=4, seed=1)
+    dup = df.unionByName(df.limit(3))  # re-ingest shape: same (conv_id, turn_idx)
+    with pytest.raises(Exception, match="duplicate sort key"):
+        assign_doc_ids(dup, num_partitions=4).count()
+    # unique input still assigns cleanly
+    assert assign_doc_ids(df, num_partitions=4).count() == df.count()
+
+
 def test_stable_under_input_partitioning(spark):
     df = generate_transcripts(spark, n_convs=30, turns_per_conv=5, seed=3)
     shuffled = df.repartition(13, "role")  # scramble the input layout

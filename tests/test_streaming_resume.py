@@ -90,6 +90,44 @@ def test_stream_multibatch_stats_additive(spark, corpus, tmp_path_factory):
         assert a_scores == b_scores
 
 
+def test_append_batch_replay_purges_partial_output(spark, corpus, tmp_path_factory):
+    """Exactly-once under crash-replay: a foreachBatch retry of an
+    UNCOMMITTED batch must not double-append docs/stats/dictionary/postings.
+    Simulates a crash that published part of batch 1 before the manifest
+    committed, then replays batch 1 for real."""
+    from solr_semantic_importer_spark.streaming.incremental import append_batch
+
+    tmp = str(tmp_path_factory.mktemp("replay"))
+    idx_dir = os.path.join(tmp, "idx")
+    cfg = BuildConfig(build_id="rp", **CFG)
+    half = corpus.count() // 2
+    ordered = corpus.orderBy("conv_id", "turn_idx")
+    b0 = ordered.limit(half)
+    b1 = ordered.subtract(b0)
+    assert append_batch(b0, idx_dir, cfg, 0) is True
+
+    # fake a crashed batch-1 attempt: some of its tagged files landed in the
+    # live dirs (docs + corpus_stats), but the manifest never committed
+    docs_dir = os.path.join(idx_dir, "docs")
+    victims = [f for f in os.listdir(docs_dir) if f.endswith(".parquet")][:1]
+    for f in victims:
+        shutil.copyfile(
+            os.path.join(docs_dir, f), os.path.join(docs_dir, f"b1-crashed-{f}")
+        )
+    st_dir = os.path.join(idx_dir, "corpus_stats")
+    stf = [f for f in os.listdir(st_dir) if f.endswith(".parquet")][0]
+    shutil.copyfile(os.path.join(st_dir, stf), os.path.join(st_dir, f"b1-crashed-{stf}"))
+
+    assert append_batch(b1, idx_dir, cfg, 1) is True  # replay after "crash"
+    idx = BM25Index(spark, idx_dir)
+    n = corpus.count()
+    assert idx.n_docs == n  # no double-counted docs or stats rows
+    assert idx.docs().count() == n
+    assert idx.docs().select("conv_id", "turn_idx").distinct().count() == n
+    # committed replay is a no-op
+    assert append_batch(b1, idx_dir, cfg, 1) is False
+
+
 def test_resume_skips_committed_steps(spark, corpus, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("resume"))
     idx_dir = os.path.join(tmp, "idx")

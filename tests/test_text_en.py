@@ -99,6 +99,24 @@ def test_text_en_rank_identical(en_corpus, q, spark):
         assert abs(gs - ws) < 1e-9
 
 
+def test_text_en_highlight_wraps_surface_forms(en_corpus):
+    """Query stems ('tabl', 'run') never appear literally in stored text;
+    highlighting must re-analyze the surface tokens and wrap inflected
+    forms like 'running'/'errors' (ADVICE: regex-on-stems misses them)."""
+    idx, _ = en_corpus
+    rows = idx.highlight("errors running", k=10).collect()
+    assert rows
+    marked_any = False
+    for r in rows:
+        text = r["text"] or ""
+        hl = r["highlighted"]
+        assert hl.replace("<em>", "").replace("</em>", "") == (r["text"] or hl)
+        for surface in ("error", "errors", "running", "run", "runs"):
+            if f"<em>{surface}</em>" in hl:
+                marked_any = True
+    assert marked_any
+
+
 def test_text_en_phrase_stop_gap(en_corpus):
     idx, oracle = en_corpus
     # "error in tool": "in" is stopped -> phrase becomes stemmed
