@@ -88,6 +88,41 @@ def _index_for_deleted(spark: SparkSession, sf_dir: str) -> BM25Index:
     return _INDEX_CACHE[key]
 
 
+_MERGE_CONVS = 48  # first 48 conversations = 480 turns (non-empty at sf0.001)
+
+
+def _index_for_merged(spark: SparkSession, sf_dir: str) -> BM25Index:
+    """Streamed-then-merged index (I4 + tiered merge): four append_batch
+    increments over a corpus prefix, then merge_postings consolidates runs.
+    Every step is manifest-committed, so re-runs are no-ops."""
+    from solr_semantic_importer_spark.index.merge import merge_postings
+    from solr_semantic_importer_spark.streaming.incremental import append_batch
+
+    key = f"{sf_dir}#merged"
+    if key not in _INDEX_CACHE:
+        h = hashlib.md5(f"{sf_dir}:{ENTRY_BUILD_ID}:merged".encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"ssi_entry_idx_{h}")
+        t = transcripts_from_documents(spark, sf_dir).filter(
+            F.col("conv_id") < "c%06d" % _MERGE_CONVS
+        )
+        cfg = BuildConfig(
+            segment_size=256,
+            block_size=64,
+            n_term_buckets=8,
+            hot_df_threshold=150,
+            hot_salts=4,
+            build_id=ENTRY_BUILD_ID + "-merged",
+        )
+        step = _MERGE_CONVS // 4
+        for i in range(4):  # batches fed in global key order -> stable ids
+            lo, hi = "c%06d" % (i * step), "c%06d" % ((i + 1) * step)
+            b = t.filter((F.col("conv_id") >= lo) & (F.col("conv_id") < hi))
+            append_batch(b, idx_dir, cfg, i)
+        merge_postings(spark, idx_dir, merge_id="entry")
+        _INDEX_CACHE[key] = BM25Index(spark, idx_dir)
+    return _INDEX_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -425,6 +460,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_all_after_delete"] = match_all_after_delete
 
+    # ---- streamed incremental build + tiered segment merge ----
+    def bm25_after_merge(spark, sf_dir):
+        idx = _index_for_merged(spark, sf_dir)
+        res = idx.search("table scan window", k=10, order_key="milli")
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["bm25_after_merge"] = bm25_after_merge
+
     # ---- Q2 match-all (q=*:*) ----
     def match_all_paged(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -681,6 +724,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(1000 AS BIGINT) AS score_milli
         FROM t WHERE role != 'tool' ORDER BY doc_id LIMIT 20
     """
+    o["bm25_after_merge"] = OSQL.bm25_topk_sql(
+        "table scan window", k=10, src_where="conv_id < 'c%06d'" % _MERGE_CONVS
+    )
     o["match_all_paged"] = f"""
         WITH t AS ({OSQL.transcripts_ids_cte()})
         SELECT doc_id, CAST(1000 AS BIGINT) AS score_milli

@@ -114,6 +114,11 @@ class BuildConfig:
     # Lucene stop-gap position semantics). Recorded in the manifest so the
     # query side always analyzes with the same chain.
     analyzer: str = "text_general"
+    # keep the uncompressed (doc, term, tf[, positions]) intermediate after
+    # the postings commit. Default False: it roughly doubles the on-disk
+    # index footprint and every later step can be recomputed
+    # deterministically from the committed docs table on resume.
+    keep_tf_pairs: bool = False
 
 
 def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
@@ -351,7 +356,18 @@ def build_index(
     man.run_step("pairs", step_pairs)
     for a in _analyzed:
         a.unpersist()
-    pairs = spark.read.parquet(pairs_path)
+
+    def pairs() -> DataFrame:
+        # lazy: a fully-committed resume may have dropped the intermediate
+        # (drop_pairs step). If a later step DOES need it again (e.g. the
+        # postings dir was lost), recompute it deterministically from the
+        # analysis pass instead of failing on the missing path.
+        if not os.path.exists(pairs_path):
+            man.steps.pop("pairs", None)
+            man.steps.pop("drop_pairs", None)
+            man._flush()
+            man.run_step("pairs", step_pairs)
+        return spark.read.parquet(pairs_path)
 
     # -- step 3: corpus stats ------------------------------------------------
     def step_stats():
@@ -378,7 +394,7 @@ def build_index(
     # -- step 4: dictionary (term -> df, cf) ---------------------------------
     def step_dict():
         obs = Observation()
-        d = pairs.groupBy("term").agg(
+        d = pairs().groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         )
         d = d.withColumn(
@@ -410,7 +426,7 @@ def build_index(
             else F.lit(1)
         )
         # doc-contiguous range salt: preserves global doc order across salts
-        p = pairs.withColumn(
+        p = pairs().withColumn(
             "salt",
             (
                 (F.col("doc_id") % cfg.segment_size)
@@ -469,6 +485,17 @@ def build_index(
         )
 
     man.run_step("postings", step_postings)
+
+    # -- step 6: drop the uncompressed intermediate (default) -----------------
+    def step_drop_pairs():
+        if cfg.keep_tf_pairs:
+            return 0, 0, {"kept": True}
+        import shutil
+
+        shutil.rmtree(pairs_path, ignore_errors=True)
+        return 0, 0, {"kept": False}
+
+    man.run_step("drop_pairs", step_drop_pairs)
 
     # -- derived build metrics (north_rule: postings/sec, bytes/partition, skew)
     post_step = man.steps["postings"]

@@ -21,10 +21,15 @@ K1 = 1.2
 B = 0.75
 
 
-def bm25_base_ctes() -> str:
-    """CTEs: transcripts -> stable ids -> tokens -> tf/df/dl/corpus stats."""
+def bm25_base_ctes(src_where: str | None = None) -> str:
+    """CTEs: transcripts -> stable ids -> tokens -> tf/df/dl/corpus stats.
+    ``src_where`` restricts the corpus (a predicate over the documents view,
+    e.g. 'doc_id < 480') -- stats and ids are computed over the subset."""
+    src = transcripts_duckdb_cte()
+    if src_where:
+        src = f"SELECT * FROM ({src}) WHERE {src_where}"
     return f"""
-    t AS ({transcripts_duckdb_cte()}),
+    t AS ({src}),
     ids AS (
       SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
              conv_id, turn_idx, role, text, tool, ts
@@ -53,11 +58,13 @@ def bm25_topk_sql(
     fq: str | None = None,
     offset: int = 0,
     exclude: str | None = None,
+    src_where: str | None = None,
 ) -> str:
     """Full BM25 top-k oracle. fq is a SQL predicate over ids columns
     (conv_id, turn_idx, role, tool). ``exclude`` models delete-by-query
     tombstones: matching docs are dropped from the RESULTS while df/avgdl/N
-    stay at their full-corpus values (Lucene delete-before-merge semantics)."""
+    stay at their full-corpus values (Lucene delete-before-merge semantics).
+    ``src_where`` restricts the corpus itself (stats recomputed over it)."""
     terms = list(dict.fromkeys(analyze_text(query)))
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS score_milli WHERE 1=0"
@@ -72,7 +79,7 @@ def bm25_topk_sql(
         else ""
     )
     return f"""
-    WITH {bm25_base_ctes()},
+    WITH {bm25_base_ctes(src_where)},
     scored AS (
       SELECT tfc.doc_id,
              sum( ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))

@@ -213,6 +213,10 @@ def append_batch(
         n_term_buckets=cfg.n_term_buckets,
         segment_size=cfg.segment_size,
         block_size=cfg.block_size,
+        analyzer=cfg.analyzer,
+        store_positions=cfg.store_positions,
+        hot_df_threshold=cfg.hot_df_threshold,
+        hot_salts=cfg.hot_salts,
     )
     return True
 

@@ -154,6 +154,27 @@ def test_resume_skips_committed_steps(spark, corpus, tmp_path_factory):
         assert _topk(a, q) == _topk(b, q)
 
 
+def test_tf_pairs_dropped_after_build(spark, corpus, tmp_path_factory):
+    """The uncompressed (doc, term, tf, positions) intermediate is deleted
+    after the postings commit by default (it ~doubles index footprint);
+    keep_tf_pairs=True opts back in."""
+    tmp = str(tmp_path_factory.mktemp("droppairs"))
+    d1 = os.path.join(tmp, "idx1")
+    build_index(spark, corpus, d1, BuildConfig(build_id="dp1", **CFG))
+    assert not os.path.exists(os.path.join(d1, "tf_pairs"))
+    assert sorted(
+        n for n in os.listdir(d1) if not n.startswith("_")
+    ) == ["corpus_stats", "dictionary", "docs", "postings"]
+    d2 = os.path.join(tmp, "idx2")
+    build_index(spark, corpus, d2,
+                BuildConfig(build_id="dp2", keep_tf_pairs=True, **CFG))
+    assert os.path.exists(os.path.join(d2, "tf_pairs"))
+    # queries identical either way
+    a, b = BM25Index(spark, d1), BM25Index(spark, d2)
+    for q in ["error in tool call", "the"]:
+        assert _topk(a, q) == _topk(b, q)
+
+
 def test_skew_salting_splits_hot_terms(spark, corpus, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("skew"))
     idx_dir = os.path.join(tmp, "idx")
@@ -177,6 +198,66 @@ def test_skew_salting_splits_hot_terms(spark, corpus, tmp_path_factory):
         ra = [(r["doc_id"], round(r["score"], 6)) for r in a.search("the error", mode=mode).collect()]
         rb = [(r["doc_id"], round(r["score"], 6)) for r in b.search("the error", mode=mode).collect()]
         assert ra == rb
+
+
+def test_merge_bounds_runs_and_preserves_results(spark, corpus, tmp_path_factory):
+    """Tiered segment merge: 20 micro-batches -> merge -> file/run counts
+    bounded, bm25 results hash-identical, phrase path valid (batch runs
+    collide on block_id pre-merge, so phrase REQUIRES the merge)."""
+    from solr_semantic_importer_spark.index.merge import merge_postings
+
+    tmp = str(tmp_path_factory.mktemp("merge"))
+    src = os.path.join(tmp, "src")
+    corpus.repartition(20).write.parquet(src)  # 20 files -> 20 micro-batches
+    idx_dir = os.path.join(tmp, "idx")
+    stream_build(spark, src, idx_dir, BuildConfig(build_id="mg", **CFG),
+                 checkpoint_dir=os.path.join(tmp, "cp"), max_files_per_trigger=1)
+    idx = BM25Index(spark, idx_dir)
+    queries = ["error in tool call", "the", "topic42 topic7"]
+    before = {q: _topk(idx, q) for q in queries}
+    before_wand = {
+        q: [(r["doc_id"], round(r["score"], 6))
+            for r in idx.search(q, mode="wand").collect()]
+        for q in queries
+    }
+
+    stats = merge_postings(spark, idx_dir)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["blocks_after"] <= stats["blocks_before"]
+
+    idx2 = BM25Index(spark, idx_dir)
+    for q in queries:
+        assert _topk(idx2, q) == before[q]
+        got_w = [(r["doc_id"], round(r["score"], 6))
+                 for r in idx2.search(q, mode="wand").collect()]
+        assert got_w == before_wand[q]
+    # exactly one run per (term, segment, salt) with unique block ids
+    post = idx2._postings()
+    assert post.groupBy("term", "segment_id", "salt", "block_id").count().filter(
+        "count > 1").count() == 0
+    # dictionary consolidated: one row per (term, bucket)
+    assert idx2.dictionary().groupBy("term", "bucket").count().filter(
+        "count > 1").count() == 0
+    # stats consolidated to a single row
+    assert spark.read.parquet(os.path.join(idx_dir, "corpus_stats")).count() == 1
+    # phrase scores per stable key match a batch-built index (doc ids differ
+    # by ingestion order, so compare via (conv_id, turn_idx))
+    batch_dir = os.path.join(tmp, "idx_batch")
+    build_index(spark, corpus, batch_dir, BuildConfig(build_id="mb", **CFG))
+    bidx = BM25Index(spark, batch_dir)
+    key_of = {r["doc_id"]: (r["conv_id"], r["turn_idx"])
+              for r in idx2.docs().select("doc_id", "conv_id", "turn_idx").collect()}
+    bkey_of = {r["doc_id"]: (r["conv_id"], r["turn_idx"])
+               for r in bidx.docs().select("doc_id", "conv_id", "turn_idx").collect()}
+    for ph in ["error in", "tool call"]:
+        a = sorted((key_of[r["doc_id"]], round(r["score"], 6))
+                   for r in idx2.search_phrase(ph, k=10000).collect())
+        b = sorted((bkey_of[r["doc_id"]], round(r["score"], 6))
+                   for r in bidx.search_phrase(ph, k=10000).collect())
+        assert a == b
+    # re-merge is a committed no-op (manifest step)
+    stats2 = merge_postings(spark, idx_dir)
+    assert stats2["files_after"] == stats2["files_before"]
 
 
 def test_verify_turn_equality(spark, corpus, tmp_path_factory):
