@@ -248,6 +248,75 @@ def make_multi_field_analyzer(gap: int = 100):
 # default-base-config/synonyms.txt. The shipped file's effective entries
 # (synonyms.txt:15-28), lowercased because LowerCaseFilter follows in the chain.
 # "a => b" is a one-way mapping; "a,b,c" an equivalence class.
+# DEFAULT_SYNONYMS below is exactly parse_synonyms_file(<shipped file>) --
+# asserted by tests/test_analysis.py.
+
+
+def _unescape(s: str) -> str:
+    """Solr synonym-format escapes: backslash protects ',', ' ', '=' etc."""
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _split_unescaped(s: str, sep: str) -> list[str]:
+    parts, cur, i = [], [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            cur.append(s[i : i + 2])
+            i += 2
+        elif s.startswith(sep, i):
+            parts.append("".join(cur))
+            cur = []
+            i += len(sep)
+        else:
+            cur.append(s[i])
+            i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _norm_words(part: str) -> list[str]:
+    """One comma-separated alternative -> its lowercased words. Multi-word
+    alternatives ('foo bar') contribute each word to the expansion set --
+    the bag-of-words simplification of SynonymGraphFilter's multi-token
+    paths, which is equivalent under the engine's OR query semantics."""
+    return [w for w in _unescape(part).strip().lower().split() if w]
+
+
+def parse_synonyms_lines(lines) -> dict[str, tuple[str, ...]]:
+    """Parse Solr synonyms format (SolrSynonymParser syntax): '#' comments,
+    'a, b => c d' one-way mappings (every LHS maps to the RHS terms), and
+    'a, b, c' equivalence classes (expand=true: each member maps to the full
+    class, itself included). ignoreCase=true semantics: everything is
+    lowercased, matching the LowerCaseFilter that follows in the chain."""
+    mapping: dict[str, dict[str, None]] = {}
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=>" in line:
+            lhs, rhs = _split_unescaped(line, "=>")[:2]
+            rights = [w for part in _split_unescaped(rhs, ",") for w in _norm_words(part)]
+            for part in _split_unescaped(lhs, ","):
+                for left in _norm_words(part):
+                    mapping.setdefault(left, {}).update(dict.fromkeys(rights))
+        else:
+            cls = [w for part in _split_unescaped(line, ",") for w in _norm_words(part)]
+            for w in cls:
+                mapping.setdefault(w, {}).update(dict.fromkeys(cls))
+    return {k: tuple(v) for k, v in mapping.items()}
+
+
+def parse_synonyms_file(path: str) -> dict[str, tuple[str, ...]]:
+    with open(path, encoding="utf-8") as f:
+        return parse_synonyms_lines(f)
 _EQUIV_CLASSES = [
     ("fooaaa", "baraaa", "bazaaa"),  # synonyms.txt:18
     ("gb", "gib", "gigabyte", "gigabytes"),  # synonyms.txt:21

@@ -137,10 +137,16 @@ class BM25Index:
             )
         return self._post_df
 
-    def analyze_query(self, query: str, synonyms: bool = False) -> list[str]:
+    def analyze_query(
+        self, query: str, synonyms: bool | dict = False
+    ) -> list[str]:
+        """``synonyms``: False (off), True (the shipped default mapping), or
+        a mapping from functions.analysis.parse_synonyms_file (user files)."""
         terms = self._analyze(query)
         if synonyms:
-            terms = expand_query_terms(terms)
+            terms = expand_query_terms(
+                terms, synonyms if isinstance(synonyms, dict) else None
+            )
         return list(dict.fromkeys(terms))
 
     DICT_CACHE_MAX = 1_000_000  # load df map driver-side below this many terms
@@ -233,7 +239,7 @@ class BM25Index:
         query: str,
         k: int = 10,
         op: str = "OR",
-        synonyms: bool = False,
+        synonyms: bool | dict = False,
         fq: str | None = None,
         offset: int = 0,
         mode: str = "wand",

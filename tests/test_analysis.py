@@ -52,6 +52,86 @@ def test_synonym_expansion():
     assert expand_query_terms(["gb", "gb"]) == ["gb", "gib", "gigabyte", "gigabytes"]
 
 
+# entry lines semantically identical to the configset the importer installs
+# (default-base-config/synonyms.txt effective entries)
+_SYN_FIXTURE = """
+# one-way mappings
+aaafoo => aaabar
+bbbfoo => bbbfoo bbbbar
+cccfoo => cccbar cccbaz
+fooaaa,baraaa,bazaaa
+
+GB,gib,gigabyte,gigabytes
+MB,mib,megabyte,megabytes
+Television, Televisions, TV, TVs
+
+pixima => pixma
+"""
+
+
+def test_parse_synonyms_reproduces_default_mapping():
+    from solr_semantic_importer_spark.functions.analysis import (
+        DEFAULT_SYNONYMS,
+        parse_synonyms_lines,
+    )
+
+    parsed = parse_synonyms_lines(_SYN_FIXTURE.splitlines())
+    assert parsed == DEFAULT_SYNONYMS
+
+
+def test_parse_synonyms_shipped_reference_file():
+    import os
+
+    from solr_semantic_importer_spark.functions.analysis import (
+        DEFAULT_SYNONYMS,
+        parse_synonyms_file,
+    )
+
+    path = "/root/reference/src/main/resources/default-base-config/synonyms.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference configset not available")
+    assert parse_synonyms_file(path) == DEFAULT_SYNONYMS
+
+
+def test_parse_synonyms_edge_cases():
+    from solr_semantic_importer_spark.functions.analysis import parse_synonyms_lines
+
+    parsed = parse_synonyms_lines(
+        [
+            "a, b => c d, e",           # multi-LHS, multi-word + plain RHS
+            "x\\,y => z",               # escaped comma inside a term
+            "  # comment",
+            "",
+            "P, q ,R",                  # whitespace + case normalization
+        ]
+    )
+    assert parsed["a"] == ("c", "d", "e") and parsed["b"] == ("c", "d", "e")
+    assert parsed["x,y"] == ("z",)
+    assert parsed["p"] == parsed["q"] == parsed["r"] == ("p", "q", "r")
+
+
+def test_custom_synonyms_in_query(spark, tmp_path_factory):
+    """A user-supplied synonyms file drives query expansion end to end."""
+    from solr_semantic_importer_spark.functions.analysis import parse_synonyms_lines
+    from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.query.engine import BM25Index
+    from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, n_convs=20, turns_per_conv=4, seed=9)
+    idx_dir = str(tmp_path_factory.mktemp("syn"))
+    build_index(spark, df, idx_dir, BuildConfig(
+        build_id="syn", segment_size=64, block_size=16, n_term_buckets=2))
+    idx = BM25Index(spark, idx_dir)
+    syn = parse_synonyms_lines(["failure => error"])
+    # 'failure' is OOV; with the custom mapping it must match 'error' docs
+    assert idx.search("failure", k=5).count() == 0
+    expanded = idx.search("failure", k=5, synonyms=syn, mode="exhaustive")
+    baseline = idx.search("error", k=5, mode="exhaustive")
+    assert [r["doc_id"] for r in expanded.collect()] == [
+        r["doc_id"] for r in baseline.collect()
+    ]
+
+
 def test_term_freqs_udf(spark):
     from solr_semantic_importer_spark.functions.analysis import term_freqs_udf
 
