@@ -88,6 +88,29 @@ def _index_for_deleted(spark: SparkSession, sf_dir: str) -> BM25Index:
     return _INDEX_CACHE[key]
 
 
+def _index_for_splitting(spark: SparkSession, sf_dir: str) -> BM25Index:
+    """Index built with the WDG chain (T6, no-stem oracle variant
+    'text_splitting'; the full Porter chain 'text_en_splitting' is
+    pytest-covered -- DuckDB has no offline Porter)."""
+    key = f"{sf_dir}#splitting"
+    if key not in _INDEX_CACHE:
+        h = hashlib.md5(f"{sf_dir}:{ENTRY_BUILD_ID}:split".encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"ssi_entry_idx_{h}")
+        t = transcripts_from_documents(spark, sf_dir)
+        cfg = BuildConfig(
+            segment_size=256,
+            block_size=64,
+            n_term_buckets=8,
+            hot_df_threshold=150,
+            hot_salts=4,
+            build_id=ENTRY_BUILD_ID + "-split",
+            analyzer="text_splitting",
+        )
+        build_index(spark, t, idx_dir, cfg)
+        _INDEX_CACHE[key] = BM25Index(spark, idx_dir)
+    return _INDEX_CACHE[key]
+
+
 _MERGE_CONVS = 48  # first 48 conversations = 480 turns (non-empty at sf0.001)
 
 
@@ -468,6 +491,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_after_merge"] = bm25_after_merge
 
+    # ---- T6 WordDelimiterGraph chain (text_splitting) ----
+    def bm25_splitting(spark, sf_dir):
+        idx = _index_for_splitting(spark, sf_dir)
+        res = idx.search("wi-fi table scan", k=10, order_key="milli")
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["bm25_splitting"] = bm25_splitting
+
     # ---- Q2 match-all (q=*:*) ----
     def match_all_paged(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -726,6 +757,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["bm25_after_merge"] = OSQL.bm25_topk_sql(
         "table scan window", k=10, src_where="conv_id < 'c%06d'" % _MERGE_CONVS
+    )
+    o["bm25_splitting"] = OSQL.bm25_topk_sql(
+        "wi-fi table scan", k=10, chain="text_splitting"
     )
     o["match_all_paged"] = f"""
         WITH t AS ({OSQL.transcripts_ids_cte()})

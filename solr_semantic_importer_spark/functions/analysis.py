@@ -113,13 +113,7 @@ def doc_len_udf(texts: pd.Series) -> pd.Series:
 
 
 # --- text_en chain (T5): stop(en) -> lowercase -> Porter stem ---------------
-# Stop set = the standard Lucene/Solr English set shipped as
-# lang/stopwords_en.txt (managed-schema.xml:354-357 references it for
-# text_en; 33 words, public EnglishAnalyzer default).
-EN_STOPWORDS = frozenset(
-    "a an and are as at be but by for if in into is it no not of on or such "
-    "that the their then there these they this to was will with".split()
-)
+from .stopwords import EN_STOPWORDS  # noqa: E402 (re-export, shared set)
 
 
 def analyze_text_en(text: str | None) -> list[str]:
@@ -169,22 +163,56 @@ POSITION_ANALYZERS = {
 
 
 def _normalize_token_general(tok: str) -> list[str]:
-    return [tok]
+    return [tok.lower()]
 
 
 def _normalize_token_en(tok: str) -> list[str]:
     from .stemmer import porter_stem
 
-    return [] if tok in EN_STOPWORDS else [porter_stem(tok)]
+    t = tok.lower()
+    return [] if t in EN_STOPWORDS else [porter_stem(t)]
 
 
-# token -> the indexed form(s) it analyzes to (for highlighting: a surface
-# token is highlighted iff any of its analyzed forms is a query term --
-# regex over stems like 'tabl' would never hit the stored surface text)
+# RAW surface token -> the indexed form(s) it analyzes to (for highlighting:
+# a surface token is highlighted iff any of its analyzed forms is a query
+# term -- regex over stems like 'tabl' would never hit the stored text).
+# Tokens arrive with original case (WDG chains split on case change).
 TOKEN_NORMALIZERS = {
     "text_general": _normalize_token_general,
     "text_en": _normalize_token_en,
 }
+
+# how to find surface tokens in stored text, per chain: the word chains
+# tokenize on alnum runs; the whitespace-tokenized WDG chains treat the
+# whole whitespace token (minus surrounding punctuation) as the unit, so
+# "wi-fi" highlights as one span when the query hits its catenated form.
+_ALNUM_TOKEN = "[A-Za-z0-9]+"
+_WS_CORE_TOKEN = r"[A-Za-z0-9](?:\S*[A-Za-z0-9])?"
+HIGHLIGHT_TOKEN_PATTERNS = {
+    "text_general": _ALNUM_TOKEN,
+    "text_en": _ALNUM_TOKEN,
+}
+
+# text_en_splitting / text_splitting (T6 WordDelimiterGraph chains) register
+# themselves here; the bottom import is cycle-safe because word_delimiter
+# only needs EN_STOPWORDS, which is already bound above.
+from .word_delimiter import (  # noqa: E402
+    _normalize_token_en_splitting,
+    _normalize_token_splitting,
+    analyze_text_en_splitting,
+    analyze_text_splitting,
+    positions_map_en_splitting,
+    positions_map_splitting,
+)
+
+QUERY_ANALYZERS["text_en_splitting"] = analyze_text_en_splitting
+QUERY_ANALYZERS["text_splitting"] = analyze_text_splitting
+POSITION_ANALYZERS["text_en_splitting"] = positions_map_en_splitting
+POSITION_ANALYZERS["text_splitting"] = positions_map_splitting
+TOKEN_NORMALIZERS["text_en_splitting"] = _normalize_token_en_splitting
+TOKEN_NORMALIZERS["text_splitting"] = _normalize_token_splitting
+HIGHLIGHT_TOKEN_PATTERNS["text_en_splitting"] = _WS_CORE_TOKEN
+HIGHLIGHT_TOKEN_PATTERNS["text_splitting"] = _WS_CORE_TOKEN
 
 
 def make_positions_udf(chain: str = "text_general"):
@@ -192,7 +220,15 @@ def make_positions_udf(chain: str = "text_general"):
     if chain == "text_general":
         return term_positions_udf  # the frozen default (fast path)
     if chain != "text_en":
-        raise ValueError(f"unknown analysis chain: {chain}")
+        if chain not in POSITION_ANALYZERS:
+            raise ValueError(f"unknown analysis chain: {chain}")
+        fn = POSITION_ANALYZERS[chain]
+
+        @pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.IntegerType())))
+        def analyze_generic(texts: pd.Series) -> pd.Series:
+            return pd.Series([fn(t) for t in texts])
+
+        return analyze_generic
 
     @pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.IntegerType())))
     def analyze(texts: pd.Series) -> pd.Series:

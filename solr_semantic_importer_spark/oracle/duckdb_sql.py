@@ -21,13 +21,23 @@ K1 = 1.2
 B = 0.75
 
 
-def bm25_base_ctes(src_where: str | None = None) -> str:
+def bm25_base_ctes(src_where: str | None = None, chain: str = "text_general") -> str:
     """CTEs: transcripts -> stable ids -> tokens -> tf/df/dl/corpus stats.
-    ``src_where`` restricts the corpus (a predicate over the documents view,
-    e.g. 'doc_id < 480') -- stats and ids are computed over the subset."""
+    ``src_where`` restricts the corpus (a predicate over transcript columns,
+    e.g. "conv_id < 'c000048'") -- stats and ids are computed over the subset.
+    ``chain`` picks the index-side tokenizer SQL (text_general default;
+    text_splitting = the WDG chain, functions/word_delimiter.py)."""
     src = transcripts_duckdb_cte()
     if src_where:
         src = f"SELECT * FROM ({src}) WHERE {src_where}"
+    if chain == "text_general":
+        toks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+    elif chain == "text_splitting":
+        from ..functions.word_delimiter import splitting_toks_sql
+
+        toks = splitting_toks_sql("text")
+    else:
+        raise ValueError(f"no DuckDB tokenizer for chain {chain}")
     return f"""
     t AS ({src}),
     ids AS (
@@ -37,7 +47,7 @@ def bm25_base_ctes(src_where: str | None = None) -> str:
     ),
     docs AS (
       SELECT doc_id, conv_id, turn_idx, role, tool,
-             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+             {toks} AS toks
       FROM ids
     ),
     lens AS (SELECT doc_id, len(toks) AS dl FROM docs),
@@ -59,13 +69,18 @@ def bm25_topk_sql(
     offset: int = 0,
     exclude: str | None = None,
     src_where: str | None = None,
+    chain: str = "text_general",
 ) -> str:
     """Full BM25 top-k oracle. fq is a SQL predicate over ids columns
     (conv_id, turn_idx, role, tool). ``exclude`` models delete-by-query
     tombstones: matching docs are dropped from the RESULTS while df/avgdl/N
     stay at their full-corpus values (Lucene delete-before-merge semantics).
-    ``src_where`` restricts the corpus itself (stats recomputed over it)."""
-    terms = list(dict.fromkeys(analyze_text(query)))
+    ``src_where`` restricts the corpus itself (stats recomputed over it).
+    ``chain`` selects the analysis chain (query terms analyzed with its
+    query-time variant; corpus tokenized with its index-time SQL)."""
+    from ..functions.analysis import QUERY_ANALYZERS
+
+    terms = list(dict.fromkeys(QUERY_ANALYZERS[chain](query)))
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS score_milli WHERE 1=0"
     term_list = ", ".join(f"'{t}'" for t in terms)
@@ -79,7 +94,7 @@ def bm25_topk_sql(
         else ""
     )
     return f"""
-    WITH {bm25_base_ctes(src_where)},
+    WITH {bm25_base_ctes(src_where, chain)},
     scored AS (
       SELECT tfc.doc_id,
              sum( ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))

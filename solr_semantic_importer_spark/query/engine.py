@@ -365,11 +365,14 @@ class BM25Index:
 
         from pyspark.sql.functions import pandas_udf
 
-        from ..functions.analysis import TOKEN_NORMALIZERS
+        from ..functions.analysis import (
+            HIGHLIGHT_TOKEN_PATTERNS,
+            TOKEN_NORMALIZERS,
+        )
 
         normalize = TOKEN_NORMALIZERS[self.analyzer_chain]
         tset = frozenset(terms)
-        tok_re = _re.compile("[A-Za-z0-9]+")
+        tok_re = _re.compile(HIGHLIGHT_TOKEN_PATTERNS[self.analyzer_chain])
 
         @pandas_udf(T.StringType())
         def mark(texts: pd.Series) -> pd.Series:
@@ -378,7 +381,7 @@ class BM25Index:
                     return None
                 out, last = [], 0
                 for m in tok_re.finditer(text):
-                    if any(f in tset for f in normalize(m.group(0).lower())):
+                    if any(f in tset for f in normalize(m.group(0))):
                         out.append(text[last : m.start()])
                         out.append(pre + m.group(0) + post)
                         last = m.end()
