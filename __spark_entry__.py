@@ -541,7 +541,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frames"] = multimodal_frames
 
-    # ---- nested flatten (S5 protobuf analog) ----
+    # ---- S5 protobuf wire decode (round-trip vs independent recompute) ----
+    def proto_flatten(spark, sf_dir):
+        from pyspark.sql import types as T
+
+        from solr_semantic_importer_spark.sources.protobuf import (
+            FieldSpec,
+            MessageSpec,
+            decode_protobuf_column,
+            encode_protobuf_column,
+        )
+
+        spec = MessageSpec("Event", [
+            FieldSpec(1, "id", "int32"),
+            FieldSpec(2, "name", "string"),
+            FieldSpec(3, "meta", "message", message=MessageSpec("Meta", [
+                FieldSpec(1, "user", "string"),
+                FieldSpec(2, "value", "double"),
+            ])),
+            FieldSpec(4, "tags", "string", repeated=True),
+            FieldSpec(5, "counts", "map", map_key="string", map_value="int64"),
+            FieldSpec(6, "ts", "timestamp"),
+        ])
+        e = _events(spark, sf_dir)
+        enc = encode_protobuf_column(e, spec, {
+            "id": F.col("event_id").cast("int"),
+            "name": F.col("event_type"),
+            "meta": F.struct(
+                F.col("user_id").cast("string").alias("user"),
+                F.col("value").alias("value"),
+            ),
+            "tags": F.array(
+                F.col("event_type"),
+                F.format_string("t%d", (F.col("event_id") % 3).cast("int")),
+            ),
+            "counts": F.create_map(F.lit("n"), (F.col("event_id") % 7).cast("long")),
+            "ts": (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long"),
+        })
+        schema = T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("meta_user", T.StringType()),
+            T.StructField("meta_value", T.DoubleType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("counts_n", T.LongType()),
+            T.StructField("ts", T.StringType()),
+        ])
+        dec = decode_protobuf_column(enc, "proto_bytes", spec)
+        flat = TR.parse_json_docs(dec.select("doc_json"), schema)
+        return flat.select(
+            "id", "name", "meta_user",
+            _micro(F.col("meta_value")).alias("meta_value_micro"),
+            F.size("tags").alias("n_tags"),
+            F.element_at("tags", -1).alias("tag_last"),
+            "counts_n",
+            F.col("ts").alias("ts_iso"),
+        )
+
+    q["proto_flatten"] = proto_flatten
+
+    # ---- nested flatten (S5 struct analog) ----
     def flatten_events(spark, sf_dir):
         e = _events(spark, sf_dir).select(
             "event_id",
@@ -814,6 +873,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(GREATEST(LEAST(blen, (frame_idx + 1) * step) - frame_idx * step, 0)
                     AS BIGINT) AS frame_len
         FROM f
+    """
+    o["proto_flatten"] = """
+        SELECT CAST(event_id AS INT) AS id,
+               event_type AS name,
+               CAST(user_id AS VARCHAR) AS meta_user,
+               CAST(round(value * 1000000) AS BIGINT) AS meta_value_micro,
+               CAST(2 AS INT) AS n_tags,
+               printf('t%d', CAST(event_id % 3 AS INT)) AS tag_last,
+               CAST(event_id % 7 AS BIGINT) AS counts_n,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS ts_iso
+        FROM events
     """
     o["flatten_events"] = (
         "SELECT event_id, user_id AS nested_u_user_id, "
