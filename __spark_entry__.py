@@ -791,7 +791,7 @@ def oracle_sql() -> dict[str, str]:
     o["ann_lsh_topk_emb"] = _ann_oracle_sql()
 
     nd = DD.embedding_neardup_sql(
-        0.999, dim=64, n_planes=8, seed=42,
+        0.999, dim=64, n_bands=4, band_planes=8, seed=42,
         table=f"({_NEARDUP_EMB_SQL}) ndsrc", id_expr="vec_id", vec_expr="embedding",
     )
     o["embedding_neardup"] = f"""

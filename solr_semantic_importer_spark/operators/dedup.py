@@ -244,34 +244,75 @@ def embedding_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_bands: int = 4,
+    band_planes: int = 8,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine >= threshold.
+    """Near-duplicate pairs by embedding cosine >= threshold, via BANDED
+    random-hyperplane LSH (mirrors the MinHash module's band structure).
 
-    Scale path: random-hyperplane LSH bucket (deterministic planes shared
-    with the similarity module and the DuckDB oracle) -> self-join on the
-    bucket id -> exact cosine re-check. The candidate join is keyed by an
-    int bucket -- a plain shuffle join AQE can skew-split; the exact check
-    runs only on candidates (recall < 1 by construction, like every LSH
-    dedup; raise n_bands/probe buckets for higher recall).
+    Each of the ``n_bands`` bands hashes with its own ``band_planes``
+    hyperplanes; candidates = union over bands of within-bucket pairs, then
+    an exact cosine re-check. Expected bucket population per band is
+    N / 2^band_planes -- at 100 TB you raise band_planes (bounding the
+    quadratic within-bucket join) and recover recall with more bands:
+    P(candidate) = 1 - (1 - p^r)^b instead of a single table's p^r, where
+    p = 1 - angle/pi. At cosine 0.999 with 4x8 the miss rate is ~1e-4.
+
+    ``max_bucket`` caps per-(band, bucket) population: oversized buckets
+    (mass near-duplicate clusters, degenerate all-zero embeddings) are
+    EXCLUDED from candidate generation and logged with their count and max
+    size -- never silently truncated. Pairs inside an excluded bucket can
+    still surface through the other bands.
     """
+    import logging
+
     from .similarity import cosine_sim, hyperplanes, lsh_bucket_col
 
-    planes = hyperplanes(_vec_dim(emb, vec_col), n_planes, seed)
-    b = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
-    )
-    l, r = b.alias("l"), b.alias("r")
-    cand = l.join(r, "bucket").filter(F.col("l.id") < F.col("r.id"))
-    cos = F.round(cosine_sim(F.col("l.v"), F.col("r.v")), 6)
-    return (
-        cand.select(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), cos.alias("cosine")
+    planes = hyperplanes(_vec_dim(emb, vec_col), n_bands * band_planes, seed)
+    bands = []
+    for bdx in range(n_bands):
+        sub = planes[bdx * band_planes : (bdx + 1) * band_planes]
+        bands.append(
+            F.struct(
+                F.lit(bdx).alias("band"),
+                lsh_bucket_col(F.col(vec_col), sub).alias("bucket"),
+            )
         )
-        .filter(F.col("cosine") >= threshold)
+    banded = emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    if max_bucket is not None:
+        counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        over = counts.filter(F.col("n") > max_bucket).persist()
+        stats = over.agg(
+            F.count("*").alias("k"), F.coalesce(F.max("n"), F.lit(0)).alias("mx")
+        ).collect()[0]
+        if stats["k"]:
+            logging.getLogger(__name__).warning(
+                "embedding_neardup: excluded %d oversized LSH buckets "
+                "(max population %d > cap %d); raise band_planes or the cap "
+                "for full coverage of those clusters",
+                stats["k"], stats["mx"], max_bucket,
+            )
+        banded = banded.join(over.select("band", "bucket"), ["band", "bucket"], "left_anti")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    # vectors join the (small) candidate relation once -- they are NOT
+    # replicated through the per-band self-join
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    j = cand.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    cos = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    return j.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )
 
 
@@ -281,26 +322,43 @@ def _vec_dim(emb: DataFrame, vec_col: str) -> int:
 
 
 def embedding_neardup_sql(
-    threshold: float, dim: int, n_planes: int = 8, seed: int = 42,
-    table: str = "embeddings", id_expr: str = "vec_id", vec_expr: str = "embedding",
+    threshold: float, dim: int, n_bands: int = 4, band_planes: int = 8,
+    seed: int = 42, table: str = "embeddings", id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
 ) -> str:
-    """DuckDB oracle: identical buckets (same literal planes), exact cosine."""
+    """DuckDB oracle for the banded path: identical literal planes per band,
+    union-of-bands candidates, exact cosine."""
     from .similarity import _vec_sql, hyperplanes
 
-    planes = hyperplanes(dim, n_planes, seed)
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {_vec_sql(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(n_planes)
+    planes = hyperplanes(dim, n_bands * band_planes, seed)
+
+    def bucket_expr(bdx: int) -> str:
+        sub = planes[bdx * band_planes : (bdx + 1) * band_planes]
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_vec_sql(sub[j])}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(band_planes)
+        )
+
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT id, {bdx} AS band, {bucket_expr(bdx)} AS bucket FROM e"
+        for bdx in range(n_bands)
     )
     return f"""
     WITH e AS (SELECT {id_expr} AS id, {vec_expr}::DOUBLE[] AS v FROM {table}),
-    b AS (SELECT id, v, {bucket} AS bucket FROM e)
-    SELECT l.id AS id_a, r.id AS id_b,
-           round(list_dot_product(l.v, r.v) /
-                 (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r USING (band, bucket)
+      WHERE l.id < r.id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
              AS cosine
-    FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
-    WHERE round(list_dot_product(l.v, r.v) /
-                (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+    FROM cand JOIN e a ON a.id = cand.id_a JOIN e b ON b.id = cand.id_b
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
           >= {threshold}
     """
