@@ -118,22 +118,21 @@ def merge_postings(
     ``config`` defaults to the layout recorded in the manifest (same
     segment_size/block_size/buckets/hot-salting as the original build).
     """
-    import json
-
+    from ..plans.manifest import read_manifest_data
     from ..query.engine import BM25Index  # config reconstruction helper
 
     idx = BM25Index(spark, index_dir)
+    data_dir = idx.data_dir  # resolves a compaction generation pointer
     cfg = config or idx._config_from_manifest(merge_id or "merge-1")
     # join the EXISTING manifest (same build_id): the merge is one more step
     # of this index's history -- a fresh build_id would discard the batch
     # steps and finalize metrics (next_doc_id cursor, layout) on load
-    with open(os.path.join(index_dir, "_manifest.json")) as f:
-        live_build_id = json.load(f)["build_id"]
-    man = Manifest(index_dir, live_build_id)
+    live_build_id = (read_manifest_data(data_dir) or {}).get("build_id", "merge")
+    man = Manifest(data_dir, live_build_id)
 
-    post_path = os.path.join(index_dir, "postings")
-    dict_path = os.path.join(index_dir, "dictionary")
-    stats_path = os.path.join(index_dir, "corpus_stats")
+    post_path = os.path.join(data_dir, "postings")
+    dict_path = os.path.join(data_dir, "dictionary")
+    stats_path = os.path.join(data_dir, "corpus_stats")
 
     def count_files(path: str) -> int:
         return sum(len(fs) for _, _, fs in os.walk(path))
@@ -201,7 +200,7 @@ def merge_postings(
 
         # audit done -> publish all three relations
         for rel in ("postings", "dictionary", "corpus_stats"):
-            _swap_in(index_dir, rel)
+            _swap_in(data_dir, rel)
         return blocks_before, dir_bytes(post_path), {"hot_terms": len(hot_terms)}
 
     man.run_step(f"merge-{merge_id or cfg.build_id}", step_merge_postings)

@@ -15,18 +15,66 @@ Semantics it reproduces from the reference:
   (idempotence analog of the reference's run-twice integration test,
   SolrIndexerIntegrationTest.java:69-92).
 
-The manifest is a JSON file updated via atomic rename; at cluster scale the
-same protocol runs against an object store with conditional puts, or is
-replaced outright by Iceberg snapshot commits (the code seam: Manifest).
+Commit protocol (object-store-safe): every flush writes an IMMUTABLE
+versioned file ``_manifest.v<N>.json`` via create-exclusive -- the local-FS
+realization of an object store's conditional put (if-none-match) / DynamoDB
+conditional write; Iceberg's snapshot commit is the same shape. Two racing
+writers both target version N+1; exactly one create succeeds, the loser gets
+:class:`ManifestConflictError` and must reload before retrying. Readers
+resolve the HIGHEST version, so they only ever observe fully-written
+manifests. ``_manifest.json`` is maintained as a human/legacy convenience
+pointer via atomic rename (never the source of truth when version files
+exist).
+
+Compaction publishes through the same seam: the new index is built into an
+immutable ``gen-<id>/`` subdirectory and :func:`publish_generation` commits
+a pointer manifest {"generation": "gen-<id>"} as the next version -- no
+directory rename of live data anywhere (query/engine.py BM25Index re-roots
+on the pointer).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 from dataclasses import asdict, dataclass, field
+
+_VERSION_RE = re.compile(r"^_manifest\.v(\d+)\.json$")
+
+
+class ManifestConflictError(RuntimeError):
+    """A concurrent writer committed the manifest version this writer
+    targeted (conditional put failed). Reload and retry, or abort."""
+
+
+def _latest_version(index_dir: str) -> int:
+    best = 0
+    try:
+        names = os.listdir(index_dir)
+    except FileNotFoundError:
+        return 0
+    for n in names:
+        m = _VERSION_RE.match(n)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def read_manifest_data(index_dir: str) -> dict | None:
+    """Highest committed manifest version (or the legacy pointer file)."""
+    ver = _latest_version(index_dir)
+    path = (
+        os.path.join(index_dir, f"_manifest.v{ver}.json")
+        if ver
+        else os.path.join(index_dir, "_manifest.json")
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 @dataclass
@@ -48,24 +96,25 @@ class Manifest:
         self._load()
 
     def _load(self) -> None:
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                data = json.load(f)
-            if data.get("build_id") == self.build_id:
-                self.steps = {
-                    k: StepRecord(**v) for k, v in data.get("steps", {}).items()
-                }
-            # different build_id -> fresh build; old steps are not reusable
+        self._version = _latest_version(self.index_dir)
+        data = read_manifest_data(self.index_dir)
+        if data is not None and data.get("build_id") == self.build_id:
+            self.steps = {
+                k: StepRecord(**v) for k, v in data.get("steps", {}).items()
+            }
+        # different build_id -> fresh build; old steps are not reusable
 
     def _flush(self) -> None:
         data = {
             "build_id": self.build_id,
             "steps": {k: asdict(v) for k, v in self.steps.items()},
         }
-        fd, tmp = tempfile.mkstemp(dir=self.index_dir, prefix="._manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump(data, f, indent=1)
-        os.replace(tmp, self.path)
+        self._version = _conditional_put(self.index_dir, self._version, data)
+
+    def reload(self) -> None:
+        """Re-read the latest committed version (after a conflict)."""
+        self.steps = {}
+        self._load()
 
     def is_committed(self, name: str) -> bool:
         s = self.steps.get(name)
@@ -87,6 +136,45 @@ class Manifest:
         rows, nbytes, metrics = fn()
         self.commit(name, rows, nbytes, time.monotonic() - t0, **metrics)
         return True
+
+
+def _conditional_put(index_dir: str, expected_version: int, data: dict) -> int:
+    """Commit ``data`` as version expected_version+1 via create-exclusive.
+    Returns the committed version; raises ManifestConflictError if another
+    writer got there first (the conditional-put failure mode)."""
+    nxt = expected_version + 1
+    vpath = os.path.join(index_dir, f"_manifest.v{nxt}.json")
+    try:
+        fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError:
+        raise ManifestConflictError(
+            f"manifest version {nxt} already committed by a concurrent "
+            f"writer in {index_dir}; reload and retry"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(data, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    # best-effort human/legacy pointer; version files are the truth
+    fd2, tmp = tempfile.mkstemp(dir=index_dir, prefix="._manifest")
+    with os.fdopen(fd2, "w") as f:
+        json.dump(data, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "_manifest.json"))
+    return nxt
+
+
+def publish_generation(index_dir: str, gen: str) -> None:
+    """Atomically point ``index_dir`` at the immutable generation subdir
+    ``gen`` (copy-then-commit compaction: data was fully written under
+    ``<index_dir>/<gen>/`` first; this is the only publish step). Raises
+    ManifestConflictError if a concurrent publisher won -- the loser's
+    generation directory is simply never referenced."""
+    cur = read_manifest_data(index_dir) or {}
+    _conditional_put(
+        index_dir,
+        _latest_version(index_dir),
+        {"build_id": cur.get("build_id", "generation-pointer"), "generation": gen},
+    )
 
 
 HISTORY_MAX = 100  # reference: indexer.max-history-size (application.yml:35-36)

@@ -80,21 +80,28 @@ class BM25Index:
     """Handle to a built index directory."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from ..plans.manifest import read_manifest_data
+
         self.spark = spark
         self.index_dir = index_dir
+        # compaction publishes an immutable generation subdir behind a
+        # manifest pointer (plans/manifest.publish_generation) -- re-root all
+        # data paths on it; readers never see a half-swapped directory.
+        data = read_manifest_data(index_dir) or {}
+        gen = data.get("generation")
+        self.data_dir = os.path.join(index_dir, gen) if gen else index_dir
+        if gen:
+            data = read_manifest_data(self.data_dir) or {}
         # corpus_stats may hold one row per batch (streaming/incremental
         # appends, streaming/incremental.py) -- aggregate additively.
         srow = (
-            spark.read.parquet(os.path.join(index_dir, "corpus_stats"))
+            spark.read.parquet(os.path.join(self.data_dir, "corpus_stats"))
             .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
             .collect()[0]
         )
         self.n_docs = int(srow["n"] or 0)
         self.avgdl = (float(srow["s"]) / self.n_docs) if self.n_docs else 0.0
-        import json
-
-        with open(os.path.join(index_dir, "_manifest.json")) as f:
-            fin = json.load(f)["steps"].get("finalize", {}).get("metrics", {})
+        fin = data.get("steps", {}).get("finalize", {}).get("metrics", {})
         self._finalize_metrics = fin
         self.n_term_buckets = int(fin.get("n_term_buckets", 16))
         self.segment_size = int(fin.get("segment_size", 1 << 20))
@@ -120,20 +127,20 @@ class BM25Index:
 
     def docs(self) -> DataFrame:
         if not hasattr(self, "_docs_df"):
-            self._docs_df = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+            self._docs_df = self.spark.read.parquet(os.path.join(self.data_dir, "docs"))
         return self._docs_df
 
     def dictionary(self) -> DataFrame:
         if not hasattr(self, "_dict_df"):
             self._dict_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, "dictionary")
+                os.path.join(self.data_dir, "dictionary")
             )
         return self._dict_df
 
     def _postings(self) -> DataFrame:
         if not hasattr(self, "_post_df"):
             self._post_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, "postings")
+                os.path.join(self.data_dir, "postings")
             )
         return self._post_df
 
@@ -407,7 +414,7 @@ class BM25Index:
         closures. Queries exclude them via left-anti joins (exhaustive /
         match-all paths) or per-segment cogrouped arrays (WAND path)."""
         victims = self.docs().filter(predicate).select("doc_id")
-        path = os.path.join(self.index_dir, "tombstones")
+        path = os.path.join(self.data_dir, "tombstones")
         victims.write.mode("append").parquet(path)
         self._has_tombstones = True
         return victims.count()
@@ -416,12 +423,12 @@ class BM25Index:
         """Distinct tombstoned doc ids as a DataFrame (never collected)."""
         if getattr(self, "_has_tombstones", None) is None:
             self._has_tombstones = os.path.exists(
-                os.path.join(self.index_dir, "tombstones")
+                os.path.join(self.data_dir, "tombstones")
             )
         if not self._has_tombstones:
             return None
         return (
-            self.spark.read.parquet(os.path.join(self.index_dir, "tombstones"))
+            self.spark.read.parquet(os.path.join(self.data_dir, "tombstones"))
             .select("doc_id")
             .distinct()
         )
@@ -473,29 +480,38 @@ class BM25Index:
         """I3/I5 compaction: rebuild the index from the LIVE stored docs --
         tombstones are applied permanently, df/avgdl/N recomputed, doc ids
         re-minted from the stable (conv_id, turn_idx) order (Lucene segment
-        merge renumbers too). The rebuild happens in ``<dir>.compact`` and
-        atomically replaces the old directory. Returns a fresh handle.
+        merge renumbers too). Returns a fresh handle.
+
+        Copy-then-commit publish (object-store-safe): the new index is fully
+        built into an immutable ``gen-<build_id>/`` subdirectory, then ONE
+        conditional manifest commit flips the generation pointer
+        (plans/manifest.publish_generation). No live directory is ever
+        renamed; a racing compactor loses the conditional put and its
+        generation is simply never referenced. Readers holding the old
+        handle keep reading the old generation.
 
         When ``config`` is None the original build's config is reconstructed
         from the manifest -- compacting a text_en index stays text_en."""
         import shutil
 
         from ..index.build import build_index
+        from ..plans.manifest import publish_generation
 
         live = self._anti_dead(self.docs())
         source_cols = [
             c for c in live.columns if c not in ("doc_id", "segment_id", "dl")
         ]
         src = live.select(*source_cols)
-        new_dir = self.index_dir.rstrip("/") + ".compact"
-        shutil.rmtree(new_dir, ignore_errors=True)
+        from ..plans.manifest import _latest_version
+
         cfg = config or self._config_from_manifest("compact-1")
+        # unique per publish attempt: repeated compacts with the same
+        # build_id must never scribble over the LIVE generation's directory
+        gen = f"gen-v{_latest_version(self.index_dir) + 1}-{cfg.build_id}"
+        new_dir = os.path.join(self.index_dir, gen)
+        shutil.rmtree(new_dir, ignore_errors=True)
         build_index(self.spark, src, new_dir, cfg)
-        old = self.index_dir.rstrip("/") + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(self.index_dir, old)
-        os.replace(new_dir, self.index_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        publish_generation(self.index_dir, gen)
         return BM25Index(self.spark, self.index_dir)
 
     def facet(self, query: str, field: str, fq: str | None = None) -> DataFrame:

@@ -1,0 +1,97 @@
+"""Object-store-safe commits: conditional-put manifest versions + generation
+publish. Two racing writers -> exactly one wins; readers never observe a
+half-committed index."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.plans.manifest import (
+    Manifest,
+    ManifestConflictError,
+    _conditional_put,
+    _latest_version,
+    publish_generation,
+    read_manifest_data,
+)
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+
+def test_conditional_put_two_writers_one_wins(tmp_path):
+    d = str(tmp_path)
+    a = Manifest(d, "b1")
+    b = Manifest(d, "b1")  # loaded at the same version as a
+    a.commit("s1", rows=1)
+    with pytest.raises(ManifestConflictError):
+        b.commit("s2", rows=2)  # targets the version a already took
+    # loser reloads, sees the winner's commit, then retries successfully
+    b.reload()
+    assert b.is_committed("s1")
+    b.commit("s2", rows=2)
+    fresh = Manifest(d, "b1")
+    assert fresh.is_committed("s1") and fresh.is_committed("s2")
+    assert _latest_version(d) == 2
+
+
+def test_versions_are_immutable_and_readers_see_latest(tmp_path):
+    d = str(tmp_path)
+    m = Manifest(d, "b1")
+    m.commit("s1", rows=1)
+    v1 = os.path.join(d, "_manifest.v1.json")
+    assert os.path.exists(v1)
+    raw1 = open(v1).read()
+    m.commit("s2", rows=2)
+    assert open(v1).read() == raw1  # v1 never rewritten
+    assert "s2" in (read_manifest_data(d) or {}).get("steps", {})
+
+
+def test_racing_compaction_publish_one_wins(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=30, turns_per_conv=4, seed=21)
+    idx_dir = str(tmp_path_factory.mktemp("race")) + "/idx"
+    build_index(spark, df, idx_dir, BuildConfig(build_id="r0", **CFG))
+    idx = BM25Index(spark, idx_dir)
+    idx.delete_by_query("role = 'tool'")
+    stale_version = _latest_version(idx_dir)  # both racers start here
+
+    idx2 = idx.compact(BuildConfig(build_id="winner", **CFG))  # racer A wins
+    assert "winner" in idx2.data_dir
+
+    # racer B prepared its generation against the pre-compact version; its
+    # conditional publish must FAIL, and its generation is never referenced
+    with pytest.raises(ManifestConflictError):
+        _conditional_put(
+            idx_dir, stale_version,
+            {"build_id": "loser", "generation": "gen-loser"},
+        )
+    reader = BM25Index(spark, idx_dir)
+    assert reader.data_dir == idx2.data_dir  # winner's generation
+    rows = reader.search("error in tool", k=5, with_stored=True).collect()
+    assert rows and all(r["role"] != "tool" for r in rows)
+    # the old (pre-compact) handle still reads its own complete generation
+    assert idx.search("error in tool", k=5).count() == 5
+
+
+def test_publish_generation_then_further_writes(spark, tmp_path_factory):
+    """delete-by-query and re-compaction keep working after a publish (all
+    paths re-rooted on the live generation)."""
+    df = generate_transcripts(spark, n_convs=20, turns_per_conv=4, seed=22)
+    idx_dir = str(tmp_path_factory.mktemp("gen2")) + "/idx"
+    build_index(spark, df, idx_dir, BuildConfig(build_id="g0", **CFG))
+    idx = BM25Index(spark, idx_dir)
+    idx.delete_by_query("role = 'tool'")
+    c1 = idx.compact(BuildConfig(build_id="c1", **CFG))
+    # tombstones live under the generation now
+    n = c1.delete_by_query("role = 'assistant'")
+    assert n > 0
+    assert os.path.exists(os.path.join(c1.data_dir, "tombstones"))
+    c2 = c1.compact(BuildConfig(build_id="c2", **CFG))
+    assert c2.data_dir != c1.data_dir
+    rows = c2.search("error tool call", k=10, with_stored=True).collect()
+    assert rows and all(r["role"] == "user" for r in rows)
+    assert c2.n_docs == df.filter(F.col("role") == "user").count()

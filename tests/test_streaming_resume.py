@@ -133,11 +133,18 @@ def test_resume_skips_committed_steps(spark, corpus, tmp_path_factory):
     idx_dir = os.path.join(tmp, "idx")
     cfg = BuildConfig(build_id="r1", **CFG)
     build_index(spark, corpus, idx_dir, cfg)
-    man_path = os.path.join(idx_dir, "_manifest.json")
-    before = json.load(open(man_path))
+    from solr_semantic_importer_spark.plans.manifest import _latest_version
+
     # simulate a crash after 'dictionary': drop postings commit + its files
-    del before["steps"]["postings"]
-    json.dump(before, open(man_path, "w"))
+    # (rewrite BOTH the latest version file -- the source of truth -- and
+    # the legacy pointer)
+    ver = _latest_version(idx_dir)
+    for name in (f"_manifest.v{ver}.json", "_manifest.json"):
+        man_path = os.path.join(idx_dir, name)
+        before = json.load(open(man_path))
+        before["steps"].pop("postings", None)
+        before["steps"].pop("drop_pairs", None)
+        json.dump(before, open(man_path, "w"))
     shutil.rmtree(os.path.join(idx_dir, "postings"))
     docs_mtime = os.path.getmtime(os.path.join(idx_dir, "docs"))
 
