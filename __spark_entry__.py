@@ -435,6 +435,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk_emb"] = ann_lsh_topk_emb
 
+    def ann_multiprobe_topk_emb(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        res = SIM.ann_lsh_topk(
+            e, [float(x) for x in qv], k=10, n_planes=8, seed=42, n_probes=4
+        )
+        return res.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
+
+    q["ann_multiprobe_topk_emb"] = ann_multiprobe_topk_emb
+
     def embedding_neardup(spark, sf_dir):
         c = _neardup_emb_corpus(spark, sf_dir)
         pairs = DD.embedding_neardup_pairs(c, threshold=0.999)
@@ -789,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_micro DESC, vec_id ASC LIMIT 20
     """
     o["ann_lsh_topk_emb"] = _ann_oracle_sql()
+    o["ann_multiprobe_topk_emb"] = _ann_oracle_sql(n_probes=4)
 
     nd = DD.embedding_neardup_sql(
         0.999, dim=64, n_bands=4, band_planes=8, seed=42,
@@ -915,20 +926,49 @@ def oracle_sql() -> dict[str, str]:
     return o
 
 
-def _ann_oracle_sql() -> str:
-    planes = SIM.hyperplanes(64, 8, 42)
+def _ann_oracle_sql(n_probes: int = 1) -> str:
+    """Single- or multi-probe LSH ANN oracle. The multi-probe probe set is
+    recomputed IN SQL: flip masks are ranked by total |margin| over singles
+    and pairs, which provably contains the first few subsets of the engine's
+    margin-ordered enumeration (any triple costs more than its pairs)."""
+    n_planes = 8
+    planes = SIM.hyperplanes(64, n_planes, 42)
     bucket = lambda col: " + ".join(  # noqa: E731
         f"(CASE WHEN list_dot_product({col}, {SIM._vec_sql(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(8)
+        for j in range(n_planes)
     )
+    margins = ", ".join(
+        f"abs(list_dot_product(emb, {SIM._vec_sql(planes[j])})) AS m{j}"
+        for j in range(n_planes)
+    )
+    if n_probes <= 1:
+        probes_cte = "probes AS (SELECT qbucket AS bucket FROM q)"
+    else:
+        assert n_probes - 1 <= (n_planes * (n_planes + 1)) // 2
+        singles = " UNION ALL ".join(
+            f"SELECT {1 << j} AS mask, m{j} AS cost FROM q" for j in range(n_planes)
+        )
+        pairs = " UNION ALL ".join(
+            f"SELECT {(1 << i) | (1 << j)} AS mask, m{i} + m{j} AS cost FROM q"
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        )
+        probes_cte = f"""cand AS ({singles} UNION ALL {pairs}),
+        best AS (SELECT mask FROM cand ORDER BY cost ASC, mask ASC LIMIT {n_probes - 1}),
+        probes AS (
+          SELECT qbucket AS bucket FROM q
+          UNION ALL SELECT xor(q.qbucket, best.mask) FROM best, q
+        )"""
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        q AS (SELECT emb AS qv, {bucket('emb')} AS qbucket FROM e WHERE vec_id = 0),
-        b AS (SELECT vec_id, emb, {bucket('emb')} AS bucket FROM e)
+        q AS (SELECT emb AS qv, {bucket('emb')} AS qbucket, {margins}
+              FROM e WHERE vec_id = 0),
+        b AS (SELECT vec_id, emb, {bucket('emb')} AS bucket FROM e),
+        {probes_cte}
         SELECT vec_id,
                CAST(round(round(list_dot_product(emb, qv) /
                      (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 6)
                     * 1000000) AS BIGINT) AS cosine_micro
-        FROM b, q WHERE b.bucket = q.qbucket
+        FROM b JOIN probes ON b.bucket = probes.bucket, q
         ORDER BY cosine_micro DESC, vec_id ASC LIMIT 10
     """

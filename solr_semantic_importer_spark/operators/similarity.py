@@ -75,6 +75,52 @@ def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
     return acc.cast("int")
 
 
+def probe_buckets(
+    query_vec: list[float], n_planes: int, seed: int, n_probes: int
+) -> list[int]:
+    """Multi-probe LSH probe sequence (Lv et al., VLDB'07): the query's own
+    bucket first, then buckets obtained by flipping plane sign bits in
+    increasing total-margin order -- the planes the query is CLOSEST to are
+    the likeliest to separate it from a true neighbor, so those flips are
+    probed first. Deterministic, computed driver-side (tiny), shared
+    verbatim with the DuckDB oracle as literal bucket ids."""
+    import heapq
+    import itertools
+
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qv = np.array(query_vec, dtype=np.float64)
+    dots = planes @ qv
+    qbucket = int(sum((1 << j) for j in range(n_planes) if dots[j] > 0))
+    if n_probes <= 1:
+        return [qbucket]
+    margins = np.abs(dots)
+    order = np.argsort(margins, kind="stable")  # cheapest flips first
+    # enumerate flip subsets in increasing sum-of-margins order via a heap
+    heap: list[tuple[float, tuple[int, ...]]] = []
+    seen = set()
+    first = (float(margins[order[0]]), (0,))
+    heapq.heappush(heap, first)
+    seen.add((0,))
+    out = [qbucket]
+    while heap and len(out) < n_probes:
+        cost, subset = heapq.heappop(heap)
+        mask = 0
+        for pos in subset:
+            mask |= 1 << int(order[pos])
+        out.append(qbucket ^ mask)
+        last = subset[-1]
+        if last + 1 < n_planes:
+            # classic shift/expand successors keep the enumeration ordered
+            shifted = subset[:-1] + (last + 1,)
+            expanded = subset + (last + 1,)
+            for nxt in (shifted, expanded):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    c = float(sum(margins[order[p]] for p in nxt))
+                    heapq.heappush(heap, (c, nxt))
+    return out
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -83,17 +129,19 @@ def ann_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """ANN: filter to the query's LSH bucket, exact cosine re-rank inside it.
+    """ANN: filter to the query's LSH bucket (plus the ``n_probes - 1``
+    nearest perturbed buckets, multi-probe), exact cosine re-rank inside.
 
-    Recall < 1 by construction (probe multiple buckets / fewer planes to
-    raise it); the brute-force path is the correctness baseline.
+    Recall rises with n_probes at ~linear candidate cost; the brute-force
+    path is the correctness baseline. At scale the bucket column is a
+    partition/bucketing key, so probing b buckets prunes to b file groups.
     """
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qv = np.array(query_vec, dtype=np.float64)
-    qbucket = int(sum((1 << j) for j in range(n_planes) if planes[j] @ qv > 0))
+    buckets = probe_buckets(query_vec, n_planes, seed, n_probes)
     bucketed = embeddings.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
-    cands = bucketed.filter(F.col("_bucket") == qbucket)
+    cands = bucketed.filter(F.col("_bucket").isin(buckets))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cands.select(
@@ -123,21 +171,24 @@ def cosine_topk_sql(query_vec: list[float], k: int, exclude_id: int | None = Non
 
 
 def ann_lsh_topk_sql(query_vec: list[float], k: int, n_planes: int = 8,
-                     seed: int = 42, table: str = "embeddings") -> str:
+                     seed: int = 42, table: str = "embeddings",
+                     n_probes: int = 1) -> str:
+    """DuckDB oracle: the probe-bucket list is the SAME driver-side literal
+    sequence the engine uses (probe_buckets), so multi-probe is oracle-exact."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qv = np.array(query_vec, dtype=np.float64)
-    qbucket = int(sum((1 << j) for j in range(n_planes) if planes[j] @ qv > 0))
+    buckets = probe_buckets(query_vec, n_planes, seed, n_probes)
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(emb, {_vec_sql(planes[j])}) > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(n_planes)
     )
     q = _vec_sql(query_vec)
+    in_list = ", ".join(str(b) for b in buckets)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM {table}),
     b AS (SELECT vec_id, emb, {bucket_expr} AS bucket FROM e)
     SELECT vec_id,
            round(list_dot_product(emb, {q}) /
                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product({q}, {q}))), 6) AS cosine
-    FROM b WHERE bucket = {qbucket}
+    FROM b WHERE bucket IN ({in_list})
     ORDER BY cosine DESC, vec_id ASC LIMIT {k}
     """
