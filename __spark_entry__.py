@@ -445,6 +445,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_multiprobe_topk_emb"] = ann_multiprobe_topk_emb
 
+    def ivf_topk_emb(spark, sf_dir):
+        # IVF ANN (k-means coarse quantizer). Deliberately has NO oracle_sql
+        # twin: iterative Lloyd training is not reasonably SQL-expressible
+        # and float-sum ordering could flip boundary assignments across
+        # engines -- the driver records the weaker rows-only check; exactness
+        # vs brute force and determinism are pytest-covered
+        # (tests/test_similarity.py).
+        e = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        cents = SIM.ivf_train(e, k=8, iters=2, seed=7)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        res = SIM.ivf_topk(e, cents, [float(x) for x in qv], k=10, nprobe=3)
+        return res.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
+
+    q["ivf_topk_emb"] = ivf_topk_emb
+
     def embedding_neardup(spark, sf_dir):
         c = _neardup_emb_corpus(spark, sf_dir)
         pairs = DD.embedding_neardup_pairs(c, threshold=0.999)

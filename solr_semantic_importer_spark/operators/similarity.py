@@ -19,6 +19,7 @@ All orderings use (round(sim, 6) DESC, vec_id ASC) for deterministic ranks.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -142,6 +143,122 @@ def ann_lsh_topk(
     buckets = probe_buckets(query_vec, n_planes, seed, n_probes)
     bucketed = embeddings.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
     cands = bucketed.filter(F.col("_bucket").isin(buckets))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.select(
+            F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed exact re-rank
+# ---------------------------------------------------------------------------
+
+def ivf_train(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer, Spark-native Lloyd iterations:
+    init = the k ids with the smallest md5-of-id hash (seeded, data-order
+    independent), then ``iters`` rounds of assign (JVM-side argmin over
+    literal centroids) -> per-cluster element-wise mean (one groupBy over
+    F.posexplode). Only the k x dim centroid matrix ever reaches the driver.
+
+    This is the IVF counterpart of the LSH path: build-time the corpus is
+    partitioned by nearest centroid (a partition/bucketing key at scale);
+    query-time only the nprobe nearest lists are scanned.
+    """
+    d = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # seeded, order-independent init: rank ids by md5(seed||id)
+    init = (
+        d.withColumn("h", F.md5(F.concat(F.lit(str(seed)), F.col("id").cast("string"))))
+        .orderBy("h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    centroids = np.array([r["v"] for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = d.withColumn(
+            "cid", _nearest_centroid_col(F.col("v"), centroids)
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["i"]] = r["m"]
+        for cid, comp in by_cid.items():
+            new[cid] = [comp[i] for i in range(len(comp))]
+        # round so re-training is bit-stable across partition layouts
+        centroids = np.round(new, 6)
+    return centroids
+
+
+def _nearest_centroid_col(v: Column, centroids: np.ndarray) -> Column:
+    """argmin_c ||v - c||^2 as an Arrow-batched matrix product (a literal
+    per-centroid JVM expression explodes codegen at k x dim scale); distance
+    rounded to 1e-6 and np.argmin's first-index tie-break = lowest centroid
+    id, so assignments are deterministic across engines and layouts."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm = (C**2).sum(axis=1)
+
+    @pandas_udf(T.IntegerType())
+    def assign(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        if V.ndim != 2:
+            return pd.Series(np.zeros(len(vs), dtype=np.int32))
+        D = np.round((V**2).sum(axis=1)[:, None] - 2.0 * V @ C.T + c_norm[None, :], 6)
+        return pd.Series(np.argmin(D, axis=1).astype(np.int32))
+
+    return assign(v)
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray,
+    vec_col: str = "embedding", out_col: str = "ivf_cid",
+) -> DataFrame:
+    """Attach the coarse-quantizer cell id (the IVF list key; at scale,
+    write partitioned/bucketed by it so queries prune to nprobe lists)."""
+    return emb.withColumn(
+        out_col, _nearest_centroid_col(F.col(vec_col).cast("array<double>"), centroids)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: rank cells by centroid distance driver-side (k x dim,
+    tiny), scan the nprobe nearest lists, exact cosine re-rank inside."""
+    qv = np.array(query_vec, dtype=np.float64)
+    dist = np.round(((centroids - qv) ** 2).sum(axis=1), 6)
+    order = np.lexsort((np.arange(len(centroids)), dist))
+    probe = [int(c) for c in order[:nprobe]]
+    cands = ivf_assign(emb, centroids, vec_col=vec_col).filter(
+        F.col("ivf_cid").isin(probe)
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cands.select(

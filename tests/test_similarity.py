@@ -65,6 +65,40 @@ def test_multiprobe_recall_dominates_single_probe(emb):
     assert recall(256) == 1.0
 
 
+def test_ivf_train_deterministic_and_partition_proof(emb):
+    from solr_semantic_importer_spark.operators.similarity import ivf_train
+
+    df, _ = emb
+    c1 = ivf_train(df, k=8, iters=2, seed=9)
+    c2 = ivf_train(df.repartition(7), k=8, iters=2, seed=9)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, DIM)
+
+
+def test_ivf_recall_grows_with_nprobe(emb):
+    from solr_semantic_importer_spark.operators.similarity import ivf_topk, ivf_train
+
+    df, mat = emb
+    cents = ivf_train(df, k=16, iters=2, seed=9)
+    q = mat[0].astype(float).tolist()
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10, exclude_id=0).collect()]
+
+    def recall(nprobe):
+        got = [
+            r["vec_id"]
+            for r in ivf_topk(df, cents, q, k=11, nprobe=nprobe).collect()
+            if r["vec_id"] != 0
+        ]
+        return len(set(got) & set(exact)) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 <= r4
+    # planted neighbors sit in the query's own cell region: nprobe=1 must
+    # already catch most, and probing every cell == brute force
+    assert r1 >= 0.5
+    assert recall(16) == 1.0
+
+
 def test_multiprobe_candidates_are_exact_cosines(emb):
     """ANN never fabricates scores: every returned (id, cosine) matches the
     brute-force cosine for that id."""
