@@ -685,6 +685,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nested_children"] = nested_children
 
+    # ---- gap sessionization (2.10; batch twin of the stateful stream op) ----
+    def sessionize_events(spark, sf_dir):
+        from solr_semantic_importer_spark.streaming.sessions import sessionize_batch
+
+        return sessionize_batch(_events(spark, sf_dir), gap_seconds=1800)
+
+    q["sessionize_events"] = sessionize_events
+
     # ---- streaming-shaped windowed aggregation (2.10; batch form) ----
     def event_windows(spark, sf_dir):
         w = windowed_event_counts(_events(spark, sf_dir))
@@ -935,6 +943,9 @@ def oracle_sql() -> dict[str, str]:
           FROM c GROUP BY parent_id
         ) g ON g.parent_id = d.doc_id
     """
+    from solr_semantic_importer_spark.streaming.sessions import sessionize_batch_sql
+
+    o["sessionize_events"] = sessionize_batch_sql(1800)
     o["event_windows"] = (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S.%gZ') AS window_start, "
         "event_type, count(*) AS n FROM events GROUP BY 1, 2"
