@@ -328,11 +328,15 @@ class BM25Index:
             return self.dictionary().limit(0).select(
                 "term", F.col("df").cast("long").alias("df")
             )
-        d = self.dictionary().groupBy("term").agg(F.sum("df").alias("df"))
-        cand = d.filter(
+        # length-band prefilter BEFORE the aggregate so it pushes into the
+        # dictionary scan -- at 10^12-turn vocab the groupBy only ever sees
+        # the +/-max_distance length band, not the whole term space
+        band = self.dictionary().filter(
             (F.abs(F.length("term") - F.lit(len(t))) <= max_distance)
             & (F.col("term") != t)
-        ).withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))
+        )
+        d = band.groupBy("term").agg(F.sum("df").alias("df"))
+        cand = d.withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))
         # closest correction first, then most frequent (DirectSolrSpellChecker
         # comparator: score/distance before docFreq)
         return (

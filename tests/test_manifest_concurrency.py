@@ -77,6 +77,53 @@ def test_racing_compaction_publish_one_wins(spark, tmp_path_factory):
     assert idx.search("error in tool", k=5).count() == 5
 
 
+def test_lifecycle_stream_merge_delete_compact_merge(spark, tmp_path_factory):
+    """Full index lifecycle across every mutation path: streamed batches ->
+    tiered merge -> majority delete -> generation-publish compaction ->
+    merge of the live generation. Results stay consistent at each step."""
+    from solr_semantic_importer_spark.index.merge import merge_postings
+    from solr_semantic_importer_spark.streaming.incremental import append_batch
+
+    df = generate_transcripts(spark, n_convs=40, turns_per_conv=5, seed=31)
+    idx_dir = str(tmp_path_factory.mktemp("life")) + "/idx"
+    cfg = BuildConfig(build_id="lf", **CFG)
+    ordered = df.orderBy("conv_id", "turn_idx").collect()
+    for i in range(4):
+        chunk = spark.createDataFrame(ordered[i * 50 : (i + 1) * 50], df.schema)
+        append_batch(chunk, idx_dir, cfg, i)
+
+    idx = BM25Index(spark, idx_dir)
+    q = "error in tool call"
+    def res(ix):
+        return [(r["doc_id"], round(r["score"], 6)) for r in ix.search(q, k=15).collect()]
+
+    before = res(idx)
+    merge_postings(spark, idx_dir, merge_id="m1")
+    idx = BM25Index(spark, idx_dir)
+    assert res(idx) == before
+
+    n_del = idx.delete_by_query("role = 'tool'")
+    assert n_del > 0
+    live_rows = idx.search(q, k=15, with_stored=True).collect()
+    assert live_rows and all(r["role"] != "tool" for r in live_rows)
+
+    idx2 = idx.compact()  # config reconstructed from the streamed manifest
+    assert idx2.data_dir != idx_dir  # generation published
+    assert idx2.n_docs == df.filter(F.col("role") != "tool").count()
+    # compacted == fresh build over the live subset (ids re-minted by the
+    # same stable key order, so doc ids and scores match exactly)
+    fresh_dir = str(tmp_path_factory.mktemp("life2")) + "/idx"
+    build_index(spark, df.filter(F.col("role") != "tool"), fresh_dir,
+                BuildConfig(build_id="lf2", **CFG))
+    fresh = BM25Index(spark, fresh_dir)
+    assert res(idx2) == res(fresh)
+
+    # merge of the live GENERATION (path resolution through the pointer)
+    stats = merge_postings(spark, idx_dir, merge_id="m2")
+    assert stats["files_after"] <= stats["files_before"]
+    assert res(BM25Index(spark, idx_dir)) == res(fresh)
+
+
 def test_publish_generation_then_further_writes(spark, tmp_path_factory):
     """delete-by-query and re-compaction keep working after a publish (all
     paths re-rooted on the live generation)."""
