@@ -205,6 +205,51 @@ from .word_delimiter import (  # noqa: E402
     positions_map_splitting,
 )
 
+def register_analysis_chain(
+    name: str,
+    stop_set: frozenset[str] | set[str] = frozenset(),
+    stem_fn=None,
+    token_transform=None,
+) -> None:
+    """Register a custom analysis chain usable everywhere a built-in chain
+    is (BuildConfig.analyzer, query analysis, highlighting, oracles).
+
+    Covers the shared shape of the reference schema's 30+ language
+    fieldTypes (managed-schema.xml:568+): tokenize -> [token_transform,
+    e.g. elision/normalization] -> stop(ignoreCase) -> lowercase -> [stem].
+    The frozen tokenizer ([a-z0-9]+ runs after lowercasing) is kept; pass
+    language-specific stemmers/transforms as plain callables."""
+    stop = frozenset(w.lower() for w in stop_set)
+    xform = token_transform or (lambda t: t)
+    stem = stem_fn or (lambda t: t)
+
+    def norm(tok: str) -> list[str]:
+        t = xform(tok.lower())
+        return [] if (not t or t in stop) else [stem(t)]
+
+    def terms_of(text: str | None) -> list[str]:
+        if text is None:
+            return []
+        out = []
+        for tok in TOKEN_RE.findall(text.lower()):
+            out.extend(norm(tok))
+        return out
+
+    def positions_of(text: str | None) -> dict[str, list[int]]:
+        m: dict[str, list[int]] = {}
+        if text is None:
+            return m
+        for i, tok in enumerate(TOKEN_RE.findall(text.lower())):
+            for f in norm(tok):
+                m.setdefault(f, []).append(i)  # stop-gap positions
+        return m
+
+    QUERY_ANALYZERS[name] = terms_of
+    POSITION_ANALYZERS[name] = positions_of
+    TOKEN_NORMALIZERS[name] = norm
+    HIGHLIGHT_TOKEN_PATTERNS[name] = _ALNUM_TOKEN
+
+
 QUERY_ANALYZERS["text_en_splitting"] = analyze_text_en_splitting
 QUERY_ANALYZERS["text_splitting"] = analyze_text_splitting
 POSITION_ANALYZERS["text_en_splitting"] = positions_map_en_splitting

@@ -107,6 +107,12 @@ class BM25Index:
         self.segment_size = int(fin.get("segment_size", 1 << 20))
         # query analysis MUST use the chain the index was built with
         self.analyzer_chain = fin.get("analyzer", "text_general")
+        if self.analyzer_chain not in QUERY_ANALYZERS:
+            raise ValueError(
+                f"index was built with analysis chain '{self.analyzer_chain}', "
+                "which is not registered in this process -- call "
+                "functions.analysis.register_analysis_chain first"
+            )
         self._analyze = QUERY_ANALYZERS[self.analyzer_chain]
         self._bucket_cache: dict[str, int] = {}
         self._df_cache: dict[str, int] | None = None

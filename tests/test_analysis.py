@@ -132,6 +132,48 @@ def test_custom_synonyms_in_query(spark, tmp_path_factory):
     ]
 
 
+def test_register_custom_language_chain_end_to_end(spark, tmp_path_factory):
+    """The chain factory covers the reference's 30+ language fieldType shape:
+    a registered stop+transform+stem chain works through build, query,
+    highlighting, and the Python oracle without any engine changes."""
+    from solr_semantic_importer_spark.functions.analysis import (
+        QUERY_ANALYZERS,
+        register_analysis_chain,
+    )
+    from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.index.docids import assign_doc_ids_window
+    from solr_semantic_importer_spark.oracle.bm25_ref import BM25Oracle
+    from solr_semantic_importer_spark.query.engine import BM25Index
+    from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+    # French-ish toy chain: elision transform + stop set + plural-strip stem
+    register_analysis_chain(
+        "text_toy_fr",
+        stop_set={"le", "la", "the", "in"},
+        stem_fn=lambda t: t[:-1] if t.endswith("s") and len(t) > 3 else t,
+        token_transform=lambda t: t[2:] if t.startswith(("l'", "d'")) else t,
+    )
+    assert QUERY_ANALYZERS["text_toy_fr"]("The errors in tool calls") == [
+        "error", "tool", "call",
+    ]
+
+    df = generate_transcripts(spark, n_convs=25, turns_per_conv=4, seed=17)
+    idx_dir = str(tmp_path_factory.mktemp("lang"))
+    build_index(spark, df, idx_dir, BuildConfig(
+        build_id="fr", segment_size=64, block_size=16, n_term_buckets=2,
+        analyzer="text_toy_fr"))
+    idx = BM25Index(spark, idx_dir)
+    assert idx.analyzer_chain == "text_toy_fr"
+    docs = [(r["doc_id"], r["text"])
+            for r in assign_doc_ids_window(df).select("doc_id", "text").collect()]
+    oracle = BM25Oracle(docs, analyzer="text_toy_fr")
+    got = [(r["doc_id"], round(r["score"], 6)) for r in idx.search("errors tools", k=10).collect()]
+    want = [(d, round(s, 6)) for d, s in oracle.search("errors tools", k=10)]
+    assert got == want and got
+    hl = idx.highlight("errors", k=3).collect()
+    assert any("<em>error" in (r["highlighted"] or "") for r in hl)
+
+
 def test_term_freqs_udf(spark):
     from solr_semantic_importer_spark.functions.analysis import term_freqs_udf
 

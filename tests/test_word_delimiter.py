@@ -90,6 +90,31 @@ def test_splitting_sql_matches_python():
         assert Counter(got) == py, c
 
 
+def test_splitting_sql_matches_python_property():
+    """Hypothesis: the frozen WDG spec is identical in Python and DuckDB for
+    arbitrary text (case changes, digits, punctuation, unicode, whitespace)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    sql = f"SELECT {splitting_toks_sql('?')}"
+    alphabet = st.sampled_from(
+        list("abcXYZ09 -_.!?\t\n/\\'\"éФ中") + ["Wi", "FI", "500", "the", "The."]
+    )
+    texts = st.lists(alphabet, max_size=30).map("".join)
+
+    @given(texts)
+    @settings(max_examples=150, deadline=None)
+    def check(text):
+        py = Counter()
+        for t, ps in positions_map_splitting(text).items():
+            py[t] += len(ps)
+        (got,) = con.execute(sql, [text]).fetchone()
+        assert Counter(got) == py, repr(text)
+
+    check()
+
+
 def test_highlight_normalizer_splitting():
     n = TOKEN_NORMALIZERS["text_en_splitting"]
     assert "wifi" in n("Wi-Fi")  # raw case: WDG splits + catenates
