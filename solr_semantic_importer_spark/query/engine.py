@@ -277,7 +277,7 @@ class BM25Index:
             allowed_docs = self.docs().filter(fq).select("doc_id")
 
         if mode == "wand" and op == "OR":
-            scored = self._wand_segments(terms, idf, k + offset, allowed_docs)
+            scored = self._wand_segments(terms, idf, k + offset, fq)
         else:
             partials = self._decode_score_df(terms, idf)
             if op == "AND":
@@ -668,30 +668,53 @@ class BM25Index:
 
     # -- block-max WAND (segment-parallel fast path) ---------------------------
 
-    def _side_frame(self, allowed_docs: DataFrame | None) -> DataFrame | None:
+    # fq representations shipped to the kernels (see _side_frame)
+    _FQ_INCLUDE = 1  # kind-1 rows are the allowed docs
+    _FQ_EXCLUDE = 2  # kind-2 rows are the complement (fq matched a majority)
+
+    def _side_frame(
+        self, fq: str | None
+    ) -> tuple[DataFrame | None, int]:
         """Per-segment doc filter relation (segment_id, doc_id, kind) that is
         COGROUPED into the WAND segment kernels: kind 0 = tombstoned (always
-        excluded), kind 1 = fq-allowed (when an fq is active, only kind-1
-        docs may score). segment_id = doc_id // segment_size is a pure
-        function of doc_id, so routing rows to their segment needs no join,
-        and each kernel call only ever sees its own segment's ids (bounded by
-        segment_size) -- nothing is collected to the driver or captured in a
-        task closure, so corpus-scale deletes/filters cannot OOM anything."""
+        excluded); kind 1 = fq-allowed OR kind 2 = fq-DISALLOWED, whichever
+        side is smaller -- a selective fq ships the matches, a broad fq
+        (e.g. ``role != 'tool'`` over the whole corpus) ships the complement,
+        so the cogrouped side is always the minority set. segment_id =
+        doc_id // segment_size is a pure function of doc_id, so routing rows
+        to their segment needs no join, and each kernel call only ever sees
+        its own segment's ids (bounded by segment_size) -- nothing is
+        collected to the driver or captured in a task closure.
+
+        Returns (side_frame_or_None, fq_repr in {0, _FQ_INCLUDE, _FQ_EXCLUDE}).
+        """
         parts = []
+        fq_repr = 0
+        if fq is not None:
+            allowed = self.docs().filter(fq).select("doc_id")
+            n_allowed = allowed.count()  # one cheap agg against the docs scan
+            if self.n_docs and n_allowed > self.n_docs // 2:
+                fq_repr = self._FQ_EXCLUDE
+                rows = self.docs().filter(~F.expr(fq)).select("doc_id")
+            else:
+                fq_repr = self._FQ_INCLUDE
+                rows = allowed
+            parts.append(rows.select("doc_id", F.lit(fq_repr).alias("kind")))
         dead = self._tombstones_df()
         if dead is not None:
             parts.append(dead.select("doc_id", F.lit(0).alias("kind")))
-        if allowed_docs is not None:
-            parts.append(allowed_docs.select("doc_id", F.lit(1).alias("kind")))
         if not parts:
-            return None
+            return None, fq_repr
         side = parts[0]
         for p in parts[1:]:
             side = side.unionByName(p)
-        return side.select(
-            (F.col("doc_id") / self.segment_size).cast("long").alias("segment_id"),
-            "doc_id",
-            "kind",
+        return (
+            side.select(
+                (F.col("doc_id") / self.segment_size).cast("long").alias("segment_id"),
+                "doc_id",
+                "kind",
+            ),
+            fq_repr,
         )
 
     def _wand_segments(
@@ -699,28 +722,32 @@ class BM25Index:
         terms: list[str],
         idf: dict[str, float],
         k: int,
-        allowed_docs: DataFrame | None,
+        fq: str | None,
     ) -> DataFrame:
         k1, b, avgdl = K1, B, self.avgdl
         bidf = dict(idf)
         kk = max(k, 1)
-        has_fq = allowed_docs is not None
 
         post = self.postings_for(terms)
 
         def _decode_block(
-            row, dead: np.ndarray | None, allowed: np.ndarray | None
+            row,
+            dead: np.ndarray | None,
+            allowed: np.ndarray | None,
+            excluded: np.ndarray | None,
         ) -> tuple[np.ndarray, np.ndarray]:
             gaps = varint_decode(row.doc_gaps, row.count)
             docs = np.cumsum(gaps).astype(np.int64)
             tf = varint_decode(row.tfs, row.count).astype(np.float64)
             dl = varint_decode(row.dls, row.count).astype(np.float64)
-            if allowed is not None or dead is not None:
+            if allowed is not None or excluded is not None or dead is not None:
                 live = (
                     np.isin(docs, allowed)
                     if allowed is not None
                     else np.ones(len(docs), dtype=bool)
                 )
+                if excluded is not None and excluded.size:
+                    live &= ~np.isin(docs, excluded)
                 if dead is not None and dead.size:
                     live &= ~np.isin(docs, dead)
                 docs, tf, dl = docs[live], tf[live], dl[live]
@@ -742,6 +769,7 @@ class BM25Index:
             pdf: pd.DataFrame,
             dead: np.ndarray | None,
             allowed: np.ndarray | None,
+            excluded: np.ndarray | None,
         ) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
@@ -756,7 +784,7 @@ class BM25Index:
                 # small segment: single vectorized OR-sum, exactly equivalent
                 parts_d, parts_s = [], []
                 for i, row in enumerate(pdf.itertuples(index=False)):
-                    d, s = _decode_block(row, dead, allowed)
+                    d, s = _decode_block(row, dead, allowed, excluded)
                     parts_d.append(d)
                     parts_s.append(w[i] * s)
                 cat_d = np.concatenate(parts_d)
@@ -825,7 +853,7 @@ class BM25Index:
                 parts_d, parts_s = [], []
                 for i in blocks_by_zone[z]:
                     if i not in decoded:
-                        decoded[i] = _decode_block(rows[i], dead, allowed)
+                        decoded[i] = _decode_block(rows[i], dead, allowed, excluded)
                     d, s = decoded[i]
                     m = (d >= zlo) & (d <= zhi)
                     if m.any():
@@ -854,24 +882,32 @@ class BM25Index:
             "term", "segment_id", "salt", "block_id", "count",
             "min_doc", "max_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls",
         )
-        side = self._side_frame(allowed_docs)
+        side, fq_repr = self._side_frame(fq)
         if side is None:
             return pruned.groupBy("segment_id").applyInPandas(
-                lambda key, pdf: score_segment(pdf, None, None), schema=_SCORE_ROW
+                lambda key, pdf: score_segment(pdf, None, None, None),
+                schema=_SCORE_ROW,
             )
 
-        # fq-aware WAND: the allowed/tombstoned doc ids arrive as the cogroup
-        # side of each segment (bounded by segment_size per kernel call); the
-        # kernel filters candidates BEFORE local top-k, so zone skipping stays
-        # exact under fq instead of falling back to an exhaustive decode.
+        # fq-aware WAND: the fq/tombstone doc ids arrive as the cogroup side
+        # of each segment (the MINORITY representation, bounded by
+        # segment_size per kernel call); the kernel filters candidates BEFORE
+        # local top-k, so zone skipping stays exact under fq instead of
+        # falling back to an exhaustive decode.
+        FQ_INCLUDE, FQ_EXCLUDE = self._FQ_INCLUDE, self._FQ_EXCLUDE
+
         def cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             dead = np.sort(right.loc[right["kind"] == 0, "doc_id"].to_numpy(np.int64))
-            allowed = (
-                np.sort(right.loc[right["kind"] == 1, "doc_id"].to_numpy(np.int64))
-                if has_fq
-                else None
-            )
-            return score_segment(left, dead if dead.size else None, allowed)
+            allowed = excluded = None
+            if fq_repr == FQ_INCLUDE:
+                allowed = np.sort(
+                    right.loc[right["kind"] == FQ_INCLUDE, "doc_id"].to_numpy(np.int64)
+                )
+            elif fq_repr == FQ_EXCLUDE:
+                excluded = np.sort(
+                    right.loc[right["kind"] == FQ_EXCLUDE, "doc_id"].to_numpy(np.int64)
+                )
+            return score_segment(left, dead if dead.size else None, allowed, excluded)
 
         return (
             pruned.groupBy("segment_id")
