@@ -272,13 +272,12 @@ class BM25Index:
         if not terms:
             return self._finish(empty, k, offset, with_stored, order_key)
 
-        allowed_docs: DataFrame | None = None
-        if fq is not None:
-            allowed_docs = self.docs().filter(fq).select("doc_id")
-
         if mode == "wand" and op == "OR":
             scored = self._wand_segments(terms, idf, k + offset, fq)
         else:
+            allowed_docs: DataFrame | None = None
+            if fq is not None:
+                allowed_docs = self.docs().filter(fq).select("doc_id")
             partials = self._decode_score_df(terms, idf)
             if op == "AND":
                 agg = partials.groupBy("doc_id").agg(
