@@ -36,6 +36,14 @@ def main() -> None:
     ap.add_argument("--hot-salts", type=int, default=8)
     ap.add_argument("--query", default=None, help="smoke BM25 query after build")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--analyzer", default="text_general",
+                    help="analysis chain (text_general/text_en/text_en_splitting/...)")
+    ap.add_argument("--delete-query", default=None,
+                    help="post-build delete-by-query predicate (tombstones)")
+    ap.add_argument("--merge", action="store_true",
+                    help="tiered segment merge after build/appends")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact (apply tombstones permanently; generation publish)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,6 +72,7 @@ def main() -> None:
         hot_df_threshold=args.hot_df_threshold,
         hot_salts=args.hot_salts,
         build_id=args.build_id,
+        analyzer=args.analyzer,
     )
     man = build_index(spark, src, args.index_dir, cfg)
     metrics = {
@@ -76,8 +85,17 @@ def main() -> None:
         for name, s in man.steps.items()
     }
     out = {"index_dir": args.index_dir, "build_id": args.build_id, "steps": metrics}
+    if args.merge:
+        from solr_semantic_importer_spark.index.merge import merge_postings
+
+        out["merge"] = merge_postings(spark, args.index_dir, merge_id=args.build_id)
+    idx = BM25Index(spark, args.index_dir)
+    if args.delete_query:
+        out["deleted"] = idx.delete_by_query(args.delete_query)
+    if args.compact:
+        idx = idx.compact()
+        out["compacted_generation"] = idx.data_dir
     if args.query:
-        idx = BM25Index(spark, args.index_dir)
         res = idx.search(args.query, k=args.k).collect()
         out["query"] = args.query
         out["topk"] = [[int(r["doc_id"]), round(float(r["score"]), 6)] for r in res]
