@@ -568,6 +568,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frames"] = multimodal_frames
 
+    # ---- schemaless-mode field-type inference (active update chain) ----
+    def schemaless_parse(spark, sf_dir):
+        from solr_semantic_importer_spark.operators.schema_admin import (
+            infer_string_field_types,
+        )
+
+        e = _events(spark, sf_dir)
+        raw = e.select(
+            "event_id",
+            F.col("event_id").cast("string").alias("s_long"),
+            F.concat(F.col("event_id").cast("string"), F.lit(".25")).alias("s_double"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("true"))
+            .otherwise(F.lit("FALSE")).alias("s_bool"),
+            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("s_ts"),
+            F.concat(F.lit("x"), F.col("event_id").cast("string")).alias("s_str"),
+        )
+        typed = infer_string_field_types(raw)
+        assert dict(typed.dtypes)["s_long"] == "bigint"
+        assert dict(typed.dtypes)["s_double"] == "double"
+        assert dict(typed.dtypes)["s_bool"] == "boolean"
+        assert dict(typed.dtypes)["s_ts"] == "timestamp"
+        assert dict(typed.dtypes)["s_str"] == "string"
+        return typed.select(
+            "event_id",
+            F.col("s_long").alias("v_long"),
+            _milli(F.col("s_double")).alias("v_double_milli"),
+            F.col("s_bool").cast("int").alias("v_bool"),
+            TR.normalize_date(F.col("s_ts")).alias("v_ts"),
+            F.col("s_str").alias("v_str"),
+        )
+
+    q["schemaless_parse"] = schemaless_parse
+
     # ---- S6 MS MARCO TSV source (4-col docid/url/title/body) ----
     def msmarco_scan(spark, sf_dir):
         from solr_semantic_importer_spark.sources.files import msmarco_tsv
@@ -931,6 +964,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(GREATEST(LEAST(blen, (frame_idx + 1) * step) - frame_idx * step, 0)
                     AS BIGINT) AS frame_len
         FROM f
+    """
+    o["schemaless_parse"] = """
+        SELECT event_id,
+               event_id AS v_long,
+               CAST(event_id * 1000 + 250 AS BIGINT) AS v_double_milli,
+               CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS v_bool,
+               strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S.%gZ') AS v_ts,
+               'x' || CAST(event_id AS VARCHAR) AS v_str
+        FROM events
     """
     o["msmarco_scan"] = """
         SELECT printf('D%d', doc_id) AS docid,

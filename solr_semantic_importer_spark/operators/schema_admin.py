@@ -73,6 +73,61 @@ def _dims_ok(df: DataFrame, spec: VectorFieldSpec) -> bool:
     return len(bad.take(1)) == 0
 
 
+def infer_string_field_types(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Schemaless-mode field-type inference -- the ACTIVE
+    ``add-unknown-fields-to-the-schema`` update chain the shipped solrconfig
+    enables by default (default-base-config/solrconfig.xml:942-947,
+    ``update.autoCreateFields:true``: parse-boolean -> parse-long ->
+    parse-double -> parse-date -> add-schema-fields).
+
+    Frozen spec: a StringType column is promoted to the FIRST type in
+    (boolean, long, double, timestamp) that every non-null value parses as;
+    otherwise it stays a string. Boolean accepts exactly true/false
+    (case-insensitive), matching ParseBooleanFieldUpdateProcessor's default
+    value set (Spark's cast also accepts y/n/1/0, which would shadow longs).
+    One declarative aggregation computes all parse-failure counts in a
+    single pass (try_cast stays JVM-side), then the winners are cast -- no
+    per-row Python, no second scan of the data.
+    """
+    cand = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+        and (columns is None or f.name in columns)
+    ]
+    if not cand:
+        return df
+    kinds = ("boolean", "long", "double", "timestamp")
+
+    def fails(col: str, ddl: str) -> Column:
+        c = F.col(col)
+        if ddl == "boolean":
+            bad = ~F.lower(F.trim(c)).isin("true", "false")
+        else:
+            bad = c.try_cast(ddl).isNull()
+        return F.count(F.when(c.isNotNull() & bad, F.lit(1)))
+
+    aggs = []
+    for col in cand:
+        for ddl in kinds:
+            aggs.append(fails(col, ddl).alias(f"{col}::{ddl}"))
+        aggs.append(F.count(F.when(F.col(col).isNotNull(), F.lit(1))).alias(
+            f"{col}::nonnull"
+        ))
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for col in cand:
+        if row[f"{col}::nonnull"] == 0:
+            continue  # all-null column: nothing to infer from
+        for ddl in kinds:
+            if row[f"{col}::{ddl}"] == 0:
+                out = out.withColumn(col, F.col(col).cast(ddl))
+                break
+    return out
+
+
 def add_columns(df: DataFrame, columns: dict[str, str]) -> DataFrame:
     """Schema evolution: add typed null columns ({name: ddl_type}) --
     the ``ALTER TABLE ... ADD COLUMNS`` shape on a live frame."""

@@ -105,3 +105,37 @@ def test_multifield_phrase_never_crosses_field_boundary(multifield_index):
     # a cross-field match (positionIncrementGap semantics)
     got = [r["doc_id"] for r in multifield_index.search_phrase("beta gamma", k=5).collect()]
     assert got == [1]
+
+
+def test_infer_string_field_types_edges(spark):
+    import pandas as pd
+
+    from solr_semantic_importer_spark.operators.schema_admin import (
+        infer_string_field_types,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "longs": ["1", "42", None],
+            "doubles": ["1.5", "2", "-0.25"],
+            "bools": ["true", "FALSE", None],
+            "zero_one": ["1", "0", "1"],        # NOT boolean (Solr default set)
+            "dates": ["2024-01-01 00:00:00", "2024-06-05 10:11:12", None],
+            "mixed": ["1", "x", "2"],           # stays string
+            "all_null": pd.array([None, None, None], dtype="object"),
+        }
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in pdf.columns])
+    out = infer_string_field_types(spark.createDataFrame(pdf, schema=schema))
+    t = dict(out.dtypes)
+    assert t["longs"] == "bigint"
+    assert t["doubles"] == "double"
+    assert t["bools"] == "boolean"
+    assert t["zero_one"] == "bigint"   # longs win over the strict boolean set
+    assert t["dates"] == "timestamp"
+    assert t["mixed"] == "string"
+    assert t["all_null"] == "string"   # nothing to infer from
+    rows = out.orderBy("longs").collect()
+    assert any(r["bools"] in (True, False) for r in rows)
