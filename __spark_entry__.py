@@ -923,7 +923,9 @@ def oracle_sql() -> dict[str, str]:
         FROM dft
         WHERE term != 'tabel'
           AND abs(length(term) - 5) <= 2
+          AND substr(term, 1, 1) = 't'
           AND levenshtein(term, 'tabel') <= 2
+          AND 1.0 - levenshtein(term, 'tabel') / greatest(length(term), 5) >= 0.5
         ORDER BY distance ASC, df DESC, term ASC
         LIMIT 5
     """

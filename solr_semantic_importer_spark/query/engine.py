@@ -314,15 +314,20 @@ class BM25Index:
         max_distance: int = 2,
         min_query_length: int = 4,
         max_query_frequency: float = 0.01,
+        min_prefix: int = 1,
+        accuracy: float = 0.5,
     ) -> DataFrame:
         """Q6: DirectSolrSpellChecker-shaped suggestions from the live
-        dictionary (solrconfig.xml:678-758: minQueryLength=4,
-        maxQueryFrequency=0.01 -- only terms the corpus itself considers
-        rare get corrected; candidates ranked by df desc).
+        dictionary (solrconfig.xml:689-710: maxEdits=2, minPrefix=1,
+        accuracy=0.5, minQueryLength=4, maxQueryFrequency=0.01 -- only terms
+        the corpus itself considers rare get corrected; candidates ranked by
+        distance then df desc).
 
-        JVM-side: built-in levenshtein over the dictionary relation -- at
-        scale this prunes to same-length-band candidates before the edit
-        distance (cheap prefilter on abs(length-delta))."""
+        JVM-side: built-in levenshtein over the dictionary relation. Both
+        the shared-prefix predicate (minPrefix) and the +/-max_distance
+        length band push into the dictionary scan BEFORE any aggregate, so
+        at 10^12-turn vocab the edit distance only ever runs over the tiny
+        same-prefix/same-length-band slice."""
         t = term.lower()
         if len(t) < min_query_length:
             return self.dictionary().limit(0).select(
@@ -333,19 +338,20 @@ class BM25Index:
             return self.dictionary().limit(0).select(
                 "term", F.col("df").cast("long").alias("df")
             )
-        # length-band prefilter BEFORE the aggregate so it pushes into the
-        # dictionary scan -- at 10^12-turn vocab the groupBy only ever sees
-        # the +/-max_distance length band, not the whole term space
         band = self.dictionary().filter(
             (F.abs(F.length("term") - F.lit(len(t))) <= max_distance)
+            & (F.substring("term", 1, min_prefix) == t[:min_prefix])
             & (F.col("term") != t)
         )
         d = band.groupBy("term").agg(F.sum("df").alias("df"))
         cand = d.withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))
-        # closest correction first, then most frequent (DirectSolrSpellChecker
-        # comparator: score/distance before docFreq)
+        # accuracy = 1 - distance / max(|query|, |term|) (Lucene's internal
+        # levenshtein similarity); closest correction first, then most
+        # frequent (DirectSolrSpellChecker comparator)
+        longest = F.greatest(F.length("term"), F.lit(len(t)))
         return (
             cand.filter(F.col("distance") <= max_distance)
+            .filter(F.lit(1.0) - F.col("distance") / longest >= accuracy)
             .select("term", F.col("df").cast("long").alias("df"), "distance")
             .orderBy(F.col("distance").asc(), F.col("df").desc(), F.col("term").asc())
             .limit(n)
