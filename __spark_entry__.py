@@ -552,6 +552,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["highlight_top"] = highlight_top
 
+    def highlight_frag(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        res = idx.highlight("merge window", k=5, fragsize=80, order_key="milli")
+        return res.select("doc_id", "highlighted")
+
+    q["highlight_frag"] = highlight_frag
+
     # ---- multimodal binary columns ----
     def multimodal_digest(spark, sf_dir):
         d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -939,6 +946,27 @@ def oracle_sql() -> dict[str, str]:
         FROM topk JOIN t ON t.doc_id = topk.doc_id
     """
 
+    o["highlight_frag"] = f"""
+        WITH topk AS ({hl_inner}),
+        t AS ({OSQL.transcripts_ids_cte()}),
+        j AS (
+          SELECT topk.doc_id, t.text,
+                 least(
+                   CASE WHEN strpos(lower(t.text), 'merge') = 0
+                        THEN 2147483647 ELSE strpos(lower(t.text), 'merge') END,
+                   CASE WHEN strpos(lower(t.text), 'window') = 0
+                        THEN 2147483647 ELSE strpos(lower(t.text), 'window') END
+                 ) AS first
+          FROM topk JOIN t ON t.doc_id = topk.doc_id
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 substr(text,
+                        CASE WHEN first = 2147483647 THEN 1
+                             ELSE greatest(1, first - 40) END, 80),
+                 '(?i)\\b(merge|window)\\b', '<em>\\1</em>', 'g') AS highlighted
+        FROM j
+    """
     o["multimodal_digest"] = """
         SELECT doc_id,
                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -358,12 +358,26 @@ class BM25Index:
         )
 
     def highlight(
-        self, query: str, k: int = 10, pre: str = "<em>", post: str = "</em>"
+        self,
+        query: str,
+        k: int = 10,
+        pre: str = "<em>",
+        post: str = "</em>",
+        fragsize: int | None = None,
+        order_key: str = "round6",
     ) -> DataFrame:
         """Q7: highlighting over the top-k result set -- every stored-text
         token whose ANALYZED form matches an analyzed query term is wrapped
-        in pre/post markers (solrconfig.xml default highlighter semantics,
-        whole-field fragment).
+        in pre/post markers (solrconfig.xml default highlighter semantics;
+        whole-field fragment by default).
+
+        ``fragsize`` (solrconfig.xml HighlightComponent gap fragmenter,
+        hl.fragsize=100 default): return a ~fragsize-char window centered on
+        the first query-term occurrence instead of the whole field. Frozen
+        fragment spec (shared with the DuckDB oracle): first occurrence =
+        smallest case-insensitive position of any analyzed term; window
+        start = max(1, pos - fragsize/2); markers applied inside the window.
+        text_general only (stemmed chains highlight the whole field).
 
         text_general: pure JVM regexp (analysis is lowercasing only, so the
         query terms literally occur in the text). Stemmed chains: query terms
@@ -371,16 +385,25 @@ class BM25Index:
         so the stored text is re-analyzed token-by-token in an Arrow kernel
         and tokens are wrapped when their stem is in the query term set."""
         terms = self.analyze_query(query)
-        top = self.search(query, k=k, with_stored=True).select(
+        top = self.search(query, k=k, with_stored=True, order_key=order_key).select(
             "doc_id", "score", "text"
         )
         if not terms:
             return top.withColumn("highlighted", F.col("text"))
         if self.analyzer_chain == "text_general":
             pattern = "(?i)\\b(" + "|".join(sorted(terms)) + ")\\b"
+            target = F.col("text")
+            if fragsize is not None:
+                # first case-insensitive occurrence of any term (0 = absent)
+                locs = [F.locate(t, F.lower(F.col("text"))) for t in sorted(terms)]
+                nz = [F.when(c > 0, c).otherwise(F.lit(2_147_483_647)) for c in locs]
+                first = F.least(*nz) if len(nz) > 1 else nz[0]
+                start = F.when(
+                    first == 2_147_483_647, F.lit(1)
+                ).otherwise(F.greatest(F.lit(1), first - fragsize // 2))
+                target = F.substring(F.col("text"), start, fragsize)
             return top.withColumn(
-                "highlighted",
-                F.regexp_replace(F.col("text"), pattern, f"{pre}$1{post}"),
+                "highlighted", F.regexp_replace(target, pattern, f"{pre}$1{post}")
             )
 
         import re as _re
