@@ -489,6 +489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_phrase_long"] = bm25_phrase_long
 
+    def bm25_phrase_fq(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        res = idx.search_phrase(
+            "table hash", k=10, fq="role = 'user'", order_key="milli"
+        )
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["bm25_phrase_fq"] = bm25_phrase_fq
+
     def bm25_facet_role(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
         return idx.facet("table scan", "role")
@@ -901,6 +910,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_synonyms"] = OSQL.bm25_topk_sql("gb gib gigabyte gigabytes table", k=10)
 
     o["bm25_phrase"] = OSQL.bm25_phrase_sql("table hash", k=10)
+    o["bm25_phrase_fq"] = OSQL.bm25_phrase_sql("table hash", k=10, fq="role = 'user'")
     o["bm25_phrase_long"] = OSQL.bm25_phrase_sql("merge group", k=10)
     o["bm25_facet_role"] = OSQL.facet_on_results_sql("table scan", "role")
 

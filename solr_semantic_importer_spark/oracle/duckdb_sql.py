@@ -127,10 +127,13 @@ def transcripts_ids_cte() -> str:
     """
 
 
-def bm25_phrase_sql(phrase: str, k: int = 10, offset: int = 0) -> str:
+def bm25_phrase_sql(
+    phrase: str, k: int = 10, offset: int = 0, fq: str | None = None
+) -> str:
     """PhraseQuery-under-BM25 oracle: positions via lateral unnest, phrase
     matches via positional self-joins, idf = sum over the phrase term array
-    (duplicates counted), freq = #occurrences."""
+    (duplicates counted), freq = #occurrences. ``fq`` filters results over
+    ids columns (non-scoring, like the engine's semi-join)."""
     terms = list(analyze_text(phrase))
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS score_milli WHERE 1=0"
@@ -163,6 +166,7 @@ def bm25_phrase_sql(phrase: str, k: int = 10, offset: int = 0) -> str:
                 AS BIGINT) AS score_milli
     FROM freqs
     JOIN lens ON lens.doc_id = freqs.doc_id
+    {f"JOIN ids ON ids.doc_id = freqs.doc_id AND ({fq})" if fq else ""}
     CROSS JOIN st CROSS JOIN idfw
     ORDER BY score_milli DESC, freqs.doc_id ASC
     LIMIT {k} OFFSET {offset}
