@@ -24,6 +24,8 @@ Execution (Spark-first):
   predicates evaluated on the docs table; on the WAND path the allowed ids
   are COGROUPED into each segment kernel (bounded by segment_size per call)
   so zone skipping stays exact under fq; on exhaustive paths a semi-join.
+  A per-index LRU filter cache (Solr's filterCache analog) persists each
+  fq's minority doc-id set, so repeated fq strings never re-scan docs.
 - deletes (I5): tombstones stay a DataFrame end to end -- anti-joins on
   exhaustive/match-all/phrase paths, cogrouped per-segment arrays on the
   WAND path. Nothing is collected driver-side (a `-crawl_id:X`-shaped delete
@@ -39,6 +41,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
@@ -116,6 +119,7 @@ class BM25Index:
         self._analyze = QUERY_ANALYZERS[self.analyzer_chain]
         self._bucket_cache: dict[str, int] = {}
         self._df_cache: dict[str, int] | None = None
+        self._filter_cache: OrderedDict[str, tuple[int, DataFrame]] = OrderedDict()
 
     def _buckets(self, terms: list[str]) -> list[int]:
         missing = [t for t in terms if t not in self._bucket_cache]
@@ -275,9 +279,6 @@ class BM25Index:
         if mode == "wand" and op == "OR":
             scored = self._wand_segments(terms, idf, k + offset, fq)
         else:
-            allowed_docs: DataFrame | None = None
-            if fq is not None:
-                allowed_docs = self.docs().filter(fq).select("doc_id")
             partials = self._decode_score_df(terms, idf)
             if op == "AND":
                 agg = partials.groupBy("doc_id").agg(
@@ -286,9 +287,7 @@ class BM25Index:
                 scored = agg.filter(F.col("nt") == len(terms)).drop("nt")
             else:
                 scored = partials.groupBy("doc_id").agg(F.sum("score").alias("score"))
-            if allowed_docs is not None:
-                scored = scored.join(allowed_docs, "doc_id", "left_semi")
-            scored = self._anti_dead(scored)
+            scored = self._anti_dead(self._apply_fq(scored, fq))
         return self._finish(scored, k, offset, with_stored, order_key)
 
     def _finish(
@@ -482,10 +481,7 @@ class BM25Index:
     ) -> DataFrame:
         """Q2: ``q=*:*`` -- every (live) doc, constant score 1.0, internal
         doc-id order (Solr's MatchAllDocsQuery under the default sort)."""
-        d = self.docs()
-        if fq is not None:
-            d = d.filter(fq)
-        d = self._anti_dead(d)
+        d = self._anti_dead(self._apply_fq(self.docs(), fq))
         out = d.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
         return out.offset(offset).limit(k) if offset else out.limit(k)
 
@@ -570,9 +566,7 @@ class BM25Index:
         matched = self._anti_dead(
             self._decode_score_df(terms, idf).select("doc_id").distinct()
         )
-        docs = self.docs()
-        if fq is not None:
-            docs = docs.filter(fq)
+        docs = self._apply_fq(self.docs(), fq)
         return (
             matched.join(docs, "doc_id")
             .groupBy(field)
@@ -689,9 +683,7 @@ class BM25Index:
         scored = self._anti_dead(
             post.groupBy("segment_id").applyInPandas(match_segment, schema=_SCORE_ROW)
         )
-        if fq is not None:
-            allowed = self.docs().filter(fq).select("doc_id")
-            scored = scored.join(allowed, "doc_id", "left_semi")
+        scored = self._apply_fq(scored, fq)
         return self._finish(scored, k, offset, with_stored, order_key)
 
     # -- block-max WAND (segment-parallel fast path) ---------------------------
@@ -699,6 +691,66 @@ class BM25Index:
     # fq representations shipped to the kernels (see _side_frame)
     _FQ_INCLUDE = 1  # kind-1 rows are the allowed docs
     _FQ_EXCLUDE = 2  # kind-2 rows are the complement (fq matched a majority)
+
+    FILTER_CACHE_MAX = 32  # LRU entries; Solr filterCache size analog
+
+    def _fq_entry(self, fq: str) -> tuple[int, DataFrame]:
+        """Solr filterCache analog (solrconfig.xml declares a filterCache
+        holding one DocSet per fq string; repeated fq is THE dominant Solr
+        access pattern): fq -> (representation, PERSISTED minority doc-id
+        DataFrame). First use scans the docs table once -- the count that
+        picks the minority side also materializes the block-manager cache --
+        and every later query with the same fq string reads cached blocks
+        instead of re-scanning the docs table. Entries are LRU-evicted and
+        unpersisted at FILTER_CACHE_MAX.
+
+        Representation: _FQ_INCLUDE rows are the fq-allowed ids,
+        _FQ_EXCLUDE rows are the ids where fq is NOT TRUE (false or null --
+        Solr fq semantics require a positive match, so null-predicate docs
+        are excluded; ``~expr`` alone would drop them from BOTH sides and an
+        anti-join would wrongly let them through). Whichever side is smaller
+        is stored, so at 10^12 docs a 99%-selective fq caches the 1% set,
+        distributed across executors (MEMORY_AND_DISK), never the driver.
+        Safe across delete_by_query (tombstones are applied separately) and
+        across compact/merge (both return a fresh index handle)."""
+        from pyspark import StorageLevel
+
+        ent = self._filter_cache.get(fq)
+        if ent is not None:
+            self._filter_cache.move_to_end(fq)
+            return ent
+        allowed = (
+            self.docs().filter(fq).select("doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_allowed = allowed.count()  # one docs scan; materializes the cache
+        if self.n_docs and n_allowed > self.n_docs // 2:
+            rows = (
+                self.docs()
+                .filter(~F.expr(fq).eqNullSafe(F.lit(True)))
+                .select("doc_id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            allowed.unpersist()
+            ent = (self._FQ_EXCLUDE, rows)
+        else:
+            ent = (self._FQ_INCLUDE, allowed)
+        self._filter_cache[fq] = ent
+        while len(self._filter_cache) > self.FILTER_CACHE_MAX:
+            _, (_, old) = self._filter_cache.popitem(last=False)
+            old.unpersist()
+        return ent
+
+    def _apply_fq(self, df: DataFrame, fq: str | None, key: str = "doc_id") -> DataFrame:
+        """Apply an fq to a (key=doc_id)-bearing frame through the filter
+        cache: semi-join against the allowed set or anti-join against its
+        complement, whichever side the cache holds."""
+        if fq is None:
+            return df
+        fq_repr, rows = self._fq_entry(fq)
+        side = rows if key == "doc_id" else rows.withColumnRenamed("doc_id", key)
+        how = "left_semi" if fq_repr == self._FQ_INCLUDE else "left_anti"
+        return df.join(side, key, how)
 
     def _side_frame(
         self, fq: str | None
@@ -719,14 +771,7 @@ class BM25Index:
         parts = []
         fq_repr = 0
         if fq is not None:
-            allowed = self.docs().filter(fq).select("doc_id")
-            n_allowed = allowed.count()  # one cheap agg against the docs scan
-            if self.n_docs and n_allowed > self.n_docs // 2:
-                fq_repr = self._FQ_EXCLUDE
-                rows = self.docs().filter(~F.expr(fq)).select("doc_id")
-            else:
-                fq_repr = self._FQ_INCLUDE
-                rows = allowed
+            fq_repr, rows = self._fq_entry(fq)
             parts.append(rows.select("doc_id", F.lit(fq_repr).alias("kind")))
         dead = self._tombstones_df()
         if dead is not None:

@@ -145,6 +145,42 @@ def test_fq_wand_zone_path_matches_exhaustive(corpus):
         del idx.exhaustive_cutoff
 
 
+def test_filter_cache_and_null_fq_semantics(corpus):
+    """Solr-filterCache analog: repeated fq strings hit a persisted LRU
+    entry instead of re-scanning docs, and the EXCLUDE (complement)
+    representation must treat NULL-predicate docs as non-matching (Solr fq
+    requires a positive match): `tool != 'x'` is NULL on turns with no tool,
+    and those docs must stay filtered out even when the cached side is the
+    complement set."""
+    df, idx, _ = corpus
+    # broad fq with NULLs -> majority matches -> EXCLUDE representation;
+    # the complement must contain the NULL-predicate docs.
+    fq = "tool IS NULL OR tool != 'tool_1'"
+    expect = idx._anti_dead(idx.docs().filter(fq)).count()
+    assert idx.match_all(k=10**6, fq=fq).count() == expect
+    assert idx._filter_cache[fq][0] == idx._FQ_EXCLUDE
+    # selective fq -> INCLUDE representation, and WAND/exhaustive agree
+    fq2 = "tool = 'tool_1'"
+    w = [(r["doc_id"], round(r["score"], 6))
+         for r in idx.search("error", k=10, fq=fq2, mode="wand").collect()]
+    e = [(r["doc_id"], round(r["score"], 6))
+         for r in idx.search("error", k=10, fq=fq2, mode="exhaustive").collect()]
+    assert w == e
+    assert idx._filter_cache[fq2][0] == idx._FQ_INCLUDE
+    # cache entries are persisted DataFrames, reused across query shapes
+    assert idx._filter_cache[fq2][1].storageLevel.useMemory
+    # LRU eviction unpersists the oldest entry
+    old_max = idx.FILTER_CACHE_MAX
+    idx.FILTER_CACHE_MAX = 1
+    try:
+        victim = idx._filter_cache[fq][1]
+        idx.search("error", k=3, fq="role = 'assistant'").collect()
+        assert list(idx._filter_cache) == ["role = 'assistant'"]
+        assert not victim.storageLevel.useMemory  # unpersisted
+    finally:
+        idx.FILTER_CACHE_MAX = old_max
+
+
 def test_massive_delete_stays_distributed(spark, tmp_path_factory):
     """Delete ~2/3 of the corpus (the reference's `-crawl_id:X` shape can
     tombstone everything): the engine must hold tombstones only as a
