@@ -107,7 +107,10 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         kw = {"fq": "role = 'user'"} if name == "q_fq" else {}
         if name == "q_and":
             kw = {"op": "AND", "mode": "exhaustive"}
-        return idx.search(q, k=10, **kw).collect()
+        # use_cache=False: latency must measure the engine, not the
+        # queryResultCache (repeated warm runs would otherwise be pure
+        # driver-side cache hits)
+        return idx.search(q, k=10, use_cache=False, **kw).collect()
 
     for name, q in BENCH_QUERIES:
         t1 = time.monotonic()

@@ -120,6 +120,10 @@ class BM25Index:
         self._bucket_cache: dict[str, int] = {}
         self._df_cache: dict[str, int] | None = None
         self._filter_cache: OrderedDict[str, tuple[int, DataFrame]] = OrderedDict()
+        # queryResultCache: (terms, op, mode, fq, order_key) -> (DocList
+        # rows, complete?). complete=True means the query has fewer matches
+        # than the fetched window, so ANY page is answerable from the entry.
+        self._result_cache: OrderedDict[tuple, tuple[list, bool]] = OrderedDict()
 
     def _buckets(self, terms: list[str]) -> list[int]:
         missing = [t for t in terms if t not in self._bucket_cache]
@@ -262,13 +266,24 @@ class BM25Index:
         mode: str = "wand",
         with_stored: bool = False,
         order_key: str = "round6",
+        use_cache: bool = True,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, stored fields]).
 
         order_key: 'round6' (canonical: round(score,6) desc, doc_id asc) or
         'milli' (integer key round(score*1000) -- used for cross-engine
         hash-stable comparisons; same semantics, coarser ties).
-        """
+
+        use_cache: Solr queryResultCache analog (solrconfig.xml:400-402,
+        queryResultWindowSize=20, queryResultMaxDocsCached=200 in the
+        reference's semantic-example config): the ordered DocList of a
+        (terms, op, mode, fq, sort) key is kept in a driver-side LRU --
+        bounded at QUERY_RESULT_MAX_DOCS rows per entry, exactly Solr's
+        granularity -- so a repeated query or a later page of the same query
+        is served without touching the postings. Invalidated by
+        delete_by_query (Solr drops it on searcher reopen). Pass False to
+        force scoring (benchmarks do, so latency numbers measure the
+        engine, not the cache)."""
         terms = self.analyze_query(query, synonyms=synonyms)
         idf = self.idf_map(terms)
         terms = [t for t in terms if t in idf]  # OOV terms contribute nothing
@@ -276,19 +291,72 @@ class BM25Index:
         if not terms:
             return self._finish(empty, k, offset, with_stored, order_key)
 
-        if mode == "wand" and op == "OR":
-            scored = self._wand_segments(terms, idf, k + offset, fq)
-        else:
-            partials = self._decode_score_df(terms, idf)
-            if op == "AND":
-                agg = partials.groupBy("doc_id").agg(
-                    F.sum("score").alias("score"), F.count("*").alias("nt")
+        need = k + offset
+        ckey = (tuple(terms), op, mode, fq, order_key)
+        if use_cache and need <= self.QUERY_RESULT_MAX_DOCS:
+            ent = self._result_cache.get(ckey)
+            if ent is not None and (ent[1] or len(ent[0]) >= need):
+                self._result_cache.move_to_end(ckey)
+                return self._from_doclist(
+                    ent[0][offset:need], with_stored, order_key
                 )
-                scored = agg.filter(F.col("nt") == len(terms)).drop("nt")
-            else:
-                scored = partials.groupBy("doc_id").agg(F.sum("score").alias("score"))
-            scored = self._anti_dead(self._apply_fq(scored, fq))
+            # fetch a window-rounded superset so later pages of the same
+            # query are cache hits (Solr queryResultWindowSize behavior)
+            w = self.QUERY_RESULT_WINDOW
+            fetch = min(-(-need // w) * w, self.QUERY_RESULT_MAX_DOCS)
+            scored = self._scored_frame(terms, idf, fetch, op, mode, fq)
+            rows = self._finish(scored, fetch, 0, False, order_key).collect()
+            self._result_cache[ckey] = (rows, len(rows) < fetch)
+            while len(self._result_cache) > self.RESULT_CACHE_MAX:
+                self._result_cache.popitem(last=False)
+            return self._from_doclist(rows[offset:need], with_stored, order_key)
+
+        scored = self._scored_frame(terms, idf, need, op, mode, fq)
         return self._finish(scored, k, offset, with_stored, order_key)
+
+    def _scored_frame(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        need: int,
+        op: str,
+        mode: str,
+        fq: str | None,
+    ) -> DataFrame:
+        """The (doc_id, score) relation for a parsed query: block-max WAND
+        segment kernels on the fast path, exhaustive decode + aggregate on
+        the parity/AND paths."""
+        if mode == "wand" and op == "OR":
+            return self._wand_segments(terms, idf, need, fq)
+        partials = self._decode_score_df(terms, idf)
+        if op == "AND":
+            agg = partials.groupBy("doc_id").agg(
+                F.sum("score").alias("score"), F.count("*").alias("nt")
+            )
+            scored = agg.filter(F.col("nt") == len(terms)).drop("nt")
+        else:
+            scored = partials.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        return self._anti_dead(self._apply_fq(scored, fq))
+
+    def _from_doclist(
+        self, rows: list, with_stored: bool, order_key: str
+    ) -> DataFrame:
+        """Rebuild a result DataFrame from a cached DocList (ordered
+        (doc_id, score) rows, Solr queryResultCache granularity). The list
+        is bounded by QUERY_RESULT_MAX_DOCS, so broadcasting it into the
+        stored-field join is always safe."""
+        df = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in rows], _SCORE_ROW
+        )
+        if with_stored:
+            if order_key == "milli":
+                key = F.round(F.col("score") * 1000).cast("long")
+            else:
+                key = F.round(F.col("score"), 6)
+            df = self.docs().join(F.broadcast(df), "doc_id").select(
+                "doc_id", "score", *[c for c in self.docs().columns if c != "doc_id"]
+            ).orderBy(key.desc(), F.col("doc_id").asc())
+        return df
 
     def _finish(
         self, scored: DataFrame, k: int, offset: int, with_stored: bool,
@@ -454,6 +522,10 @@ class BM25Index:
         path = os.path.join(self.data_dir, "tombstones")
         victims.write.mode("append").parquet(path)
         self._has_tombstones = True
+        # cached DocLists are stale once docs die (Solr drops the
+        # queryResultCache on searcher reopen); fq sets stay valid because
+        # tombstones are applied separately from fq filtering
+        self._result_cache.clear()
         return victims.count()
 
     def _tombstones_df(self) -> DataFrame | None:
@@ -692,7 +764,17 @@ class BM25Index:
     _FQ_INCLUDE = 1  # kind-1 rows are the allowed docs
     _FQ_EXCLUDE = 2  # kind-2 rows are the complement (fq matched a majority)
 
-    FILTER_CACHE_MAX = 32  # LRU entries; Solr filterCache size analog
+    # cache sizing mirrors the reference's solrconfig.xml: filterCache
+    # size=512 (:388), queryResultCache size=512 (:400),
+    # queryResultWindowSize=20 / queryResultMaxDocsCached=200
+    # (semantic-example/solrconfig.xml:42-46). Executor memory stays safe at
+    # 512 filter entries because Spark's block manager LRU-evicts persisted
+    # blocks under pressure; the result cache is driver-side but bounded at
+    # 512 x 200 tiny rows.
+    FILTER_CACHE_MAX = 512
+    QUERY_RESULT_WINDOW = 20
+    QUERY_RESULT_MAX_DOCS = 200
+    RESULT_CACHE_MAX = 512
 
     def _fq_entry(self, fq: str) -> tuple[int, DataFrame]:
         """Solr filterCache analog (solrconfig.xml declares a filterCache

@@ -181,6 +181,34 @@ def test_filter_cache_and_null_fq_semantics(corpus):
         idx.FILTER_CACHE_MAX = old_max
 
 
+def test_query_result_cache(corpus):
+    """Solr queryResultCache analog: the ordered DocList of a query is kept
+    driver-side at window granularity (queryResultWindowSize=20), so a
+    repeated query or a later page of the same query never re-scores; the
+    cache agrees exactly with the engine and is dropped when docs die."""
+    _, idx, _ = corpus
+    idx._result_cache.clear()
+    key = lambda rows: [(r["doc_id"], round(r["score"], 6)) for r in rows]
+    a = key(idx.search("error tool", k=5).collect())
+    assert len(idx._result_cache) == 1
+    ((rows, complete),) = idx._result_cache.values()
+    assert complete or len(rows) == idx.QUERY_RESULT_WINDOW
+    # a later page of the same query is served from the same entry
+    b = key(idx.search("error tool", k=5, offset=5).collect())
+    assert len(idx._result_cache) == 1
+    # cache agrees with the engine bit-for-bit
+    assert a == key(idx.search("error tool", k=5, use_cache=False).collect())
+    assert b == key(
+        idx.search("error tool", k=5, offset=5, use_cache=False).collect()
+    )
+    # with_stored on a hit joins stored fields in cached order
+    st = idx.search("error tool", k=5, with_stored=True).collect()
+    assert key(st) == a and "text" in st[0].asDict()
+    # delete-by-query invalidates cached DocLists (searcher-reopen analog)
+    idx.delete_by_query("conv_id = 'no-such-conv'")
+    assert len(idx._result_cache) == 0
+
+
 def test_massive_delete_stays_distributed(spark, tmp_path_factory):
     """Delete ~2/3 of the corpus (the reference's `-crawl_id:X` shape can
     tombstone everything): the engine must hold tombstones only as a
