@@ -118,13 +118,18 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         dt = time.monotonic() - t1
         q_secs[name] = round(dt, 3)
         lat_all.append(dt)
-    # repeat queries for p50/p95 (warm)
+    # repeat queries for p50/p95 (warm); also keep per-query warm best --
+    # the cold first run above includes one-time costs (filter-cache fill,
+    # postings listing), so warm numbers are the per-shape comparison basis
     lat_warm: list[float] = []
+    q_warm: dict[str, float] = {}
     for _ in range(3):
         for name, q in BENCH_QUERIES:
             t1 = time.monotonic()
             run_query(name, q)
-            lat_warm.append(time.monotonic() - t1)
+            dt = time.monotonic() - t1
+            lat_warm.append(dt)
+            q_warm[name] = round(min(dt, q_warm.get(name, dt)), 3)
     lat_warm.sort()
     p50 = lat_warm[len(lat_warm) // 2]
     p95 = lat_warm[int(len(lat_warm) * 0.95) - 1]
@@ -141,6 +146,7 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         "query_p50_sec": round(p50, 3),
         "query_p95_sec": round(p95, 3),
         "queries": q_secs,
+        "queries_warm": q_warm,
     }
     spark.stop()
     shutil.rmtree(src_dir, ignore_errors=True)
@@ -223,6 +229,7 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": r["queries"],
+                "queries_warm": r["queries_warm"],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "build": {
                     "n_turns": r["n_turns"],

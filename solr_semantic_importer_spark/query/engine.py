@@ -353,7 +353,15 @@ class BM25Index:
                 key = F.round(F.col("score") * 1000).cast("long")
             else:
                 key = F.round(F.col("score"), 6)
-            df = self.docs().join(F.broadcast(df), "doc_id").select(
+            # the doc ids are known driver-side, so the stored-field fetch
+            # pushes doc_id IN (...) into the docs parquet scan: row-group
+            # min/max stats prune the read to the k hit groups instead of
+            # scanning the corpus (docs are written in doc_id order). This
+            # is the Solr documentCache/stored-fields access shape: fetch by
+            # docid, never a table scan.
+            ids = [int(r["doc_id"]) for r in rows]
+            stored = self.docs().filter(F.col("doc_id").isin(ids))
+            df = stored.join(F.broadcast(df), "doc_id").select(
                 "doc_id", "score", *[c for c in self.docs().columns if c != "doc_id"]
             ).orderBy(key.desc(), F.col("doc_id").asc())
         return df
