@@ -445,6 +445,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_multiprobe_topk_emb"] = ann_multiprobe_topk_emb
 
+    def hnsw_topk_emb(spark, sf_dir):
+        # Per-segment HNSW (the reference's DenseVectorField
+        # hnswMaxConnections=16 / hnswBeamWidth=100, Lucene's
+        # per-segment-graph + merge shape). Deterministic (hash-derived
+        # levels) and float64-rescored, and at this sf the beam covers each
+        # segment, so the result is oracle-exact; the genuinely-approximate
+        # regime's recall is asserted in tests/test_hnsw.py.
+        from solr_semantic_importer_spark.operators.hnsw import (
+            build_hnsw_segments,
+            hnsw_topk,
+        )
+
+        e = _emb(spark, sf_dir)
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        graphs = build_hnsw_segments(e, n_segments=8)
+        res = hnsw_topk(graphs, [float(x) for x in qv], k=10)
+        return res.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
+
+    q["hnsw_topk_emb"] = hnsw_topk_emb
+
     def ivf_topk_emb(spark, sf_dir):
         # IVF ANN (k-means coarse quantizer). Deliberately has NO oracle_sql
         # twin: iterative Lloyd training is not reasonably SQL-expressible
@@ -896,6 +916,19 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ann_lsh_topk_emb"] = _ann_oracle_sql()
     o["ann_multiprobe_topk_emb"] = _ann_oracle_sql(n_probes=4)
+
+    # HNSW is exact at this sf (beam covers each segment; float64 rescore),
+    # so its oracle is the brute-force cosine top-k INCLUDING the query doc
+    o["hnsw_topk_emb"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(round(round(list_dot_product(emb, qv) /
+                     (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 6)
+                    * 1000000) AS BIGINT) AS cosine_micro
+        FROM e, q
+        ORDER BY cosine_micro DESC, vec_id ASC LIMIT 10
+    """
 
     nd = DD.embedding_neardup_sql(
         0.999, dim=64, n_bands=4, band_planes=8, seed=42,
