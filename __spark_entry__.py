@@ -445,6 +445,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_multiprobe_topk_emb"] = ann_multiprobe_topk_emb
 
+    def hybrid_rrf_topk(spark, sf_dir):
+        # Hybrid lexical+vector retrieval over the documents/embeddings pair
+        # (doc_id and vec_id align 1:1): top-20 term-count text list fused
+        # with top-20 cosine list by reciprocal rank fusion (k0=60).
+        from solr_semantic_importer_spark.operators import fusion as FU
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        e = _emb(spark, sf_dir)
+        toks = F.split(F.lower(F.col("text")), r"[^a-z0-9]+")
+        score = None
+        for t in ("table", "merge", "vector"):
+            c = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            score = c if score is None else score + c
+        text_top = (
+            docs.select("doc_id", score.alias("s"))
+            .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(20)
+        )
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        vec_top = SIM.cosine_topk(e, [float(x) for x in qv], k=20).withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+        return FU.rrf_fuse(
+            [FU.ranked(text_top, "s"), FU.ranked(vec_top, "cosine")], k=10
+        )
+
+    q["hybrid_rrf_topk"] = hybrid_rrf_topk
+
     def hnsw_topk_emb(spark, sf_dir):
         # Per-segment HNSW (the reference's DenseVectorField
         # hnswMaxConnections=16 / hnswBeamWidth=100, Lucene's
@@ -916,6 +944,47 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ann_lsh_topk_emb"] = _ann_oracle_sql()
     o["ann_multiprobe_topk_emb"] = _ann_oracle_sql(n_probes=4)
+
+    o["hybrid_rrf_topk"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS tk
+          FROM documents
+        ),
+        ts AS (
+          SELECT doc_id,
+                 len(list_filter(tk, x -> x = 'table'))
+               + len(list_filter(tk, x -> x = 'merge'))
+               + len(list_filter(tk, x -> x = 'vector')) AS s
+          FROM toks
+        ),
+        text_top AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+            FROM ts
+          ) WHERE rank <= 20
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+        vs AS (
+          SELECT vec_id AS doc_id,
+                 round(list_dot_product(emb, qv) /
+                   (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 6) AS c
+          FROM e, q
+        ),
+        vec_top AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY c DESC, doc_id ASC) AS rank
+            FROM vs
+          ) WHERE rank <= 20
+        ),
+        u AS (SELECT * FROM text_top UNION ALL SELECT * FROM vec_top)
+        SELECT doc_id,
+               CAST(round(sum(1.0 / (60 + rank)) * 1000000) AS BIGINT) AS rrf_micro
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10
+    """
 
     # HNSW is exact at this sf (beam covers each segment; float64 rescore),
     # so its oracle is the brute-force cosine top-k INCLUDING the query doc
