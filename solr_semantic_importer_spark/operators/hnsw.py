@@ -100,15 +100,19 @@ class HNSWGraph:
         ascending. Deterministic: ties broken by node index."""
         import heapq
 
+        ef = max(ef, 1)
         visited = set(entry_points)
         dists = self._dist(q, entry_points)
         cand = [(float(d), n) for d, n in zip(dists, entry_points)]
         heapq.heapify(cand)
-        best = sorted(cand)[: max(ef, 1)]
-        worst = best[-1][0]
+        # result set as a max-heap on negated distance: O(log ef) per accept
+        res = [(-d, n) for d, n in cand]
+        heapq.heapify(res)
+        while len(res) > ef:
+            heapq.heappop(res)
         while cand:
             d, n = heapq.heappop(cand)
-            if d > worst and len(best) >= ef:
+            if d > -res[0][0] and len(res) >= ef:
                 break
             neigh = [
                 m for m in self.adj[n][level] if m not in visited
@@ -119,14 +123,12 @@ class HNSWGraph:
             nd = self._dist(q, neigh)
             for dm, m in zip(nd, neigh):
                 dm = float(dm)
-                if len(best) < ef or dm < worst:
+                if len(res) < ef or dm < -res[0][0]:
                     heapq.heappush(cand, (dm, m))
-                    best.append((dm, m))
-                    best.sort()
-                    if len(best) > ef:
-                        best.pop()
-                    worst = best[-1][0]
-        return best
+                    heapq.heappush(res, (-dm, m))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+        return sorted((-nd, n) for nd, n in res)
 
     def _select(self, cands: list[tuple[float, int]], M: int) -> list[int]:
         return [n for _, n in sorted(cands)[:M]]

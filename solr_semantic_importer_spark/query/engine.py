@@ -307,6 +307,7 @@ class BM25Index:
             scored = self._scored_frame(terms, idf, fetch, op, mode, fq)
             rows = self._finish(scored, fetch, 0, False, order_key).collect()
             self._result_cache[ckey] = (rows, len(rows) < fetch)
+            self._result_cache.move_to_end(ckey)  # overwrite must refresh LRU
             while len(self._result_cache) > self.RESULT_CACHE_MAX:
                 self._result_cache.popitem(last=False)
             return self._from_doclist(rows[offset:need], with_stored, order_key)
