@@ -99,20 +99,21 @@ class HNSWGraph:
         """Best-first beam search; returns up to ef (dist, node) sorted
         ascending. Deterministic: ties broken by node index."""
         import heapq
+        from bisect import insort
 
         ef = max(ef, 1)
         visited = set(entry_points)
         dists = self._dist(q, entry_points)
         cand = [(float(d), n) for d, n in zip(dists, entry_points)]
         heapq.heapify(cand)
-        # result set as a max-heap on negated distance: O(log ef) per accept
-        res = [(-d, n) for d, n in cand]
-        heapq.heapify(res)
-        while len(res) > ef:
-            heapq.heappop(res)
+        # result set kept SORTED ascending; insort is an O(ef) C memmove per
+        # accepted neighbor (beats a per-insert re-sort and, at ef~100,
+        # python-level heap ops)
+        best = sorted(cand)[:ef]
+        worst = best[-1][0]
         while cand:
             d, n = heapq.heappop(cand)
-            if d > -res[0][0] and len(res) >= ef:
+            if d > worst and len(best) >= ef:
                 break
             neigh = [
                 m for m in self.adj[n][level] if m not in visited
@@ -123,12 +124,13 @@ class HNSWGraph:
             nd = self._dist(q, neigh)
             for dm, m in zip(nd, neigh):
                 dm = float(dm)
-                if len(res) < ef or dm < -res[0][0]:
+                if len(best) < ef or dm < worst:
                     heapq.heappush(cand, (dm, m))
-                    heapq.heappush(res, (-dm, m))
-                    if len(res) > ef:
-                        heapq.heappop(res)
-        return sorted((-nd, n) for nd, n in res)
+                    insort(best, (dm, m))
+                    if len(best) > ef:
+                        best.pop()
+                    worst = best[-1][0]
+        return best
 
     def _select(self, cands: list[tuple[float, int]], M: int) -> list[int]:
         return [n for _, n in sorted(cands)[:M]]
