@@ -210,28 +210,39 @@ def register_analysis_chain(
     stop_set: frozenset[str] | set[str] = frozenset(),
     stem_fn=None,
     token_transform=None,
+    post_stop_transform=None,
+    token_re=None,
+    highlight_pattern: str | None = None,
 ) -> None:
     """Register a custom analysis chain usable everywhere a built-in chain
     is (BuildConfig.analyzer, query analysis, highlighting, oracles).
 
     Covers the shared shape of the reference schema's 30+ language
-    fieldTypes (managed-schema.xml:568+): tokenize -> [token_transform,
-    e.g. elision/normalization] -> stop(ignoreCase) -> lowercase -> [stem].
-    The frozen tokenizer ([a-z0-9]+ runs after lowercasing) is kept; pass
-    language-specific stemmers/transforms as plain callables."""
+    fieldTypes (managed-schema.xml:568+), in Lucene's filter order:
+    tokenize -> [token_transform, e.g. elision] -> stop(ignoreCase) ->
+    [post_stop_transform, e.g. germanNormalization] -> [stem]. Lowercasing
+    happens before the transforms (the frozen tokenizer already runs on
+    lowercased text). ``token_re`` overrides the default ASCII ``[a-z0-9]+``
+    tokenizer (language chains pass a Unicode-letter pattern);
+    ``highlight_pattern`` must be the surface-form regex matching it."""
     stop = frozenset(w.lower() for w in stop_set)
     xform = token_transform or (lambda t: t)
+    post = post_stop_transform or (lambda t: t)
     stem = stem_fn or (lambda t: t)
+    tre = token_re or TOKEN_RE
 
     def norm(tok: str) -> list[str]:
         t = xform(tok.lower())
-        return [] if (not t or t in stop) else [stem(t)]
+        if not t or t in stop:
+            return []
+        t = post(t)
+        return [stem(t)] if t else []
 
     def terms_of(text: str | None) -> list[str]:
         if text is None:
             return []
         out = []
-        for tok in TOKEN_RE.findall(text.lower()):
+        for tok in tre.findall(text.lower()):
             out.extend(norm(tok))
         return out
 
@@ -239,7 +250,7 @@ def register_analysis_chain(
         m: dict[str, list[int]] = {}
         if text is None:
             return m
-        for i, tok in enumerate(TOKEN_RE.findall(text.lower())):
+        for i, tok in enumerate(tre.findall(text.lower())):
             for f in norm(tok):
                 m.setdefault(f, []).append(i)  # stop-gap positions
         return m
@@ -247,7 +258,7 @@ def register_analysis_chain(
     QUERY_ANALYZERS[name] = terms_of
     POSITION_ANALYZERS[name] = positions_of
     TOKEN_NORMALIZERS[name] = norm
-    HIGHLIGHT_TOKEN_PATTERNS[name] = _ALNUM_TOKEN
+    HIGHLIGHT_TOKEN_PATTERNS[name] = highlight_pattern or _ALNUM_TOKEN
 
 
 QUERY_ANALYZERS["text_en_splitting"] = analyze_text_en_splitting

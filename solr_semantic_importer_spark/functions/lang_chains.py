@@ -1,0 +1,208 @@
+"""Language analysis chains from a Solr configset's ``lang/`` directory.
+
+The reference schema declares ~30 language fieldTypes
+(default-base-config/managed-schema.xml:568+), each the same shape:
+standard tokenizer -> [elision] -> lowercase -> stop(words=lang/
+stopwords_XX.txt, often format="snowball") -> [normalization] -> stemmer.
+This module makes every one of them instantiable against the user's own
+configset files:
+
+- ``parse_stopwords_file``: both Solr stopword formats -- "snowball"
+  (``|`` comments, one word leading each line) and the default wordset
+  (``#`` comments, whitespace-separated words)
+- ``parse_wordlist_file``: the elision/contractions list format
+  (``#`` comments, one particle per line, e.g. lang/contractions_fr.txt)
+- minimal stemmers for fr/de/pt -- the ``*MinimalStem`` variants each
+  fieldType documents as its less-aggressive alternative
+  (managed-schema.xml:649, :736, :961), after Savoy, "Light Stemming
+  Approaches for the French, Portuguese, German and Hungarian Languages"
+  (SAC 2006). Rule sets are stated exactly in each docstring; other
+  languages register stop-only (still a faithful chain: most of the
+  reference's fieldTypes beyond the big European languages are
+  tokenize+stop+lowercase only)
+- ``register_language_chains(lang_dir)``: registers ``text_XX`` for every
+  ``stopwords_XX.txt`` present, merging ``contractions_XX.txt`` particles
+  into the stop set
+
+Tokenizer deviation (documented): the engine's frozen regex tokenizer
+splits at apostrophes, so ``l'avion`` tokenizes as ``l / avion`` and
+elision particles are dropped as standalone stop tokens -- same retrieval
+effect as Lucene's ElisionFilter (which strips ``l'`` inside the token),
+different mechanism. Language chains tokenize with a Unicode-letter
+pattern so accented tokens (``été``, ``über``) stay whole.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from .analysis import register_analysis_chain
+
+__all__ = [
+    "parse_stopwords_file",
+    "parse_wordlist_file",
+    "french_minimal_stem",
+    "german_minimal_stem",
+    "german_normalize",
+    "portuguese_minimal_stem",
+    "register_language_chains",
+    "UNICODE_TOKEN_PATTERN",
+]
+
+# \w minus underscore, over lowercased text: keeps accented letters whole
+UNICODE_TOKEN_PATTERN = r"[^\W_]+"
+_UNI_RE = re.compile(UNICODE_TOKEN_PATTERN, re.UNICODE)
+
+
+def parse_stopwords_file(path: str, fmt: str = "auto") -> frozenset[str]:
+    """Solr stopword file -> frozenset. ``snowball`` format: ``|`` starts a
+    comment (full-line or trailing), the stop word is the first token of
+    the line. ``wordset`` (Solr default): ``#`` full-line comments,
+    whitespace-separated words. ``auto`` sniffs: any ``|`` in the file ->
+    snowball."""
+    with open(path, encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    if fmt == "auto":
+        fmt = "snowball" if any("|" in ln for ln in lines) else "wordset"
+    words: set[str] = set()
+    for ln in lines:
+        if fmt == "snowball":
+            ln = ln.split("|", 1)[0]
+            w = ln.strip().split()
+            if w:
+                words.add(w[0].lower())
+        else:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            words.update(w.lower() for w in ln.split())
+    return frozenset(words)
+
+
+def parse_wordlist_file(path: str) -> list[str]:
+    """Elision/contraction list: ``#`` comments, one entry per line."""
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln and not ln.startswith("#"):
+                out.append(ln.lower())
+    return out
+
+
+def french_minimal_stem(s: str) -> str:
+    """frenchMinimalStem (managed-schema.xml:736 alternative; Savoy 2006).
+    Rules, applied in order to words of length >= 6:
+    final ``x``: ``aux -> al`` (chevaux -> cheval), else drop the ``x``;
+    otherwise sequentially drop a final ``s``, then ``r``, then ``e``,
+    then ``é``, then one of a doubled final letter."""
+    if len(s) < 6:
+        return s
+    if s[-1] == "x":
+        if s[-3:-1] == "au":
+            return s[:-2] + "l"
+        return s[:-1]
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if len(s) > 1 and s[-1] == s[-2]:
+        s = s[:-1]
+    return s
+
+
+def german_normalize(s: str) -> str:
+    """germanNormalization (managed-schema.xml:647), umlaut/eszett folding:
+    ä->a, ö->o, ü->u, ß->ss. (Lucene's filter additionally folds ``ae/oe/
+    ue`` digraphs context-sensitively; that heuristic is intentionally
+    omitted -- documented deviation.)"""
+    return (
+        s.replace("ä", "a").replace("ö", "o").replace("ü", "u").replace("ß", "ss")
+    )
+
+
+def german_minimal_stem(s: str) -> str:
+    """germanMinimalStem (managed-schema.xml:649 alternative; Savoy 2006
+    plural reduction). Rules: words < 5 chars unchanged; drop final
+    ``nen`` (len > 6); else drop final ``en``/``er``/``es``/``se``
+    (len > 5); else drop a final ``n``/``s``/``r``/``e``. Runs after
+    german_normalize in the registered chain."""
+    if len(s) < 5:
+        return s
+    if len(s) > 6 and s.endswith("nen"):
+        return s[:-3]
+    if len(s) > 5 and s[-2:] in ("en", "er", "es", "se"):
+        return s[:-2]
+    if s[-1] in "nsre":
+        return s[:-1]
+    return s
+
+
+def portuguese_minimal_stem(s: str) -> str:
+    """portugueseMinimalStem (managed-schema.xml:961 alternative; Savoy
+    2006 / RSLP plural step). Rules, plural words (final ``s``) of length
+    >= 4 only: ``ões/ães -> ão``, ``ais -> al``, ``éis/eis -> el``,
+    ``óis -> ol``, ``res -> r``, else drop the final ``s``; words ending
+    ``ss`` are not plurals and stay unchanged."""
+    if len(s) < 4 or not s.endswith("s"):
+        return s
+    if s.endswith(("ões", "ães")):
+        return s[:-3] + "ão"
+    if s.endswith("ais"):
+        return s[:-3] + "al"
+    if s.endswith(("éis", "eis")):
+        return s[:-3] + "el"
+    if s.endswith("óis"):
+        return s[:-3] + "ol"
+    if s.endswith("res"):
+        return s[:-2]
+    if s.endswith("ss"):
+        return s
+    return s[:-1]
+
+
+STEMMERS = {
+    "fr": french_minimal_stem,
+    "de": german_minimal_stem,
+    "pt": portuguese_minimal_stem,
+}
+POST_STOP_TRANSFORMS = {"de": german_normalize}
+
+
+def register_language_chains(
+    lang_dir: str,
+    languages: list[str] | None = None,
+    prefix: str = "text_",
+) -> list[str]:
+    """Register ``text_XX`` for every ``stopwords_XX.txt`` in a configset
+    ``lang/`` directory (the reference ships 30); ``contractions_XX.txt``
+    particles merge into the stop set (see module docstring for the
+    elision mechanism). Returns the registered chain names; each is then
+    usable as ``BuildConfig(analyzer="text_fr")`` etc."""
+    registered = []
+    for fname in sorted(os.listdir(lang_dir)):
+        m = re.fullmatch(r"stopwords_([a-z]{2})\.txt", fname)
+        if not m:
+            continue
+        code = m.group(1)
+        if languages is not None and code not in languages:
+            continue
+        stops = set(parse_stopwords_file(os.path.join(lang_dir, fname)))
+        contr = os.path.join(lang_dir, f"contractions_{code}.txt")
+        if os.path.exists(contr):
+            stops.update(parse_wordlist_file(contr))
+        register_analysis_chain(
+            prefix + code,
+            stop_set=stops,
+            stem_fn=STEMMERS.get(code),
+            post_stop_transform=POST_STOP_TRANSFORMS.get(code),
+            token_re=_UNI_RE,
+            highlight_pattern=UNICODE_TOKEN_PATTERN,
+        )
+        registered.append(prefix + code)
+    return registered

@@ -1,0 +1,115 @@
+"""Language chains from a configset lang/ dir: parsers, stemmers, and an
+end-to-end text_fr index (build + stem-conflated query + highlight)."""
+
+import os
+
+import pytest
+
+from solr_semantic_importer_spark.functions.analysis import QUERY_ANALYZERS
+from solr_semantic_importer_spark.functions.lang_chains import (
+    french_minimal_stem,
+    german_minimal_stem,
+    german_normalize,
+    parse_stopwords_file,
+    parse_wordlist_file,
+    portuguese_minimal_stem,
+    register_language_chains,
+)
+
+REF_LANG = "/root/reference/src/main/resources/default-base-config/lang"
+
+
+def test_snowball_stopword_parser(tmp_path):
+    p = tmp_path / "stopwords_xx.txt"
+    p.write_text(
+        " | header comment\n"
+        "au             |  a + le\n"
+        "ces            |  these\n"
+        "\n"
+        "de\n",
+        encoding="utf-8",
+    )
+    assert parse_stopwords_file(str(p)) == frozenset({"au", "ces", "de"})
+
+
+def test_wordset_stopword_parser(tmp_path):
+    p = tmp_path / "stopwords_yy.txt"
+    p.write_text("# comment\nthe  an\na\n", encoding="utf-8")
+    assert parse_stopwords_file(str(p)) == frozenset({"the", "an", "a"})
+
+
+def test_contractions_parser(tmp_path):
+    p = tmp_path / "contractions_fr.txt"
+    p.write_text("# Set of French contractions\nl\nqu\n", encoding="utf-8")
+    assert parse_wordlist_file(str(p)) == ["l", "qu"]
+
+
+def test_french_minimal_stem_rules():
+    assert french_minimal_stem("chevaux") == "cheval"
+    assert french_minimal_stem("tables") == "tabl"
+    assert french_minimal_stem("table") == "table"  # < 6 chars: unchanged
+    assert french_minimal_stem("continuer") == "continu"
+    assert french_minimal_stem("baux") == "baux"  # < 6 chars
+
+
+def test_german_minimal_stem_and_normalize():
+    assert german_normalize("über") == "uber"
+    assert german_normalize("straße") == "strasse"
+    assert german_minimal_stem("katzen") == "katz"
+    assert german_minimal_stem("bilder") == "bild"
+    assert german_minimal_stem("haus") == "haus"  # < 5 chars
+    assert german_minimal_stem("frauen") == "frau"
+
+
+def test_portuguese_minimal_stem_rules():
+    assert portuguese_minimal_stem("nações") == "nação"
+    assert portuguese_minimal_stem("animais") == "animal"
+    assert portuguese_minimal_stem("papéis") == "papel"
+    assert portuguese_minimal_stem("livros") == "livro"
+    assert portuguese_minimal_stem("mar") == "mar"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_LANG), reason="reference absent")
+def test_register_all_reference_language_chains():
+    names = register_language_chains(REF_LANG)
+    # the reference configset ships 31 stopwords_XX.txt files
+    assert len(names) == 31
+    assert {"text_fr", "text_de", "text_pt", "text_ru", "text_ja"} <= set(names)
+    fr = QUERY_ANALYZERS["text_fr"]
+    # elision particle 'l' (contractions_fr.txt) and stopwords ('de',
+    # 'les', and 'été' -- être's participle IS a snowball stopword)
+    # dropped; accented tokens stay whole; plurals stem minimally
+    assert fr("l'été de les cafés tables") == ["cafés", "tabl"]
+    de = QUERY_ANALYZERS["text_de"]
+    # 'die' stopworded pre-normalization; umlaut folded post-stop, then stem
+    assert de("die Häuser") == ["haus"]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_LANG), reason="reference absent")
+def test_text_fr_end_to_end_index(spark, tmp_path_factory):
+    from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.query.engine import BM25Index
+
+    register_language_chains(REF_LANG, languages=["fr"])
+    rows = [
+        ("c0", 0, "user", "les chevaux galopent dans les champs", None),
+        ("c0", 1, "assistant", "un cheval galope vite", None),
+        ("c0", 2, "user", "la table est grande", None),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, t, tool) for c, i, r, t, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.current_timestamp())
+    idx_dir = str(tmp_path_factory.mktemp("fr"))
+    build_index(
+        spark, df, idx_dir,
+        BuildConfig(build_id="fr", analyzer="text_fr", segment_size=64,
+                    n_term_buckets=4, hot_df_threshold=100),
+    )
+    idx = BM25Index(spark, idx_dir)
+    # singular query matches the plural document: both stem via the chain
+    # ('chevaux' -> 'cheval', query 'cheval' < 6 chars stays 'cheval')
+    hits = [r["doc_id"] for r in idx.search("cheval", k=5).collect()]
+    assert len(hits) == 2  # docs 0 (chevaux) and 1 (cheval)
+    # stopwords ('les', 'la', 'dans') never hit the dictionary
+    assert idx.search("les", k=5).collect() == []
