@@ -178,12 +178,20 @@ def register_language_chains(
     lang_dir: str,
     languages: list[str] | None = None,
     prefix: str = "text_",
+    overwrite: bool = False,
 ) -> list[str]:
     """Register ``text_XX`` for every ``stopwords_XX.txt`` in a configset
-    ``lang/`` directory (the reference ships 30); ``contractions_XX.txt``
+    ``lang/`` directory (the reference ships 31); ``contractions_XX.txt``
     particles merge into the stop set (see module docstring for the
     elision mechanism). Returns the registered chain names; each is then
-    usable as ``BuildConfig(analyzer="text_fr")`` etc."""
+    usable as ``BuildConfig(analyzer="text_fr")`` etc.
+
+    A name that is already registered is SKIPPED unless ``overwrite=True``:
+    the schema's ``text_en`` is the stop+Porter chain, and a configset dir
+    containing ``stopwords_en.txt`` must not silently downgrade it to
+    stop-only."""
+    from .analysis import QUERY_ANALYZERS
+
     registered = []
     for fname in sorted(os.listdir(lang_dir)):
         m = re.fullmatch(r"stopwords_([a-z]{2})\.txt", fname)
@@ -191,6 +199,8 @@ def register_language_chains(
             continue
         code = m.group(1)
         if languages is not None and code not in languages:
+            continue
+        if not overwrite and (prefix + code) in QUERY_ANALYZERS:
             continue
         stops = set(parse_stopwords_file(os.path.join(lang_dir, fname)))
         contr = os.path.join(lang_dir, f"contractions_{code}.txt")

@@ -72,9 +72,14 @@ def test_portuguese_minimal_stem_rules():
 @pytest.mark.skipif(not os.path.isdir(REF_LANG), reason="reference absent")
 def test_register_all_reference_language_chains():
     names = register_language_chains(REF_LANG)
-    # the reference configset ships 31 stopwords_XX.txt files
-    assert len(names) == 31
+    # the reference configset ships 31 stopwords_XX.txt files; text_en is
+    # SKIPPED (the built-in stop+Porter chain must not be downgraded to a
+    # stop-only chain by a configset that happens to ship stopwords_en.txt)
+    assert len(names) == 30 and "text_en" not in names
     assert {"text_fr", "text_de", "text_pt", "text_ru", "text_ja"} <= set(names)
+    from solr_semantic_importer_spark.functions.analysis import analyze_text_en
+
+    assert QUERY_ANALYZERS["text_en"] is analyze_text_en  # built-in intact
     fr = QUERY_ANALYZERS["text_fr"]
     # elision particle 'l' (contractions_fr.txt) and stopwords ('de',
     # 'les', and 'été' -- être's participle IS a snowball stopword)
