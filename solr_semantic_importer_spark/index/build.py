@@ -121,6 +121,30 @@ class BuildConfig:
     keep_tf_pairs: bool = False
 
 
+def write_stats_parquet(path: str, n_docs: int, sum_dl: int) -> None:
+    """corpus_stats is ONE row of driver-known values; writing it through a
+    Spark job pays fixed scheduling latency per build (and ``coalesce(1)``
+    on a local relation stalls ~5 s/write on this pyspark), so it goes
+    straight to a parquet file via pyarrow. ``spark.read.parquet`` readers
+    are unaffected; commit semantics stay with the manifest."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    table = pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "sum_dl": pa.array([sum_dl], pa.int64()),
+            "avgdl": pa.array([avgdl], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
 def _encode_sorted_chunk(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """Encode a chunk of rows sorted by (term, segment_id, salt, doc_id) into
     posting blocks -- FULLY vectorized: one boundary scan finds all groups and
@@ -374,17 +398,12 @@ def build_index(
         if _docs_obs:  # same-run fast path: reuse the docs-write observation
             nd = int(_docs_obs["n"])
             sd = int(_docs_obs["sum_dl"] or 0)
-            stats = spark.createDataFrame(
-                [(nd, sd, (sd / nd) if nd else 0.0)],
-                "n_docs long, sum_dl long, avgdl double",
-            )
         else:  # resume path: recompute from the committed docs table
-            stats = docs.agg(
-                F.count("*").alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
-                F.avg("dl").alias("avgdl"),
-            )
-        stats.coalesce(1).write.mode("overwrite").parquet(stats_path)
+            row = docs.agg(
+                F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+            ).collect()[0]
+            nd, sd = int(row["n_docs"]), int(row["sum_dl"] or 0)
+        write_stats_parquet(stats_path, nd, sd)
         return 1, dir_bytes(stats_path), {}
 
     man.run_step("stats", step_stats)

@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 from ..functions.codec import varint_decode
 from ..plans.manifest import Manifest, dir_bytes
-from .build import POSTINGS_SCHEMA, BuildConfig
+from .build import POSTINGS_SCHEMA, BuildConfig, write_stats_parquet
 
 _PAIRS_SCHEMA = T.StructType(
     [
@@ -191,12 +191,10 @@ def merge_postings(
 
         st = spark.read.parquet(stats_path).agg(
             F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        ).collect()[0]
+        write_stats_parquet(
+            stats_path + ".merge", int(st["n_docs"]), int(st["sum_dl"] or 0)
         )
-        st.select(
-            F.col("n_docs").cast("long"),
-            F.col("sum_dl").cast("long"),
-            (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
-        ).coalesce(1).write.mode("overwrite").parquet(stats_path + ".merge")
 
         # audit done -> publish all three relations
         for rel in ("postings", "dictionary", "corpus_stats"):

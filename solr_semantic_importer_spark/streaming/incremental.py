@@ -41,7 +41,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.build import POSTINGS_SCHEMA, BuildConfig, _make_partition_encoder
+from ..index.build import (
+    POSTINGS_SCHEMA,
+    BuildConfig,
+    _make_partition_encoder,
+    write_stats_parquet,
+)
 from ..index.docids import SORT_KEYS, assign_doc_ids
 from ..functions.analysis import make_positions_udf, term_freqs_udf
 from ..plans.manifest import Manifest, dir_bytes
@@ -168,10 +173,7 @@ def append_batch(
             F.avg("dl").alias("avgdl"),
         ).collect()[0]
         n, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"] or 0)
-        avgdl = (sum_dl / n) if n else 0.0
-        spark.createDataFrame(
-            [(n, sum_dl, float(avgdl))], "n_docs long, sum_dl long, avgdl double"
-        ).coalesce(1).write.mode("overwrite").parquet(_stage("corpus_stats"))
+        write_stats_parquet(_stage("corpus_stats"), n, sum_dl)
         d = (
             pairs.groupBy("term")
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
