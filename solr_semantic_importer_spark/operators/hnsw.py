@@ -44,7 +44,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["build_hnsw_segments", "hnsw_topk", "HNSWGraph"]
+__all__ = [
+    "build_hnsw_segments",
+    "hnsw_topk",
+    "HNSWGraph",
+    "write_hnsw_index",
+    "HNSWIndex",
+]
 
 
 def _level_for(node_id: int, mL: float) -> int:
@@ -308,3 +314,36 @@ def hnsw_topk(
 
     out = graphs.mapInPandas(search, schema=_TOPK_SCHEMA)
     return out.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def write_hnsw_index(
+    emb: DataFrame,
+    path: str,
+    n_segments: int = 8,
+    M: int = 16,
+    ef_construction: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the segment graphs once and persist them as a parquet
+    relation (graph_id, n_vectors, graph-blob) -- the Lucene ``.vec``/
+    ``.vem`` per-segment files, index-lifecycle style: build once, query
+    many. Graph rows are a few MB each; at scale the relation is scanned
+    one-task-per-graph with no shuffle."""
+    g = build_hnsw_segments(
+        emb, n_segments=n_segments, M=M, ef_construction=ef_construction,
+        id_col=id_col, vec_col=vec_col,
+    )
+    g.write.mode("overwrite").parquet(path)
+
+
+class HNSWIndex:
+    """Query handle over a persisted HNSW relation (see write_hnsw_index).
+    The parquet read is lazy and the DataFrame handle is cached, so each
+    query is a single mapInPandas job over the graph rows."""
+
+    def __init__(self, spark, path: str):
+        self.graphs = spark.read.parquet(path)
+
+    def topk(self, query_vec: list[float], k: int = 10, ef_search: int = 100):
+        return hnsw_topk(self.graphs, query_vec, k=k, ef_search=ef_search)

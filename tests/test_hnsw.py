@@ -89,3 +89,22 @@ def test_spark_segments_match_exact_topk(spark):
         ]
         assert approx == exact
     graphs.unpersist()
+
+
+def test_persisted_hnsw_index_roundtrip(spark, tmp_path_factory):
+    from solr_semantic_importer_spark.operators.hnsw import (
+        HNSWIndex,
+        write_hnsw_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("hnsw")) + "/idx"
+    write_hnsw_index(emb, path, n_segments=4)
+    idx = HNSWIndex(spark, path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in idx.topk(qv, k=5).collect()]
+    live = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in hnsw_topk(build_hnsw_segments(emb, n_segments=4), qv, k=5).collect()
+    ]
+    assert got == live and got[0][0] == 3
