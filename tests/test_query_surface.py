@@ -209,6 +209,26 @@ def test_query_result_cache(corpus):
     assert len(idx._result_cache) == 0
 
 
+def test_stored_field_fetch_pushes_docid_filter(corpus):
+    """with_stored on a cached DocList must push `doc_id IN (...)` into the
+    docs parquet scan (row-group pruning), never scan the whole table."""
+    import contextlib
+    import io
+
+    _, idx, _ = corpus
+    idx._result_cache.clear()
+    df = idx.search("error tool", k=5, with_stored=True)  # populates + hits
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "In(doc_id" in ln
+    ]
+    assert pushed, f"no doc_id IN pushdown in plan:\n{plan[:2000]}"
+
+
 def test_massive_delete_stays_distributed(spark, tmp_path_factory):
     """Delete ~2/3 of the corpus (the reference's `-crawl_id:X` shape can
     tombstone everything): the engine must hold tombstones only as a
