@@ -267,8 +267,13 @@ class BM25Index:
         with_stored: bool = False,
         order_key: str = "round6",
         use_cache: bool = True,
+        fl: list[str] | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, stored fields]).
+
+        fl: Solr field-list -- return only these stored fields (implies
+        with_stored); the projection reaches the docs parquet scan as
+        ReadSchema pruning, so a 2-field fl reads 2 columns at 10^12 rows.
 
         order_key: 'round6' (canonical: round(score,6) desc, doc_id asc) or
         'milli' (integer key round(score*1000) -- used for cross-engine
@@ -287,9 +292,11 @@ class BM25Index:
         terms = self.analyze_query(query, synonyms=synonyms)
         idf = self.idf_map(terms)
         terms = [t for t in terms if t in idf]  # OOV terms contribute nothing
+        if fl is not None:
+            with_stored = True
         empty = self.spark.createDataFrame([], _SCORE_ROW)
         if not terms:
-            return self._finish(empty, k, offset, with_stored, order_key)
+            return self._finish(empty, k, offset, with_stored, order_key, fl)
 
         need = k + offset
         ckey = (tuple(terms), op, mode, fq, order_key)
@@ -298,7 +305,7 @@ class BM25Index:
             if ent is not None and (ent[1] or len(ent[0]) >= need):
                 self._result_cache.move_to_end(ckey)
                 return self._from_doclist(
-                    ent[0][offset:need], with_stored, order_key
+                    ent[0][offset:need], with_stored, order_key, fl
                 )
             # fetch a window-rounded superset so later pages of the same
             # query are cache hits (Solr queryResultWindowSize behavior)
@@ -310,10 +317,10 @@ class BM25Index:
             self._result_cache.move_to_end(ckey)  # overwrite must refresh LRU
             while len(self._result_cache) > self.RESULT_CACHE_MAX:
                 self._result_cache.popitem(last=False)
-            return self._from_doclist(rows[offset:need], with_stored, order_key)
+            return self._from_doclist(rows[offset:need], with_stored, order_key, fl)
 
         scored = self._scored_frame(terms, idf, need, op, mode, fq)
-        return self._finish(scored, k, offset, with_stored, order_key)
+        return self._finish(scored, k, offset, with_stored, order_key, fl)
 
     def _scored_frame(
         self,
@@ -340,7 +347,8 @@ class BM25Index:
         return self._anti_dead(self._apply_fq(scored, fq))
 
     def _from_doclist(
-        self, rows: list, with_stored: bool, order_key: str
+        self, rows: list, with_stored: bool, order_key: str,
+        fl: list[str] | None = None,
     ) -> DataFrame:
         """Rebuild a result DataFrame from a cached DocList (ordered
         (doc_id, score) rows, Solr queryResultCache granularity). The list
@@ -361,15 +369,25 @@ class BM25Index:
             # is the Solr documentCache/stored-fields access shape: fetch by
             # docid, never a table scan.
             ids = [int(r["doc_id"]) for r in rows]
-            stored = self.docs().filter(F.col("doc_id").isin(ids))
+            stored = self._stored_side(fl).filter(F.col("doc_id").isin(ids))
             df = stored.join(F.broadcast(df), "doc_id").select(
-                "doc_id", "score", *[c for c in self.docs().columns if c != "doc_id"]
+                "doc_id", "score", *[c for c in stored.columns if c != "doc_id"]
             ).orderBy(key.desc(), F.col("doc_id").asc())
         return df
 
+    def _stored_side(self, fl: list[str] | None) -> DataFrame:
+        """The docs relation projected to Solr's ``fl`` field list (None =
+        all stored fields). The select reaches the parquet scan as
+        ReadSchema pruning, so fl=["conv_id"] reads one column, not the
+        row."""
+        if fl is None:
+            return self.docs()
+        cols = [c for c in fl if c != "doc_id"]
+        return self.docs().select("doc_id", *cols)
+
     def _finish(
         self, scored: DataFrame, k: int, offset: int, with_stored: bool,
-        order_key: str = "round6",
+        order_key: str = "round6", fl: list[str] | None = None,
     ) -> DataFrame:
         if order_key == "milli":
             key = F.round(F.col("score") * 1000).cast("long")
@@ -377,8 +395,8 @@ class BM25Index:
             key = F.round(F.col("score"), 6)
         out = scored.orderBy(key.desc(), F.col("doc_id").asc())
         out = out.offset(offset).limit(k) if offset else out.limit(k)
-        if with_stored:
-            out = out.join(self.docs(), "doc_id", "left").orderBy(
+        if with_stored or fl is not None:
+            out = out.join(self._stored_side(fl), "doc_id", "left").orderBy(
                 key.desc(), F.col("doc_id").asc()
             )
         return out
@@ -664,6 +682,7 @@ class BM25Index:
         offset: int = 0,
         with_stored: bool = False,
         order_key: str = "round6",
+        fl: list[str] | None = None,
     ) -> DataFrame:
         """Exact phrase top-k: docs where the analyzed phrase terms occur at
         consecutive positions. Lucene PhraseQuery semantics under BM25:
@@ -680,11 +699,11 @@ class BM25Index:
         idf = self.idf_map(uniq_terms)
         empty = self.spark.createDataFrame([], _SCORE_ROW)
         if not terms or any(t not in idf for t in uniq_terms):
-            return self._finish(empty, k, offset, with_stored, order_key)
+            return self._finish(empty, k, offset, with_stored, order_key, fl)
         if len(terms) == 1:
             return self.search(
                 phrase, k=k, fq=fq, offset=offset,
-                with_stored=with_stored, order_key=order_key,
+                with_stored=with_stored, order_key=order_key, fl=fl,
             )
         # Lucene sums idf over the phrase's term array (duplicates counted)
         idf_sum = float(sum(idf[t] for t in terms))
@@ -765,7 +784,7 @@ class BM25Index:
             post.groupBy("segment_id").applyInPandas(match_segment, schema=_SCORE_ROW)
         )
         scored = self._apply_fq(scored, fq)
-        return self._finish(scored, k, offset, with_stored, order_key)
+        return self._finish(scored, k, offset, with_stored, order_key, fl)
 
     # -- block-max WAND (segment-parallel fast path) ---------------------------
 

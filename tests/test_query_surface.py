@@ -209,6 +209,36 @@ def test_query_result_cache(corpus):
     assert len(idx._result_cache) == 0
 
 
+def test_fl_field_list(corpus):
+    """Solr fl: only the requested stored fields come back, on both the
+    cached-DocList path and the uncached path, and the projection prunes
+    the docs ReadSchema."""
+    import contextlib
+    import io
+
+    _, idx, _ = corpus
+    idx._result_cache.clear()
+    r = idx.search("error tool", k=3, fl=["conv_id", "role"]).collect()
+    assert set(r[0].asDict()) == {"doc_id", "score", "conv_id", "role"}
+    r2 = idx.search(
+        "error tool", k=3, fl=["conv_id", "role"], use_cache=False
+    ).collect()
+    assert [(x["doc_id"], x["conv_id"], x["role"]) for x in r] == [
+        (x["doc_id"], x["conv_id"], x["role"]) for x in r2
+    ]
+    p = idx.search_phrase("error in", k=3, fl=["conv_id"])
+    assert set(p.columns) == {"doc_id", "score", "conv_id"}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        idx.search("error tool", k=3, fl=["conv_id"]).explain("formatted")
+    plan = buf.getvalue()
+    docs_schemas = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "conv_id" in ln
+    ]
+    assert docs_schemas and all("text" not in ln for ln in docs_schemas)
+
+
 def test_stored_field_fetch_pushes_docid_filter(corpus):
     """with_stored on a cached DocList must push `doc_id IN (...)` into the
     docs parquet scan (row-group pruning), never scan the whole table."""
