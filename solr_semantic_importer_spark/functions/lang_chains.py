@@ -17,9 +17,12 @@ configset files:
   (managed-schema.xml:649, :736, :961), after Savoy, "Light Stemming
   Approaches for the French, Portuguese, German and Hungarian Languages"
   (SAC 2006). Rule sets are stated exactly in each docstring; other
-  languages register stop-only (still a faithful chain: most of the
-  reference's fieldTypes beyond the big European languages are
-  tokenize+stop+lowercase only)
+  space-delimited languages register stop-only (a faithful chain: most of
+  the reference's fieldTypes beyond the big European languages are
+  tokenize+stop+lowercase only). ja/th are EXCLUDED -- their Lucene
+  chains need kuromoji / ThaiTokenizer segmentation; the schema's own
+  no-dictionary CJK fallback, text_cjk (CJKBigram), is provided by
+  :func:`register_cjk_bigram_chain`
 - ``register_language_chains(lang_dir)``: registers ``text_XX`` for every
   ``stopwords_XX.txt`` present, merging ``contractions_XX.txt`` particles
   into the stop set
@@ -47,6 +50,8 @@ __all__ = [
     "german_normalize",
     "portuguese_minimal_stem",
     "register_language_chains",
+    "register_cjk_bigram_chain",
+    "cjk_bigram_tokens",
     "UNICODE_TOKEN_PATTERN",
 ]
 
@@ -59,12 +64,16 @@ def parse_stopwords_file(path: str, fmt: str = "auto") -> frozenset[str]:
     """Solr stopword file -> frozenset. ``snowball`` format: ``|`` starts a
     comment (full-line or trailing), the stop word is the first token of
     the line. ``wordset`` (Solr default): ``#`` full-line comments,
-    whitespace-separated words. ``auto`` sniffs: any ``|`` in the file ->
-    snowball."""
+    whitespace-separated words. ``auto`` sniff: a file with ``#`` comment
+    lines is wordset (its entries may legitimately contain ``|``); else
+    any ``|`` means snowball."""
     with open(path, encoding="utf-8") as f:
         lines = f.read().splitlines()
     if fmt == "auto":
-        fmt = "snowball" if any("|" in ln for ln in lines) else "wordset"
+        if any(ln.lstrip().startswith("#") for ln in lines):
+            fmt = "wordset"
+        else:
+            fmt = "snowball" if any("|" in ln for ln in lines) else "wordset"
     words: set[str] = set()
     for ln in lines:
         if fmt == "snowball":
@@ -173,6 +182,67 @@ STEMMERS = {
 }
 POST_STOP_TRANSFORMS = {"de": german_normalize}
 
+# Unsegmented-script languages whose Lucene chains need a dictionary /
+# algorithmic segmenter (text_ja = kuromoji, managed-schema.xml:838;
+# text_th = ThaiTokenizer, :1004). A whitespace/regex tokenizer would emit
+# whole clauses as single tokens -- retrieval would silently return zero
+# hits -- so these are NOT registered; the schema's own no-dictionary
+# fallback for them is the text_cjk bigram chain below.
+UNSEGMENTED = frozenset({"ja", "th"})
+
+# CJK unified ideographs + kana + hangul (the ranges CJKBigramFilter pairs)
+_CJK_RANGE = (
+    "ᄀ-ᇿ぀-ヿ㄰-㆏㐀-䶿"
+    "一-鿿가-힯豈-﫿"
+)
+_CJK_TOKEN_RE = re.compile(rf"([{_CJK_RANGE}]+)|([^\W_]+)", re.UNICODE)
+
+
+def cjk_bigram_tokens(text: str | None) -> list[str]:
+    """text_cjk analysis (managed-schema.xml:607-615): width normalization
+    (NFKC folds full-width Latin and half-width kana, the CJKWidth analog)
+    -> lowercase -> runs of CJK characters emit overlapping BIGRAMS (a
+    lone CJK char emits itself), non-CJK runs emit normal word tokens."""
+    import unicodedata
+
+    if text is None:
+        return []
+    out: list[str] = []
+    for m in _CJK_TOKEN_RE.finditer(unicodedata.normalize("NFKC", text).lower()):
+        cjk, word = m.group(1), m.group(2)
+        if word:
+            out.append(word)
+        elif len(cjk) == 1:
+            out.append(cjk)
+        else:
+            out.extend(cjk[i : i + 2] for i in range(len(cjk) - 1))
+    return out
+
+
+def register_cjk_bigram_chain(name: str = "text_cjk") -> None:
+    """Register the schema's text_cjk fieldType: the no-dictionary CJK
+    chain (bigrams match any two consecutive ideographs, so queries and
+    documents align without segmentation). Positions are bigram-stream
+    indexes (Lucene emits successive positions the same way), so phrase
+    queries over the bigram stream behave like Lucene's."""
+    from .analysis import (
+        HIGHLIGHT_TOKEN_PATTERNS,
+        POSITION_ANALYZERS,
+        QUERY_ANALYZERS,
+        TOKEN_NORMALIZERS,
+    )
+
+    def positions_of(text: str | None) -> dict[str, list[int]]:
+        m: dict[str, list[int]] = {}
+        for i, tok in enumerate(cjk_bigram_tokens(text)):
+            m.setdefault(tok, []).append(i)
+        return m
+
+    QUERY_ANALYZERS[name] = cjk_bigram_tokens
+    POSITION_ANALYZERS[name] = positions_of
+    TOKEN_NORMALIZERS[name] = cjk_bigram_tokens
+    HIGHLIGHT_TOKEN_PATTERNS[name] = rf"[{_CJK_RANGE}]{{1,2}}|[^\W_]+"
+
 
 def register_language_chains(
     lang_dir: str,
@@ -198,6 +268,8 @@ def register_language_chains(
         if not m:
             continue
         code = m.group(1)
+        if code in UNSEGMENTED:
+            continue  # see UNSEGMENTED: regex tokenization would be wrong
         if languages is not None and code not in languages:
             continue
         if not overwrite and (prefix + code) in QUERY_ANALYZERS:

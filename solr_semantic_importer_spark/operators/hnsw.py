@@ -343,7 +343,9 @@ class HNSWIndex:
     query is a single mapInPandas job over the graph rows."""
 
     def __init__(self, spark, path: str):
-        self.graphs = spark.read.parquet(path)
+        # cache(): the graph blobs deserialize on executors per query; the
+        # build-once-query-many lifecycle must not re-read parquet each time
+        self.graphs = spark.read.parquet(path).cache()
 
     def topk(self, query_vec: list[float], k: int = 10, ef_search: int = 100):
         return hnsw_topk(self.graphs, query_vec, k=k, ef_search=ef_search)

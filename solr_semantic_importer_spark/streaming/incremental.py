@@ -168,9 +168,7 @@ def append_batch(
                 "doc_id", "segment_id", "dl", F.explode("tfmap").alias("term", "tf")
             ).persist()
         stats = analyzed.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-            F.avg("dl").alias("avgdl"),
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
         ).collect()[0]
         n, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"] or 0)
         write_stats_parquet(_stage("corpus_stats"), n, sum_dl)

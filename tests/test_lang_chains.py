@@ -38,6 +38,29 @@ def test_wordset_stopword_parser(tmp_path):
     assert parse_stopwords_file(str(p)) == frozenset({"the", "an", "a"})
 
 
+def test_wordset_with_pipe_char_not_missniffed(tmp_path):
+    # a '#'-commented wordset file containing a '|' somewhere must NOT be
+    # sniffed as snowball (which would stop the literal token '#' and drop
+    # all but the first word per line)
+    p = tmp_path / "stopwords_zz.txt"
+    p.write_text("# entries may contain | chars\nfoo bar\nbaz\n", encoding="utf-8")
+    assert parse_stopwords_file(str(p)) == frozenset({"foo", "bar", "baz"})
+
+
+def test_cjk_bigram_chain():
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        cjk_bigram_tokens,
+        register_cjk_bigram_chain,
+    )
+
+    # overlapping bigrams over the ideograph run; latin run stays a word;
+    # NFKC folds full-width latin (Ｓｐａｒｋ) to ascii
+    assert cjk_bigram_tokens("東京都 spark") == ["東京", "京都", "spark"]
+    assert cjk_bigram_tokens("犬 Ｓｐａｒｋ") == ["犬", "spark"]
+    register_cjk_bigram_chain()
+    assert QUERY_ANALYZERS["text_cjk"]("東京は") == ["東京", "京は"]
+
+
 def test_contractions_parser(tmp_path):
     p = tmp_path / "contractions_fr.txt"
     p.write_text("# Set of French contractions\nl\nqu\n", encoding="utf-8")
@@ -71,12 +94,20 @@ def test_portuguese_minimal_stem_rules():
 
 @pytest.mark.skipif(not os.path.isdir(REF_LANG), reason="reference absent")
 def test_register_all_reference_language_chains():
+    # fresh prefix -> registration count is independent of what other
+    # tests already registered in this process
+    fresh = register_language_chains(REF_LANG, prefix="tzz_")
+    # 31 stopwords_XX.txt shipped; ja and th are excluded (their Lucene
+    # chains need kuromoji/ThaiTokenizer -- regex tokenization would emit
+    # whole clauses and silently return zero hits; text_cjk is the
+    # schema's own no-dictionary fallback)
+    assert len(fresh) == 29
+    assert {"tzz_fr", "tzz_de", "tzz_ru"} <= set(fresh)
+    assert not {"tzz_ja", "tzz_th"} & set(fresh)
+    # default prefix: text_en must never be downgraded to stop-only by a
+    # configset that happens to ship stopwords_en.txt
     names = register_language_chains(REF_LANG)
-    # the reference configset ships 31 stopwords_XX.txt files; text_en is
-    # SKIPPED (the built-in stop+Porter chain must not be downgraded to a
-    # stop-only chain by a configset that happens to ship stopwords_en.txt)
-    assert len(names) == 30 and "text_en" not in names
-    assert {"text_fr", "text_de", "text_pt", "text_ru", "text_ja"} <= set(names)
+    assert "text_en" not in names
     from solr_semantic_importer_spark.functions.analysis import analyze_text_en
 
     assert QUERY_ANALYZERS["text_en"] is analyze_text_en  # built-in intact
