@@ -121,6 +121,39 @@ def test_register_all_reference_language_chains():
     assert de("die Häuser") == ["haus"]
 
 
+def test_text_cjk_end_to_end_index(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        register_cjk_bigram_chain,
+    )
+    from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.query.engine import BM25Index
+
+    register_cjk_bigram_chain()
+    rows = [
+        ("c0", 0, "user", "東京都に住んでいます", None),
+        ("c0", 1, "assistant", "京都はきれいです", None),
+        ("c0", 2, "user", "spark is fast", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    idx_dir = str(tmp_path_factory.mktemp("cjk"))
+    build_index(
+        spark, df, idx_dir,
+        BuildConfig(build_id="cjk", analyzer="text_cjk", segment_size=64,
+                    n_term_buckets=4, hot_df_threshold=100),
+    )
+    idx = BM25Index(spark, idx_dir)
+    # query 東京 -> bigram 東京 matches doc 0 only; 京都 matches both docs
+    # (doc 0 via the overlapping 京都 bigram in 東京都)
+    assert [r["doc_id"] for r in idx.search("東京", k=5).collect()] == [0]
+    assert {r["doc_id"] for r in idx.search("京都", k=5).collect()} == {0, 1}
+    assert [r["doc_id"] for r in idx.search("spark", k=5).collect()] == [2]
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_LANG), reason="reference absent")
 def test_text_fr_end_to_end_index(spark, tmp_path_factory):
     from solr_semantic_importer_spark.index.build import BuildConfig, build_index
