@@ -44,7 +44,12 @@ from pyspark.sql import types as T
 
 from ..functions.codec import varint_decode
 from ..plans.manifest import Manifest, dir_bytes
-from .build import POSTINGS_SCHEMA, BuildConfig, write_stats_parquet
+from .build import (
+    INDEX_PARQUET_CODEC,
+    POSTINGS_SCHEMA,
+    BuildConfig,
+    write_stats_parquet,
+)
 
 _PAIRS_SCHEMA = T.StructType(
     [
@@ -180,14 +185,18 @@ def merge_postings(
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
             )
         )
-        enc.write.mode("overwrite").partitionBy("bucket").parquet(post_path + ".merge")
+        enc.write.mode("overwrite").option(
+            "compression", INDEX_PARQUET_CODEC
+        ).partitionBy("bucket").parquet(post_path + ".merge")
 
         merged_dict = d.groupBy("term", "bucket").agg(
             F.sum("df").alias("df"), F.sum("cf").alias("cf")
         ).select("term", "df", "cf", "bucket")
         merged_dict.repartition(cfg.n_term_buckets, "bucket").write.mode(
             "overwrite"
-        ).partitionBy("bucket").parquet(dict_path + ".merge")
+        ).option("compression", INDEX_PARQUET_CODEC).partitionBy(
+            "bucket"
+        ).parquet(dict_path + ".merge")
 
         st = spark.read.parquet(stats_path).agg(
             F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")

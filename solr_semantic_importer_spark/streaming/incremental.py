@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.build import (
+    INDEX_PARQUET_CODEC,
     POSTINGS_SCHEMA,
     BuildConfig,
     _make_partition_encoder,
@@ -154,7 +155,9 @@ def append_batch(
             )
         analyzed = a.persist()
         docs = analyzed.drop("tfmap")
-        docs.write.mode("overwrite").parquet(_stage("docs"))
+        docs.write.mode("overwrite").option(
+            "compression", INDEX_PARQUET_CODEC
+        ).parquet(_stage("docs"))
         if cfg.store_positions:
             pairs = analyzed.select(
                 "doc_id", "segment_id", "dl",
@@ -180,7 +183,9 @@ def append_batch(
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
             )
         )
-        d.repartition(cfg.n_term_buckets, "bucket").write.mode("overwrite").partitionBy(
+        d.repartition(cfg.n_term_buckets, "bucket").write.mode("overwrite").option(
+            "compression", INDEX_PARQUET_CODEC
+        ).partitionBy(
             "bucket"
         ).parquet(_stage("dictionary"))
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -196,7 +201,9 @@ def append_batch(
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
             )
         )
-        enc.write.mode("overwrite").partitionBy("bucket").parquet(_stage("postings"))
+        enc.write.mode("overwrite").option(
+            "compression", INDEX_PARQUET_CODEC
+        ).partitionBy("bucket").parquet(_stage("postings"))
         analyzed.unpersist()
         pairs.unpersist()
         # all staged; publish (per-file atomic renames, tagged for recovery)
