@@ -448,6 +448,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_multiprobe_topk_emb"] = ann_multiprobe_topk_emb
 
+    def pii_redact(spark, sf_dir):
+        # PII scrub + audit counts over a deterministically PII-seeded
+        # corpus (the synthetic documents carry none, so the query itself
+        # plants one email/IP/phone per row from doc_id -- both engines
+        # build the identical string). All JVM regexp expressions.
+        from solr_semantic_importer_spark.operators.redact import (
+            pii_counts,
+            redact_pii,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        synth = F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact "), F.col("source"), F.lit("@example.com"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 415 "),
+            (F.lit(5550000) + F.col("doc_id")).cast("string"),
+        )
+        c = pii_counts(synth)
+        return docs.select(
+            "doc_id",
+            redact_pii(synth).alias("clean"),
+            c["n_email"].cast("long").alias("n_email"),
+            c["n_ipv4"].cast("long").alias("n_ip"),
+            c["n_phone"].cast("long").alias("n_phone"),
+        )
+
+    q["pii_redact"] = pii_redact
+
     def hybrid_rrf_topk(spark, sf_dir):
         # Hybrid lexical+vector retrieval over the documents/embeddings pair
         # (doc_id and vec_id align 1:1): top-20 term-count text list fused
@@ -953,6 +983,29 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ann_lsh_topk_emb"] = _ann_oracle_sql()
     o["ann_multiprobe_topk_emb"] = _ann_oracle_sql(n_probes=4)
+
+    _EM = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    _PH = r"\+?\d[\d\- ]{7,}\d"
+    o["pii_redact"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 substr(text, 1, 80) || ' contact ' || source ||
+                 '@example.com from 10.0.' || (doc_id % 256)::VARCHAR ||
+                 '.7 tel +1 415 ' || (5550000 + doc_id)::VARCHAR AS synth
+          FROM documents
+        ),
+        r1 AS (SELECT doc_id, synth,
+                      regexp_replace(synth, '{_EM}', '<EMAIL>', 'g') AS s1
+               FROM s),
+        r2 AS (SELECT *, regexp_replace(s1, '{_IP}', '<IP>', 'g') AS s2 FROM r1)
+        SELECT doc_id,
+               regexp_replace(s2, '{_PH}', '<PHONE>', 'g') AS clean,
+               len(regexp_extract_all(synth, '{_EM}'))::BIGINT AS n_email,
+               len(regexp_extract_all(s1, '{_IP}'))::BIGINT AS n_ip,
+               len(regexp_extract_all(s2, '{_PH}'))::BIGINT AS n_phone
+        FROM r2
+    """
 
     o["hybrid_rrf_topk"] = """
         WITH toks AS (
