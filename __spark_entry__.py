@@ -985,7 +985,7 @@ def oracle_sql() -> dict[str, str]:
     o["ann_multiprobe_topk_emb"] = _ann_oracle_sql(n_probes=4)
 
     _EM = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    _IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    _IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
     _PH = r"\+?\d[\d\- ]{7,}\d"
     o["pii_redact"] = f"""
         WITH s AS (

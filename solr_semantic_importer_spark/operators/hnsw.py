@@ -334,7 +334,9 @@ def write_hnsw_index(
         emb, n_segments=n_segments, M=M, ef_construction=ef_construction,
         id_col=id_col, vec_col=vec_col,
     )
-    g.write.mode("overwrite").parquet(path)
+    from ..index.build import INDEX_PARQUET_CODEC
+
+    g.write.mode("overwrite").option("compression", INDEX_PARQUET_CODEC).parquet(path)
 
 
 class HNSWIndex:

@@ -21,19 +21,35 @@ from pyspark.sql import functions as F
 __all__ = ["PII_PATTERNS", "redact_pii", "pii_counts"]
 
 # ordered: redaction applies email first so its digits never feed the
-# phone pattern
+# phone pattern. NO \b anywhere: Java's \b is Unicode-aware while RE2's
+# (DuckDB's) is ASCII, so a boundary-anchored pattern silently misses an
+# IP adjacent to CJK/accented text on the Spark side while the oracle
+# catches it. Boundary-free matching over-redacts (a version string
+# "1.2.3.4" reads as an IP) -- the safe direction for a scrubber -- and
+# behaves identically in both engines.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "ipv4": (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
     # international-ish digit runs: 9+ digits allowing separators
     "phone": (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
 }
 
 
+def _check_kinds(kinds: tuple[str, ...]) -> None:
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(
+            f"unknown PII kinds {sorted(unknown)}; valid: "
+            f"{sorted(PII_PATTERNS)} -- a silently-ignored typo here "
+            "would ship unredacted PII"
+        )
+
+
 def redact_pii(col: Column, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> Column:
     """Replace each PII class with its placeholder token, in PII_PATTERNS
     order (email before phone, so an address's digits are already gone
-    when the phone pattern runs)."""
+    when the phone pattern runs). Unknown ``kinds`` raise."""
+    _check_kinds(kinds)
     out = col
     for kind in PII_PATTERNS:
         if kind in kinds:
@@ -46,7 +62,8 @@ def pii_counts(col: Column, kinds: tuple[str, ...] = ("email", "ipv4", "phone"))
     """Per-class occurrence counts (audit metric: how much was scrubbed).
     Counts are taken on the SAME progressively-redacted stream the
     redaction itself sees, so e.g. an email's digits are never double
-    counted as a phone."""
+    counted as a phone. Unknown ``kinds`` raise."""
+    _check_kinds(kinds)
     out: dict[str, Column] = {}
     cur = col
     for kind in PII_PATTERNS:

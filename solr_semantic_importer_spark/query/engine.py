@@ -545,9 +545,13 @@ class BM25Index:
         ids must never be collected to the driver or captured in task
         closures. Queries exclude them via left-anti joins (exhaustive /
         match-all paths) or per-segment cogrouped arrays (WAND path)."""
+        from ..index.build import INDEX_PARQUET_CODEC
+
         victims = self.docs().filter(predicate).select("doc_id")
         path = os.path.join(self.data_dir, "tombstones")
-        victims.write.mode("append").parquet(path)
+        victims.write.mode("append").option(
+            "compression", INDEX_PARQUET_CODEC
+        ).parquet(path)
         self._has_tombstones = True
         # cached DocLists are stale once docs die (Solr drops the
         # queryResultCache on searcher reopen); fq sets stay valid because

@@ -30,6 +30,23 @@ def test_redact_and_counts(spark):
     assert out[3]["n_email"] == 2 and out[3]["n_ipv4"] == 1
 
 
+def test_ip_adjacent_to_cjk_is_redacted(spark):
+    # Java's \b is Unicode-aware (no boundary between 京 and 1), so a
+    # boundary-anchored pattern would LEAK this IP on the Spark side while
+    # the RE2 oracle caught it; the boundary-free pattern redacts it and
+    # behaves identically in both engines
+    df = spark.createDataFrame([(0, "東京10.0.3.7 です")], "id long, t string")
+    r = df.select(redact_pii(F.col("t")).alias("c")).collect()[0]
+    assert r["c"] == "東京<IP> です"
+
+
+def test_unknown_kind_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown PII kinds"):
+        redact_pii(F.col("t"), kinds=("email", "ip"))
+
+
 def test_email_digits_not_double_counted_as_phone(spark):
     # the email is redacted before the phone pattern runs, so its digit
     # run never registers as a phone
