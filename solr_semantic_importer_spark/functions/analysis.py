@@ -117,13 +117,14 @@ from .stopwords import EN_STOPWORDS  # noqa: E402 (re-export, shared set)
 
 
 def analyze_text_en(text: str | None) -> list[str]:
-    """text_en chain, terms only (query-side): tokenize -> stop -> stem."""
-    from .stemmer import porter_stem
+    """text_en chain, terms only (query-side): tokenize -> stop ->
+    keywordMarker(protwords) -> stem (managed-schema.xml:354-381)."""
+    from .stemmer import stem_en
 
     if text is None:
         return []
     return [
-        porter_stem(t)
+        stem_en(t)
         for t in TOKEN_RE.findall(text.lower())
         if t not in EN_STOPWORDS
     ]
@@ -167,10 +168,10 @@ def _normalize_token_general(tok: str) -> list[str]:
 
 
 def _normalize_token_en(tok: str) -> list[str]:
-    from .stemmer import porter_stem
+    from .stemmer import stem_en
 
     t = tok.lower()
-    return [] if t in EN_STOPWORDS else [porter_stem(t)]
+    return [] if t in EN_STOPWORDS else [stem_en(t)]
 
 
 # RAW surface token -> the indexed form(s) it analyzes to (for highlighting:

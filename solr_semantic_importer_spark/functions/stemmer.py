@@ -15,6 +15,35 @@ from __future__ import annotations
 
 _VOWELS = set("aeiou")
 
+# KeywordMarkerFilter (managed-schema.xml:360,375 -- `protected="protwords.txt"`):
+# protected words bypass the stemmer entirely. DEFAULT_PROTWORDS is exactly
+# parse_protwords_file(<the reference's shipped default-base-config/
+# protwords.txt>) -- asserted by tests/test_text_en.py. Matching is on the
+# lowercased token (the filter sits after LowerCaseFilter in the chain).
+DEFAULT_PROTWORDS = frozenset({"dontstems", "zwhacky"})
+
+
+def parse_protwords_lines(lines) -> frozenset[str]:
+    """Solr protwords.txt format: one word per line, '#' comments, blanks
+    ignored; lowercased to match the post-LowerCaseFilter position."""
+    out = set()
+    for raw in lines:
+        line = raw.strip()
+        if line and not line.startswith("#"):
+            out.add(line.lower())
+    return frozenset(out)
+
+
+def parse_protwords_file(path: str) -> frozenset[str]:
+    with open(path, encoding="utf-8") as f:
+        return parse_protwords_lines(f)
+
+
+def stem_en(word: str, protected: frozenset[str] = DEFAULT_PROTWORDS) -> str:
+    """text_en stemming step: KeywordMarker-protected words pass through,
+    everything else gets Porter."""
+    return word if word in protected else porter_stem(word)
+
 
 def _is_consonant(word: str, i: int) -> bool:
     c = word[i]
@@ -163,10 +192,12 @@ def porter_stem(word: str) -> str:
 
 
 class MemoStemmer:
-    """Memoized stemmer for Zipfian token streams."""
+    """Memoized stemmer for Zipfian token streams. Seeds the cache with the
+    KeywordMarker-protected words (identity mapping), so protection costs
+    nothing on the hot path."""
 
-    def __init__(self):
-        self.cache: dict[str, str] = {}
+    def __init__(self, protected: frozenset[str] = DEFAULT_PROTWORDS):
+        self.cache: dict[str, str] = {w: w for w in protected}
 
     def __call__(self, word: str) -> str:
         s = self.cache.get(word)

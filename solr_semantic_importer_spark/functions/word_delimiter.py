@@ -139,9 +139,9 @@ def _normalize_token_en_splitting(tok: str) -> list[str]:
     (original case preserved so WDG case-change splits still apply)."""
     if tok.lower() in EN_STOPWORDS:
         return []
-    from .stemmer import porter_stem
+    from .stemmer import stem_en
 
-    return [porter_stem(f.lower()) for f, _ in wdg_emit(tok, catenate=True)]
+    return [stem_en(f.lower()) for f, _ in wdg_emit(tok, catenate=True)]
 
 
 def _normalize_token_splitting(tok: str) -> list[str]:

@@ -57,6 +57,44 @@ def test_porter_golden(word, stem):
     assert porter_stem(word) == stem
 
 
+def test_protwords_protected_from_stemming():
+    """KeywordMarkerFilter (managed-schema.xml:360): protwords.txt members
+    bypass Porter in every text_en form -- Porter WOULD stem both."""
+    from solr_semantic_importer_spark.functions.stemmer import (
+        DEFAULT_PROTWORDS,
+        MemoStemmer,
+        stem_en,
+    )
+    from solr_semantic_importer_spark.functions.word_delimiter import (
+        analyze_text_en_splitting,
+    )
+
+    assert porter_stem("dontstems") == "dontstem"  # unprotected Porter stems it
+    assert stem_en("dontstems") == "dontstems"
+    assert stem_en("zwhacky") == "zwhacky"
+    assert MemoStemmer()("dontstems") == "dontstems"
+    assert analyze_text_en("dontstems zwhacky running") == [
+        "dontstems", "zwhacky", "run"
+    ]
+    assert positions_map_en("a dontstems")["dontstems"] == [1]
+    assert analyze_text_en_splitting("dontstems") == ["dontstems"]
+    assert DEFAULT_PROTWORDS == frozenset({"dontstems", "zwhacky"})
+
+
+def test_parse_protwords_shipped_reference_file():
+    import os
+
+    from solr_semantic_importer_spark.functions.stemmer import (
+        DEFAULT_PROTWORDS,
+        parse_protwords_file,
+    )
+
+    path = "/root/reference/src/main/resources/default-base-config/protwords.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference configset not available")
+    assert parse_protwords_file(path) == DEFAULT_PROTWORDS
+
+
 def test_text_en_chain():
     # stop words removed, survivors stemmed, original positions kept
     text = "The running dogs are jumping over the fences"
