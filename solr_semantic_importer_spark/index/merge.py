@@ -99,9 +99,20 @@ def _decode_postings_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
             yield pd.concat(outs, ignore_index=True)
 
 
+_MERGE_RELS = ("postings", "dictionary", "corpus_stats")
+
+
 def _swap_in(index_dir: str, rel: str) -> None:
     """Publish <rel>.merge over <rel> (local-FS rename pair; object-store
-    deployments replace this with a manifest generation pointer)."""
+    deployments replace this with a manifest generation pointer).
+
+    Crash windows and their recovery (see :func:`recover_interrupted_swap`):
+    between the two os.replace calls the live dir is MISSING (.old and
+    .merge both present); a crash mid-SEQUENCE (one rel swapped, another
+    not) leaves a mixed old/new state -- which is still query-consistent,
+    because the merge preserves doc ids, tf/dl and df-sums exactly (results
+    are hash-identical across the merge), and the uncommitted manifest step
+    makes the re-run redo the merge idempotently."""
     live = os.path.join(index_dir, rel)
     staged = live + ".merge"
     old = live + ".old"
@@ -109,6 +120,28 @@ def _swap_in(index_dir: str, rel: str) -> None:
     os.replace(live, old)
     os.replace(staged, live)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_interrupted_swap(index_dir: str) -> list[str]:
+    """Repair a merge publish that crashed mid-:func:`_swap_in`: any relation
+    whose live dir is missing gets the staged ``<rel>.merge`` promoted
+    (staging is complete before ANY swap starts, so it is always whole), or
+    failing that the ``<rel>.old`` backup restored. Cheap no-op in the
+    normal case (three existence checks); called on index open and at the
+    top of :func:`merge_postings`. Returns the recovered relation names."""
+    recovered = []
+    for rel in _MERGE_RELS:
+        live = os.path.join(index_dir, rel)
+        if os.path.exists(live):
+            continue
+        staged, old = live + ".merge", live + ".old"
+        if os.path.exists(staged):
+            os.replace(staged, live)
+            recovered.append(rel)
+        elif os.path.exists(old):
+            os.replace(old, live)
+            recovered.append(rel)
+    return recovered
 
 
 def merge_postings(
@@ -126,7 +159,7 @@ def merge_postings(
     from ..plans.manifest import read_manifest_data
     from ..query.engine import BM25Index  # config reconstruction helper
 
-    idx = BM25Index(spark, index_dir)
+    idx = BM25Index(spark, index_dir)  # __init__ runs recover_interrupted_swap
     data_dir = idx.data_dir  # resolves a compaction generation pointer
     cfg = config or idx._config_from_manifest(merge_id or "merge-1")
     # join the EXISTING manifest (same build_id): the merge is one more step

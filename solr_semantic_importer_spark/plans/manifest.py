@@ -177,6 +177,39 @@ def publish_generation(index_dir: str, gen: str) -> None:
     )
 
 
+def referenced_generations(index_dir: str, keep_versions: int = 2) -> set[str]:
+    """Generations referenced by the newest ``keep_versions`` manifest
+    versions (a reader holding any of those manifests can still be live)."""
+    latest = _latest_version(index_dir)
+    gens: set[str] = set()
+    for v in range(max(1, latest - keep_versions + 1), latest + 1):
+        path = os.path.join(index_dir, f"_manifest.v{v}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                g = json.load(f).get("generation")
+            if g:
+                gens.add(g)
+    return gens
+
+
+def prune_generations(index_dir: str, keep_versions: int = 2) -> list[str]:
+    """GC superseded compaction generations: delete ``gen-*`` subdirectories
+    not referenced by the newest ``keep_versions`` manifest versions
+    (Iceberg's expire-snapshots analog). The pre-compaction relations at the
+    index ROOT are never touched -- they are the rollback basis for wiping
+    every generation pointer. Returns the removed directory names."""
+    import shutil
+
+    keep = referenced_generations(index_dir, keep_versions)
+    removed = []
+    for name in sorted(os.listdir(index_dir)):
+        full = os.path.join(index_dir, name)
+        if name.startswith("gen-") and os.path.isdir(full) and name not in keep:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
 HISTORY_MAX = 100  # reference: indexer.max-history-size (application.yml:35-36)
 
 

@@ -95,6 +95,11 @@ class BM25Index:
         self.data_dir = os.path.join(index_dir, gen) if gen else index_dir
         if gen:
             data = read_manifest_data(self.data_dir) or {}
+        # a merge publish that crashed mid-swap leaves a live relation dir
+        # missing (.old/.merge siblings present); repair before any read
+        from ..index.merge import recover_interrupted_swap
+
+        recover_interrupted_swap(self.data_dir)
         # corpus_stats may hold one row per batch (streaming/incremental
         # appends, streaming/incremental.py) -- aggregate additively.
         srow = (
@@ -357,11 +362,17 @@ class BM25Index:
         df = self.spark.createDataFrame(
             [(int(r["doc_id"]), float(r["score"])) for r in rows], _SCORE_ROW
         )
+        if order_key == "milli":
+            key = F.round(F.col("score") * 1000).cast("long")
+        else:
+            key = F.round(F.col("score"), 6)
+        # the canonical sort is applied even on the bare (doc_id, score)
+        # path: a local relation's row order is NOT a plan guarantee -- any
+        # downstream repartition would silently lose it (ADVICE r2). The
+        # frame is <= QUERY_RESULT_MAX_DOCS rows, so the sort is free.
+        if not with_stored:
+            return df.orderBy(key.desc(), F.col("doc_id").asc())
         if with_stored:
-            if order_key == "milli":
-                key = F.round(F.col("score") * 1000).cast("long")
-            else:
-                key = F.round(F.col("score"), 6)
             # the doc ids are known driver-side, so the stored-field fetch
             # pushes doc_id IN (...) into the docs parquet scan: row-group
             # min/max stats prune the read to the k hit groups instead of
@@ -613,7 +624,18 @@ class BM25Index:
             analyzer=fin.get("analyzer", d.analyzer),
         )
 
-    def compact(self, config=None) -> "BM25Index":
+    def release(self) -> None:
+        """Drop this handle's executor-side state: unpersist the filter
+        cache's persisted DocSets and clear the driver-side DocList cache.
+        Called on the SUPERSEDED handle after compact/merge returns a fresh
+        one (otherwise the old handle's persisted blocks linger in the block
+        manager until JVM exit)."""
+        for _fq, (_repr, rows) in self._filter_cache.items():
+            rows.unpersist()
+        self._filter_cache.clear()
+        self._result_cache.clear()
+
+    def compact(self, config=None, prune_keep_versions: int | None = 2) -> "BM25Index":
         """I3/I5 compaction: rebuild the index from the LIVE stored docs --
         tombstones are applied permanently, df/avgdl/N recomputed, doc ids
         re-minted from the stable (conv_id, turn_idx) order (Lucene segment
@@ -649,6 +671,16 @@ class BM25Index:
         shutil.rmtree(new_dir, ignore_errors=True)
         build_index(self.spark, src, new_dir, cfg)
         publish_generation(self.index_dir, gen)
+        # this handle is superseded: free its persisted caches, and GC
+        # generations no longer referenced by recent manifest versions
+        # (each unpruned compaction would otherwise keep a full index copy
+        # on disk forever). keep_versions=2 keeps the immediately-previous
+        # generation for readers still holding the old manifest.
+        self.release()
+        if prune_keep_versions is not None:
+            from ..plans.manifest import prune_generations
+
+            prune_generations(self.index_dir, prune_keep_versions)
         return BM25Index(self.spark, self.index_dir)
 
     def facet(self, query: str, field: str, fq: str | None = None) -> DataFrame:

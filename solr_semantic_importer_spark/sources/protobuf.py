@@ -223,22 +223,41 @@ def _iso_millis(millis: int) -> str:
 
 
 def _java_duration(seconds: int, nanos: int) -> str:
-    """java.time.Duration.toString() shape: PT[nH][nM][n(.frac)S]."""
-    total = seconds + nanos / 1e9
-    neg = total < 0
-    total = abs(total)
-    h = int(total // 3600)
-    m = int((total - h * 3600) // 60)
-    s = total - h * 3600 - m * 60
-    parts = []
-    if h:
-        parts.append(f"{h}H")
-    if m:
-        parts.append(f"{m}M")
-    if s or not parts:
-        s_txt = f"{s:.9f}".rstrip("0").rstrip(".")
-        parts.append(f"{s_txt}S")
-    return ("-PT" if neg else "PT") + "".join(parts)
+    """Exact java.time.Duration.toString() (the reference formats durations
+    via Duration.ofSeconds(s, n).toString(), ProtobufToSolrDocument.java:
+    114-119): per-component signs ('PT-1M-40.5S', never '-PT1M40.5S') and
+    pure-integer arithmetic, so nanos keep full precision at any magnitude.
+    """
+    # Duration.ofSeconds(seconds, nanoAdjustment) floor-normalizes nanos
+    # into [0, 1e9) (protobuf encodes negative durations with same-sign
+    # seconds/nanos; integer math keeps this lossless)
+    total_ns = seconds * 1_000_000_000 + nanos
+    jsec, jnan = divmod(total_ns, 1_000_000_000)  # floor division
+    if jsec == 0 and jnan == 0:
+        return "PT0S"
+
+    def _tdiv(a: int, b: int) -> int:  # Java '/': truncate toward zero
+        return a // b if (a >= 0) == (b >= 0) else -((-a) // b)
+
+    eff = jsec + 1 if (jsec < 0 and jnan > 0) else jsec
+    hours = _tdiv(eff, 3600)
+    minutes = _tdiv(eff - hours * 3600, 60)
+    secs = eff - hours * 3600 - minutes * 60  # == eff % 60, Java semantics
+    buf = "PT"
+    if hours:
+        buf += f"{hours}H"
+    if minutes:
+        buf += f"{minutes}M"
+    if secs == 0 and jnan == 0 and len(buf) > 2:
+        return buf
+    if jsec < 0 and jnan > 0 and secs == 0:
+        buf += "-0"
+    else:
+        buf += str(secs)
+    if jnan > 0:
+        frac = 2_000_000_000 - jnan if jsec < 0 else 1_000_000_000 + jnan
+        buf += "." + str(frac)[1:].rstrip("0")
+    return buf + "S"
 
 
 # ---------------------------------------------------------------------------

@@ -37,9 +37,12 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
+# last_ts is NULLABLE: a group whose batch iterator yielded no rows has no
+# timestamp yet -- storing a 0 sentinel would make the next real event
+# compare t - 0 > gap and spuriously open a new session (ADVICE r2).
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("last_ts", T.LongType(), False),
+        T.StructField("last_ts", T.LongType(), True),
         T.StructField("session_idx", T.IntegerType(), False),
     ]
 )
@@ -114,7 +117,7 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                     "session_idx": pd.array(out_idx, dtype="int32"),
                 }
             )
-        state.update((int(last_ts) if last_ts is not None else 0, int(sidx)))
+        state.update((int(last_ts) if last_ts is not None else None, int(sidx)))
 
     prepared = events.select(
         "user_id",

@@ -142,3 +142,60 @@ def test_publish_generation_then_further_writes(spark, tmp_path_factory):
     rows = c2.search("error tool call", k=10, with_stored=True).collect()
     assert rows and all(r["role"] == "user" for r in rows)
     assert c2.n_docs == df.filter(F.col("role") == "user").count()
+
+
+def test_merge_swap_crash_recovery(spark, tmp_path_factory):
+    """A merge publish killed between _swap_in's two renames leaves the live
+    relation dir MISSING (.old + complete .merge siblings present); opening
+    the index must repair it and serve identical results (ADVICE r2)."""
+    import shutil
+
+    from solr_semantic_importer_spark.index.merge import recover_interrupted_swap
+
+    df = generate_transcripts(spark, n_convs=20, turns_per_conv=4, seed=33)
+    idx_dir = str(tmp_path_factory.mktemp("crash")) + "/idx"
+    build_index(spark, df, idx_dir, BuildConfig(build_id="cr", **CFG))
+    before = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in BM25Index(spark, idx_dir).search("error tool", k=10).collect()
+    ]
+
+    # simulate the exact mid-swap crash window for the postings relation:
+    # staging fully written, live renamed away, staged not yet promoted
+    live = os.path.join(idx_dir, "postings")
+    shutil.copytree(live, live + ".merge")
+    os.replace(live, live + ".old")
+    assert not os.path.exists(live)
+
+    idx = BM25Index(spark, idx_dir)  # open repairs via recover_interrupted_swap
+    assert os.path.exists(live)
+    assert not os.path.exists(live + ".merge")
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in idx.search("error tool", k=10).collect()
+    ]
+    assert got == before
+    # idempotent: a second recovery pass is a no-op
+    assert recover_interrupted_swap(idx_dir) == []
+
+
+def test_compact_prunes_superseded_generations(spark, tmp_path_factory):
+    """Each compaction GCs generations no longer referenced by the newest
+    manifest versions, so disk does not grow by a full index copy per
+    compact (ADVICE r2). keep_versions=2 keeps the immediately-previous
+    generation for readers holding the old manifest."""
+    df = generate_transcripts(spark, n_convs=20, turns_per_conv=4, seed=34)
+    idx_dir = str(tmp_path_factory.mktemp("gc")) + "/idx"
+    build_index(spark, df, idx_dir, BuildConfig(build_id="g0", **CFG))
+    idx = BM25Index(spark, idx_dir)
+    c1 = idx.compact(BuildConfig(build_id="c1", **CFG))
+    c2 = c1.compact(BuildConfig(build_id="c2", **CFG))
+    c3 = c2.compact(BuildConfig(build_id="c3", **CFG))
+    gens = sorted(
+        n for n in os.listdir(idx_dir)
+        if n.startswith("gen-") and os.path.isdir(os.path.join(idx_dir, n))
+    )
+    # c1's generation was referenced only by a manifest 2 versions back -> GC'd
+    assert not any("c1" in g for g in gens)
+    assert any("c2" in g for g in gens) and any("c3" in g for g in gens)
+    assert c3.search("error tool", k=5).count() == 5

@@ -148,3 +148,18 @@ def test_spark_decode_column_roundtrip(spark):
 def test_truncated_input_raises():
     with pytest.raises(ValueError):
         decode_message(PERSON, bytes([0x08]))  # tag then nothing
+
+
+def test_java_duration_negative_and_edges():
+    """java.time.Duration.toString() formats component signs individually
+    ('PT-1M-40.5S'), and integer nano math keeps precision past 2^53 ns."""
+    from solr_semantic_importer_spark.sources.protobuf import _java_duration
+
+    assert _java_duration(100, 500_000_000) == "PT1M40.5S"
+    assert _java_duration(-100, -500_000_000) == "PT-1M-40.5S"
+    assert _java_duration(0, -500_000_000) == "PT-0.5S"
+    assert _java_duration(-1, 0) == "PT-1S"
+    assert _java_duration(0, 0) == "PT0S"
+    assert _java_duration(3600, 0) == "PT1H"
+    assert _java_duration(-3661, 0) == "PT-1H-1M-1S"
+    assert _java_duration(10_000_000, 1) == "PT2777H46M40.000000001S"
