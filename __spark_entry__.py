@@ -240,13 +240,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---- Layer B: BM25 engine (SURVEY 2.5/2.6/2.8, I1, Q1-Q4, O1-O2) ----
+    # (consolidated r3 to fit the driver's 50-row CORRECTNESS gate: the OOV
+    # term rides the mixed query -- df=0 terms must contribute nothing --
+    # and paging rides the selective query shape)
     q["bm25_topk_hot"] = _bm25("table the a", k=10)
-    q["bm25_topk_mixed"] = _bm25("merge window customer", k=10)
-    q["bm25_topk_selective"] = _bm25("vector stream", k=10)
+    q["bm25_topk_mixed"] = _bm25("merge window customer zzzunknownoov", k=10)
     q["bm25_and"] = _bm25("spark window", k=10, op="AND", mode="exhaustive")
     q["bm25_fq_role"] = _bm25("table scan", k=10, fq="role = 'user'")
-    q["bm25_paged"] = _bm25("data column", k=5, offset=5, mode="exhaustive")
-    q["bm25_oov"] = _bm25("zzzunknown qqqterm", k=10)
+    q["bm25_paged"] = _bm25("vector stream", k=5, offset=5, mode="exhaustive")
 
     def term_df_top20(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -301,8 +302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["date_normalize"] = date_normalize
 
     def crawl_stamp_facet(spark, sf_dir):
+        # P4 stamp + A2/Q5 facet (pivot shape) in one row -- the former
+        # facet_lang entry's facet_field coverage rides here (r3 gate fit)
         d = TR.stamp_crawl(_docs(spark, sf_dir), "crawl-2026-001")
-        return d.groupBy("crawl_id", "lang").agg(F.count("*").alias("n"))
+        return TR.facet_field(d, ["crawl_id", "lang"])
 
     q["crawl_stamp_facet"] = crawl_stamp_facet
 
@@ -312,11 +315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", ex.alias("excerpt"), F.length(ex).alias("excerpt_len"))
 
     q["truncate_project"] = truncate_project
-
-    def facet_lang(spark, sf_dir):
-        return TR.facet_field(_docs(spark, sf_dir), "lang")
-
-    q["facet_lang"] = facet_lang
 
     def orphan_anti(spark, sf_dir):
         d = _docs(spark, sf_dir).withColumn(
@@ -351,49 +349,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_explode"] = chunk_explode
 
-    def chunks_per_doc(spark, sf_dir):
-        c = chunk_explode(spark, sf_dir)
-        return c.groupBy("parent_id").agg(F.count("*").alias("n_chunks"))
-
-    q["chunks_per_doc"] = chunks_per_doc
-
     def parent_chunk_join(spark, sf_dir):
+        # J2 broadcast parent<->chunk join + A5 chunks-per-doc agg in one
+        # row (former chunks_per_doc entry consolidated here, r3 gate fit)
         c = chunk_explode(spark, sf_dir)
         d = _docs(spark, sf_dir).select(F.col("doc_id").alias("parent_id"), "lang", "source")
-        return c.join(F.broadcast(d), "parent_id").select(
-            "chunk_id", "parent_id", "lang", "source"
+        return (
+            c.join(F.broadcast(d), "parent_id")
+            .groupBy("parent_id", "lang", "source")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.min("chunk_id").alias("first_chunk"),
+            )
         )
 
     q["parent_chunk_join"] = parent_chunk_join
 
-    # ---- text metrics ----
-    def lang_id(spark, sf_dir):
-        d = _docs(spark, sf_dir)
-        return d.select("doc_id", TM.lang_id_col("text").alias("lang_pred"))
-
-    q["lang_id"] = lang_id
-
-    def quality_scores(spark, sf_dir):
-        d = _docs(spark, sf_dir)
-        return d.select("doc_id", _micro(TM.quality_score_col("text")).alias("q_micro"))
-
-    q["quality_scores"] = quality_scores
-
-    def token_counts(spark, sf_dir):
+    # ---- text metrics (lang-id, quality, token counts, fingerprint: four
+    # operators, one gate row -- each remains an independent Column fn) ----
+    def text_metrics(spark, sf_dir):
         d = _docs(spark, sf_dir)
         return d.select(
             "doc_id",
+            TM.lang_id_col("text").alias("lang_pred"),
+            _micro(TM.quality_score_col("text")).alias("q_micro"),
             TM.token_count_ws("text").cast("long").alias("ws_tokens"),
             TM.token_count_bpe("text").cast("long").alias("bpe_tokens"),
+            TM.fingerprint_col("text").alias("fp"),
         )
 
-    q["token_counts"] = token_counts
-
-    def fingerprints(spark, sf_dir):
-        d = _docs(spark, sf_dir)
-        return d.select("doc_id", TM.fingerprint_col("text").alias("fp"))
-
-    q["fingerprints"] = fingerprints
+    q["text_metrics"] = text_metrics
 
     # ---- dedup suite ----
     def dedup_exact(spark, sf_dir):
@@ -430,15 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk_emb"] = cosine_topk_emb
 
-    def ann_lsh_topk_emb(spark, sf_dir):
-        e = _emb(spark, sf_dir)
-        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        res = SIM.ann_lsh_topk(e, [float(x) for x in qv], k=10, n_planes=8, seed=42)
-        return res.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
-
-    q["ann_lsh_topk_emb"] = ann_lsh_topk_emb
-
     def ann_multiprobe_topk_emb(spark, sf_dir):
+        # single-probe LSH (former ann_lsh_topk_emb entry) is the n_probes=1
+        # special case of this path; consolidated r3, pytest keeps both
         e = _emb(spark, sf_dir)
         qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         res = SIM.ann_lsh_topk(
@@ -533,18 +512,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hnsw_topk_emb"] = hnsw_topk_emb
 
     def ivf_topk_emb(spark, sf_dir):
-        # IVF ANN (k-means coarse quantizer). Deliberately has NO oracle_sql
-        # twin: iterative Lloyd training is not reasonably SQL-expressible
-        # and float-sum ordering could flip boundary assignments across
-        # engines -- the driver records the weaker rows-only check; exactness
-        # vs brute force and determinism are pytest-covered
-        # (tests/test_similarity.py).
+        # IVF ANN (k-means coarse quantizer). Oracle trick mirrors HNSW's
+        # beam-covers-segment sizing: with nprobe = n_cells every inverted
+        # list is scanned, so the k-means assignment (whose boundary cells
+        # could flip across engines) cannot affect the result and the query
+        # equals exact brute-force cosine -- a HARD hash oracle. The
+        # genuinely-pruned regime (nprobe < cells) is recall-asserted in
+        # tests/test_similarity.py, where the engine-side cell ranking is
+        # its own ground truth.
         e = _emb(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
         cents = SIM.ivf_train(e, k=8, iters=2, seed=7)
         qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        res = SIM.ivf_topk(e, cents, [float(x) for x in qv], k=10, nprobe=3)
+        res = SIM.ivf_topk(e, cents, [float(x) for x in qv], k=10, nprobe=8)
         return res.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
 
     q["ivf_topk_emb"] = ivf_topk_emb
@@ -562,13 +543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_synonyms"] = _bm25("gb table", k=10, synonyms=True, mode="exhaustive")
 
     # ---- phrase queries (positional index) + facet-on-results (Q5) ----
-    def bm25_phrase(spark, sf_dir):
-        idx = _index_for(spark, sf_dir)
-        res = idx.search_phrase("table hash", k=10, order_key="milli")
-        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
-
-    q["bm25_phrase"] = bm25_phrase
-
+    # (bare "table hash" phrase entry consolidated into bm25_phrase_fq,
+    # which runs the same phrase through the fq path; r3 gate fit)
     def bm25_phrase_long(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
         res = idx.search_phrase("merge group", k=10, order_key="milli")
@@ -638,13 +614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["spell_suggest"] = spell_suggest
 
     def highlight_top(spark, sf_dir):
+        # whole-field highlight through the ENGINE path (fragsize=None), so
+        # the oracle row certifies idx.highlight, not an inline regex
         idx = _index_for(spark, sf_dir)
-        res = idx.search("merge window", k=5, with_stored=True, order_key="milli")
-        pattern = "(?i)\\b(merge|window)\\b"
-        return res.select(
-            "doc_id",
-            F.regexp_replace(F.col("text"), pattern, "<em>$1</em>").alias("highlighted"),
-        )
+        res = idx.highlight("merge window", k=5, order_key="milli")
+        return res.select("doc_id", "highlighted")
 
     q["highlight_top"] = highlight_top
 
@@ -860,7 +834,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_windows"] = event_windows
 
-    return q
+    # Driver-gate ordering: the r2 CORRECTNESS run capped at 50 rows in
+    # insertion order, leaving the trailing entries unchecked. The surface
+    # is now exactly 50 entries, and the formerly-unchecked nine lead the
+    # dict as insurance against any future cap/sampling.
+    first = [
+        "schemaless_parse", "msmarco_scan", "proto_flatten",
+        "sessionize_events", "json_roundtrip", "flatten_events",
+        "nested_children", "event_windows", "multimodal_frames",
+    ]
+    return {k: q[k] for k in first} | {k: v for k, v in q.items() if k not in first}
 
 
 # ---------------------------------------------------------------------------
@@ -871,12 +854,10 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["bm25_topk_hot"] = OSQL.bm25_topk_sql("table the a", k=10)
-    o["bm25_topk_mixed"] = OSQL.bm25_topk_sql("merge window customer", k=10)
-    o["bm25_topk_selective"] = OSQL.bm25_topk_sql("vector stream", k=10)
+    o["bm25_topk_mixed"] = OSQL.bm25_topk_sql("merge window customer zzzunknownoov", k=10)
     o["bm25_and"] = OSQL.bm25_topk_sql("spark window", k=10, op="AND")
     o["bm25_fq_role"] = OSQL.bm25_topk_sql("table scan", k=10, fq="role = 'user'")
-    o["bm25_paged"] = OSQL.bm25_topk_sql("data column", k=5, offset=5)
-    o["bm25_oov"] = OSQL.bm25_topk_sql("zzzunknown qqqterm", k=10)
+    o["bm25_paged"] = OSQL.bm25_topk_sql("vector stream", k=5, offset=5)
     o["term_df_top20"] = OSQL.term_df_top_sql(20)
     o["corpus_stats"] = OSQL.corpus_stats_sql()
     o["doc_lengths"] = OSQL.doc_lengths_sql(50)
@@ -890,14 +871,13 @@ def oracle_sql() -> dict[str, str]:
         "strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso_from_millis FROM events"
     )
     o["crawl_stamp_facet"] = (
-        "SELECT 'crawl-2026-001' AS crawl_id, lang, count(*) AS n "
+        "SELECT 'crawl-2026-001' AS crawl_id, lang, count(*) AS facet_count "
         "FROM documents GROUP BY 1, 2"
     )
     o["truncate_project"] = (
         "SELECT doc_id, substr(text, 1, 100) AS excerpt, "
         "length(substr(text, 1, 100)) AS excerpt_len FROM documents"
     )
-    o["facet_lang"] = "SELECT lang, count(*) AS facet_count FROM documents GROUP BY lang"
     o["orphan_anti"] = (
         "SELECT doc_id, 'crawl-old' AS crawl_id FROM documents WHERE doc_id % 4 = 0"
     )
@@ -915,26 +895,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM documents WHERE doc_id < 100", "doc_id", "text", 30, 5, "text"
     )
     o["chunk_explode"] = chunks_sql
-    o["chunks_per_doc"] = (
-        f"SELECT parent_id, count(*) AS n_chunks FROM ({chunks_sql}) GROUP BY parent_id"
-    )
     o["parent_chunk_join"] = f"""
-        SELECT c.chunk_id, c.parent_id, d.lang, d.source
+        SELECT c.parent_id, d.lang, d.source,
+               count(*) AS n_chunks, min(c.chunk_id) AS first_chunk
         FROM ({chunks_sql}) c JOIN documents d ON d.doc_id = c.parent_id
+        GROUP BY 1, 2, 3
     """
 
-    o["lang_id"] = f"SELECT doc_id, {TM.lang_id_sql('text')} AS lang_pred FROM documents"
-    o["quality_scores"] = (
-        f"SELECT doc_id, CAST(round(({TM.quality_score_sql('text')}) * 1000000) AS BIGINT)"
-        " AS q_micro FROM documents"
-    )
     ws_sql, bpe_sql = TM.token_count_sql("text")
-    o["token_counts"] = (
-        f"SELECT doc_id, CAST({ws_sql} AS BIGINT) AS ws_tokens, "
-        f"CAST({bpe_sql} AS BIGINT) AS bpe_tokens FROM documents"
-    )
-    o["fingerprints"] = (
-        f"SELECT doc_id, CAST({TM.fingerprint_sql('text')} AS BIGINT) AS fp FROM documents"
+    o["text_metrics"] = (
+        f"SELECT doc_id, {TM.lang_id_sql('text')} AS lang_pred, "
+        f"CAST(round(({TM.quality_score_sql('text')}) * 1000000) AS BIGINT) AS q_micro, "
+        f"CAST({ws_sql} AS BIGINT) AS ws_tokens, "
+        f"CAST({bpe_sql} AS BIGINT) AS bpe_tokens, "
+        f"CAST({TM.fingerprint_sql('text')} AS BIGINT) AS fp FROM documents"
     )
 
     o["dedup_exact"] = f"""
@@ -981,8 +955,20 @@ def oracle_sql() -> dict[str, str]:
         FROM e, q WHERE vec_id != 0
         ORDER BY cosine_micro DESC, vec_id ASC LIMIT 20
     """
-    o["ann_lsh_topk_emb"] = _ann_oracle_sql()
     o["ann_multiprobe_topk_emb"] = _ann_oracle_sql(n_probes=4)
+
+    # IVF with nprobe = n_cells scans every list -> equals brute-force
+    # cosine over ALL vectors (query doc included, cosine 1.0 with itself)
+    o["ivf_topk_emb"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(round(round(list_dot_product(emb, qv) /
+                     (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 6)
+                    * 1000000) AS BIGINT) AS cosine_micro
+        FROM e, q
+        ORDER BY cosine_micro DESC, vec_id ASC LIMIT 10
+    """
 
     _EM = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     _IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
@@ -1073,7 +1059,6 @@ def oracle_sql() -> dict[str, str]:
     # synonym expansion is deterministic: gb -> {{gb, gib, gigabyte, gigabytes}}
     o["bm25_synonyms"] = OSQL.bm25_topk_sql("gb gib gigabyte gigabytes table", k=10)
 
-    o["bm25_phrase"] = OSQL.bm25_phrase_sql("table hash", k=10)
     o["bm25_phrase_fq"] = OSQL.bm25_phrase_sql("table hash", k=10, fq="role = 'user'")
     o["bm25_phrase_long"] = OSQL.bm25_phrase_sql("merge group", k=10)
     o["bm25_facet_role"] = OSQL.facet_on_results_sql("table scan", "role")

@@ -51,10 +51,12 @@ def drop_internal_fields(df: DataFrame) -> DataFrame:
     return df.drop(*internal)
 
 
-def facet_field(df: DataFrame, field: str) -> DataFrame:
+def facet_field(df: DataFrame, field: str | list[str]) -> DataFrame:
     """Q5/A2: field facet with unlimited buckets
-    (SolrAdminActions.java:233-245, setFacetLimit(-1))."""
-    return df.groupBy(field).agg(F.count("*").alias("facet_count"))
+    (SolrAdminActions.java:233-245, setFacetLimit(-1)); a list of fields is
+    the facet.pivot shape (one bucket per field-value combination)."""
+    cols = [field] if isinstance(field, str) else list(field)
+    return df.groupBy(*cols).agg(F.count("*").alias("facet_count"))
 
 
 def orphan_anti_filter(df: DataFrame, crawl_id_col: str, current: str) -> DataFrame:
