@@ -245,7 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and paging rides the selective query shape)
     q["bm25_topk_hot"] = _bm25("table the a", k=10)
     q["bm25_topk_mixed"] = _bm25("merge window customer zzzunknownoov", k=10)
-    q["bm25_and"] = _bm25("spark window", k=10, op="AND", mode="exhaustive")
+    q["bm25_and"] = _bm25("spark window", k=10, op="AND")
     q["bm25_fq_role"] = _bm25("table scan", k=10, fq="role = 'user'")
     q["bm25_paged"] = _bm25("vector stream", k=5, offset=5, mode="exhaustive")
 

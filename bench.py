@@ -106,7 +106,9 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
             return idx.search_phrase(q, k=10).collect()
         kw = {"fq": "role = 'user'"} if name == "q_fq" else {}
         if name == "q_and":
-            kw = {"op": "AND", "mode": "exhaustive"}
+            # default mode: conjunction rides the segment-kernel
+            # intersection path (rarest-list-driven block skipping)
+            kw = {"op": "AND"}
         # use_cache=False: latency must measure the engine, not the
         # queryResultCache (repeated warm runs would otherwise be pure
         # driver-side cache hits)

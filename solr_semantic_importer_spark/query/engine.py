@@ -296,10 +296,14 @@ class BM25Index:
         engine, not the cache)."""
         terms = self.analyze_query(query, synonyms=synonyms)
         idf = self.idf_map(terms)
-        terms = [t for t in terms if t in idf]  # OOV terms contribute nothing
         if fl is not None:
             with_stored = True
         empty = self.spark.createDataFrame([], _SCORE_ROW)
+        # an OOV conjunct empties an AND query (Solr BooleanQuery MUST
+        # clause with no postings); under OR, OOV terms contribute nothing
+        if op == "AND" and any(t not in idf for t in terms):
+            return self._finish(empty, k, offset, with_stored, order_key, fl)
+        terms = [t for t in terms if t in idf]
         if not terms:
             return self._finish(empty, k, offset, with_stored, order_key, fl)
 
@@ -339,8 +343,8 @@ class BM25Index:
         """The (doc_id, score) relation for a parsed query: block-max WAND
         segment kernels on the fast path, exhaustive decode + aggregate on
         the parity/AND paths."""
-        if mode == "wand" and op == "OR":
-            return self._wand_segments(terms, idf, need, fq)
+        if mode == "wand":
+            return self._wand_segments(terms, idf, need, fq, op=op)
         partials = self._decode_score_df(terms, idf)
         if op == "AND":
             agg = partials.groupBy("doc_id").agg(
@@ -942,10 +946,12 @@ class BM25Index:
         idf: dict[str, float],
         k: int,
         fq: str | None,
+        op: str = "OR",
     ) -> DataFrame:
         k1, b, avgdl = K1, B, self.avgdl
         bidf = dict(idf)
         kk = max(k, 1)
+        n_query_terms = len(terms)
 
         post = self.postings_for(terms)
 
@@ -979,6 +985,76 @@ class BM25Index:
             np.add.at(sums, inv, scores)
             order = np.lexsort((uniq, -np.round(sums, 6)))[:kk]
             return pd.DataFrame({"doc_id": uniq[order], "score": sums[order]})
+
+        def score_segment_and(
+            pdf: pd.DataFrame,
+            dead: np.ndarray | None,
+            allowed: np.ndarray | None,
+            excluded: np.ndarray | None,
+        ) -> pd.DataFrame:
+            """Conjunction (q.op=AND) via smallest-list-driven intersection
+            with block skipping -- Lucene's ConjunctionDISI shape behind the
+            reference's BooleanQuery (solrconfig.xml:667-671). A segment
+            missing ANY query term returns without decoding a byte; otherwise
+            the rarest term's postings seed the candidate set and each wider
+            term decodes ONLY blocks whose [min_doc, max_doc] range contains
+            a surviving candidate (sorted searchsorted interval test), so an
+            AND of one rare + one hot term never touches the hot term's
+            postings outside the rare term's doc ranges."""
+            empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            pdf = pdf[pdf["term"].map(bidf.__contains__)]
+            if pdf["term"].nunique() < n_query_terms:
+                return empty  # some conjunct absent here: segment skipped
+            groups = sorted(
+                pdf.groupby("term", sort=False),
+                key=lambda kv: int(kv[1]["count"].sum()),
+            )
+            # seed: rarest list, with tombstone/fq filters applied once --
+            # every later intersection inherits them through the candidates
+            t0, g0 = groups[0]
+            w0 = bidf[t0]
+            parts_d, parts_s = [], []
+            for row in g0.itertuples(index=False):
+                d, s = _decode_block(row, dead, allowed, excluded)
+                parts_d.append(d)
+                parts_s.append(w0 * s)
+            cand = np.concatenate(parts_d) if parts_d else np.empty(0, np.int64)
+            if not len(cand):
+                return empty
+            score = np.concatenate(parts_s)
+            order = np.argsort(cand)  # one posting per (term, doc): unique
+            cand, score = cand[order], score[order]
+            for t, g in groups[1:]:
+                wt = bidf[t]
+                bmin = g["min_doc"].to_numpy(np.int64)
+                bmax = g["max_doc"].to_numpy(np.int64)
+                hit_blocks = np.flatnonzero(
+                    np.searchsorted(cand, bmin, "left")
+                    < np.searchsorted(cand, bmax, "right")
+                )
+                if not len(hit_blocks):
+                    return empty
+                rows = list(g.itertuples(index=False))
+                td_parts, ts_parts = [], []
+                for i in hit_blocks:
+                    d, s = _decode_block(rows[i], None, None, None)
+                    td_parts.append(d)
+                    ts_parts.append(s)
+                td = np.concatenate(td_parts)
+                ts = np.concatenate(ts_parts)
+                o = np.argsort(td)
+                td, ts = td[o], ts[o]
+                pos = np.searchsorted(td, cand)
+                pos_c = np.minimum(pos, len(td) - 1)
+                keep = td[pos_c] == cand
+                if not keep.any():
+                    return empty
+                cand = cand[keep]
+                score = score[keep] + wt * ts[pos_c[keep]]
+            order = np.lexsort((cand, -np.round(score, 6)))[:kk]
+            return pd.DataFrame({"doc_id": cand[order], "score": score[order]})
 
         # below this many postings a single vector pass beats skipping;
         # overridable (tests force 0 to exercise the zone path on tiny data)
@@ -1097,6 +1173,8 @@ class BM25Index:
             order = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
             return pd.DataFrame({"doc_id": best_d[order], "score": best_s[order]})
 
+        kernel = score_segment_and if op == "AND" else score_segment
+
         pruned = post.select(
             "term", "segment_id", "salt", "block_id", "count",
             "min_doc", "max_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls",
@@ -1104,7 +1182,7 @@ class BM25Index:
         side, fq_repr = self._side_frame(fq)
         if side is None:
             return pruned.groupBy("segment_id").applyInPandas(
-                lambda key, pdf: score_segment(pdf, None, None, None),
+                lambda key, pdf: kernel(pdf, None, None, None),
                 schema=_SCORE_ROW,
             )
 
@@ -1126,7 +1204,7 @@ class BM25Index:
                 excluded = np.sort(
                     right.loc[right["kind"] == FQ_EXCLUDE, "doc_id"].to_numpy(np.int64)
                 )
-            return score_segment(left, dead if dead.size else None, allowed, excluded)
+            return kernel(left, dead if dead.size else None, allowed, excluded)
 
         return (
             pruned.groupBy("segment_id")

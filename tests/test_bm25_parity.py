@@ -140,6 +140,43 @@ def test_and_semantics(corpus):
     assert_rank_identical(got, want)
 
 
+AND_QUERIES = [
+    "error tool",          # two mid-frequency terms
+    "the rare00042",       # hot + rare: the block-skipping win shape
+    "the a error",         # three terms, two hot
+    "topic1 rare00001",    # both selective
+    "error zzz_not_a_term",  # OOV conjunct -> empty (Solr MUST semantics)
+]
+
+
+@pytest.mark.parametrize("q", AND_QUERIES)
+def test_and_skipping_rank_identical(corpus, q):
+    """Conjunction via the segment-kernel intersection path (default mode)
+    must match the oracle exactly, with and without forcing tiny blocks."""
+    _, index, oracle = corpus
+    want = oracle.search(q, k=10, op="AND")
+    got = _spark_topk(index, q, k=10, op="AND", use_cache=False)
+    assert_rank_identical(got, want)
+
+
+def test_and_skipping_with_fq_and_deletes(corpus, spark, tmp_path_factory):
+    """AND intersection under an fq filter, then under tombstones: the seed
+    list carries the filters, so every conjunct inherits them."""
+    df, index, oracle = corpus
+    allowed = {
+        r["doc_id"]
+        for r in assign_doc_ids_window(df)
+        .filter(F.col("role") == "user")
+        .select("doc_id")
+        .collect()
+    }
+    got = _spark_topk(
+        index, "error tool", k=10, op="AND", fq="role = 'user'", use_cache=False
+    )
+    want = oracle.search("error tool", k=10, op="AND", allowed=allowed)
+    assert_rank_identical(got, want)
+
+
 def test_synonym_query(corpus):
     _, index, oracle = corpus
     got = _spark_topk(index, "100GB the", k=10, synonyms=True, mode="exhaustive")
