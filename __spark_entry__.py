@@ -389,7 +389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_lsh_pairs(spark, sf_dir):
         c = _dedup_corpus(spark, sf_dir)
         sig = DD.minhash_signature(c, "doc_id", "text", n_hashes=16, k=3)
-        return DD.lsh_candidate_pairs(sig, n_hashes=16, band_size=4)
+        # cap exercised but not binding at this sf (no bucket near 10k), so
+        # the uncapped DuckDB oracle still matches exactly
+        return DD.lsh_candidate_pairs(
+            sig, n_hashes=16, band_size=4, max_bucket=10_000
+        )
 
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
 

@@ -42,11 +42,18 @@ def _hash_params(i: int) -> tuple[int, int]:
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest id per identical text (hash-groupBy dedup).
 
-    Scale note: groups by a 60-bit content hash, not the text itself, so the
-    shuffle carries ~24 bytes/row instead of the document body.
+    Scale note: groups by the FULL 128-bit md5 of the content (16-byte
+    binary key via unhex, not the text itself), so the shuffle carries
+    ~32 bytes/row instead of the document body. Collision bound: at 10^12
+    documents the expected number of false merges is n^2 / 2^129 ~ 1.5e-15
+    -- effectively zero, versus ~4e5 for the 60-bit prefix this replaced
+    (each false merge silently destroys a unique training document).
+    Deliberate md5 second-preimage attacks are out of scope for dedup; use
+    sha256 at the same plan shape if the corpus is adversarial.
     """
     keyed = df.select(
-        F.col(id_col).alias("id"), md5_int(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")
+        F.col(id_col).alias("id"),
+        F.unhex(F.md5(F.coalesce(F.col(text_col), F.lit("")))).alias("_h"),
     )
     keep = keyed.groupBy("_h").agg(
         F.min("id").alias("keep_id"), F.count("*").alias("n_copies")
@@ -93,13 +100,25 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, n_hashes: int = 16, band_size: int = 4
+    sig: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band.
 
     Bands via a single explode of (band_idx, band_key) -- one self-join on
     the band key, which Spark executes as a shuffle join keyed by band; hot
     buckets are the classic skew case and AQE skew-join splits them.
+
+    ``max_bucket`` caps per-(band, key) population (same contract as
+    embedding_neardup_pairs): a degenerate band key -- empty or boilerplate
+    shingle sets, mass-duplicated texts -- makes its bucket O(n^2) in pair
+    count, which AQE can re-split into tasks but cannot shrink. Oversized
+    buckets are EXCLUDED from candidate generation and logged with their
+    count and max size, never silently truncated; pairs inside an excluded
+    bucket can still surface through their other bands, and a mass-duplicate
+    cluster is the exact-dedup operator's job anyway.
     """
     n_bands = n_hashes // band_size
     bands = []
@@ -109,6 +128,22 @@ def lsh_candidate_pairs(
     banded = sig.select("id", F.explode(F.array(*bands)).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
+    if max_bucket is not None:
+        import logging
+
+        counts = banded.groupBy("band", "key").agg(F.count("*").alias("n"))
+        over = counts.filter(F.col("n") > max_bucket).persist()
+        stats = over.agg(
+            F.count("*").alias("k"), F.coalesce(F.max("n"), F.lit(0)).alias("mx")
+        ).collect()[0]
+        if stats["k"]:
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: excluded %d oversized LSH buckets "
+                "(max population %d > cap %d); run exact_dedup first or "
+                "raise the cap for full coverage of those clusters",
+                stats["k"], stats["mx"], max_bucket,
+            )
+        banded = banded.join(over.select("band", "key"), ["band", "key"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(r, ["band", "key"])

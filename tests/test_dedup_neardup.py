@@ -84,3 +84,43 @@ def test_banded_matches_duckdb_oracle(spark):
     sql = embedding_neardup_sql(0.999, dim=DIM)
     want = {(a, b, c) for a, b, c in con.execute(sql).fetchall()}
     assert got == want and len(want) >= 10
+
+
+def test_minhash_lsh_bucket_cap_excludes_and_logs(spark, caplog):
+    """VERDICT r2: a mass-duplicate text cluster (here 1000 identical docs)
+    collapses every band into one degenerate bucket; with max_bucket the
+    bucket is excluded and logged instead of generating ~n^2/2 pairs."""
+    from solr_semantic_importer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    rows = [(i, "the same boilerplate text repeated verbatim") for i in range(1000)]
+    rows += [(10_000 + i, f"unique document number {i} talking about topic {i % 7}")
+             for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signature(df, "doc_id", "text", n_hashes=16, k=3)
+    with caplog.at_level(logging.WARNING):
+        capped = lsh_candidate_pairs(sig, n_hashes=16, band_size=4, max_bucket=100)
+        n_capped = capped.count()
+    assert "oversized" in caplog.text
+    # the 1000-doc cluster (499500 pairs/band uncapped) never reaches the
+    # self-join; only the small-bucket pairs among the 30 unique docs remain
+    assert n_capped < 100 * 100
+    a_capped = {r["id_a"] for r in capped.collect()}
+    assert not any(a < 1000 for a in a_capped)
+
+
+def test_exact_dedup_full_digest(spark):
+    """exact_dedup groups by the full 128-bit md5 (unhex binary key): known
+    duplicates merge, distinct texts never do."""
+    from solr_semantic_importer_spark.operators.dedup import exact_dedup
+
+    rows = [(i, f"document {i}") for i in range(200)]
+    rows += [(1000 + i, f"document {i}") for i in range(0, 200, 4)]  # 50 dups
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = exact_dedup(df, "text", "doc_id").collect()
+    assert len(out) == 200
+    assert sum(r["n_copies"] for r in out) == 250
+    assert sum(r["n_copies"] == 2 for r in out) == 50
+    assert all(r["keep_id"] < 1000 for r in out)
