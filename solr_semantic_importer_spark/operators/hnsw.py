@@ -26,9 +26,18 @@ level comes from a hash of its id (``md5(id) -> U(0,1)`` ->
 across runs and partition layouts. Neighbor orderings tie-break on
 (rounded distance, id).
 
-Approximate by construction => rows-only driver check (like ivf_topk);
-recall vs the exact ``similarity.cosine_topk`` oracle is asserted in
+Approximate by construction, but the oracle entry sizes the beam to cover
+the segment (full recall) and rescores in float64, so ``hnsw_topk_emb`` is
+hash-exact vs the DuckDB cosine oracle; pruned-beam recall is asserted in
 ``tests/test_hnsw.py`` and measured in BASELINE.md.
+
+Build throughput (VERDICT r2 item #8): insertion is vectorized -- packed 2D
+level-0 adjacency gathered per beam batch, stamp-array visited/expanded
+sets, one matmul per batch -- and OpenBLAS is pinned to 1 thread in-process
+(Spark tasks are the parallelism; 2-thread BLAS dispatch on tiny gemv cost
+~9x). Measured dim=96 M=16 efc=100: 299 -> 1,357 nodes/s single worker
+(4.5x); 4,083 -> 11,607 nodes/s aggregate on local[32] x 32 segments
+(2.8x, host-contended). Graph shape params unchanged.
 """
 
 from __future__ import annotations
@@ -53,6 +62,45 @@ __all__ = [
 ]
 
 
+_BLAS_PINNED = False
+
+
+def _pin_blas_single_thread() -> None:
+    """Pin OpenBLAS to one thread for this process (idempotent).
+
+    The graph kernels issue thousands of tiny gemv calls (beam-batch x dim
+    matmuls); OpenBLAS's multi-thread dispatch costs ~9x on that shape
+    (measured: 93 -> 796 nodes/s at dim=96 just from pinning). Parallelism
+    belongs to Spark tasks -- one graph per partition -- so in-kernel BLAS
+    threads only oversubscribe the executor. Done via ctypes on the
+    already-loaded openblas (env vars are too late once numpy is up)."""
+    global _BLAS_PINNED
+    if _BLAS_PINNED:
+        return
+    _BLAS_PINNED = True
+    import ctypes
+
+    try:
+        with open("/proc/self/maps") as f:
+            libs = {
+                line.rsplit(None, 1)[-1]
+                for line in f
+                if "openblas" in line and ".so" in line.rsplit(None, 1)[-1]
+            }
+    except OSError:
+        return
+    for path in libs:
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            continue
+        for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+            fn = getattr(lib, sym, None)
+            if fn is not None:
+                fn(1)
+                break
+
+
 def _level_for(node_id: int, mL: float) -> int:
     """Deterministic HNSW level: md5(id) -> U(0,1) -> floor(-ln(U) * mL)."""
     h = int.from_bytes(hashlib.md5(str(node_id).encode()).digest()[:8], "big")
@@ -68,6 +116,7 @@ class HNSWGraph:
     degree pruning (2M at layer 0)."""
 
     def __init__(self, dim: int, M: int = 16, ef_construction: int = 100):
+        _pin_blas_single_thread()
         self.dim = dim
         self.M = M
         self.M0 = 2 * M
@@ -80,10 +129,25 @@ class HNSWGraph:
         # cosine_topk path (and the DuckDB oracle) after 1e-6 rounding
         self._buf = np.empty((16, dim), dtype=np.float32)  # capacity-doubling
         self._norms = np.empty(16, dtype=np.float32)
+        # pre-normalized float32 copy: traversal distance is one matmul
+        # (1 - Vn @ q) with no per-call norm divide; the float64 top-k
+        # rescore still reads the RAW buffer
+        self._vn = np.empty((16, dim), dtype=np.float32)
         self._n = 0
         self.levels: list[int] = []
-        # adj[node] = list of neighbor-index lists, one per level 0..level
-        self.adj: list[list[list[int]]] = []
+        # level-0 adjacency as ONE 2D array (row per node, capacity M0+1:
+        # one slot of slack so append-then-prune never reallocates): a beam
+        # batch gathers all its neighbor rows in a single fancy index.
+        # Upper levels (a ~1/ln(M) fraction of nodes) keep per-node arrays.
+        self._adj0 = np.zeros((16, 2 * M + 1), dtype=np.int64)
+        self._deg0 = np.zeros(16, dtype=np.int64)
+        self._hi: list[list[np.ndarray]] = []  # per node: arrays for levels 1..lvl
+        self._hideg: list[list[int]] = []
+        # stamp-based visited/expanded marking: x[i] == stamp means set in
+        # the CURRENT beam search; bumping the stamp clears in O(1)
+        self._seen = np.zeros(16, dtype=np.int64)
+        self._estamp = np.zeros(16, dtype=np.int64)
+        self._stamp = 0
         self.entry = -1
         self.max_level = -1
 
@@ -91,52 +155,112 @@ class HNSWGraph:
     def vecs(self) -> np.ndarray:
         return self._buf[: self._n]
 
-    # -- distance helpers (vectorized over candidate index arrays) ---------
+    @property
+    def adj(self) -> list[list[list[int]]]:
+        """Adjacency as plain nested lists (serialization/introspection
+        view of the packed arrays)."""
+        out = []
+        for n in range(self._n):
+            levels = [list(map(int, self._adj0[n, : self._deg0[n]]))]
+            for a, d in zip(self._hi[n], self._hideg[n]):
+                levels.append(list(map(int, a[:d])))
+            out.append(levels)
+        return out
 
-    def _dist(self, q: np.ndarray, idxs) -> np.ndarray:
-        """Cosine distance of a NORMALIZED query against nodes (norms
-        cached at insert; zero-norm nodes get distance 1)."""
-        n = self._norms[idxs]
-        return 1.0 - (self.vecs[idxs] @ q) / np.where(n > 0, n, 1.0)
+    def _neighbors(self, n: int, level: int) -> np.ndarray:
+        if level == 0:
+            return self._adj0[n, : self._deg0[n]]
+        return self._hi[n][level - 1][: self._hideg[n][level - 1]]
+
+    _BEAM_BATCH = 16  # candidates expanded per vectorized iteration (swept
+    # 4/8/16/32/64 at dim=96: 770/1000/1364/1327/964 nodes/s; 16 wins)
+
+    def _greedy_descent(self, q: np.ndarray, ep: int, level: int) -> int:
+        """Upper-layer hill climb (the ef=1 search): move to the (dist,
+        node)-smallest neighbor while it improves. One gather + one matmul
+        per hop; deterministic ties on node index."""
+        Vn = self._vn
+        curd = float(1.0 - Vn[ep] @ q)
+        cur = ep
+        while True:
+            arr = self._neighbors(cur, level)
+            if not len(arr):
+                return cur
+            nd = 1.0 - Vn[arr] @ q
+            i = int(np.lexsort((arr, nd))[0])
+            if (float(nd[i]), int(arr[i])) < (curd, cur):
+                curd, cur = float(nd[i]), int(arr[i])
+            else:
+                return cur
 
     def _search_layer(
         self, q: np.ndarray, entry_points: list[int], ef: int, level: int
     ) -> list[tuple[float, int]]:
-        """Best-first beam search; returns up to ef (dist, node) sorted
-        ascending. Deterministic: ties broken by node index."""
-        import heapq
-        from bisect import insort
+        """Beam search; returns up to ef (dist, node) sorted ascending.
+        Deterministic: ties broken by node index.
 
+        Vectorized batch form (r3, the VERDICT item-8 rewrite): the result
+        set lives in sorted numpy arrays; each iteration expands the
+        ``_BEAM_BATCH`` closest unexpanded candidates at once -- one 2D
+        fancy index over the packed level-0 adjacency, one stamp-array
+        visited test, one matmul against the pre-normalized vector buffer,
+        one lexsort merge (same-node duplicates land adjacent under the
+        (dist, node) sort and are masked there) -- instead of per-neighbor
+        python heap/insort traffic. Expanded flags are a second stamp array
+        indexed by node. Candidates are only ever expanded from the current
+        result set; terminates when every member has been expanded."""
         ef = max(ef, 1)
-        visited = set(entry_points)
-        dists = self._dist(q, entry_points)
-        cand = [(float(d), n) for d, n in zip(dists, entry_points)]
-        heapq.heapify(cand)
-        # result set kept SORTED ascending; insort is an O(ef) C memmove per
-        # accepted neighbor (beats a per-insert re-sort and, at ef~100,
-        # python-level heap ops)
-        best = sorted(cand)[:ef]
-        worst = best[-1][0]
-        while cand:
-            d, n = heapq.heappop(cand)
-            if d > worst and len(best) >= ef:
+        Vn = self._vn
+        self._stamp += 1
+        stamp = self._stamp
+        seen, estamp = self._seen, self._estamp
+        adj0, deg0 = self._adj0, self._deg0
+        eps = np.asarray(entry_points, dtype=np.int64)
+        seen[eps] = stamp
+        d0 = 1.0 - Vn[eps] @ q
+        order = np.lexsort((eps, d0))[:ef]
+        best_d, best_n = d0[order], eps[order]
+        B = self._BEAM_BATCH
+        col = np.arange(adj0.shape[1], dtype=np.int64)
+        while True:
+            take = np.flatnonzero(estamp[best_n] != stamp)[:B]
+            if not len(take):
                 break
-            neigh = [
-                m for m in self.adj[n][level] if m not in visited
-            ]
-            if not neigh:
+            tn = best_n[take]
+            estamp[tn] = stamp
+            if level == 0:
+                rows = adj0[tn]  # one (B, M0+1) gather
+                allnb = rows[col[None, :] < deg0[tn][:, None]]
+            else:
+                parts = [self._neighbors(n, level) for n in tn.tolist()]
+                allnb = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            if not len(allnb):
                 continue
-            visited.update(neigh)
-            nd = self._dist(q, neigh)
-            for dm, m in zip(nd, neigh):
-                dm = float(dm)
-                if len(best) < ef or dm < worst:
-                    heapq.heappush(cand, (dm, m))
-                    insort(best, (dm, m))
-                    if len(best) > ef:
-                        best.pop()
-                    worst = best[-1][0]
-        return best
+            unv = allnb[seen[allnb] != stamp]
+            if not len(unv):
+                continue
+            seen[unv] = stamp  # in-batch duplicates survive; merge dedups
+            nd = 1.0 - Vn[unv] @ q
+            if len(best_n) >= ef:
+                keep = nd < best_d[-1]
+                if not keep.any():
+                    continue
+                unv, nd = unv[keep], nd[keep]
+            md = np.concatenate([best_d, nd])
+            mn = np.concatenate([best_n, unv])
+            order = np.lexsort((mn, md))
+            mn = mn[order]
+            # drop duplicate nodes (identical (dist, node) sorts adjacent)
+            if len(mn) > 1:
+                first = np.empty(len(mn), dtype=bool)
+                first[0] = True
+                np.not_equal(mn[1:], mn[:-1], out=first[1:])
+                order = order[first][:ef]
+                mn = mn[first][:ef]
+            else:
+                order = order[:ef]
+            best_d, best_n = md[order], mn
+        return list(zip(best_d.tolist(), best_n.tolist()))
 
     def _select(self, cands: list[tuple[float, int]], M: int) -> list[int]:
         return [n for _, n in sorted(cands)[:M]]
@@ -148,37 +272,61 @@ class HNSWGraph:
         self.ids.append(node_id)
         if self._n == len(self._buf):
             self._buf = np.vstack([self._buf, np.empty_like(self._buf)])
+            self._vn = np.vstack([self._vn, np.empty_like(self._vn)])
             self._norms = np.concatenate([self._norms, np.empty_like(self._norms)])
+            self._seen = np.concatenate([self._seen, np.zeros_like(self._seen)])
+            self._estamp = np.concatenate([self._estamp, np.zeros_like(self._estamp)])
+            self._adj0 = np.vstack([self._adj0, np.zeros_like(self._adj0)])
+            self._deg0 = np.concatenate([self._deg0, np.zeros_like(self._deg0)])
         self._buf[self._n] = v
-        self._norms[self._n] = np.linalg.norm(v)
+        nv = np.float32(np.linalg.norm(v))  # float32: bit-stable vs the
+        self._norms[self._n] = nv           # from_bytes _vn recompute
+        self._vn[self._n] = v / nv if nv > 0 else v
         self._n += 1
         self.levels.append(lvl)
-        self.adj.append([[] for _ in range(lvl + 1)])
+        cap = self.M + 1
+        self._hi.append([np.empty(cap, dtype=np.int64) for _ in range(lvl)])
+        self._hideg.append([0] * lvl)
         if self.entry < 0:
             self.entry, self.max_level = idx, lvl
             return
-        nrm = float(self._norms[idx])
-        vq = v / nrm if nrm > 0 else v  # normalized traversal query
+        vq = self._vn[idx]  # normalized traversal query
         ep = [self.entry]
         # greedy descent above the node's level
         for lc in range(self.max_level, lvl, -1):
-            ep = [self._search_layer(vq, ep, 1, lc)[0][1]]
+            ep = [self._greedy_descent(vq, ep[0], lc)]
         # connect at each level from min(lvl, max_level) down to 0
         for lc in range(min(lvl, self.max_level), -1, -1):
             cands = self._search_layer(vq, ep, self.ef_c, lc)
             Mmax = self.M0 if lc == 0 else self.M
             neigh = self._select(cands, self.M)
-            self.adj[idx][lc] = list(neigh)
+            if lc == 0:
+                self._adj0[idx, : len(neigh)] = neigh
+                self._deg0[idx] = len(neigh)
+            else:
+                a = self._hi[idx][lc - 1]
+                a[: len(neigh)] = neigh
+                self._hideg[idx][lc - 1] = len(neigh)
             for m in neigh:
-                lst = self.adj[m][lc]
-                lst.append(idx)
-                if len(lst) > Mmax:
+                if lc == 0:
+                    am = self._adj0[m]
+                    dm = int(self._deg0[m])
+                else:
+                    am = self._hi[m][lc - 1]
+                    dm = self._hideg[m][lc - 1]
+                am[dm] = idx
+                dm += 1
+                if dm > Mmax:
                     # prune to the Mmax closest of m's neighbors
-                    mn = float(self._norms[m])
-                    mq = self.vecs[m] / mn if mn > 0 else self.vecs[m]
-                    d = self._dist(mq, lst)
-                    order = np.lexsort((np.array(lst), np.round(d, 7)))
-                    self.adj[m][lc] = [lst[i] for i in order[:Mmax]]
+                    lst = am[:dm]
+                    d = 1.0 - self._vn[lst] @ self._vn[m]
+                    order = np.lexsort((lst, np.round(d, 7)))
+                    am[:Mmax] = lst[order[:Mmax]]  # fancy index copies: safe
+                    dm = Mmax
+                if lc == 0:
+                    self._deg0[m] = dm
+                else:
+                    self._hideg[m][lc - 1] = dm
             ep = [n for _, n in cands]
         if lvl > self.max_level:
             self.entry, self.max_level = idx, lvl
@@ -193,7 +341,7 @@ class HNSWGraph:
             qv = qv / nrm
         ep = [self.entry]
         for lc in range(self.max_level, 0, -1):
-            ep = [self._search_layer(qv, ep, 1, lc)[0][1]]
+            ep = [self._greedy_descent(qv, ep[0], lc)]
         best = self._search_layer(qv, ep, max(ef_search, k), 0)
         # float64 rescore of the beam's candidates: identical arithmetic to
         # the exact cosine_topk path (float64 over float32-origin values),
@@ -233,8 +381,28 @@ class HNSWGraph:
         g._buf = np.asarray(d["vecs"], dtype=np.float32)
         g._n = len(g.ids)
         g._norms = np.asarray(d["norms"], dtype=np.float32)
+        safe = np.where(g._norms > 0, g._norms, 1.0).astype(np.float32)
+        g._vn = g._buf / safe[:, None]
         g.levels = [int(x) for x in d["levels"]]
-        g.adj = d["adj"]
+        n = max(g._n, 1)
+        g._adj0 = np.zeros((n, g.M0 + 1), dtype=np.int64)
+        g._deg0 = np.zeros(n, dtype=np.int64)
+        g._hi, g._hideg = [], []
+        cap = g.M + 1
+        for i, levels in enumerate(d["adj"]):
+            l0 = levels[0]
+            g._adj0[i, : len(l0)] = l0
+            g._deg0[i] = len(l0)
+            arrs, degs = [], []
+            for lst in levels[1:]:
+                a = np.empty(cap, dtype=np.int64)
+                a[: len(lst)] = lst
+                arrs.append(a)
+                degs.append(len(lst))
+            g._hi.append(arrs)
+            g._hideg.append(degs)
+        g._seen = np.zeros(n, dtype=np.int64)
+        g._estamp = np.zeros(n, dtype=np.int64)
         g.entry = d["entry"]
         g.max_level = d["max_level"]
         return g
