@@ -99,6 +99,11 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
     build_sec = time.monotonic() - t0
 
     idx = BM25Index(spark, idx_dir)
+    # Solr firstSearcher warming (engine.warm docstring): one-time open
+    # costs -- relation listings, df/bucket maps, python-worker spawn --
+    # happen HERE, reported as warm_sec and counted in the headline total;
+    # the per-query numbers then measure the engine on a served searcher.
+    warm_sec = idx.warm()
     q_secs: dict[str, float] = {}
     lat_all: list[float] = []
     def run_query(name, q):
@@ -142,6 +147,7 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         "n_turns": n_turns,
         "baseline_sec": round(baseline_sec, 2),
         "build_sec": round(build_sec, 2),
+        "warm_sec": round(warm_sec, 2),
         "turns_per_sec": round(n_turns / build_sec, 1),
         "postings": post.rows if post else 0,
         "postings_per_sec": round(post.rows / build_sec, 1) if post else 0,
@@ -223,7 +229,7 @@ def main() -> None:
         return
 
     r = run_bench(cores, sf_dir, amplify)
-    total = r["build_sec"] + sum(r["queries"].values())
+    total = r["build_sec"] + r["warm_sec"] + sum(r["queries"].values())
     print(
         json.dumps(
             {
@@ -236,6 +242,7 @@ def main() -> None:
                 "build": {
                     "n_turns": r["n_turns"],
                     "build_sec": r["build_sec"],
+                    "warm_sec": r["warm_sec"],
                     "turns_per_sec": r["turns_per_sec"],
                     "postings": r["postings"],
                     "postings_per_sec": r["postings_per_sec"],

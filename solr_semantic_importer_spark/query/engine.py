@@ -130,6 +130,40 @@ class BM25Index:
         # than the fetched window, so ANY page is answerable from the entry.
         self._result_cache: OrderedDict[tuple, tuple[list, bool]] = OrderedDict()
 
+    def warm(self, queries: list[str] | None = None) -> float:
+        """Searcher warming -- the Solr firstSearcher/newSearcher listener
+        analog (solrconfig.xml event listeners; ``useColdSearcher=false``
+        makes the first real query wait on exactly this work). One call
+        moves every first-query one-time cost into index-open:
+
+        - file listings for the docs/dictionary/postings relations,
+        - the driver-side df + bucket maps (one dictionary pass),
+        - the given warming queries through the scoring kernels, which
+          spawns the executor python-worker pool and warms codegen; the
+          default is the index's single highest-df term, the hottest
+          possible posting list (Solr configs replay representative
+          production queries here).
+
+        Returns wall seconds spent. Benchmarks report it separately: a
+        cold query against a warmed searcher measures the engine, not
+        process startup."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        self.docs()
+        self.dictionary()
+        self._postings()
+        self._dfs([])
+        if queries is None:
+            if self._df_cache:
+                hot = max(self._df_cache, key=lambda t: (self._df_cache[t], t))
+                queries = [hot]
+            else:
+                queries = []
+        for q in queries:
+            self.search(q, k=10, use_cache=False).collect()
+        return _time.monotonic() - t0
+
     def _buckets(self, terms: list[str]) -> list[int]:
         missing = [t for t in terms if t not in self._bucket_cache]
         if missing:
@@ -189,10 +223,17 @@ class BM25Index:
                 rows = (
                     self.dictionary()
                     .groupBy("term")
-                    .agg(F.sum("df").alias("df"))
+                    .agg(F.sum("df").alias("df"), F.first("bucket").alias("b"))
                     .collect()
                 )
                 self._df_cache = {r["term"]: int(r["df"]) for r in rows}
+                # piggyback term -> bucket on the same collect: every known
+                # term's bucket is now resolvable with ZERO jobs, so
+                # postings/dictionary pruning never pays the per-query
+                # literal-column job in _buckets_of (~1.4 s first call,
+                # ~60 ms warm). OOV terms drop out before bucket lookup.
+                for r in rows:
+                    self._bucket_cache.setdefault(r["term"], int(r["b"]))
             else:
                 self._df_cache = {}  # sentinel: too big, always query
         if self._df_cache:
