@@ -19,10 +19,13 @@ configset files:
   (SAC 2006). Rule sets are stated exactly in each docstring; other
   space-delimited languages register stop-only (a faithful chain: most of
   the reference's fieldTypes beyond the big European languages are
-  tokenize+stop+lowercase only). ja/th are EXCLUDED -- their Lucene
-  chains need kuromoji / ThaiTokenizer segmentation; the schema's own
+  tokenize+stop+lowercase only). th is EXCLUDED -- its Lucene chain
+  needs ThaiTokenizer's dictionary segmentation; the schema's own
   no-dictionary CJK fallback, text_cjk (CJKBigram), is provided by
-  :func:`register_cjk_bigram_chain`
+  :func:`register_cjk_bigram_chain`. ja gets a dedicated dictionary-free
+  fallback, :func:`register_japanese_fallback_chain` -- script-run
+  segmentation + kanji bigrams + the chain's width/stop/katakana-stem
+  stages with ``stopwords_ja.txt`` and ``stoptags_ja.txt`` parsed
 - ``register_language_chains(lang_dir)``: registers ``text_XX`` for every
   ``stopwords_XX.txt`` present, merging ``contractions_XX.txt`` particles
   into the stop set
@@ -52,6 +55,9 @@ __all__ = [
     "register_language_chains",
     "register_cjk_bigram_chain",
     "cjk_bigram_tokens",
+    "parse_stoptags_file",
+    "make_japanese_fallback_analyzer",
+    "register_japanese_fallback_chain",
     "UNICODE_TOKEN_PATTERN",
 ]
 
@@ -186,8 +192,9 @@ POST_STOP_TRANSFORMS = {"de": german_normalize}
 # algorithmic segmenter (text_ja = kuromoji, managed-schema.xml:838;
 # text_th = ThaiTokenizer, :1004). A whitespace/regex tokenizer would emit
 # whole clauses as single tokens -- retrieval would silently return zero
-# hits -- so these are NOT registered; the schema's own no-dictionary
-# fallback for them is the text_cjk bigram chain below.
+# hits -- so these are NOT registered by the generic stop-only loop.
+# ja has a dedicated dictionary-free chain (register_japanese_fallback_
+# chain below); th falls back to the schema's text_cjk bigram chain.
 UNSEGMENTED = frozenset({"ja", "th"})
 
 # CJK unified ideographs + kana + hangul (the ranges CJKBigramFilter pairs)
@@ -242,6 +249,130 @@ def register_cjk_bigram_chain(name: str = "text_cjk") -> None:
     POSITION_ANALYZERS[name] = positions_of
     TOKEN_NORMALIZERS[name] = cjk_bigram_tokens
     HIGHLIGHT_TOKEN_PATTERNS[name] = rf"[{_CJK_RANGE}]{{1,2}}|[^\W_]+"
+
+
+def parse_stoptags_file(path: str) -> frozenset[str]:
+    """Parse a Lucene ``stoptags_ja.txt`` part-of-speech tag list
+    (JapanesePartOfSpeechStopFilter input, managed-schema.xml:871): ``#``
+    comments, one IPADIC POS tag per line (hierarchy levels joined with
+    ``-``, e.g. ``助詞-格助詞-一般``)."""
+    with open(path, encoding="utf-8") as f:
+        return frozenset(
+            ln.strip()
+            for ln in f
+            if ln.strip() and not ln.lstrip().startswith("#")
+        )
+
+
+# text_ja fallback script classes. 々 (U+3005) continues a kanji word
+# (人々); ー (U+30FC) continues a katakana word. The word class excludes
+# every CJK range so an "abc漢字" run still splits at the script boundary.
+_JA_RUN_RE = re.compile(
+    r"(?P<kanji>[々㐀-䶿一-鿿豈-﫿]+)"
+    r"|(?P<kata>[ァ-ヺー]+)"
+    r"|(?P<hira>[ぁ-ゖゝゞ]+)"
+    r"|(?P<word>[^\W_々ぁ-ヿ㐀-鿿豈-﫿]+)",
+    re.UNICODE,
+)
+
+
+def make_japanese_fallback_analyzer(
+    stop_set: frozenset[str], pos_stop: bool = True
+):
+    """Dictionary-free approximation of the reference's ``text_ja`` chain
+    (managed-schema.xml:838-880: JapaneseTokenizer(search) -> baseForm ->
+    partOfSpeechStop(stoptags_ja) -> cjkWidth -> stop(stopwords_ja) ->
+    katakanaStem(min=4) -> lowercase). Kuromoji's statistical model is not
+    reproducible offline, so each stage maps to a no-dictionary stand-in:
+
+    - tokenizer: script-run segmentation (kanji / katakana / hiragana /
+      romaji boundaries are Japanese's strongest no-dictionary word
+      boundary signal); punctuation is discarded, as kuromoji's
+      ``discardPunctuation`` default and the 記号* stoptags prescribe.
+    - kanji runs emit overlapping bigrams (the schema's own text_cjk
+      fallback semantics) -- query and index agree without segmentation.
+    - katakana runs stay whole (loanwords; kuromoji keeps compounds as
+      synonyms of parts) and take the japaneseKatakanaStem rule: drop one
+      trailing ー from tokens of length >= 4.
+    - hiragana runs: a run that IS a stopword surface form (the particles
+      and auxiliaries stopwords_ja.txt lists -- the surface shapes of the
+      助詞/助動詞 POS classes stoptags_ja.txt drops) is removed when
+      ``pos_stop``; other runs emit bigrams like kanji.
+    - cjkWidth + lowercase: NFKC fold (full-width romaji -> half, half-
+      width kana -> full) then str.lower, applied before everything.
+    - baseForm has no dictionary-free analog: inflected verbs stay
+      surface-form; bigram overlap keeps stem-sharing forms retrievable
+      (食べた/食べる share the 食べ bigram window).
+
+    The stop filter applies to every emitted token, matching the chain's
+    stop stage running on the token stream."""
+    import unicodedata
+
+    def analyze(text: str | None) -> list[str]:
+        if text is None:
+            return []
+        out: list[str] = []
+        for m in _JA_RUN_RE.finditer(
+            unicodedata.normalize("NFKC", text).lower()
+        ):
+            kanji, kata, hira, word = m.group("kanji", "kata", "hira", "word")
+            if word:
+                out.append(word)
+            elif kata:
+                if len(kata) >= 4 and kata.endswith("ー"):
+                    kata = kata[:-1]
+                out.append(kata)
+            else:
+                run = kanji or hira
+                if hira and pos_stop and run in stop_set:
+                    continue
+                if len(run) == 1:
+                    out.append(run)
+                else:
+                    out.extend(run[i : i + 2] for i in range(len(run) - 1))
+        return [t for t in out if t not in stop_set]
+
+    return analyze
+
+
+def register_japanese_fallback_chain(
+    lang_dir: str, name: str = "text_ja"
+) -> None:
+    """Register the dictionary-free ``text_ja`` fallback against a
+    configset ``lang/`` dir (reads ``stopwords_ja.txt`` and
+    ``stoptags_ja.txt``; see make_japanese_fallback_analyzer for the
+    kuromoji-stage mapping). The hiragana particle-run stop behavior is
+    enabled iff the stoptags file actually drops the particle class
+    (助詞), mirroring JapanesePartOfSpeechStopFilter honoring its tags
+    config."""
+    from .analysis import (
+        HIGHLIGHT_TOKEN_PATTERNS,
+        POSITION_ANALYZERS,
+        QUERY_ANALYZERS,
+        TOKEN_NORMALIZERS,
+    )
+
+    stops = parse_stopwords_file(
+        os.path.join(lang_dir, "stopwords_ja.txt"), fmt="wordset"
+    )
+    tags = parse_stoptags_file(os.path.join(lang_dir, "stoptags_ja.txt"))
+    analyze = make_japanese_fallback_analyzer(stops, pos_stop="助詞" in tags)
+
+    def positions_of(text: str | None) -> dict[str, list[int]]:
+        m: dict[str, list[int]] = {}
+        for i, tok in enumerate(analyze(text)):
+            m.setdefault(tok, []).append(i)
+        return m
+
+    QUERY_ANALYZERS[name] = analyze
+    POSITION_ANALYZERS[name] = positions_of
+    TOKEN_NORMALIZERS[name] = analyze
+    HIGHLIGHT_TOKEN_PATTERNS[name] = (
+        r"[々㐀-䶿一-鿿豈-﫿]{1,2}"
+        r"|[ァ-ヺー]+"
+        r"|[ぁ-ゖゝゞ]{1,2}"
+        r"|[^\W_々ぁ-ヿ㐀-鿿豈-﫿]+"
+    )
 
 
 def register_language_chains(

@@ -182,3 +182,78 @@ def test_text_fr_end_to_end_index(spark, tmp_path_factory):
     assert len(hits) == 2  # docs 0 (chevaux) and 1 (cheval)
     # stopwords ('les', 'la', 'dans') never hit the dictionary
     assert idx.search("les", k=5).collect() == []
+
+
+def test_stoptags_parser(tmp_path):
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        parse_stoptags_file,
+    )
+
+    p = tmp_path / "stoptags_ja.txt"
+    p.write_text("# comment\n助詞\n助詞-格助詞-一般\n記号\n\n", encoding="utf-8")
+    tags = parse_stoptags_file(str(p))
+    assert tags == {"助詞", "助詞-格助詞-一般", "記号"}
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_LANG), reason="reference absent")
+def test_japanese_fallback_analyzer_golden():
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        register_japanese_fallback_chain,
+    )
+
+    register_japanese_fallback_chain(REF_LANG, name="tzz_ja")
+    a = QUERY_ANALYZERS["tzz_ja"]
+    # kanji runs -> overlapping bigrams; the particles の/は/で and the
+    # auxiliary ます are stopword surface forms and drop out
+    assert a("日本語の形態素解析") == ["日本", "本語", "形態", "態素", "素解", "解析"]
+    # katakanaStem: one trailing ー drops at length >= 4 ...
+    assert a("コンピューター") == ["コンピュータ"]
+    # ... but NOT below the minimumLength=4 gate
+    assert a("ケーキ") == ["ケーキ"]
+    # cjkWidth + lowercase: full-width romaji folds to ascii, half-width
+    # katakana folds to full width and joins the adjacent katakana run
+    assert a("ＡＢＣとﾃｽﾄデータ") == ["abc", "テストデータ"]
+    # whole-run hiragana particles drop; content hiragana bigrams survive
+    assert a("これはペンです") == ["れは", "ペン"]
+    # 々 continues a kanji word
+    assert a("人々") == ["人々"]
+    # punctuation is discarded (kuromoji discardPunctuation / 記号 tags)
+    assert a("完了。") == ["完了"]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_LANG), reason="reference absent")
+def test_text_ja_end_to_end_index(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        register_japanese_fallback_chain,
+    )
+    from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.query.engine import BM25Index
+
+    register_japanese_fallback_chain(REF_LANG)
+    rows = [
+        ("c0", 0, "user", "東京都に住んでいます", None),
+        ("c0", 1, "assistant", "京都はきれいな町です", None),
+        ("c0", 2, "user", "コンピューターで解析します", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    idx_dir = str(tmp_path_factory.mktemp("ja"))
+    build_index(
+        spark, df, idx_dir,
+        BuildConfig(build_id="ja", analyzer="text_ja", segment_size=64,
+                    n_term_buckets=4, hot_df_threshold=100),
+    )
+    idx = BM25Index(spark, idx_dir)
+    # bigram overlap: 東京 hits doc 0; 京都 hits both (overlapping bigram
+    # inside 東京都)
+    assert [r["doc_id"] for r in idx.search("東京", k=5).collect()] == [0]
+    assert {r["doc_id"] for r in idx.search("京都", k=5).collect()} == {0, 1}
+    # the katakana-stemmed query form matches the stemmed indexed form
+    assert [r["doc_id"] for r in idx.search("コンピューター", k=5).collect()] == [2]
+    assert [r["doc_id"] for r in idx.search("コンピュータ", k=5).collect()] == [2]
+    # a pure-particle query analyzes to nothing -> zero hits
+    assert idx.search("のです", k=5).collect() == []
