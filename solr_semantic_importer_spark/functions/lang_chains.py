@@ -19,13 +19,15 @@ configset files:
   (SAC 2006). Rule sets are stated exactly in each docstring; other
   space-delimited languages register stop-only (a faithful chain: most of
   the reference's fieldTypes beyond the big European languages are
-  tokenize+stop+lowercase only). th is EXCLUDED -- its Lucene chain
-  needs ThaiTokenizer's dictionary segmentation; the schema's own
-  no-dictionary CJK fallback, text_cjk (CJKBigram), is provided by
-  :func:`register_cjk_bigram_chain`. ja gets a dedicated dictionary-free
-  fallback, :func:`register_japanese_fallback_chain` -- script-run
-  segmentation + kanji bigrams + the chain's width/stop/katakana-stem
-  stages with ``stopwords_ja.txt`` and ``stoptags_ja.txt`` parsed
+  tokenize+stop+lowercase only). ja/th need a segmenter, so the generic
+  loop skips them; each gets a dedicated dictionary-free fallback:
+  :func:`register_japanese_fallback_chain` -- script-run segmentation +
+  kanji bigrams + the chain's width/stop/katakana-stem stages with
+  ``stopwords_ja.txt`` and ``stoptags_ja.txt`` parsed -- and
+  :func:`register_thai_fallback_chain` -- Thai-character-cluster
+  bigrams + ``stopwords_th.txt``. The schema's own no-dictionary CJK
+  chain, text_cjk (CJKBigram), is provided by
+  :func:`register_cjk_bigram_chain`
 - ``register_language_chains(lang_dir)``: registers ``text_XX`` for every
   ``stopwords_XX.txt`` present, merging ``contractions_XX.txt`` particles
   into the stop set
@@ -58,6 +60,8 @@ __all__ = [
     "parse_stoptags_file",
     "make_japanese_fallback_analyzer",
     "register_japanese_fallback_chain",
+    "make_thai_fallback_analyzer",
+    "register_thai_fallback_chain",
     "UNICODE_TOKEN_PATTERN",
 ]
 
@@ -193,8 +197,8 @@ POST_STOP_TRANSFORMS = {"de": german_normalize}
 # text_th = ThaiTokenizer, :1004). A whitespace/regex tokenizer would emit
 # whole clauses as single tokens -- retrieval would silently return zero
 # hits -- so these are NOT registered by the generic stop-only loop.
-# ja has a dedicated dictionary-free chain (register_japanese_fallback_
-# chain below); th falls back to the schema's text_cjk bigram chain.
+# Each has a dedicated dictionary-free chain below (register_japanese_
+# fallback_chain / register_thai_fallback_chain).
 UNSEGMENTED = frozenset({"ja", "th"})
 
 # CJK unified ideographs + kana + hangul (the ranges CJKBigramFilter pairs)
@@ -372,6 +376,86 @@ def register_japanese_fallback_chain(
         r"|[ァ-ヺー]+"
         r"|[ぁ-ゖゝゞ]{1,2}"
         r"|[^\W_々ぁ-ヿ㐀-鿿豈-﫿]+"
+    )
+
+
+# Thai character-cluster (TCC) unit: optional leading vowel (เแโใไ) +
+# consonant + trailing vowel/tone combining marks. Thai line-breaking and
+# no-dictionary segmentation both build on these clusters (Theeramunkong
+# et al., "Character Cluster Based Thai Information Retrieval", IRAL'00):
+# a cluster never splits mid-grapheme, so bigrams over clusters align
+# between query and index the way CJK bigrams do for ideographs.
+_TH_CLUSTER_RE = re.compile(
+    "[เ-ไ]?[ก-ฮ][ะ-ฺๅ็-๎]*"
+    "|[฀-๿]"
+)
+_TH_RUN_RE = re.compile(
+    "(?P<thai>[ก-๛]+)|(?P<word>[^\\W_฀-๿]+)", re.UNICODE
+)
+
+
+def make_thai_fallback_analyzer(stop_set: frozenset[str]):
+    """Dictionary-free approximation of the reference's ``text_th`` chain
+    (managed-schema.xml:1004-1009: ThaiTokenizer -> lowercase ->
+    stop(stopwords_th)). ThaiTokenizer's BreakIterator dictionary is not
+    available offline; the stand-in segments Thai runs into character
+    clusters (see _TH_CLUSTER_RE) and emits overlapping cluster BIGRAMS --
+    a two-cluster word (most Thai content words) becomes one exact token,
+    and query/index always agree without a dictionary. A run that IS a
+    stopword surface form drops whole, and the stop filter applies to
+    every emitted token; non-Thai runs tokenize as lowercased words."""
+    import unicodedata
+
+    def analyze(text: str | None) -> list[str]:
+        if text is None:
+            return []
+        out: list[str] = []
+        for m in _TH_RUN_RE.finditer(
+            unicodedata.normalize("NFKC", text).lower()
+        ):
+            thai, word = m.group("thai", "word")
+            if word:
+                out.append(word)
+                continue
+            if thai in stop_set:
+                continue
+            cl = _TH_CLUSTER_RE.findall(thai)
+            if len(cl) == 1:
+                out.append(cl[0])
+            else:
+                out.extend(cl[i] + cl[i + 1] for i in range(len(cl) - 1))
+        return [t for t in out if t not in stop_set]
+
+    return analyze
+
+
+def register_thai_fallback_chain(lang_dir: str, name: str = "text_th") -> None:
+    """Register the dictionary-free ``text_th`` fallback against a
+    configset ``lang/`` dir (reads ``stopwords_th.txt``; see
+    make_thai_fallback_analyzer)."""
+    from .analysis import (
+        HIGHLIGHT_TOKEN_PATTERNS,
+        POSITION_ANALYZERS,
+        QUERY_ANALYZERS,
+        TOKEN_NORMALIZERS,
+    )
+
+    stops = parse_stopwords_file(
+        os.path.join(lang_dir, "stopwords_th.txt"), fmt="wordset"
+    )
+    analyze = make_thai_fallback_analyzer(stops)
+
+    def positions_of(text: str | None) -> dict[str, list[int]]:
+        m: dict[str, list[int]] = {}
+        for i, tok in enumerate(analyze(text)):
+            m.setdefault(tok, []).append(i)
+        return m
+
+    QUERY_ANALYZERS[name] = analyze
+    POSITION_ANALYZERS[name] = positions_of
+    TOKEN_NORMALIZERS[name] = analyze
+    HIGHLIGHT_TOKEN_PATTERNS[name] = (
+        "[ก-๛]+|[^\\W_฀-๿]+"
     )
 
 

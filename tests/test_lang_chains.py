@@ -257,3 +257,63 @@ def test_text_ja_end_to_end_index(spark, tmp_path_factory):
     assert [r["doc_id"] for r in idx.search("コンピュータ", k=5).collect()] == [2]
     # a pure-particle query analyzes to nothing -> zero hits
     assert idx.search("のです", k=5).collect() == []
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_LANG), reason="reference absent")
+def test_thai_fallback_analyzer_golden():
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        register_thai_fallback_chain,
+    )
+
+    register_thai_fallback_chain(REF_LANG, name="tzz_th")
+    a = QUERY_ANALYZERS["tzz_th"]
+    # character clusters (leading vowel + consonant + combining marks)
+    # -> overlapping bigrams: ภาษาไทย = ภา|ษา|ไท|ย
+    assert a("ภาษาไทย") == ["ภาษา", "ษาไท", "ไทย"]
+    # a single-cluster run emits itself
+    assert a("แมว") == ["แมว"]
+    # a run that IS a stopword surface form drops whole (ที่ = "that/at")
+    assert a("ที่") == []
+    # the stop filter also drops stopword BIGRAMS inside longer runs:
+    # สวัสดีครับ = ส|วั|ส|ดี|ค|รั|บ -> 6 bigrams, minus รับ (stopword)
+    assert a("สวัสดีครับ") == ["สวั", "วัส", "สดี", "ดีค", "ครั"]
+    # mixed script: non-Thai runs tokenize as lowercased words
+    assert a("this is MIXED ไทย text") == ["this", "is", "mixed", "ไทย", "text"]
+    assert a(None) == []
+    assert a("") == []
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_LANG), reason="reference absent")
+def test_text_th_end_to_end_index(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        register_thai_fallback_chain,
+    )
+    from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.query.engine import BM25Index
+
+    register_thai_fallback_chain(REF_LANG)
+    rows = [
+        ("c0", 0, "user", "ผมพูดภาษาไทยได้", None),      # I can speak Thai
+        ("c0", 1, "assistant", "แมวนอนบนเสื่อ", None),    # the cat sleeps on the mat
+        ("c0", 2, "user", "ภาษาอังกฤษยากมาก", None),      # English is very hard
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    idx_dir = str(tmp_path_factory.mktemp("th"))
+    build_index(
+        spark, df, idx_dir,
+        BuildConfig(build_id="th", analyzer="text_th", segment_size=64,
+                    n_term_buckets=4, hot_df_threshold=100),
+    )
+    idx = BM25Index(spark, idx_dir)
+    # ภาษา (language) is a shared cluster bigram of docs 0 and 2
+    assert {r["doc_id"] for r in idx.search("ภาษา", k=5).collect()} == {0, 2}
+    # ไทย only in doc 0; แมว only in doc 1
+    assert [r["doc_id"] for r in idx.search("ภาษาไทย", k=5).collect()][0] == 0
+    assert [r["doc_id"] for r in idx.search("แมว", k=5).collect()] == [1]
+    # a pure-stopword query analyzes to nothing -> zero hits
+    assert idx.search("ที่", k=5).collect() == []
