@@ -26,6 +26,11 @@ Execution (Spark-first):
   so zone skipping stays exact under fq; on exhaustive paths a semi-join.
   A per-index LRU filter cache (Solr's filterCache analog) persists each
   fq's minority doc-id set, so repeated fq strings never re-scan docs.
+  fq strings may be Solr/Lucene filter syntax (``-id:*.csv``, ``title:*``
+  -- the shapes the reference configures; translated by
+  functions/solr_fq.py) or Spark SQL expressions, and a LIST of fq
+  strings applies Solr's one-param-per-filter AND semantics with one
+  cached DocSet per fq.
 - deletes (I5): tombstones stay a DataFrame end to end -- anti-joins on
   exhaustive/match-all/phrase paths, cogrouped per-segment arrays on the
   WAND path. Nothing is collected driver-side (a `-crawl_id:X`-shaped delete
@@ -52,6 +57,7 @@ from pyspark.sql import types as T
 
 from .. import B, K1
 from ..functions.analysis import QUERY_ANALYZERS, expand_query_terms
+from ..functions.solr_fq import looks_like_solr_fq, parse_fq
 from ..functions.codec import varint_decode
 
 _SCORE_ROW = T.StructType(
@@ -307,7 +313,7 @@ class BM25Index:
         k: int = 10,
         op: str = "OR",
         synonyms: bool | dict = False,
-        fq: str | None = None,
+        fq: str | list[str] | None = None,
         offset: int = 0,
         mode: str = "wand",
         with_stored: bool = False,
@@ -336,6 +342,7 @@ class BM25Index:
         force scoring (benchmarks do, so latency numbers measure the
         engine, not the cache)."""
         terms = self.analyze_query(query, synonyms=synonyms)
+        fq = self._norm_fq(fq)
         idf = self.idf_map(terms)
         if fl is not None:
             with_stored = True
@@ -603,6 +610,12 @@ class BM25Index:
         match-all paths) or per-segment cogrouped arrays (WAND path)."""
         from ..index.build import INDEX_PARQUET_CODEC
 
+        # the reference's delete shape IS Solr query syntax (`-crawl_id:X`
+        # deletes every doc not stamped with the current crawl); accept it
+        # alongside SQL predicates, with Lucene null semantics (a doc with
+        # no crawl_id field matches `-crawl_id:X` and is deleted)
+        if looks_like_solr_fq(predicate):
+            predicate = parse_fq(predicate, dict(self.docs().dtypes))
         victims = self.docs().filter(predicate).select("doc_id")
         path = os.path.join(self.data_dir, "tombstones")
         victims.write.mode("append").option(
@@ -636,7 +649,7 @@ class BM25Index:
         return df.join(dead.withColumnRenamed("doc_id", key), key, "left_anti")
 
     def match_all(
-        self, k: int = 10, fq: str | None = None, offset: int = 0
+        self, k: int = 10, fq: str | list[str] | None = None, offset: int = 0
     ) -> DataFrame:
         """Q2: ``q=*:*`` -- every (live) doc, constant score 1.0, internal
         doc-id order (Solr's MatchAllDocsQuery under the default sort)."""
@@ -728,7 +741,9 @@ class BM25Index:
             prune_generations(self.index_dir, prune_keep_versions)
         return BM25Index(self.spark, self.index_dir)
 
-    def facet(self, query: str, field: str, fq: str | None = None) -> DataFrame:
+    def facet(
+        self, query: str, field: str, fq: str | list[str] | None = None
+    ) -> DataFrame:
         """Q5 over a result set: non-scoring facet counts on ``field`` across
         all docs matching ANY query term (Solr facet.field over the match
         set, SolrAdminActions.java:233-245; limit -1 => all buckets).
@@ -759,7 +774,7 @@ class BM25Index:
         self,
         phrase: str,
         k: int = 10,
-        fq: str | None = None,
+        fq: str | list[str] | None = None,
         offset: int = 0,
         with_stored: bool = False,
         order_key: str = "round6",
@@ -910,15 +925,24 @@ class BM25Index:
         if ent is not None:
             self._filter_cache.move_to_end(fq)
             return ent
+        # the fq string may be Solr/Lucene filter syntax (the reference
+        # ships its source filters that way -- `-id:*.csv`, `title:*`,
+        # application-test.yml -- and appends each as an fq param,
+        # HttpSolrSelectClientImpl.java createSolrRequest); translate to a
+        # SQL expression, keeping the ORIGINAL string as the cache key the
+        # way Solr's filterCache keys by the fq as sent
+        expr = fq
+        if looks_like_solr_fq(fq):
+            expr = parse_fq(fq, dict(self.docs().dtypes))
         allowed = (
-            self.docs().filter(fq).select("doc_id")
+            self.docs().filter(expr).select("doc_id")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_allowed = allowed.count()  # one docs scan; materializes the cache
         if self.n_docs and n_allowed > self.n_docs // 2:
             rows = (
                 self.docs()
-                .filter(~F.expr(fq).eqNullSafe(F.lit(True)))
+                .filter(~F.expr(expr).eqNullSafe(F.lit(True)))
                 .select("doc_id")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
@@ -932,13 +956,54 @@ class BM25Index:
             old.unpersist()
         return ent
 
-    def _apply_fq(self, df: DataFrame, fq: str | None, key: str = "doc_id") -> DataFrame:
-        """Apply an fq to a (key=doc_id)-bearing frame through the filter
-        cache: semi-join against the allowed set or anti-join against its
-        complement, whichever side the cache holds."""
+    @staticmethod
+    def _norm_fq(fq):
+        """Public-API fq normalization: None / a single string / a list of
+        fq strings (Solr sends one ``fq`` param per filter and ANDs them;
+        HttpSolrSelectClientImpl.java appends one per configured filter).
+        Lists become hashable tuples (queryResultCache keys on them); an
+        empty list is no filter; a 1-list collapses to its string so it
+        shares cache keys with the equivalent single-fq call."""
+        if fq is None or isinstance(fq, str):
+            return fq
+        fqs = tuple(fq)
+        if not fqs:
+            return None
+        return fqs[0] if len(fqs) == 1 else fqs
+
+    def _fq_sides(self, fq) -> tuple[int, DataFrame]:
+        """Effective (representation, minority doc-id frame) for one fq or
+        an AND'd tuple of fqs. Each fq keeps its OWN filter-cache entry
+        (Solr caches per fq and intersects the cached DocSets per query);
+        the combination is set algebra on the cached minority frames, so
+        the joins below never touch the docs table: with any INCLUDE side
+        present the work is bounded by the smallest allowed set, and
+        all-EXCLUDE combinations union the (minority) complements."""
+        if isinstance(fq, str):
+            return self._fq_entry(fq)
+        entries = [self._fq_entry(f) for f in fq]
+        includes = [r for rep, r in entries if rep == self._FQ_INCLUDE]
+        excludes = [r for rep, r in entries if rep == self._FQ_EXCLUDE]
+        if includes:
+            base = includes[0]
+            for r in includes[1:]:
+                base = base.join(r, "doc_id", "left_semi")
+            for r in excludes:
+                base = base.join(r, "doc_id", "left_anti")
+            return self._FQ_INCLUDE, base
+        base = excludes[0]
+        for r in excludes[1:]:
+            base = base.unionByName(r)
+        return self._FQ_EXCLUDE, base.distinct()
+
+    def _apply_fq(self, df: DataFrame, fq, key: str = "doc_id") -> DataFrame:
+        """Apply an fq (or tuple of fqs) to a (key=doc_id)-bearing frame
+        through the filter cache: semi-join against the allowed set or
+        anti-join against its complement, whichever side is held."""
+        fq = self._norm_fq(fq)
         if fq is None:
             return df
-        fq_repr, rows = self._fq_entry(fq)
+        fq_repr, rows = self._fq_sides(fq)
         side = rows if key == "doc_id" else rows.withColumnRenamed("doc_id", key)
         how = "left_semi" if fq_repr == self._FQ_INCLUDE else "left_anti"
         return df.join(side, key, how)
@@ -961,8 +1026,9 @@ class BM25Index:
         """
         parts = []
         fq_repr = 0
+        fq = self._norm_fq(fq)
         if fq is not None:
-            fq_repr, rows = self._fq_entry(fq)
+            fq_repr, rows = self._fq_sides(fq)
             parts.append(rows.select("doc_id", F.lit(fq_repr).alias("kind")))
         dead = self._tombstones_df()
         if dead is not None:
