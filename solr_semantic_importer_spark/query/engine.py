@@ -522,6 +522,7 @@ class BM25Index:
         post: str = "</em>",
         fragsize: int | None = None,
         order_key: str = "round6",
+        fq: str | list[str] | None = None,
     ) -> DataFrame:
         """Q7: highlighting over the top-k result set -- every stored-text
         token whose ANALYZED form matches an analyzed query term is wrapped
@@ -542,9 +543,9 @@ class BM25Index:
         so the stored text is re-analyzed token-by-token in an Arrow kernel
         and tokens are wrapped when their stem is in the query term set."""
         terms = self.analyze_query(query)
-        top = self.search(query, k=k, with_stored=True, order_key=order_key).select(
-            "doc_id", "score", "text"
-        )
+        top = self.search(
+            query, k=k, with_stored=True, order_key=order_key, fq=fq
+        ).select("doc_id", "score", "text")
         if not terms:
             return top.withColumn("highlighted", F.col("text"))
         if self.analyzer_chain == "text_general":
@@ -656,6 +657,39 @@ class BM25Index:
         d = self._anti_dead(self._apply_fq(self.docs(), fq))
         out = d.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
         return out.offset(offset).limit(k) if offset else out.limit(k)
+
+    def count_matches(
+        self, query: str, op: str = "OR",
+        fq: str | list[str] | None = None,
+    ) -> int:
+        """Total match count for a query — Solr's ``numFound`` (every
+        /select response carries it regardless of ``rows``). ``*:*`` counts
+        live docs under fq. Scored queries count distinct docs holding any
+        term (OR) or all terms (AND) from the pruned postings scan — the
+        decode is column-pruned to doc lists, the count is a partial-agg
+        job, and nothing doc-sized reaches the driver."""
+        if query.strip() == "*:*":
+            return self._anti_dead(self._apply_fq(self.docs(), fq)).count()
+        terms = self.analyze_query(query)
+        idf = self.idf_map(terms)
+        if op == "AND" and any(t not in idf for t in terms):
+            return 0
+        terms = list(dict.fromkeys(t for t in terms if t in idf))
+        if not terms:
+            return 0
+        # each (term, doc) posting decodes to exactly one row, so rows per
+        # doc = number of query terms present in it
+        hits = self._decode_score_df(terms, idf).select("doc_id")
+        if op == "AND":
+            matched = (
+                hits.groupBy("doc_id")
+                .agg(F.count("*").alias("nt"))
+                .filter(F.col("nt") == len(terms))
+                .select("doc_id")
+            )
+        else:
+            matched = hits.distinct()
+        return self._anti_dead(self._apply_fq(matched, fq)).count()
 
     def _config_from_manifest(self, build_id: str):
         """Reconstruct the BuildConfig the index was built with from the

@@ -1,0 +1,208 @@
+"""Solr ``/select`` facade: param dict in, Solr JSON response shape out.
+
+The reference talks to Solr exclusively through ``/select`` param maps —
+``HttpSolrSelectClientImpl.java createSolrRequest`` builds
+``q=*:*&wt=json&start=N*size&rows=size`` plus one ``fq`` per configured
+filter, and consumes the JSON shape in ``solr9_response.json``
+(``responseHeader``/``response.numFound``/``response.docs``). This module
+lets a reference user keep that exact interface against the PySpark
+engine: :func:`solr_select` maps the supported param surface onto
+``BM25Index`` calls and returns the same response dict shape;
+:func:`select_pages` reproduces the importer's pagination loop
+(``SolrSemanticIndexer``: page until ``start`` passes ``numFound``).
+
+Supported params (everything the reference sends, plus the query-side
+components its solrconfig enables):
+
+- ``q`` (default ``*:*``), ``q.op`` (``OR``/``AND``)
+- ``fq`` — one string or a list (Solr sends one param per filter); Solr
+  filter syntax or SQL, per `functions/solr_fq.py`
+- ``start``/``rows`` (Solr defaults 0/10)
+- ``fl`` — comma-separated stored-field list; ``score`` is returned only
+  when requested (Solr semantics); default = all stored fields
+- ``sort`` — ``score desc`` (default) or ``<field> asc|desc`` for
+  match-all scans
+- ``facet=true&facet.field=F`` (repeatable) → ``facet_counts.facet_fields``
+  as Solr's flat ``[val, count, val, count, ...]`` arrays
+- ``hl=true`` (``hl.fragsize`` honored) → ``highlighting`` map keyed by
+  doc id
+- ``spellcheck=true&spellcheck.q=word`` → ``spellcheck.suggestions``
+
+The facade is the DRIVER-SIDE rim of the engine: every listed param maps
+onto the distributed paths (WAND kernels, filter cache, docid-pushdown
+stored fetch); only the ≤``rows`` result page is ever collected.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterator
+
+from pyspark.sql import functions as F
+
+from .engine import BM25Index
+
+__all__ = ["solr_select", "select_pages"]
+
+_RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
+             "facet.field", "hl", "hl.fragsize", "spellcheck",
+             "spellcheck.q", "wt", "indent", "useParams"}
+
+
+def _as_list(v) -> list:
+    if v is None:
+        return []
+    return list(v) if isinstance(v, (list, tuple)) else [v]
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("true", "on", "1")
+
+
+def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
+    """Execute one ``/select`` request against a :class:`BM25Index`. See
+    module docstring for the param surface; unknown params raise (the
+    caller finds out their filter is unsupported instead of silently
+    getting unfiltered results)."""
+    unknown = set(params) - _RESERVED
+    if unknown:
+        raise ValueError(f"unsupported /select params: {sorted(unknown)}")
+
+    t0 = time.monotonic()
+    q = str(params.get("q", "*:*"))
+    op = str(params.get("q.op", "OR")).upper()
+    fq = _as_list(params.get("fq")) or None
+    start = int(params.get("start", 0))
+    rows = int(params.get("rows", 10))
+    fl = params.get("fl")
+    fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
+    want_score = bool(fl) and "score" in fl
+    fetch_fl = [f for f in (fl or []) if f != "score"] or None
+    sort = str(params.get("sort", "score desc")).strip()
+
+    match_all = q.strip() == "*:*"
+    num_found = idx.count_matches(q, op=op, fq=fq)
+
+    if match_all:
+        if sort in ("score desc", "doc_id asc"):
+            page = idx.match_all(k=rows, fq=fq, offset=start)
+        else:
+            # field sort over the live filtered scan (TakeOrderedAndProject:
+            # the orderBy+limit never materializes a full sort)
+            field, _, direction = sort.partition(" ")
+            live = idx._anti_dead(idx._apply_fq(idx.docs(), fq))
+            key = live[field].desc() if direction == "desc" else live[field].asc()
+            ordered = live.select(
+                "doc_id", F.lit(1.0).alias("score")
+            ).orderBy(key, "doc_id")
+            page = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
+        # the page is <= rows rows: take its order driver-side, then fetch
+        # stored fields by doc_id (docid-pushdown scan) and re-order to it
+        page_rows = page.collect()
+        order = [r["doc_id"] for r in page_rows]
+        scores = {r["doc_id"]: r["score"] for r in page_rows}
+        fetched = {
+            r["doc_id"]: r.asDict()
+            for r in idx._stored_side(fetch_fl)
+            .filter(F.col("doc_id").isin(order) if order else F.lit(False))
+            .collect()
+        }
+        rows_out = [
+            {**fetched.get(i, {"doc_id": i}), "score": scores[i]} for i in order
+        ]
+    else:
+        if sort != "score desc":
+            raise ValueError("scored queries sort by relevance (sort=score desc)")
+        df = idx.search(
+            q, k=rows, op=op, fq=fq, offset=start,
+            with_stored=True, fl=fetch_fl,
+        )
+        rows_out = [r.asDict() for r in df.collect()]
+
+    docs = []
+    for r in rows_out:
+        d = dict(r)
+        if not want_score:
+            d.pop("score", None)
+        docs.append(d)
+
+    resp: dict[str, Any] = {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int((time.monotonic() - t0) * 1000),
+            "params": {k: params[k] for k in sorted(params, key=str)},
+        },
+        "response": {
+            "numFound": num_found,
+            "start": start,
+            "numFoundExact": True,
+            "docs": docs,
+        },
+    }
+
+    if _truthy(params.get("facet", False)):
+        ff: dict[str, list] = {}
+        for field in _as_list(params.get("facet.field")):
+            if match_all:
+                counts = (
+                    idx._anti_dead(idx._apply_fq(idx.docs(), fq))
+                    .groupBy(field).count()
+                    .orderBy(F.col("count").desc(), F.col(field).asc())
+                    .collect()
+                )
+                pairs = [(r[field], r["count"]) for r in counts]
+            else:
+                counts = idx.facet(q, field, fq=fq).collect()
+                pairs = sorted(
+                    ((r[field], r["facet_count"]) for r in counts),
+                    key=lambda p: (-p[1], str(p[0])),
+                )
+            flat: list = []
+            for val, cnt in pairs:  # Solr's flat [val, count, ...] array
+                flat.extend([val, int(cnt)])
+            ff[field] = flat
+        resp["facet_counts"] = {"facet_fields": ff}
+
+    if _truthy(params.get("hl", False)) and not match_all:
+        fragsize = params.get("hl.fragsize")
+        hl_rows = idx.highlight(
+            q, k=start + rows, fq=fq,
+            fragsize=int(fragsize) if fragsize is not None else None,
+        ).collect()[start:start + rows]
+        resp["highlighting"] = {
+            str(r["doc_id"]): {"text": [r["highlighted"]]} for r in hl_rows
+        }
+
+    if _truthy(params.get("spellcheck", False)):
+        sq = str(params.get("spellcheck.q", q))
+        sug = idx.suggest(sq).collect()
+        resp["spellcheck"] = {
+            "suggestions": [
+                sq,
+                {
+                    "numFound": len(sug),
+                    "suggestion": [
+                        {"word": r["term"], "freq": int(r["df"])} for r in sug
+                    ],
+                },
+            ] if sug else [],
+            "correctlySpelled": not sug,
+        }
+    return resp
+
+
+def select_pages(
+    idx: BM25Index, params: dict[str, Any], page_size: int = 100
+) -> Iterator[dict[str, Any]]:
+    """The importer's crawl loop (SolrSemanticIndexer pages ``/select``
+    with start = page * pagination-size until the collection is
+    exhausted): yield full response dicts page by page. ``start``/``rows``
+    in params are overridden."""
+    start = 0
+    while True:
+        page = dict(params, start=start, rows=page_size)
+        resp = solr_select(idx, page)
+        yield resp
+        start += page_size
+        if start >= resp["response"]["numFound"]:
+            return

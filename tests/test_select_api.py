@@ -1,0 +1,143 @@
+"""Solr /select facade (query/select_api.py): param surface and response
+shape parity with the JSON the reference consumes (solr9_response.json —
+responseHeader / response.numFound / numFoundExact / docs), and the
+importer's pagination loop (HttpSolrSelectClientImpl createSolrRequest:
+q=*:* + one fq per filter + start/rows)."""
+
+import json
+
+import pytest
+
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.query.select_api import select_pages, solr_select
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+REF_SHAPE = "/root/reference/src/test/resources/solr9_response.json"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=50, turns_per_conv=6, seed=31)
+    idx_dir = str(tmp_path_factory.mktemp("sel"))
+    build_index(spark, df, idx_dir, BuildConfig(build_id="sel", **CFG))
+    return df, BM25Index(spark, idx_dir)
+
+
+def test_match_all_shape_and_importer_params(corpus):
+    """The exact request the importer sends: q=*:* + fq filters + paging."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "*:*", "fq": ["role:user", "-tool:*"], "start": 0, "rows": 5,
+    })
+    # response shape == the reference's consumed shape (solr9_response.json)
+    with open(REF_SHAPE) as f:
+        ref = json.load(f)
+    assert set(ref) <= set(resp)
+    assert {"numFound", "start", "numFoundExact", "docs"} <= set(resp["response"])
+    assert set(ref["responseHeader"]) - {"zkConnected"} <= set(resp["responseHeader"])
+    n_user = idx.docs().filter("role = 'user' AND tool IS NULL").count()
+    assert resp["response"]["numFound"] == n_user
+    assert len(resp["response"]["docs"]) == 5
+    for d in resp["response"]["docs"]:
+        assert d["role"] == "user" and d["tool"] is None
+        assert "score" not in d  # fl absent -> Solr omits score
+    # JSON-serializable end to end
+    json.dumps(resp, default=str)
+
+
+def test_scored_query_fl_and_score(corpus):
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error in tool", "rows": 5, "fl": "conv_id,turn_idx,score",
+    })
+    docs = resp["response"]["docs"]
+    assert docs
+    # fl projection + requested score
+    assert set(docs[0]) == {"doc_id", "conv_id", "turn_idx", "score"}
+    scores = [d["score"] for d in docs]
+    assert scores == sorted(scores, reverse=True)
+    assert resp["response"]["numFound"] >= len(docs)
+    # numFound equals the engine's distinct match count
+    assert resp["response"]["numFound"] == idx.count_matches("error in tool")
+
+
+def test_q_op_and_numfound(corpus):
+    _, idx = corpus
+    n_or = solr_select(idx, {"q": "error tool", "rows": 0})["response"]["numFound"]
+    n_and = solr_select(idx, {"q": "error tool", "rows": 0, "q.op": "AND"})[
+        "response"]["numFound"]
+    assert 0 < n_and < n_or
+
+
+def test_paging_consistency(corpus):
+    _, idx = corpus
+    p1 = solr_select(idx, {"q": "error in tool", "rows": 3, "fl": "score"})
+    p2 = solr_select(idx, {"q": "error in tool", "start": 3, "rows": 3,
+                           "fl": "score"})
+    ids1 = [d["doc_id"] for d in p1["response"]["docs"]]
+    ids2 = [d["doc_id"] for d in p2["response"]["docs"]]
+    assert not set(ids1) & set(ids2)
+    whole = solr_select(idx, {"q": "error in tool", "rows": 6, "fl": "score"})
+    assert [d["doc_id"] for d in whole["response"]["docs"]] == ids1 + ids2
+
+
+def test_facet_flat_arrays(corpus):
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "*:*", "rows": 0, "facet": "true", "facet.field": "role",
+    })
+    flat = resp["facet_counts"]["facet_fields"]["role"]
+    assert len(flat) % 2 == 0
+    pairs = dict(zip(flat[::2], flat[1::2]))
+    want = {r["role"]: r["count"]
+            for r in idx.docs().groupBy("role").count().collect()}
+    assert pairs == want
+    counts = flat[1::2]
+    assert counts == sorted(counts, reverse=True)  # Solr facet.sort=count
+
+
+def test_highlight_and_spellcheck_sections(corpus):
+    _, idx = corpus
+    resp = solr_select(idx, {"q": "error in tool", "rows": 3, "hl": "true"})
+    hl = resp["highlighting"]
+    assert set(hl) == {str(d["doc_id"]) for d in resp["response"]["docs"]}
+    assert all(isinstance(v["text"], list) for v in hl.values())
+
+    sp = solr_select(idx, {
+        "q": "*:*", "rows": 0, "spellcheck": "true", "spellcheck.q": "topix42",
+    })["spellcheck"]
+    assert not sp["correctlySpelled"]
+    words = [s["word"] for s in sp["suggestions"][1]["suggestion"]]
+    assert "topic42" in words
+
+
+def test_field_sort_match_all(corpus):
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "*:*", "rows": 8, "sort": "turn_idx desc", "fl": "turn_idx",
+    })
+    vals = [d["turn_idx"] for d in resp["response"]["docs"]]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[0] == 5  # turns_per_conv=6 -> max turn_idx 5
+
+
+def test_unknown_param_rejected(corpus):
+    _, idx = corpus
+    with pytest.raises(ValueError):
+        solr_select(idx, {"q": "*:*", "group": "true"})
+
+
+def test_select_pages_importer_loop(corpus):
+    """The importer's whole-collection crawl: page q=*:* until exhausted."""
+    _, idx = corpus
+    pages = list(select_pages(idx, {"q": "*:*", "fq": "role:assistant"},
+                              page_size=40))
+    total = pages[0]["response"]["numFound"]
+    assert total == idx.docs().filter("role = 'assistant'").count()
+    got = [d["doc_id"] for p in pages for d in p["response"]["docs"]]
+    assert len(got) == total and len(set(got)) == total
+    assert len(pages) == -(-total // 40)
