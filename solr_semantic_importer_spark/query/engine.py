@@ -658,6 +658,25 @@ class BM25Index:
         out = d.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
         return out.offset(offset).limit(k) if offset else out.limit(k)
 
+    def score_matches(
+        self, query: str, op: str = "OR",
+        fq: str | list[str] | None = None,
+    ) -> DataFrame:
+        """The FULL scored match set (doc_id, score) — no top-k cut. Backs
+        field-sorted /select requests (Solr sorts the whole DocSet by the
+        field; scores are still reported per doc when fl asks). Exhaustive
+        decode + aggregate: a field sort needs every match anyway, so WAND
+        pruning has nothing to skip."""
+        terms = self.analyze_query(query)
+        idf = self.idf_map(terms)
+        empty = self.spark.createDataFrame([], _SCORE_ROW)
+        if op == "AND" and any(t not in idf for t in terms):
+            return empty
+        terms = [t for t in terms if t in idf]
+        if not terms:
+            return empty
+        return self._scored_frame(terms, idf, 0, op, "exhaustive", fq)
+
     def count_matches(
         self, query: str, op: str = "OR",
         fq: str | list[str] | None = None,

@@ -20,8 +20,9 @@ components its solrconfig enables):
 - ``start``/``rows`` (Solr defaults 0/10)
 - ``fl`` — comma-separated stored-field list; ``score`` is returned only
   when requested (Solr semantics); default = all stored fields
-- ``sort`` — ``score desc`` (default) or ``<field> asc|desc`` for
-  match-all scans
+- ``sort`` — ``score desc`` (default) or ``<field> asc|desc`` (match-all
+  scans sort the live filtered table; scored queries sort the full match
+  set, Solr's field-sort-over-DocSet behavior)
 - ``facet=true&facet.field=F`` (repeatable) → ``facet_counts.facet_fields``
   as Solr's flat ``[val, count, val, count, ...]`` arrays
 - ``hl=true`` (``hl.fragsize`` honored) → ``highlighting`` map keyed by
@@ -110,14 +111,25 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
         rows_out = [
             {**fetched.get(i, {"doc_id": i}), "score": scores[i]} for i in order
         ]
-    else:
-        if sort != "score desc":
-            raise ValueError("scored queries sort by relevance (sort=score desc)")
+    elif sort == "score desc":
         df = idx.search(
             q, k=rows, op=op, fq=fq, offset=start,
             with_stored=True, fl=fetch_fl,
         )
         rows_out = [r.asDict() for r in df.collect()]
+    else:
+        # Solr field sort over a scored query: the MATCH SET ordered by the
+        # field (scores still reported when fl asks). Plan: pruned postings
+        # decode -> scored match set (+fq, tombstones) -> join stored ->
+        # TakeOrderedAndProject on the field.
+        field, _, direction = sort.partition(" ")
+        joined = idx.score_matches(q, op=op, fq=fq).join(
+            idx._stored_side(fetch_fl), "doc_id"
+        )
+        key = joined[field].desc() if direction == "desc" else joined[field].asc()
+        ordered = joined.orderBy(key, "doc_id")
+        page = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
+        rows_out = [r.asDict() for r in page.collect()]
 
     docs = []
     for r in rows_out:

@@ -125,6 +125,30 @@ def test_field_sort_match_all(corpus):
     assert vals[0] == 5  # turns_per_conv=6 -> max turn_idx 5
 
 
+def test_field_sort_scored_query(corpus):
+    """Solr field sort over a scored query orders the full MATCH SET by
+    the field; scores still come back when fl requests them."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error in tool", "rows": 6, "sort": "turn_idx asc",
+        "fl": "turn_idx,score",
+    })
+    docs = resp["response"]["docs"]
+    assert docs
+    vals = [d["turn_idx"] for d in docs]
+    assert vals == sorted(vals)
+    assert all(d["score"] is not None for d in docs)
+    # same docs as the score-sorted surface, just reordered: page through
+    # the whole match set and compare id sets
+    n = resp["response"]["numFound"]
+    whole = solr_select(idx, {
+        "q": "error in tool", "rows": n, "sort": "turn_idx asc", "fl": "score",
+    })
+    by_score = solr_select(idx, {"q": "error in tool", "rows": n, "fl": "score"})
+    assert ({d["doc_id"] for d in whole["response"]["docs"]}
+            == {d["doc_id"] for d in by_score["response"]["docs"]})
+
+
 def test_unknown_param_rejected(corpus):
     _, idx = corpus
     with pytest.raises(ValueError):
