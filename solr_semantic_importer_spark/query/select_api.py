@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from .engine import BM25Index
 
-__all__ = ["solr_select", "select_pages"]
+__all__ = ["solr_select", "select_pages", "solr_get"]
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "hl", "hl.fragsize", "spellcheck",
@@ -201,6 +201,26 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
             "correctlySpelled": not sug,
         }
     return resp
+
+
+def solr_get(
+    idx: BM25Index, ids: list[int], fl: list[str] | None = None
+) -> dict[str, Any]:
+    """Solr ``/get`` (real-time get) analog: fetch docs by id, no scoring,
+    no search. Tombstone-aware (a deleted doc is not returned, like RTG
+    after deleteByQuery+commit). The id list pushes into the docs parquet
+    scan as ``doc_id IN (...)`` row-group pruning — k row groups read, not
+    a table scan. Returns Solr's ``{"response": {"numFound": n, "docs":
+    [...]}}`` shape (RTG multi-id form)."""
+    ids = [int(i) for i in ids]
+    if not ids:
+        return {"response": {"numFound": 0, "start": 0, "docs": []}}
+    fetched = idx._anti_dead(
+        idx._stored_side(fl).filter(F.col("doc_id").isin(ids))
+    ).collect()
+    by_id = {r["doc_id"]: r.asDict() for r in fetched}
+    docs = [by_id[i] for i in ids if i in by_id]
+    return {"response": {"numFound": len(docs), "start": 0, "docs": docs}}
 
 
 def select_pages(

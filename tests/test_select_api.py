@@ -155,6 +155,25 @@ def test_unknown_param_rejected(corpus):
         solr_select(idx, {"q": "*:*", "group": "true"})
 
 
+def test_solr_get_rtg(corpus, spark, tmp_path_factory):
+    from solr_semantic_importer_spark.query.select_api import solr_get
+
+    _, idx = corpus
+    r = solr_get(idx, [3, 1, 999999], fl=["conv_id", "turn_idx"])
+    docs = r["response"]["docs"]
+    assert [d["doc_id"] for d in docs] == [3, 1]  # request order, missing skipped
+    assert set(docs[0]) == {"doc_id", "conv_id", "turn_idx"}
+    assert solr_get(idx, [])["response"]["numFound"] == 0
+    # tombstone-aware: a deleted doc is not returned (own index, mutating)
+    df = generate_transcripts(spark, n_convs=10, turns_per_conv=4, seed=37)
+    d = str(tmp_path_factory.mktemp("rtg"))
+    build_index(spark, df, d, BuildConfig(build_id="rtg", **CFG))
+    idx2 = BM25Index(spark, d)
+    assert solr_get(idx2, [0])["response"]["numFound"] == 1
+    idx2.delete_by_query("doc_id = 0")
+    assert solr_get(idx2, [0])["response"]["numFound"] == 0
+
+
 def test_select_pages_importer_loop(corpus):
     """The importer's whole-collection crawl: page q=*:* until exhausted."""
     _, idx = corpus
