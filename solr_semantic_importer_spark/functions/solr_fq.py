@@ -340,6 +340,13 @@ class _Parser:
 
     def range_endpoint(self) -> str | None:
         k, v = self.take()
+        if k == "minus":
+            # negative numeric endpoint: `price:[-10 TO 10]` -- the lexer
+            # emits '-' as the MUST_NOT operator, so re-join it here
+            k2, v2 = self.take()
+            if k2 != "term":
+                raise _FqSyntaxError("bad range endpoint")
+            return "-" + _unescape(v2)
         if k == "quoted":
             return _unescape(v[1:-1])
         if k == "term":

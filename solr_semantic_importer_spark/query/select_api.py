@@ -79,7 +79,12 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
     fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
     want_score = bool(fl) and "score" in fl
     fetch_fl = [f for f in (fl or []) if f != "score"] or None
-    sort = str(params.get("sort", "score desc")).strip()
+    sort = " ".join(str(params.get("sort", "score desc")).split())
+    if sort not in ("score desc", "doc_id asc"):
+        # single-field `<name> asc|desc` only; reject multi-field sorts
+        # loudly instead of silently sorting by the first field
+        if "," in sort or sort.partition(" ")[2] not in ("asc", "desc"):
+            raise ValueError(f"unsupported sort: {sort!r} (use '<field> asc|desc')")
 
     match_all = q.strip() == "*:*"
     num_found = idx.count_matches(q, op=op, fq=fq)

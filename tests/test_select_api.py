@@ -184,3 +184,16 @@ def test_select_pages_importer_loop(corpus):
     got = [d["doc_id"] for p in pages for d in p["response"]["docs"]]
     assert len(got) == total and len(set(got)) == total
     assert len(pages) == -(-total // 40)
+
+
+def test_unsupported_sort_raises(corpus):
+    """Multi-field and malformed sorts fail loudly instead of silently
+    sorting by the first field / defaulting the direction."""
+    _, idx = corpus
+    for bad in ("ts desc, doc_id asc", "ts", "ts descending"):
+        with pytest.raises(ValueError, match="unsupported sort"):
+            solr_select(idx, {"q": "*:*", "sort": bad})
+    # extra internal whitespace is normalized, not misparsed as bad direction
+    resp = solr_select(idx, {"q": "*:*", "sort": "turn_idx   desc", "rows": 3})
+    vals = [d["turn_idx"] for d in resp["response"]["docs"]]
+    assert vals == sorted(vals, reverse=True)

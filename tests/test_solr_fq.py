@@ -165,3 +165,15 @@ def test_delete_by_query_solr_syntax(spark, tmp_path_factory):
     keep = idx.docs().filter("crawl_id = 'crawl-A'").count()
     assert idx.delete_by_query("-crawl_id:crawl-A") == n - keep
     assert idx.match_all(k=10**6).count() == keep
+
+
+def test_negative_range_endpoints():
+    # `-` inside a range is a numeric sign, not the MUST_NOT operator
+    assert parse_fq("turn_idx:[-10 TO 10]", TYPES) == \
+        "(turn_idx >= -10 AND turn_idx <= 10)"
+    assert parse_fq("turn_idx:[* TO -5]", TYPES) == "(turn_idx <= -5)"
+    assert parse_fq("turn_idx:{-3 TO -1}", TYPES) == \
+        "(turn_idx > -3 AND turn_idx < -1)"
+    # untyped fields still emit numerically for numeric-looking endpoints
+    assert parse_fq("score:[-1.5 TO 2.5]", None) == \
+        "(score >= -1.5 AND score <= 2.5)"
