@@ -246,6 +246,12 @@ def main() -> None:
                     "turns_per_sec": r["turns_per_sec"],
                     "postings": r["postings"],
                     "postings_per_sec": r["postings_per_sec"],
+                    # host-speed canary: the map-only (no shuffle) Arrow job
+                    # over the same input. The sandbox host's effective CPU
+                    # fluctuates run to run (shared machine); engine numbers
+                    # from different runs are comparable only after dividing
+                    # out this baseline. See BASELINE.md "Host variance".
+                    "map_baseline_sec": r["baseline_sec"],
                 },
                 "latency": {
                     "query_p50_sec": r["query_p50_sec"],
