@@ -170,12 +170,17 @@ class _Leaf:
             return v  # untyped: numbers compare numerically (Solr point fields)
         return _sql_str(v)
 
-    def to_sql(self, types: dict[str, str] | None) -> str:
+    def to_sql(self, types: dict[str, str] | None, dialect: str = "spark") -> str:
         f = self.field
         if self.kind == "exists":  # field:*
             return f"({f} IS NOT NULL)"
         if self.kind == "like":
-            return f"({f} LIKE {_sql_str(self.a)})"
+            # Spark's LIKE escape char is `\` by DEFAULT and its parser
+            # rejects an ESCAPE clause; DuckDB is the inverse (no default
+            # escape, ESCAPE clause required). Emit per dialect -- only
+            # patterns whose literal text contains `_`/`%` differ.
+            esc = " ESCAPE '\\'" if dialect == "duckdb" and "\\" in self.a else ""
+            return f"({f} LIKE {_sql_str(self.a)}{esc})"
         if self.kind == "eq":
             return f"({f} = {self._lit(self.a, types)})"
         # range
@@ -190,7 +195,7 @@ class _Leaf:
 
 
 class _MatchAll:
-    def to_sql(self, types) -> str:
+    def to_sql(self, types, dialect: str = "spark") -> str:
         return "(TRUE)"
 
 
@@ -198,10 +203,10 @@ class _Not:
     def __init__(self, child):
         self.child = child
 
-    def to_sql(self, types) -> str:
+    def to_sql(self, types, dialect: str = "spark") -> str:
         # Lucene complement: docs where the positive clause is NOT TRUE
         # (false or null) -- never plain NOT, which drops null-field docs.
-        return f"(({self.child.to_sql(types)}) IS NOT TRUE)"
+        return f"(({self.child.to_sql(types, dialect)}) IS NOT TRUE)"
 
 
 class _Bool:
@@ -210,15 +215,16 @@ class _Bool:
     def __init__(self):
         self.must, self.should, self.must_not = [], [], []
 
-    def to_sql(self, types) -> str:
-        must = [c.to_sql(types) for c in self.must]
+    def to_sql(self, types, dialect: str = "spark") -> str:
+        must = [c.to_sql(types, dialect) for c in self.must]
         # BooleanQuery: SHOULD clauses are optional once a MUST exists
         # (minimumNumberShouldMatch=0; they only contribute score, and fq
         # does not score). Without MUST, at least one SHOULD must match.
         if not must and self.should:
-            must = ["(" + " OR ".join(c.to_sql(types) for c in self.should) + ")"]
+            must = ["(" + " OR ".join(
+                c.to_sql(types, dialect) for c in self.should) + ")"]
         for c in self.must_not:
-            must.append(_Not(c).to_sql(types))
+            must.append(_Not(c).to_sql(types, dialect))
         if not must:
             raise _FqSyntaxError("empty fq")
         return "(" + " AND ".join(must) + ")"
@@ -354,12 +360,19 @@ class _Parser:
         raise _FqSyntaxError("bad range endpoint")
 
 
-def parse_fq(fq: str, field_types: dict[str, str] | None = None) -> str:
-    """Solr fq string -> Spark SQL boolean expression (also valid DuckDB
-    SQL -- both support ``IS NOT TRUE`` and ``LIKE`` with ``\\`` escapes).
+def parse_fq(
+    fq: str, field_types: dict[str, str] | None = None, dialect: str = "spark"
+) -> str:
+    """Solr fq string -> SQL boolean expression. ``dialect`` is "spark"
+    (default, the engine path) or "duckdb" (oracle/differential testing):
+    the two dialects agree on everything EXCEPT escaped LIKE
+    metacharacters -- Spark's LIKE escape char is ``\\`` by default and its
+    parser rejects an ESCAPE clause, while DuckDB has no default escape and
+    needs ``ESCAPE '\\'`` spelled out -- so a wildcard over a value
+    containing literal ``_``/``%`` renders differently per dialect.
     ``field_types`` is ``dict(df.dtypes)`` of the docs relation; see module
     docstring for the accepted syntax and null semantics."""
     toks = _tokenize(fq)
     if not toks:
         raise _FqSyntaxError("empty fq")
-    return _Parser(toks).parse().to_sql(field_types)
+    return _Parser(toks).parse().to_sql(field_types, dialect)
