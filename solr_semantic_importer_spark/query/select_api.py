@@ -28,6 +28,10 @@ components its solrconfig enables):
 - ``hl=true`` (``hl.fragsize`` honored) → ``highlighting`` map keyed by
   doc id
 - ``spellcheck=true&spellcheck.q=word`` → ``spellcheck.suggestions``
+- ``minExactCount`` (Solr 8.6+) — numFound for scored score-sorted
+  requests is exact up to this many hits, a lower bound beyond it
+  (``numFoundExact: false``), computed from the SAME top-k pass as the
+  page instead of a second postings decode; omit for Solr's exact default
 
 The facade is the DRIVER-SIDE rim of the engine: every listed param maps
 onto the distributed paths (WAND kernels, filter cache, docid-pushdown
@@ -47,7 +51,7 @@ __all__ = ["solr_select", "select_pages", "solr_get"]
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "hl", "hl.fragsize", "spellcheck",
-             "spellcheck.q", "wt", "indent", "useParams"}
+             "spellcheck.q", "wt", "indent", "useParams", "minExactCount"}
 
 
 def _as_list(v) -> list:
@@ -87,7 +91,39 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
             raise ValueError(f"unsupported sort: {sort!r} (use '<field> asc|desc')")
 
     match_all = q.strip() == "*:*"
-    num_found = idx.count_matches(q, op=op, fq=fq)
+    mec = params.get("minExactCount")
+    num_found: int
+    num_found_exact = True
+
+    # numFound strategy per path (Solr: every response carries it):
+    # - match-all: live-doc count under fq -- metadata-cheap, always exact
+    #   (the importer's pagination loop depends on it).
+    # - scored + score sort, no minExactCount: Solr's default is an EXACT
+    #   total, which costs a full postings decode on top of the top-k pass
+    #   (Lucene's collector counts every hit too).
+    # - scored + score sort + minExactCount=N (Solr 8.6+ param): fetch the
+    #   top max(N, start+rows) once; if fewer came back the count is exact,
+    #   otherwise report that lower bound with numFoundExact=false. The
+    #   result-cache window makes the page fetch below a driver-side replay
+    #   of the SAME pass -- numFound costs zero extra postings decodes,
+    #   which at 10^12 turns halves the per-request work.
+    # - scored + field sort: the full match set is materialized for the
+    #   sort anyway; count THAT instead of decoding postings a second time.
+    if match_all:
+        num_found = idx.count_matches(q, op=op, fq=fq)
+    elif (sort == "score desc" and mec is not None
+          and max(int(mec), start + rows) <= idx.QUERY_RESULT_MAX_DOCS):
+        w = max(int(mec), start + rows)
+        n_head = idx.search(q, k=w, op=op, fq=fq).count()
+        num_found = n_head
+        num_found_exact = n_head < w
+    elif sort == "score desc":
+        # no minExactCount, or a threshold past the result-cache window
+        # (where the cheap lower bound can't be taken from the top-k pass):
+        # Solr's exact default
+        num_found = idx.count_matches(q, op=op, fq=fq)
+    else:
+        num_found = -1  # filled from the field-sort match set below
 
     if match_all:
         if sort in ("score desc", "doc_id asc"):
@@ -128,9 +164,9 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
         # decode -> scored match set (+fq, tombstones) -> join stored ->
         # TakeOrderedAndProject on the field.
         field, _, direction = sort.partition(" ")
-        joined = idx.score_matches(q, op=op, fq=fq).join(
-            idx._stored_side(fetch_fl), "doc_id"
-        )
+        matched = idx.score_matches(q, op=op, fq=fq)
+        num_found = matched.count()  # the sort needs every match anyway
+        joined = matched.join(idx._stored_side(fetch_fl), "doc_id")
         key = joined[field].desc() if direction == "desc" else joined[field].asc()
         ordered = joined.orderBy(key, "doc_id")
         page = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
@@ -152,7 +188,7 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
         "response": {
             "numFound": num_found,
             "start": start,
-            "numFoundExact": True,
+            "numFoundExact": num_found_exact,
             "docs": docs,
         },
     }

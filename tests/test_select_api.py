@@ -197,3 +197,38 @@ def test_unsupported_sort_raises(corpus):
     resp = solr_select(idx, {"q": "*:*", "sort": "turn_idx   desc", "rows": 3})
     vals = [d["turn_idx"] for d in resp["response"]["docs"]]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_min_exact_count(corpus):
+    """Solr 8.6+ minExactCount: exact numFound up to N hits, a lower bound
+    with numFoundExact=false beyond -- computed from the same top-k pass as
+    the page (no second postings decode)."""
+    _, idx = corpus
+    exact = solr_select(idx, {"q": "error tool", "rows": 5})
+    total = exact["response"]["numFound"]
+    assert exact["response"]["numFoundExact"] is True and total > 10
+
+    # threshold above the true total: still exact, same number
+    hi = solr_select(idx, {"q": "error tool", "rows": 5,
+                           "minExactCount": total + 50})
+    assert hi["response"]["numFound"] == total
+    assert hi["response"]["numFoundExact"] is True
+
+    # threshold below the true total: lower bound, flagged inexact
+    lo = solr_select(idx, {"q": "error tool", "rows": 5, "minExactCount": 10})
+    assert lo["response"]["numFoundExact"] is False
+    assert 10 <= lo["response"]["numFound"] <= total
+    # the page itself is identical to the exact request's page
+    assert ([d["doc_id"] for d in lo["response"]["docs"]]
+            == [d["doc_id"] for d in exact["response"]["docs"]])
+
+
+def test_field_sort_numfound_reuses_match_set(corpus):
+    """Field-sorted scored requests count the materialized match set; the
+    number must equal the exact score-sorted count."""
+    _, idx = corpus
+    exact = solr_select(idx, {"q": "error tool", "rows": 3})
+    sorted_resp = solr_select(idx, {"q": "error tool", "rows": 3,
+                                    "sort": "ts asc"})
+    assert sorted_resp["response"]["numFound"] == exact["response"]["numFound"]
+    assert sorted_resp["response"]["numFoundExact"] is True
