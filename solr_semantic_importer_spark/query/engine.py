@@ -44,6 +44,8 @@ mathematically-tied docs order identically everywhere (SURVEY section 7
 
 from __future__ import annotations
 
+import base64
+import json
 import math
 import os
 from collections import OrderedDict
@@ -66,6 +68,32 @@ _SCORE_ROW = T.StructType(
         T.StructField("score", T.DoubleType(), False),
     ]
 )
+
+# Solr CursorMark deep paging (CursorMarkParams): '*' starts a cursor, every
+# response carries a nextCursorMark, and an UNCHANGED mark means the result
+# set is exhausted. start=N paging re-ranks the top N+rows on every page --
+# O(depth) per page, which is exactly what dies at 10^12 turns; the cursor
+# is a keyset predicate on the canonical sort (round(score,6) DESC, doc_id
+# ASC), so page 10^6 costs the same postings work as page 1. Solr requires
+# the uniqueKey tiebreaker on cursor sorts for the same reason.
+CURSOR_START = "*"
+
+
+def encode_cursor_mark(score: float, doc_id: int) -> str:
+    """Encode the last row's sort position as an opaque URL-safe token.
+    Stateless server-side, exactly like Solr's totem: the token embeds the
+    sort VALUES, not an offset, so it stays valid across index updates
+    (later pages just see the index as it is now)."""
+    payload = json.dumps([float(np.round(score, 6)), int(doc_id)])
+    return base64.urlsafe_b64encode(payload.encode()).decode()
+
+
+def decode_cursor_mark(token: str | None) -> tuple[float, int] | None:
+    """'*'/None -> None (first page); otherwise (round6_score, doc_id)."""
+    if token is None or token == CURSOR_START:
+        return None
+    s6, d = json.loads(base64.urlsafe_b64decode(token.encode()).decode())
+    return float(s6), int(d)
 
 
 def _buckets_of(terms: list[str], n_buckets: int, spark: SparkSession) -> dict[str, int]:
@@ -379,6 +407,66 @@ class BM25Index:
         scored = self._scored_frame(terms, idf, need, op, mode, fq)
         return self._finish(scored, k, offset, with_stored, order_key, fl)
 
+    def search_after(
+        self,
+        query: str,
+        k: int = 10,
+        cursor: str | None = CURSOR_START,
+        op: str = "OR",
+        synonyms: bool | dict = False,
+        fq: str | list[str] | None = None,
+        mode: str = "wand",
+        with_stored: bool = False,
+        fl: list[str] | None = None,
+    ) -> DataFrame:
+        """One cursorMark page: the k rows strictly AFTER ``cursor`` under
+        the canonical sort (round(score,6) DESC, doc_id ASC). Solr's
+        CursorMark semantics: ``'*'`` starts the cursor; the sort is pinned
+        to score + the uniqueKey tiebreaker (Solr rejects cursor sorts
+        without the uniqueKey for the same total-order reason).
+
+        Scale: ``start=N`` paging makes page depth cost O(N + k) per page
+        -- the top N+k must be re-ranked every request, which at 10^12
+        turns makes deep export quadratic. The cursor is a keyset
+        predicate pushed INSIDE the WAND segment kernels (filter before
+        each local top-k), so every page does the same bounded work as
+        page 1 and only k rows ever cross the wire."""
+        terms = self.analyze_query(query, synonyms=synonyms)
+        fq = self._norm_fq(fq)
+        idf = self.idf_map(terms)
+        after = decode_cursor_mark(cursor)
+        if fl is not None:
+            with_stored = True
+        empty = self.spark.createDataFrame([], _SCORE_ROW)
+        if op == "AND" and any(t not in idf for t in terms):
+            return self._finish(empty, k, 0, with_stored, "round6", fl)
+        terms = [t for t in terms if t in idf]
+        if not terms:
+            return self._finish(empty, k, 0, with_stored, "round6", fl)
+        scored = self._scored_frame(terms, idf, k, op, mode, fq, after=after)
+        if after is not None:
+            # exhaustive paths score every match, so the keyset applies as
+            # a plain predicate; on the WAND path this re-states what the
+            # kernels already enforced (no-op on an already-filtered set)
+            key = F.round(F.col("score"), 6)
+            scored = scored.filter(
+                (key < F.lit(after[0]))
+                | ((key == F.lit(after[0])) & (F.col("doc_id") > F.lit(after[1])))
+            )
+        return self._finish(scored, k, 0, with_stored, "round6", fl)
+
+    def search_cursor(
+        self, query: str, k: int = 10, cursor: str | None = CURSOR_START, **kw
+    ) -> tuple[list, str]:
+        """Driver-side cursor step: (page rows, nextCursorMark). Solr
+        computes nextCursorMark from the page's last row; returning the
+        SAME mark signals exhaustion (the client's stop condition)."""
+        rows = self.search_after(query, k=k, cursor=cursor, **kw).collect()
+        if not rows:
+            return rows, cursor if cursor is not None else CURSOR_START
+        last = rows[-1]
+        return rows, encode_cursor_mark(float(last["score"]), int(last["doc_id"]))
+
     def _scored_frame(
         self,
         terms: list[str],
@@ -387,12 +475,15 @@ class BM25Index:
         op: str,
         mode: str,
         fq: str | None,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """The (doc_id, score) relation for a parsed query: block-max WAND
         segment kernels on the fast path, exhaustive decode + aggregate on
-        the parity/AND paths."""
+        the parity/AND paths. ``after``: cursorMark keyset position (WAND
+        kernels filter before their local top-k; exhaustive callers apply
+        the equivalent SQL predicate on the returned relation)."""
         if mode == "wand":
-            return self._wand_segments(terms, idf, need, fq, op=op)
+            return self._wand_segments(terms, idf, need, fq, op=op, after=after)
         partials = self._decode_score_df(terms, idf)
         if op == "AND":
             agg = partials.groupBy("doc_id").agg(
@@ -650,11 +741,23 @@ class BM25Index:
         return df.join(dead.withColumnRenamed("doc_id", key), key, "left_anti")
 
     def match_all(
-        self, k: int = 10, fq: str | list[str] | None = None, offset: int = 0
+        self,
+        k: int = 10,
+        fq: str | list[str] | None = None,
+        offset: int = 0,
+        after_doc: int | None = None,
     ) -> DataFrame:
         """Q2: ``q=*:*`` -- every (live) doc, constant score 1.0, internal
-        doc-id order (Solr's MatchAllDocsQuery under the default sort)."""
+        doc-id order (Solr's MatchAllDocsQuery under the default sort).
+
+        ``after_doc``: cursorMark keyset for the bulk-export loop -- the
+        ``doc_id > last`` predicate pushes into the docs parquet scan
+        (row-group min/max pruning, docs are written in doc_id order), so
+        exporting 10^12 rows page-by-page never re-ranks an offset prefix
+        and each page reads only the row groups past the cursor."""
         d = self._anti_dead(self._apply_fq(self.docs(), fq))
+        if after_doc is not None:
+            d = d.filter(F.col("doc_id") > int(after_doc))
         out = d.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
         return out.offset(offset).limit(k) if offset else out.limit(k)
 
@@ -1107,11 +1210,23 @@ class BM25Index:
         k: int,
         fq: str | None,
         op: str = "OR",
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         k1, b, avgdl = K1, B, self.avgdl
         bidf = dict(idf)
         kk = max(k, 1)
         n_query_terms = len(terms)
+        # cursorMark keyset: drop docs at-or-before the cursor position
+        # BEFORE each local top-k -- a segment whose best kk docs all
+        # precede the cursor must still surface its deeper docs. Filtering
+        # only shrinks the candidate set, so zone upper bounds stay valid
+        # and theta (now the k-th best of the FILTERED set) still only
+        # under-prunes: skipping stays exact under a cursor.
+        a_s, a_d = after if after is not None else (None, None)
+
+        def _after_mask(docs: np.ndarray, sums: np.ndarray) -> np.ndarray:
+            key = np.round(sums, 6)
+            return (key < a_s) | ((key == a_s) & (docs > a_d))
 
         post = self.postings_for(terms)
 
@@ -1143,6 +1258,9 @@ class BM25Index:
             uniq, inv = np.unique(docs, return_inverse=True)
             sums = np.zeros(len(uniq), dtype=np.float64)
             np.add.at(sums, inv, scores)
+            if a_s is not None:
+                m = _after_mask(uniq, sums)
+                uniq, sums = uniq[m], sums[m]
             order = np.lexsort((uniq, -np.round(sums, 6)))[:kk]
             return pd.DataFrame({"doc_id": uniq[order], "score": sums[order]})
 
@@ -1213,6 +1331,9 @@ class BM25Index:
                     return empty
                 cand = cand[keep]
                 score = score[keep] + wt * ts[pos_c[keep]]
+            if a_s is not None:
+                m = _after_mask(cand, score)
+                cand, score = cand[m], score[m]
             order = np.lexsort((cand, -np.round(score, 6)))[:kk]
             return pd.DataFrame({"doc_id": cand[order], "score": score[order]})
 
@@ -1321,6 +1442,9 @@ class BM25Index:
                 uniq, inv = np.unique(zd, return_inverse=True)
                 sums = np.zeros(len(uniq), dtype=np.float64)
                 np.add.at(sums, inv, zs)
+                if a_s is not None:
+                    m = _after_mask(uniq, sums)
+                    uniq, sums = uniq[m], sums[m]
                 best_d = np.concatenate([best_d, uniq])
                 best_s = np.concatenate([best_s, sums])
                 if len(best_d) > kk:

@@ -32,6 +32,10 @@ components its solrconfig enables):
   requests is exact up to this many hits, a lower bound beyond it
   (``numFoundExact: false``), computed from the SAME top-k pass as the
   page instead of a second postings decode; omit for Solr's exact default
+- ``cursorMark`` (Solr deep paging) — ``*`` starts a cursor; the response
+  carries ``nextCursorMark``; an unchanged mark means exhaustion. Requires
+  ``start=0`` and the canonical sort (Solr requires the uniqueKey
+  tiebreaker). :func:`select_cursor_pages` is the bulk-export loop
 
 The facade is the DRIVER-SIDE rim of the engine: every listed param maps
 onto the distributed paths (WAND kernels, filter cache, docid-pushdown
@@ -45,13 +49,14 @@ from typing import Any, Iterator
 
 from pyspark.sql import functions as F
 
-from .engine import BM25Index
+from .engine import BM25Index, decode_cursor_mark, encode_cursor_mark
 
-__all__ = ["solr_select", "select_pages", "solr_get"]
+__all__ = ["solr_select", "select_pages", "select_cursor_pages", "solr_get"]
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "hl", "hl.fragsize", "spellcheck",
-             "spellcheck.q", "wt", "indent", "useParams", "minExactCount"}
+             "spellcheck.q", "wt", "indent", "useParams", "minExactCount",
+             "cursorMark"}
 
 
 def _as_list(v) -> list:
@@ -92,6 +97,17 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
 
     match_all = q.strip() == "*:*"
     mec = params.get("minExactCount")
+    cursor = params.get("cursorMark")
+    if cursor is not None:
+        # Solr CursorMarkParams contract: cursors start at start=0 and the
+        # sort must end in the uniqueKey tiebreaker -- both canonical sorts
+        # here ('score desc' -> (round6, doc_id), match-all -> doc_id) do.
+        if start != 0:
+            raise ValueError("cursorMark requires start=0 (Solr CursorMarkParams)")
+        if sort not in ("score desc", "doc_id asc"):
+            raise ValueError(
+                f"cursorMark requires the canonical sort, got {sort!r}"
+            )
     num_found: int
     num_found_exact = True
 
@@ -125,8 +141,14 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
     else:
         num_found = -1  # filled from the field-sort match set below
 
+    next_cursor: str | None = None
     if match_all:
-        if sort in ("score desc", "doc_id asc"):
+        if cursor is not None:
+            after = decode_cursor_mark(cursor)
+            page = idx.match_all(
+                k=rows, fq=fq, after_doc=after[1] if after else None
+            )
+        elif sort in ("score desc", "doc_id asc"):
             page = idx.match_all(k=rows, fq=fq, offset=start)
         else:
             # field sort over the live filtered scan (TakeOrderedAndProject:
@@ -152,12 +174,23 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
         rows_out = [
             {**fetched.get(i, {"doc_id": i}), "score": scores[i]} for i in order
         ]
+        if cursor is not None:
+            next_cursor = (
+                encode_cursor_mark(1.0, int(order[-1])) if order else cursor
+            )
     elif sort == "score desc":
-        df = idx.search(
-            q, k=rows, op=op, fq=fq, offset=start,
-            with_stored=True, fl=fetch_fl,
-        )
-        rows_out = [r.asDict() for r in df.collect()]
+        if cursor is not None:
+            page_rows, next_cursor = idx.search_cursor(
+                q, k=rows, cursor=cursor, op=op, fq=fq,
+                with_stored=True, fl=fetch_fl,
+            )
+            rows_out = [r.asDict() for r in page_rows]
+        else:
+            df = idx.search(
+                q, k=rows, op=op, fq=fq, offset=start,
+                with_stored=True, fl=fetch_fl,
+            )
+            rows_out = [r.asDict() for r in df.collect()]
     else:
         # Solr field sort over a scored query: the MATCH SET ordered by the
         # field (scores still reported when fl asks). Plan: pruned postings
@@ -192,6 +225,8 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
             "docs": docs,
         },
     }
+    if next_cursor is not None:
+        resp["nextCursorMark"] = next_cursor
 
     if _truthy(params.get("facet", False)):
         ff: dict[str, list] = {}
@@ -279,3 +314,22 @@ def select_pages(
         start += page_size
         if start >= resp["response"]["numFound"]:
             return
+
+
+def select_cursor_pages(
+    idx: BM25Index, params: dict[str, Any], page_size: int = 100
+) -> Iterator[dict[str, Any]]:
+    """The crawl loop the importer SHOULD run at 10^12 turns: cursorMark
+    pagination (Solr's documented deep-paging pattern -- start/rows repaging
+    re-ranks the offset prefix on every page, O(depth) per request, while a
+    cursor page is O(page)). Yields response dicts until Solr's stop
+    condition: nextCursorMark == the mark the page was requested with."""
+    mark = str(params.get("cursorMark", "*"))
+    while True:
+        page = dict(params, cursorMark=mark, start=0, rows=page_size)
+        resp = solr_select(idx, page)
+        yield resp
+        nxt = resp["nextCursorMark"]
+        if nxt == mark:
+            return
+        mark = nxt
