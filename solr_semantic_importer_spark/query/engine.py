@@ -48,6 +48,7 @@ import base64
 import json
 import math
 import os
+import re
 from collections import OrderedDict
 from typing import Iterator
 
@@ -243,6 +244,32 @@ class BM25Index:
             )
         return list(dict.fromkeys(terms))
 
+    _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
+    def parse_boosted_query(
+        self, query: str, synonyms: bool | dict = False
+    ) -> tuple[list[str], dict[str, float]]:
+        """Lucene per-clause boost syntax: ``spark^2 window`` weights the
+        ``spark`` clause 2x (Solr standard query parser ``^`` on a term).
+        Each whitespace clause may carry one trailing ``^<float>``; the
+        boost applies to every analyzed term the clause yields (synonym
+        expansions inherit the original clause's boost, Solr behavior).
+        The same term boosted twice keeps the larger boost. Returns
+        (ordered unique terms, {term: boost != 1.0})."""
+        terms: list[str] = []
+        boosts: dict[str, float] = {}
+        for clause in query.split():
+            m = self._BOOST_RE.search(clause)
+            b = float(m.group(1)) if m else 1.0
+            text = clause[: m.start()] if m else clause
+            for t in self.analyze_query(text, synonyms=synonyms):
+                terms.append(t)
+                boosts[t] = max(boosts.get(t, 0.0), b)
+        return (
+            list(dict.fromkeys(terms)),
+            {t: b for t, b in boosts.items() if b != 1.0},
+        )
+
     DICT_CACHE_MAX = 1_000_000  # load df map driver-side below this many terms
 
     def _dfs(self, terms: list[str]) -> dict[str, int]:
@@ -335,6 +362,18 @@ class BM25Index:
             decode, schema=_SCORE_ROW
         )
 
+    @staticmethod
+    def _norm_mm(mm: int | str | None, n_clauses: int) -> int | None:
+        """Solr minimum-should-match: int, or 'NN%' of the query's clause
+        count rounded DOWN (the mm spec's percentage rule). None/<=1 -> no
+        constraint (plain OR)."""
+        if mm is None:
+            return None
+        if isinstance(mm, str) and mm.strip().endswith("%"):
+            mm = (n_clauses * int(mm.strip()[:-1])) // 100
+        mm = int(mm)
+        return mm if mm > 1 else None
+
     def search(
         self,
         query: str,
@@ -348,6 +387,7 @@ class BM25Index:
         order_key: str = "round6",
         use_cache: bool = True,
         fl: list[str] | None = None,
+        mm: int | str | None = None,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(doc_id, score[, stored fields]).
 
@@ -368,23 +408,37 @@ class BM25Index:
         is served without touching the postings. Invalidated by
         delete_by_query (Solr drops it on searcher reopen). Pass False to
         force scoring (benchmarks do, so latency numbers measure the
-        engine, not the cache)."""
-        terms = self.analyze_query(query, synonyms=synonyms)
+        engine, not the cache).
+
+        mm: Solr minimum-should-match (int or 'NN%'): an OR query only
+        matches docs containing >= mm of its clauses. q.op=AND is mm=all;
+        mm is ignored under AND.
+
+        Per-clause boosts: Lucene ``term^2.5`` syntax is parsed from the
+        query string; boosted weights multiply idf everywhere, so WAND
+        block upper bounds scale with them and skipping stays exact."""
+        terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
+        mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         fq = self._norm_fq(fq)
         idf = self.idf_map(terms)
+        if boosts:
+            idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
         if fl is not None:
             with_stored = True
         empty = self.spark.createDataFrame([], _SCORE_ROW)
         # an OOV conjunct empties an AND query (Solr BooleanQuery MUST
         # clause with no postings); under OR, OOV terms contribute nothing
+        # -- but they still count as unmatchable mm clauses (Lucene: mm
+        # over the clause count, an OOV SHOULD clause can never match)
         if op == "AND" and any(t not in idf for t in terms):
             return self._finish(empty, k, offset, with_stored, order_key, fl)
         terms = [t for t in terms if t in idf]
-        if not terms:
+        if not terms or (mm is not None and mm > len(terms)):
             return self._finish(empty, k, offset, with_stored, order_key, fl)
 
         need = k + offset
-        ckey = (tuple(terms), op, mode, fq, order_key)
+        ckey = (tuple(terms), tuple(sorted(boosts.items())), mm, op, mode,
+                fq, order_key)
         if use_cache and need <= self.QUERY_RESULT_MAX_DOCS:
             ent = self._result_cache.get(ckey)
             if ent is not None and (ent[1] or len(ent[0]) >= need):
@@ -396,7 +450,7 @@ class BM25Index:
             # query are cache hits (Solr queryResultWindowSize behavior)
             w = self.QUERY_RESULT_WINDOW
             fetch = min(-(-need // w) * w, self.QUERY_RESULT_MAX_DOCS)
-            scored = self._scored_frame(terms, idf, fetch, op, mode, fq)
+            scored = self._scored_frame(terms, idf, fetch, op, mode, fq, mm=mm)
             rows = self._finish(scored, fetch, 0, False, order_key).collect()
             self._result_cache[ckey] = (rows, len(rows) < fetch)
             self._result_cache.move_to_end(ckey)  # overwrite must refresh LRU
@@ -404,7 +458,7 @@ class BM25Index:
                 self._result_cache.popitem(last=False)
             return self._from_doclist(rows[offset:need], with_stored, order_key, fl)
 
-        scored = self._scored_frame(terms, idf, need, op, mode, fq)
+        scored = self._scored_frame(terms, idf, need, op, mode, fq, mm=mm)
         return self._finish(scored, k, offset, with_stored, order_key, fl)
 
     def search_after(
@@ -418,6 +472,7 @@ class BM25Index:
         mode: str = "wand",
         with_stored: bool = False,
         fl: list[str] | None = None,
+        mm: int | str | None = None,
     ) -> DataFrame:
         """One cursorMark page: the k rows strictly AFTER ``cursor`` under
         the canonical sort (round(score,6) DESC, doc_id ASC). Solr's
@@ -431,9 +486,12 @@ class BM25Index:
         predicate pushed INSIDE the WAND segment kernels (filter before
         each local top-k), so every page does the same bounded work as
         page 1 and only k rows ever cross the wire."""
-        terms = self.analyze_query(query, synonyms=synonyms)
+        terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
+        mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         fq = self._norm_fq(fq)
         idf = self.idf_map(terms)
+        if boosts:
+            idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
         after = decode_cursor_mark(cursor)
         if fl is not None:
             with_stored = True
@@ -441,9 +499,9 @@ class BM25Index:
         if op == "AND" and any(t not in idf for t in terms):
             return self._finish(empty, k, 0, with_stored, "round6", fl)
         terms = [t for t in terms if t in idf]
-        if not terms:
+        if not terms or (mm is not None and mm > len(terms)):
             return self._finish(empty, k, 0, with_stored, "round6", fl)
-        scored = self._scored_frame(terms, idf, k, op, mode, fq, after=after)
+        scored = self._scored_frame(terms, idf, k, op, mode, fq, after=after, mm=mm)
         if after is not None:
             # exhaustive paths score every match, so the keyset applies as
             # a plain predicate; on the WAND path this re-states what the
@@ -476,20 +534,26 @@ class BM25Index:
         mode: str,
         fq: str | None,
         after: tuple[float, int] | None = None,
+        mm: int | None = None,
     ) -> DataFrame:
         """The (doc_id, score) relation for a parsed query: block-max WAND
         segment kernels on the fast path, exhaustive decode + aggregate on
         the parity/AND paths. ``after``: cursorMark keyset position (WAND
         kernels filter before their local top-k; exhaustive callers apply
-        the equivalent SQL predicate on the returned relation)."""
+        the equivalent SQL predicate on the returned relation). ``mm``:
+        pre-normalized minimum-should-match clause count."""
         if mode == "wand":
-            return self._wand_segments(terms, idf, need, fq, op=op, after=after)
+            return self._wand_segments(
+                terms, idf, need, fq, op=op, after=after, mm=mm
+            )
         partials = self._decode_score_df(terms, idf)
-        if op == "AND":
+        if op == "AND" or mm is not None:
             agg = partials.groupBy("doc_id").agg(
                 F.sum("score").alias("score"), F.count("*").alias("nt")
             )
-            scored = agg.filter(F.col("nt") == len(terms)).drop("nt")
+            need_nt = len(terms) if op == "AND" else mm
+            cmp = F.col("nt") == need_nt if op == "AND" else F.col("nt") >= need_nt
+            scored = agg.filter(cmp).drop("nt")
         else:
             scored = partials.groupBy("doc_id").agg(F.sum("score").alias("score"))
         return self._anti_dead(self._apply_fq(scored, fq))
@@ -764,25 +828,30 @@ class BM25Index:
     def score_matches(
         self, query: str, op: str = "OR",
         fq: str | list[str] | None = None,
+        mm: int | str | None = None,
     ) -> DataFrame:
         """The FULL scored match set (doc_id, score) — no top-k cut. Backs
         field-sorted /select requests (Solr sorts the whole DocSet by the
         field; scores are still reported per doc when fl asks). Exhaustive
         decode + aggregate: a field sort needs every match anyway, so WAND
         pruning has nothing to skip."""
-        terms = self.analyze_query(query)
+        terms, boosts = self.parse_boosted_query(query)
+        mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         idf = self.idf_map(terms)
+        if boosts:
+            idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
         empty = self.spark.createDataFrame([], _SCORE_ROW)
         if op == "AND" and any(t not in idf for t in terms):
             return empty
         terms = [t for t in terms if t in idf]
-        if not terms:
+        if not terms or (mm is not None and mm > len(terms)):
             return empty
-        return self._scored_frame(terms, idf, 0, op, "exhaustive", fq)
+        return self._scored_frame(terms, idf, 0, op, "exhaustive", fq, mm=mm)
 
     def count_matches(
         self, query: str, op: str = "OR",
         fq: str | list[str] | None = None,
+        mm: int | str | None = None,
     ) -> int:
         """Total match count for a query — Solr's ``numFound`` (every
         /select response carries it regardless of ``rows``). ``*:*`` counts
@@ -792,21 +861,26 @@ class BM25Index:
         job, and nothing doc-sized reaches the driver."""
         if query.strip() == "*:*":
             return self._anti_dead(self._apply_fq(self.docs(), fq)).count()
-        terms = self.analyze_query(query)
+        terms, _ = self.parse_boosted_query(query)  # boosts don't change the set
+        mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         idf = self.idf_map(terms)
         if op == "AND" and any(t not in idf for t in terms):
             return 0
         terms = list(dict.fromkeys(t for t in terms if t in idf))
-        if not terms:
+        if not terms or (mm is not None and mm > len(terms)):
             return 0
         # each (term, doc) posting decodes to exactly one row, so rows per
         # doc = number of query terms present in it
         hits = self._decode_score_df(terms, idf).select("doc_id")
-        if op == "AND":
+        if op == "AND" or mm is not None:
+            need_nt = len(terms) if op == "AND" else mm
+            cmp = (
+                F.col("nt") == need_nt if op == "AND" else F.col("nt") >= need_nt
+            )
             matched = (
                 hits.groupBy("doc_id")
                 .agg(F.count("*").alias("nt"))
-                .filter(F.col("nt") == len(terms))
+                .filter(cmp)
                 .select("doc_id")
             )
         else:
@@ -1211,11 +1285,18 @@ class BM25Index:
         fq: str | None,
         op: str = "OR",
         after: tuple[float, int] | None = None,
+        mm: int | None = None,
     ) -> DataFrame:
         k1, b, avgdl = K1, B, self.avgdl
         bidf = dict(idf)
         kk = max(k, 1)
         n_query_terms = len(terms)
+        # minimum-should-match: a doc's postings for every query term live
+        # in ITS segment, so the per-doc matched-clause count is complete
+        # inside one kernel call -- count via bincount over the decoded
+        # (term, doc) postings, filter before the local top-k. Zone upper
+        # bounds only shrink under the filter, so skipping stays exact.
+        mm_n = mm if mm is not None and mm > 1 else None
         # cursorMark keyset: drop docs at-or-before the cursor position
         # BEFORE each local top-k -- a segment whose best kk docs all
         # precede the cursor must still surface its deeper docs. Filtering
@@ -1258,6 +1339,9 @@ class BM25Index:
             uniq, inv = np.unique(docs, return_inverse=True)
             sums = np.zeros(len(uniq), dtype=np.float64)
             np.add.at(sums, inv, scores)
+            if mm_n is not None:
+                m = np.bincount(inv, minlength=len(uniq)) >= mm_n
+                uniq, sums = uniq[m], sums[m]
             if a_s is not None:
                 m = _after_mask(uniq, sums)
                 uniq, sums = uniq[m], sums[m]
@@ -1442,6 +1526,9 @@ class BM25Index:
                 uniq, inv = np.unique(zd, return_inverse=True)
                 sums = np.zeros(len(uniq), dtype=np.float64)
                 np.add.at(sums, inv, zs)
+                if mm_n is not None:
+                    m = np.bincount(inv, minlength=len(uniq)) >= mm_n
+                    uniq, sums = uniq[m], sums[m]
                 if a_s is not None:
                     m = _after_mask(uniq, sums)
                     uniq, sums = uniq[m], sums[m]

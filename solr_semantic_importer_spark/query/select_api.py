@@ -14,7 +14,10 @@ engine: :func:`solr_select` maps the supported param surface onto
 Supported params (everything the reference sends, plus the query-side
 components its solrconfig enables):
 
-- ``q`` (default ``*:*``), ``q.op`` (``OR``/``AND``)
+- ``q`` (default ``*:*``), ``q.op`` (``OR``/``AND``); per-clause Lucene
+  boosts (``spark^2 window``) parsed from ``q``
+- ``mm`` — minimum-should-match for OR queries (int or ``'NN%'``,
+  percentage of the clause count rounded down, the mm spec's rule)
 - ``fq`` — one string or a list (Solr sends one param per filter); Solr
   filter syntax or SQL, per `functions/solr_fq.py`
 - ``start``/``rows`` (Solr defaults 0/10)
@@ -56,7 +59,7 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages", "solr_get"]
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "hl", "hl.fragsize", "spellcheck",
              "spellcheck.q", "wt", "indent", "useParams", "minExactCount",
-             "cursorMark"}
+             "cursorMark", "mm"}
 
 
 def _as_list(v) -> list:
@@ -81,6 +84,7 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
     t0 = time.monotonic()
     q = str(params.get("q", "*:*"))
     op = str(params.get("q.op", "OR")).upper()
+    mm = params.get("mm")
     fq = _as_list(params.get("fq")) or None
     start = int(params.get("start", 0))
     rows = int(params.get("rows", 10))
@@ -126,18 +130,18 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
     # - scored + field sort: the full match set is materialized for the
     #   sort anyway; count THAT instead of decoding postings a second time.
     if match_all:
-        num_found = idx.count_matches(q, op=op, fq=fq)
+        num_found = idx.count_matches(q, op=op, fq=fq, mm=mm)
     elif (sort == "score desc" and mec is not None
           and max(int(mec), start + rows) <= idx.QUERY_RESULT_MAX_DOCS):
         w = max(int(mec), start + rows)
-        n_head = idx.search(q, k=w, op=op, fq=fq).count()
+        n_head = idx.search(q, k=w, op=op, fq=fq, mm=mm).count()
         num_found = n_head
         num_found_exact = n_head < w
     elif sort == "score desc":
         # no minExactCount, or a threshold past the result-cache window
         # (where the cheap lower bound can't be taken from the top-k pass):
         # Solr's exact default
-        num_found = idx.count_matches(q, op=op, fq=fq)
+        num_found = idx.count_matches(q, op=op, fq=fq, mm=mm)
     else:
         num_found = -1  # filled from the field-sort match set below
 
@@ -181,13 +185,13 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
     elif sort == "score desc":
         if cursor is not None:
             page_rows, next_cursor = idx.search_cursor(
-                q, k=rows, cursor=cursor, op=op, fq=fq,
+                q, k=rows, cursor=cursor, op=op, fq=fq, mm=mm,
                 with_stored=True, fl=fetch_fl,
             )
             rows_out = [r.asDict() for r in page_rows]
         else:
             df = idx.search(
-                q, k=rows, op=op, fq=fq, offset=start,
+                q, k=rows, op=op, fq=fq, offset=start, mm=mm,
                 with_stored=True, fl=fetch_fl,
             )
             rows_out = [r.asDict() for r in df.collect()]
@@ -197,7 +201,7 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
         # decode -> scored match set (+fq, tombstones) -> join stored ->
         # TakeOrderedAndProject on the field.
         field, _, direction = sort.partition(" ")
-        matched = idx.score_matches(q, op=op, fq=fq)
+        matched = idx.score_matches(q, op=op, fq=fq, mm=mm)
         num_found = matched.count()  # the sort needs every match anyway
         joined = matched.join(idx._stored_side(fetch_fl), "doc_id")
         key = joined[field].desc() if direction == "desc" else joined[field].asc()
