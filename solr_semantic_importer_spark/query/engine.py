@@ -998,6 +998,50 @@ class BM25Index:
             .agg(F.count("*").alias("facet_count"))
         )
 
+    def facet_range(
+        self,
+        query: str,
+        field: str,
+        start: float,
+        end: float,
+        gap: float,
+        fq: str | list[str] | None = None,
+    ) -> DataFrame:
+        """Solr facet.range over a numeric field: half-open buckets
+        [start+i*gap, start+(i+1)*gap) for the match set; values outside
+        [start, end) are ignored (Solr's default facet.range.other=none).
+        Returns (bucket_start, facet_count) for NON-EMPTY buckets only --
+        the driver-side facade fills zero buckets (bucket count is
+        ceil((end-start)/gap), a response-sized constant, never data-sized).
+
+        Plan shape matches :meth:`facet`: matched ids (or the live fq'd
+        scan for ``*:*``) -> one groupBy on the computed bucket key --
+        a single partial-agg shuffle of at most n_buckets rows per task."""
+        if gap <= 0 or end <= start:
+            raise ValueError("facet.range needs gap > 0 and end > start")
+        x = F.col(field).cast("double")
+        bucket = (F.lit(start) + F.floor((x - start) / gap) * gap).alias(
+            "bucket_start"
+        )
+        if query.strip() == "*:*":
+            base = self._anti_dead(self._apply_fq(self.docs(), fq))
+        else:
+            terms = self.analyze_query(query)
+            idf = self.idf_map(terms)
+            terms = [t for t in terms if t in idf]
+            if not terms:
+                base = self.docs().limit(0)
+            else:
+                matched = self._anti_dead(
+                    self._decode_score_df(terms, idf).select("doc_id").distinct()
+                )
+                base = matched.join(self._apply_fq(self.docs(), fq), "doc_id")
+        return (
+            base.filter((x >= start) & (x < end))
+            .groupBy(bucket)
+            .agg(F.count("*").alias("facet_count"))
+        )
+
     # -- phrase queries (positional index) -------------------------------------
 
     def search_phrase(

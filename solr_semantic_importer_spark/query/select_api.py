@@ -47,6 +47,7 @@ stored fetch); only the ≤``rows`` result page is ever collected.
 
 from __future__ import annotations
 
+import re
 import time
 from typing import Any, Iterator
 
@@ -57,9 +58,13 @@ from .engine import BM25Index, decode_cursor_mark, encode_cursor_mark
 __all__ = ["solr_select", "select_pages", "select_cursor_pages", "solr_get"]
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
-             "facet.field", "hl", "hl.fragsize", "spellcheck",
+             "facet.field", "facet.range", "hl", "hl.fragsize", "spellcheck",
              "spellcheck.q", "wt", "indent", "useParams", "minExactCount",
              "cursorMark", "mm"}
+
+# facet.range.{start,end,gap}, globally or per-field (Solr's f.<field>.
+# prefix override convention)
+_FACET_RANGE_RE = re.compile(r"^(?:f\.[^.]+\.)?facet\.range\.(start|end|gap)$")
 
 
 def _as_list(v) -> list:
@@ -72,12 +77,21 @@ def _truthy(v) -> bool:
     return str(v).lower() in ("true", "on", "1")
 
 
+def _num(v: float):
+    """Render integral floats as ints (Solr range facets echo the field's
+    numeric type; the synthetic corpus uses integer fields)."""
+    return int(v) if float(v).is_integer() else v
+
+
 def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
     """Execute one ``/select`` request against a :class:`BM25Index`. See
     module docstring for the param surface; unknown params raise (the
     caller finds out their filter is unsupported instead of silently
     getting unfiltered results)."""
-    unknown = set(params) - _RESERVED
+    unknown = {
+        p for p in set(params) - _RESERVED
+        if not _FACET_RANGE_RE.match(p)
+    }
     if unknown:
         raise ValueError(f"unsupported /select params: {sorted(unknown)}")
 
@@ -254,6 +268,37 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
                 flat.extend([val, int(cnt)])
             ff[field] = flat
         resp["facet_counts"] = {"facet_fields": ff}
+
+        fr: dict[str, dict] = {}
+        for field in _as_list(params.get("facet.range")):
+            def _p(name, f=field):  # f.<field>.facet.range.X beats global
+                v = params.get(f"f.{f}.facet.range.{name}",
+                               params.get(f"facet.range.{name}"))
+                if v is None:
+                    raise ValueError(
+                        f"facet.range={f} needs facet.range.{name}"
+                    )
+                return float(v)
+            lo, hi, gap = _p("start"), _p("end"), _p("gap")
+            # keys rounded to 9 places: the engine computes bucket starts as
+            # start + floor(..)*gap in double math; i*gap here must land on
+            # the same representation for fractional gaps
+            got = {
+                round(float(r["bucket_start"]), 9): int(r["facet_count"])
+                for r in idx.facet_range(q, field, lo, hi, gap, fq=fq).collect()
+            }
+            flat = []
+            i = 0
+            while lo + i * gap < hi:  # Solr emits EVERY bucket, zeros included
+                b = lo + i * gap
+                flat.extend([_num(b), got.get(round(b, 9), 0)])
+                i += 1
+            fr[field] = {
+                "counts": flat, "gap": _num(gap),
+                "start": _num(lo), "end": _num(lo + i * gap),
+            }
+        if fr:
+            resp["facet_counts"]["facet_ranges"] = fr
 
     if _truthy(params.get("hl", False)) and not match_all:
         fragsize = params.get("hl.fragsize")
