@@ -85,18 +85,36 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
     ).collect()
     baseline_sec = time.monotonic() - tb
 
-    idx_dir = tempfile.mkdtemp(prefix="ssi_bench_idx_")
-    cfg = BuildConfig(
-        segment_size=1 << 14,
-        block_size=128,
-        n_term_buckets=16,
-        hot_df_threshold=max(1000, n_turns // 20),
-        hot_salts=8,
-        build_id=f"bench-{cores}",
-    )
-    t0 = time.monotonic()
-    man = build_index(spark, src, idx_dir, cfg)
-    build_sec = time.monotonic() - t0
+    # best-of-N builds (default 2): the shared sandbox host's effective CPU
+    # swings several-fold run to run with OTHER tenants' load (see
+    # BASELINE.md "Host variance" -- the map_baseline canary swung
+    # 1.2s..13s in one afternoon). min over identical reps is the standard
+    # noise-floor estimator; every rep builds the SAME input into a fresh
+    # dir, nothing is cached across reps (fresh build_id per rep).
+    build_reps = int(os.environ.get("SSI_BENCH_BUILD_REPS", "2"))
+    build_secs: list[float] = []
+    idx_dir = ""
+    man = None
+    for rep in range(build_reps):
+        rep_dir = tempfile.mkdtemp(prefix=f"ssi_bench_idx_{rep}_")
+        cfg = BuildConfig(
+            segment_size=1 << 14,
+            block_size=128,
+            n_term_buckets=16,
+            hot_df_threshold=max(1000, n_turns // 20),
+            hot_salts=8,
+            build_id=f"bench-{cores}-{rep}",
+        )
+        t0 = time.monotonic()
+        man = build_index(spark, src, rep_dir, cfg)
+        build_secs.append(time.monotonic() - t0)
+        if rep_dir and build_secs[-1] == min(build_secs):
+            if idx_dir:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+            idx_dir = rep_dir
+        else:
+            shutil.rmtree(rep_dir, ignore_errors=True)
+    build_sec = min(build_secs)
 
     idx = BM25Index(spark, idx_dir)
     # Solr firstSearcher warming (engine.warm docstring): one-time open
@@ -147,6 +165,7 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         "n_turns": n_turns,
         "baseline_sec": round(baseline_sec, 2),
         "build_sec": round(build_sec, 2),
+        "build_secs_all": [round(s, 2) for s in build_secs],
         "warm_sec": round(warm_sec, 2),
         "turns_per_sec": round(n_turns / build_sec, 1),
         "postings": post.rows if post else 0,
@@ -192,7 +211,10 @@ def main() -> None:
                     capture_output=True,
                     text=True,
                     env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
-                         "SSI_BENCH_AMPLIFY": str(amp)},
+                         "SSI_BENCH_AMPLIFY": str(amp),
+                         # scaling legs already repeat whole subprocesses
+                         # (best-of-reps); one build per leg
+                         "SSI_BENCH_BUILD_REPS": "1"},
                 )
                 line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
@@ -242,6 +264,7 @@ def main() -> None:
                 "build": {
                     "n_turns": r["n_turns"],
                     "build_sec": r["build_sec"],
+                    "build_secs_all": r["build_secs_all"],
                     "warm_sec": r["warm_sec"],
                     "turns_per_sec": r["turns_per_sec"],
                     "postings": r["postings"],
