@@ -525,6 +525,176 @@ class BM25Index:
         last = rows[-1]
         return rows, encode_cursor_mark(float(last["score"]), int(last["doc_id"]))
 
+    def search_many(
+        self,
+        queries: dict[str, str] | list[str],
+        k: int = 10,
+        op: str = "OR",
+        synonyms: bool | dict = False,
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """Batch retrieval: the whole query WORKLOAD in one pruned postings
+        scan. Returns DataFrame(query_id, doc_id, score, rank) where each
+        query's rows are exactly its ``search(q, k)`` top-k (rank 1..k
+        under the canonical round6/doc_id sort; scores may differ from the
+        single-query path in the last float bits -- summation order -- but
+        never at the round-6 ordering key).
+
+        Why it exists: one /select call per query re-scans the postings per
+        request. Offline workloads (evaluation sets, hard-negative mining
+        for training data, relevance regression suites) ask thousands of
+        queries against the same index; at 10^12 turns the scan dominates,
+        so the batch path prunes ONE scan to the union of all query terms
+        and decodes each posting block ONCE per segment, sharing it across
+        every query that references the term (driver-side loop over N
+        spark jobs becomes 1 job). Boosts (``term^2``) and ``mm`` apply
+        per query; ``fq``/tombstones are shared across the batch (one
+        cogrouped minority side, same as :meth:`search`).
+
+        Scale shape: kernel memory stays bounded by segment_size x
+        union-term count; the global cut is a query_id-partitioned window
+        over at most n_segments x k rows per query, never the corpus."""
+        if not isinstance(queries, dict):
+            queries = {q: q for q in queries}
+        wmaps: dict[str, dict[str, float]] = {}
+        mms: dict[str, int] = {}
+        for qid, qs in queries.items():
+            terms, boosts = self.parse_boosted_query(qs, synonyms=synonyms)
+            q_mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
+            idf = self.idf_map(terms)
+            if boosts:
+                idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
+            if op == "AND" and any(t not in idf for t in terms):
+                continue  # unmatchable conjunction: no rows for this query
+            present = {t: idf[t] for t in terms if t in idf}
+            if not present or (q_mm is not None and q_mm > len(present)):
+                continue
+            wmaps[qid] = present
+            mms[qid] = (
+                len(present) if op == "AND" else (q_mm if q_mm else 1)
+            )
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
+        )
+        if not wmaps:
+            empty = self.spark.createDataFrame([], out_schema)
+            return empty.withColumn("rank", F.lit(1))
+        union_terms = sorted({t for w in wmaps.values() for t in w})
+        k1, b, avgdl = K1, B, self.avgdl
+        kk = max(k, 1)
+        qitems = sorted(wmaps.items())  # deterministic kernel iteration
+        qmms = dict(mms)
+
+        def score_segment_multi(pdf: pd.DataFrame, side: pd.DataFrame | None):
+            dead = allowed = excluded = None
+            if side is not None:
+                dead = np.sort(
+                    side.loc[side["kind"] == 0, "doc_id"].to_numpy(np.int64)
+                )
+                inc = np.sort(
+                    side.loc[side["kind"] == 1, "doc_id"].to_numpy(np.int64)
+                )
+                exc = np.sort(
+                    side.loc[side["kind"] == 2, "doc_id"].to_numpy(np.int64)
+                )
+                allowed = inc if fq_repr == 1 else None
+                excluded = exc if fq_repr == 2 else None
+            # decode every block of every union term ONCE; bucket by term
+            by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for term, g in pdf.groupby("term", sort=False):
+                pd_, ps_ = [], []
+                for row in g.itertuples(index=False):
+                    gaps = varint_decode(row.doc_gaps, row.count)
+                    docs = np.cumsum(gaps).astype(np.int64)
+                    tf = varint_decode(row.tfs, row.count).astype(np.float64)
+                    dl = varint_decode(row.dls, row.count).astype(np.float64)
+                    if allowed is not None or excluded is not None or (
+                        dead is not None and dead.size
+                    ):
+                        live = (
+                            np.isin(docs, allowed)
+                            if allowed is not None
+                            else np.ones(len(docs), dtype=bool)
+                        )
+                        if excluded is not None and excluded.size:
+                            live &= ~np.isin(docs, excluded)
+                        if dead is not None and dead.size:
+                            live &= ~np.isin(docs, dead)
+                        docs, tf, dl = docs[live], tf[live], dl[live]
+                    denom = tf + k1 * (
+                        1.0 - b + b * (dl / avgdl if avgdl else 1.0)
+                    )
+                    pd_.append(docs)
+                    ps_.append(tf * (k1 + 1.0) / denom)
+                if pd_:
+                    by_term[term] = (np.concatenate(pd_), np.concatenate(ps_))
+            outs = []
+            for qid, wmap in qitems:
+                parts_d = [by_term[t][0] for t in wmap if t in by_term]
+                if not parts_d:
+                    continue
+                parts_s = [
+                    wmap[t] * by_term[t][1] for t in wmap if t in by_term
+                ]
+                cat_d = np.concatenate(parts_d)
+                uniq, inv = np.unique(cat_d, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(sums, inv, np.concatenate(parts_s))
+                need_nt = qmms[qid]
+                if need_nt > 1:
+                    m = np.bincount(inv, minlength=len(uniq)) >= need_nt
+                    uniq, sums = uniq[m], sums[m]
+                order = np.lexsort((uniq, -np.round(sums, 6)))[:kk]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "doc_id": uniq[order],
+                            "score": sums[order],
+                        }
+                    )
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []}
+                ).astype({"query_id": "str", "doc_id": "int64",
+                          "score": "float64"})
+            return pd.concat(outs, ignore_index=True)
+
+        pruned = self.postings_for(union_terms).select(
+            "term", "segment_id", "count", "doc_gaps", "tfs", "dls"
+        )
+        side, fq_repr = self._side_frame(self._norm_fq(fq))
+        if side is None:
+            locals_df = pruned.groupBy("segment_id").applyInPandas(
+                lambda key, pdf: score_segment_multi(pdf, None),
+                schema=out_schema,
+            )
+        else:
+            locals_df = (
+                pruned.groupBy("segment_id")
+                .cogroup(side.groupBy("segment_id"))
+                .applyInPandas(
+                    lambda left, right: score_segment_multi(left, right),
+                    schema=out_schema,
+                )
+            )
+        from pyspark.sql.window import Window
+
+        key = F.round(F.col("score"), 6)
+        w = Window.partitionBy("query_id").orderBy(
+            key.desc(), F.col("doc_id").asc()
+        )
+        return (
+            locals_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     def _scored_frame(
         self,
         terms: list[str],
