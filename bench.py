@@ -159,6 +159,14 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
     p50 = lat_warm[len(lat_warm) // 2]
     p95 = lat_warm[int(len(lat_warm) * 0.95) - 1]
 
+    # batch path: the same term/bool/fq workload (phrase excluded -- it has
+    # its own positional kernels) as ONE search_many job; per-query cost in
+    # a batch is the offline-workload number (eval sets, mining runs)
+    batch_qs = {n: q for n, q in BENCH_QUERIES if n != "q_phrase"}
+    t1 = time.monotonic()
+    idx.search_many(batch_qs, k=10).collect()
+    batch_sec = time.monotonic() - t1
+
     post = man.steps.get("postings")
     result = {
         "cores": cores,
@@ -174,6 +182,8 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         "query_p95_sec": round(p95, 3),
         "queries": q_secs,
         "queries_warm": q_warm,
+        "batch_queries_sec": round(batch_sec, 3),
+        "batch_per_query_sec": round(batch_sec / len(batch_qs), 3),
     }
     spark.stop()
     shutil.rmtree(src_dir, ignore_errors=True)
@@ -277,6 +287,8 @@ def main() -> None:
                     "map_baseline_sec": r["baseline_sec"],
                 },
                 "latency": {
+                    "batch_queries_sec": r["batch_queries_sec"],
+                    "batch_per_query_sec": r["batch_per_query_sec"],
                     "query_p50_sec": r["query_p50_sec"],
                     "query_p95_sec": r["query_p95_sec"],
                 },
