@@ -55,7 +55,8 @@ from pyspark.sql import functions as F
 
 from .engine import BM25Index, decode_cursor_mark, encode_cursor_mark
 
-__all__ = ["solr_select", "select_pages", "select_cursor_pages", "solr_get"]
+__all__ = ["solr_select", "select_pages", "select_cursor_pages",
+           "solr_export", "solr_get"]
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "hl", "hl.fragsize", "spellcheck",
@@ -326,6 +327,50 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
             "correctlySpelled": not sug,
         }
     return resp
+
+
+def solr_export(idx: BM25Index, params: dict[str, Any]):
+    """Solr ``/export`` handler analog: the FULL sorted result set.
+
+    Solr's /export streams every match (sort + fl required, no rows cap) --
+    the API Solr tells you to use when start/rows paging would melt. A
+    Spark engine's natural form for that stream is the distributed
+    DataFrame itself: write it to parquet, join it downstream, or
+    ``toLocalIterator()`` it; nothing is ever collected driver-side here
+    and the sort is a TakeOrderedAndProject-free full orderBy only if the
+    consumer actually requires a total order (Spark keeps it lazy).
+
+    Supported params: ``q`` (default ``*:*``), ``q.op``, ``mm``, ``fq``,
+    ``fl`` (comma list; default all stored fields + score), ``sort``
+    (``score desc`` default, or ``<field> asc|desc``)."""
+    q = str(params.get("q", "*:*"))
+    op = str(params.get("q.op", "OR")).upper()
+    mm = params.get("mm")
+    fq = _as_list(params.get("fq")) or None
+    fl = params.get("fl")
+    fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
+    sort = " ".join(str(params.get("sort", "score desc")).split())
+    field, _, direction = sort.partition(" ")
+    if direction not in ("asc", "desc") or "," in sort:
+        raise ValueError(f"unsupported sort: {sort!r} (use '<field> asc|desc')")
+
+    if q.strip() == "*:*":
+        base = idx._anti_dead(idx._apply_fq(idx.docs(), fq))
+        out = base.select(F.lit(1.0).alias("score"), *base.columns)
+    else:
+        matched = idx.score_matches(q, op=op, fq=fq, mm=mm)
+        # sort fields need not appear in fl (Solr: docValues, not fl), so
+        # the field-list projection happens AFTER the sort key is applied
+        out = matched.join(idx.docs(), "doc_id")
+    if field == "score":
+        key = F.round(F.col("score"), 6)
+        skey = key.desc() if direction == "desc" else key.asc()
+    else:
+        skey = out[field].desc() if direction == "desc" else out[field].asc()
+    out = out.orderBy(skey, "doc_id")
+    if fl:
+        out = out.select(*fl) if "doc_id" in fl else out.select("doc_id", *fl)
+    return out
 
 
 def solr_get(
