@@ -789,6 +789,90 @@ class BM25Index:
             )
         return out
 
+    _EXPLAIN_ROW = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.DoubleType(), False),
+            T.StructField("dl", T.DoubleType(), False),
+            T.StructField("weight", T.DoubleType(), False),
+            T.StructField("contribution", T.DoubleType(), False),
+        ]
+    )
+
+    def explain(
+        self,
+        query: str,
+        doc_ids: list[int],
+        synonyms: bool | dict = False,
+    ) -> DataFrame:
+        """Solr ``debugQuery=true`` explain analog: the per-(doc, term) BM25
+        breakdown for the given docs — tf, dl, the idf×boost weight, and the
+        term's score contribution (sum of contributions = the doc's score,
+        exactly; same float math as the scoring kernels).
+
+        Plan: postings scan pruned to the query terms' buckets (the doc
+        filter can't push below the block encoding, so blocks whose
+        [min_doc, max_doc] range misses every requested doc are skipped
+        kernel-side and the rest decode + filter) — cost is bounded by the
+        query terms' postings, never the corpus, and only len(doc_ids) ×
+        len(terms) rows come back."""
+        terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
+        idf = self.idf_map(terms)
+        if boosts:
+            idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
+        terms = [t for t in terms if t in idf]
+        ids = np.sort(np.asarray(list(dict.fromkeys(int(i) for i in doc_ids)),
+                                 dtype=np.int64))
+        if not terms or not ids.size:
+            return self.spark.createDataFrame([], self._EXPLAIN_ROW)
+        k1, b, avgdl = K1, B, self.avgdl
+        bidf = dict(idf)
+        lo, hi = int(ids[0]), int(ids[-1])
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    if row.max_doc < lo or row.min_doc > hi:
+                        continue  # block can't hold any requested doc
+                    w = bidf.get(row.term)
+                    if w is None:
+                        continue
+                    docs = np.cumsum(
+                        varint_decode(row.doc_gaps, row.count)
+                    ).astype(np.int64)
+                    keep = np.isin(docs, ids)
+                    if not keep.any():
+                        continue
+                    tf = varint_decode(row.tfs, row.count).astype(np.float64)[keep]
+                    dl = varint_decode(row.dls, row.count).astype(np.float64)[keep]
+                    denom = tf + k1 * (
+                        1.0 - b + b * (dl / avgdl if avgdl else 1.0)
+                    )
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": docs[keep],
+                                "term": row.term,
+                                "tf": tf,
+                                "dl": dl,
+                                "weight": w,
+                                "contribution": w * tf * (k1 + 1.0) / denom,
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        cols = ["term", "count", "min_doc", "max_doc", "doc_gaps", "tfs", "dls"]
+        return (
+            self.postings_for(terms)
+            .select(*cols)
+            .mapInPandas(kernel, schema=self._EXPLAIN_ROW)
+            .orderBy("doc_id", "term")
+        )
+
     def suggest(
         self,
         term: str,

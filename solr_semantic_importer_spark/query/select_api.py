@@ -61,7 +61,7 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages",
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "hl", "hl.fragsize", "spellcheck",
              "spellcheck.q", "wt", "indent", "useParams", "minExactCount",
-             "cursorMark", "mm"}
+             "cursorMark", "mm", "debugQuery"}
 
 # facet.range.{start,end,gap}, globally or per-field (Solr's f.<field>.
 # prefix override convention)
@@ -310,6 +310,31 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
         resp["highlighting"] = {
             str(r["doc_id"]): {"text": [r["highlighted"]]} for r in hl_rows
         }
+
+    if _truthy(params.get("debugQuery", False)) and not match_all:
+        # Solr debugQuery explain for the PAGE's docs: per-term BM25
+        # breakdown (Solr renders a text tree; the structured form carries
+        # the same numbers -- tf, dl, idf-weight, contribution, total)
+        page_ids = [int(d["doc_id"]) for d in docs]
+        exp_rows = (
+            idx.explain(q, page_ids).collect() if page_ids else []
+        )
+        explain: dict[str, Any] = {}
+        for r in exp_rows:
+            e = explain.setdefault(
+                str(r["doc_id"]), {"score": 0.0, "details": []}
+            )
+            e["details"].append(
+                {
+                    "term": r["term"],
+                    "tf": r["tf"],
+                    "dl": r["dl"],
+                    "weight": r["weight"],
+                    "contribution": r["contribution"],
+                }
+            )
+            e["score"] += r["contribution"]
+        resp["debug"] = {"explain": explain, "QParser": "LuceneQParser"}
 
     if _truthy(params.get("spellcheck", False)):
         sq = str(params.get("spellcheck.q", q))
