@@ -789,6 +789,68 @@ class BM25Index:
             )
         return out
 
+    def search_grouped(
+        self,
+        query: str,
+        group_field: str,
+        k: int = 10,
+        group_limit: int = 1,
+        op: str = "OR",
+        synonyms: bool | dict = False,
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """Solr result grouping (``group=true&group.field=F``): the top
+        ``group_limit`` docs of each group, for the top ``k`` groups
+        ordered by their best doc's (round6 score, doc_id) key. On the
+        transcripts corpus ``group_field='conv_id'`` answers "the best
+        matching turns per conversation" -- Solr's canonical use.
+
+        Returns (group_value, group_rank, rank_in_group, doc_id, score),
+        ordered. Like Solr, grouping needs the full match set (the k-th
+        group's head can sit arbitrarily deep in the flat ranking when one
+        group dominates), so this runs the exhaustive scorer -- then one
+        window per group for rank_in_group and a broadcast join of the k
+        group heads (k rows) to cut the output. Nothing group-related is
+        ever collected driver-side."""
+        from pyspark.sql.window import Window
+
+        matched = self.score_matches(query, op=op, fq=fq, mm=mm)
+        joined = matched.join(
+            self.docs().select("doc_id", group_field), "doc_id"
+        )
+        key = F.round(F.col("score"), 6)
+        wg = Window.partitionBy(group_field).orderBy(
+            key.desc(), F.col("doc_id").asc()
+        )
+        in_group = joined.withColumn(
+            "rank_in_group", F.row_number().over(wg)
+        ).filter(F.col("rank_in_group") <= group_limit)
+        heads = (
+            in_group.filter(F.col("rank_in_group") == 1)
+            .orderBy(key.desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select(
+                F.col(group_field),
+                F.row_number()
+                .over(
+                    Window.orderBy(key.desc(), F.col("doc_id").asc())
+                )
+                .alias("group_rank"),
+            )
+        )
+        return (
+            in_group.join(F.broadcast(heads), group_field)
+            .select(
+                F.col(group_field).alias("group_value"),
+                "group_rank",
+                "rank_in_group",
+                "doc_id",
+                "score",
+            )
+            .orderBy("group_rank", "rank_in_group")
+        )
+
     _EXPLAIN_ROW = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),

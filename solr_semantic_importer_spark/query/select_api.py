@@ -61,7 +61,8 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages",
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "hl", "hl.fragsize", "spellcheck",
              "spellcheck.q", "wt", "indent", "useParams", "minExactCount",
-             "cursorMark", "mm", "debugQuery"}
+             "cursorMark", "mm", "debugQuery",
+             "group", "group.field", "group.limit", "group.ngroups"}
 
 # facet.range.{start,end,gap}, globally or per-field (Solr's f.<field>.
 # prefix override convention)
@@ -97,6 +98,8 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
         raise ValueError(f"unsupported /select params: {sorted(unknown)}")
 
     t0 = time.monotonic()
+    if _truthy(params.get("group", False)):
+        return _grouped_select(idx, params, t0)
     q = str(params.get("q", "*:*"))
     op = str(params.get("q.op", "OR")).upper()
     mm = params.get("mm")
@@ -352,6 +355,96 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
             "correctlySpelled": not sug,
         }
     return resp
+
+
+def _grouped_select(
+    idx: BM25Index, params: dict[str, Any], t0: float
+) -> dict[str, Any]:
+    """Solr result grouping response (``group=true&group.field=F``): the
+    ``grouped`` section replaces ``response`` (Solr's shape). ``rows`` =
+    number of groups, ``group.limit`` = docs per group (Solr defaults
+    10/1); ``group.ngroups=true`` adds the distinct-group count."""
+    q = str(params.get("q", "*:*"))
+    if q.strip() == "*:*":
+        raise ValueError("group=true needs a scored q (not *:*)")
+    field = params.get("group.field")
+    if not field:
+        raise ValueError("group=true requires group.field")
+    op = str(params.get("q.op", "OR")).upper()
+    mm = params.get("mm")
+    fq = _as_list(params.get("fq")) or None
+    rows = int(params.get("rows", 10))
+    limit = int(params.get("group.limit", 1))
+    fl = params.get("fl")
+    fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
+    want_score = bool(fl) and "score" in fl
+    fetch_fl = [f for f in (fl or []) if f != "score"] or None
+
+    page = idx.search_grouped(
+        q, field, k=rows, group_limit=limit, op=op, fq=fq, mm=mm
+    ).collect()
+    matches = idx.count_matches(q, op=op, fq=fq, mm=mm)
+
+    # stored fields for the <= rows*limit page docs: docid-pushdown fetch
+    ids = [int(r["doc_id"]) for r in page]
+    fetched = {
+        r["doc_id"]: r.asDict()
+        for r in idx._stored_side(fetch_fl)
+        .filter(F.col("doc_id").isin(ids) if ids else F.lit(False))
+        .collect()
+    }
+    # per-group totals for the page's group values (<= rows values)
+    gvals = sorted({r["group_value"] for r in page})
+    matched = idx.score_matches(q, op=op, fq=fq, mm=mm)
+    totals = {
+        r[field]: int(r["n"])
+        for r in matched.join(
+            idx.docs().select("doc_id", field), "doc_id"
+        )
+        .filter(F.col(field).isin(gvals) if gvals else F.lit(False))
+        .groupBy(field)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    groups: list[dict[str, Any]] = []
+    by_rank: dict[int, dict[str, Any]] = {}
+    for r in sorted(page, key=lambda r: (r["group_rank"], r["rank_in_group"])):
+        g = by_rank.get(r["group_rank"])
+        if g is None:
+            g = {
+                "groupValue": r["group_value"],
+                "doclist": {
+                    "numFound": totals.get(r["group_value"], 0),
+                    "start": 0,
+                    "docs": [],
+                },
+            }
+            by_rank[r["group_rank"]] = g
+            groups.append(g)
+        d = dict(fetched.get(int(r["doc_id"]), {"doc_id": int(r["doc_id"])}))
+        if want_score:  # Solr returns score only when fl asks
+            d["score"] = r["score"]
+        else:
+            d.pop("score", None)
+        g["doclist"]["docs"].append(d)
+
+    section: dict[str, Any] = {"matches": matches, "groups": groups}
+    if _truthy(params.get("group.ngroups", False)):
+        section["ngroups"] = (
+            matched.join(idx.docs().select("doc_id", field), "doc_id")
+            .select(field)
+            .distinct()
+            .count()
+        )
+    return {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int((time.monotonic() - t0) * 1000),
+            "params": {k: params[k] for k in sorted(params, key=str)},
+        },
+        "grouped": {field: section},
+    }
 
 
 def solr_export(idx: BM25Index, params: dict[str, Any]):

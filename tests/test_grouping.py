@@ -1,0 +1,97 @@
+"""Solr result grouping: top group_limit docs per group, groups ordered by
+their head doc's (round6 score, doc_id) key. Verified against a brute-force
+pandas regroup of the full exhaustive match set. group.field=conv_id is the
+domain's canonical use: best matching turns per conversation."""
+
+import pytest
+
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.query.select_api import solr_select
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=40, turns_per_conv=6, seed=23)
+    idx_dir = str(tmp_path_factory.mktemp("grp"))
+    build_index(spark, df, idx_dir, BuildConfig(build_id="grp", **CFG))
+    return df, BM25Index(spark, idx_dir)
+
+
+def _brute_groups(idx, q, field, k, limit):
+    rows = idx.score_matches(q).collect()
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    fld = {
+        r["doc_id"]: r[field]
+        for r in idx.docs().select("doc_id", field).collect()
+        if r["doc_id"] in scores
+    }
+    by_group: dict = {}
+    for d, s in scores.items():
+        by_group.setdefault(fld[d], []).append((round(s, 6), d))
+    for g in by_group.values():
+        g.sort(key=lambda x: (-x[0], x[1]))
+    ordered = sorted(by_group.items(), key=lambda kv: (-kv[1][0][0], kv[1][0][1]))
+    return [
+        (gv, [(doc, s) for s, doc in docs[:limit]])
+        for gv, docs in ordered[:k]
+    ]
+
+
+def test_grouped_matches_bruteforce(corpus):
+    _, idx = corpus
+    q, field, k, limit = "error tool", "conv_id", 5, 2
+    got_rows = idx.search_grouped(q, field, k=k, group_limit=limit).collect()
+    got: dict = {}
+    order = []
+    for r in sorted(got_rows, key=lambda r: (r["group_rank"], r["rank_in_group"])):
+        if r["group_value"] not in got:
+            order.append(r["group_value"])
+        got.setdefault(r["group_value"], []).append(
+            (r["doc_id"], round(r["score"], 6))
+        )
+    want = _brute_groups(idx, q, field, k, limit)
+    assert order == [gv for gv, _ in want]
+    for gv, docs in want:
+        assert got[gv] == docs
+
+
+def test_grouped_head_is_flat_top1(corpus):
+    """The first group's head IS the flat #1 doc (Solr invariant)."""
+    _, idx = corpus
+    top = idx.search("error", k=1, use_cache=False).collect()[0]
+    g = idx.search_grouped("error", "conv_id", k=1).collect()
+    head = [r for r in g if r["group_rank"] == 1 and r["rank_in_group"] == 1][0]
+    assert head["doc_id"] == top["doc_id"]
+
+
+def test_select_grouped_shape(corpus):
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error tool", "group": "true", "group.field": "conv_id",
+        "rows": 3, "group.limit": 2, "group.ngroups": "true",
+        "fl": "doc_id,conv_id,score",
+    })
+    assert "response" not in resp  # Solr: grouped replaces response
+    sec = resp["grouped"]["conv_id"]
+    assert sec["matches"] == idx.count_matches("error tool")
+    assert sec["ngroups"] >= len(sec["groups"])
+    assert len(sec["groups"]) == 3
+    want = _brute_groups(idx, "error tool", "conv_id", 3, 2)
+    for g, (gv, docs) in zip(sec["groups"], want):
+        assert g["groupValue"] == gv
+        assert [d["doc_id"] for d in g["doclist"]["docs"]] == [d for d, _ in docs]
+        assert g["doclist"]["numFound"] >= len(docs)
+        assert all(d["conv_id"] == gv for d in g["doclist"]["docs"])
+
+
+def test_select_grouped_validation(corpus):
+    _, idx = corpus
+    with pytest.raises(ValueError, match="group.field"):
+        solr_select(idx, {"q": "error", "group": "true"})
+    with pytest.raises(ValueError, match="scored"):
+        solr_select(idx, {"q": "*:*", "group": "true", "group.field": "conv_id"})
