@@ -789,6 +789,36 @@ class BM25Index:
             )
         return out
 
+    def stats_field(
+        self,
+        query: str,
+        field: str,
+        fq: str | list[str] | None = None,
+        op: str = "OR",
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """Solr stats component (``stats=true&stats.field=F``): one row of
+        min/max/count/missing/sum/sumOfSquares/mean/stddev over the match
+        set's ``field`` values (stddev is Solr's sample form,
+        ``stddev_samp``). One partial-agg pass -- a single scalar row
+        crosses the wire regardless of corpus size."""
+        if query.strip() == "*:*":
+            base = self._anti_dead(self._apply_fq(self.docs(), fq))
+        else:
+            matched = self.score_matches(query, op=op, fq=fq, mm=mm)
+            base = matched.join(self.docs().select("doc_id", field), "doc_id")
+        x = F.col(field).cast("double")
+        return base.agg(
+            F.min(x).alias("min"),
+            F.max(x).alias("max"),
+            F.count(x).alias("count"),
+            F.sum(F.when(x.isNull(), 1).otherwise(0)).alias("missing"),
+            F.sum(x).alias("sum"),
+            F.sum(x * x).alias("sumOfSquares"),
+            F.avg(x).alias("mean"),
+            F.stddev_samp(x).alias("stddev"),
+        )
+
     def search_grouped(
         self,
         query: str,

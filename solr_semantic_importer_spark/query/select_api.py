@@ -62,7 +62,8 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "hl", "hl.fragsize", "spellcheck",
              "spellcheck.q", "wt", "indent", "useParams", "minExactCount",
              "cursorMark", "mm", "debugQuery",
-             "group", "group.field", "group.limit", "group.ngroups"}
+             "group", "group.field", "group.limit", "group.ngroups",
+             "stats", "stats.field"}
 
 # facet.range.{start,end,gap}, globally or per-field (Solr's f.<field>.
 # prefix override convention)
@@ -313,6 +314,13 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
         resp["highlighting"] = {
             str(r["doc_id"]): {"text": [r["highlighted"]]} for r in hl_rows
         }
+
+    if _truthy(params.get("stats", False)):
+        sf: dict[str, Any] = {}
+        for field in _as_list(params.get("stats.field")):
+            row = idx.stats_field(q, field, fq=fq, op=op, mm=mm).collect()[0]
+            sf[field] = {k: row[k] for k in row.asDict()}
+        resp["stats"] = {"stats_fields": sf}
 
     if _truthy(params.get("debugQuery", False)) and not match_all:
         # Solr debugQuery explain for the PAGE's docs: per-term BM25

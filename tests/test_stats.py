@@ -1,0 +1,66 @@
+"""Solr stats component: scalar aggregates over the match set's field,
+verified against brute-force python statistics (sample stddev, Solr's
+form)."""
+
+import math
+
+import pytest
+
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.query.select_api import solr_select
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=40, turns_per_conv=6, seed=3)
+    idx_dir = str(tmp_path_factory.mktemp("stats"))
+    build_index(spark, df, idx_dir, BuildConfig(build_id="stats", **CFG))
+    return df, BM25Index(spark, idx_dir)
+
+
+def _brute(idx, q, field):
+    matched = {r["doc_id"] for r in idx.score_matches(q).collect()}
+    vals = [
+        float(r[field])
+        for r in idx.docs().select("doc_id", field).collect()
+        if r["doc_id"] in matched and r[field] is not None
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    return {
+        "min": min(vals), "max": max(vals), "count": n,
+        "sum": sum(vals), "sumOfSquares": sum(v * v for v in vals),
+        "mean": mean, "stddev": math.sqrt(var),
+    }
+
+
+def test_stats_match_set(corpus):
+    _, idx = corpus
+    row = idx.stats_field("error tool", "dl").collect()[0]
+    want = _brute(idx, "error tool", "dl")
+    assert row["count"] == want["count"] and row["missing"] == 0
+    for k in ("min", "max", "sum", "sumOfSquares"):
+        assert abs(row[k] - want[k]) < 1e-6, k
+    assert abs(row["mean"] - want["mean"]) < 1e-9
+    assert abs(row["stddev"] - want["stddev"]) < 1e-9
+
+
+def test_stats_match_all_and_select_shape(corpus):
+    _, idx = corpus
+    row = idx.stats_field("*:*", "turn_idx").collect()[0]
+    assert row["count"] == idx.docs().count()
+    assert row["min"] == 0.0 and row["max"] == 5.0
+    resp = solr_select(idx, {
+        "q": "error", "rows": 0, "stats": "true", "stats.field": ["dl", "turn_idx"],
+    })
+    sf = resp["stats"]["stats_fields"]
+    assert set(sf) == {"dl", "turn_idx"}
+    assert set(sf["dl"]) == {"min", "max", "count", "missing", "sum",
+                             "sumOfSquares", "mean", "stddev"}
+    assert sf["dl"]["count"] == _brute(idx, "error", "dl")["count"]
