@@ -46,6 +46,12 @@ def main() -> None:
         transcripts_from_documents,
     )
 
+    from solr_semantic_importer_spark.query.select_api import solr_export
+
+    def _mk_cursor(idx, q):
+        _rows, mark = idx.search_cursor(q, k=10)
+        return mark
+
     spark = get_spark("explain-audit", cores=8, shuffle_partitions=16)
     t = transcripts_from_documents(spark, sf_dir)
     idx_dir = tempfile.mkdtemp(prefix="ssi_plans_")
@@ -117,6 +123,50 @@ def main() -> None:
             "tombstones as a broadcast-able anti join; the page is a limit, not\n"
             "a collect-then-slice.",
             idx.match_all(k=10, fq="role = 'user'"),
+        ),
+        (
+            "CursorMark page (keyset deep paging)",
+            "What to check: the SAME kernel shape as the top-k plan — the\n"
+            "keyset predicate lives INSIDE the segment kernels (applied\n"
+            "before each local top-k), so no extra exchange, no offset\n"
+            "prefix, and the restated round6 filter above the kernels is a\n"
+            "cheap codegen'd predicate. Page depth never changes the plan.",
+            idx.search_after(
+                "table merge window", k=10,
+                cursor=_mk_cursor(idx, "table merge window"),
+            ),
+        ),
+        (
+            "Batch retrieval (search_many: one scan, N queries)",
+            "What to check: ONE pruned postings scan over the UNION of all\n"
+            "query terms (`In(term, ...)` with every batch term) feeding one\n"
+            "`FlatMapGroupsInPandas` (blocks decoded once per segment, shared\n"
+            "across queries), then a query_id-partitioned window for the\n"
+            "per-query top-k — at most n_segments x k rows per query enter\n"
+            "that exchange, never the corpus.",
+            idx.search_many(
+                {"q1": "table merge", "q2": "vector stream"}, k=10
+            ),
+        ),
+        (
+            "/export (full sorted result set, no paging)",
+            "What to check: exhaustive scorer -> join to the docs relation\n"
+            "with `ReadSchema` pruned to doc_id + fl + sort field (the\n"
+            "projection after the sort still pushes column pruning into the\n"
+            "scan) -> a full `Sort`, NOT TakeOrderedAndProject — correct for\n"
+            "an export that returns everything; nothing is collected.",
+            solr_export(idx, {"q": "table merge",
+                              "fl": "doc_id,score,conv_id"}),
+        ),
+        (
+            "Result grouping (top docs per group)",
+            "What to check: exhaustive match set joined to (doc_id,\n"
+            "group_field), ONE window exchange partitioned by the group\n"
+            "field for rank_in_group, and the k group heads coming back as a\n"
+            "`BroadcastHashJoin` (k rows) to cut the output — no global sort\n"
+            "of the match set, nothing group-sized at the driver.",
+            idx.search_grouped("table merge window", "conv_id",
+                               k=5, group_limit=2),
         ),
         (
             "Exact dedup (hash-groupBy, 128-bit key)",
