@@ -789,6 +789,80 @@ class BM25Index:
             )
         return out
 
+    def terms(
+        self,
+        prefix: str = "",
+        limit: int = 10,
+        min_df: int = 1,
+        sort: str = "count",
+    ) -> DataFrame:
+        """Solr /terms component: enumerate indexed terms with their df.
+        ``sort='count'`` (df desc, Solr's default) or ``'index'`` (term
+        asc). The prefix pushes into the dictionary scan as a
+        StartsWith/range predicate — at a 10^12-turn vocabulary the scan
+        reads only the matching row groups, and ``limit`` rows reach the
+        driver."""
+        d = self.dictionary()
+        if prefix:
+            d = d.filter(F.col("term").startswith(prefix))
+        agg = d.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+        if min_df > 1:
+            agg = agg.filter(F.col("df") >= min_df)
+        if sort == "index":
+            out = agg.orderBy(F.col("term").asc())
+        else:
+            out = agg.orderBy(F.col("df").desc(), F.col("term").asc())
+        return out.limit(limit)
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_tf: int = 2,
+        min_df: int = 5,
+        fq: str | list[str] | None = None,
+    ) -> DataFrame:
+        """Solr MoreLikeThis: find docs similar to ``doc_id``. The seed
+        doc's "interesting terms" are ranked by tf×idf with Solr's MLT
+        gates (mlt.mintf, mlt.mindf, mlt.maxqt), then run as a
+        boost-weighted OR query through the normal WAND top-k path (Solr
+        builds exactly this BooleanQuery from the term vector; here the
+        analysis chain is deterministic, so re-analyzing the stored text
+        IS the term vector). The seed doc itself is excluded.
+
+        Driver cost: one stored-text fetch by doc_id pushdown + one
+        bounded term ranking; the similarity query then scales like any
+        other top-k search."""
+        row = (
+            self.docs()
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("text")
+            .collect()
+        )
+        if not row or not row[0]["text"]:
+            return self.spark.createDataFrame([], _SCORE_ROW)
+        tf_counts: dict[str, int] = {}
+        for t in self._analyze(row[0]["text"]):
+            tf_counts[t] = tf_counts.get(t, 0) + 1
+        cands = [t for t, c in tf_counts.items() if c >= min_tf]
+        dfs = self._dfs(cands)
+        idf = self.idf_map([t for t in cands if dfs.get(t, 0) >= min_df])
+        ranked = sorted(
+            idf, key=lambda t: (-tf_counts[t] * idf[t], t)
+        )[:max_query_terms]
+        if not ranked:
+            return self.spark.createDataFrame([], _SCORE_ROW)
+        # per-term boost = the seed doc's tf (Solr MLT boost=true shape);
+        # ask for k+1 and drop the seed (it always matches itself best)
+        q = " ".join(f"{t}^{tf_counts[t]}" for t in ranked)
+        out = self.search(q, k=k + 1, fq=fq, use_cache=False)
+        return (
+            out.filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def stats_field(
         self,
         query: str,
