@@ -185,6 +185,15 @@ class BM25Index:
         import time as _time
 
         t0 = _time.monotonic()
+        # spawn the executor python-worker pool at FULL width first (one
+        # Arrow no-op task per 2x task slot; spark.python.worker.reuse keeps
+        # the workers). A single warming query only touches as many slots
+        # as it has segments, so without this the first wide query still
+        # pays worker-spawn + Arrow-init on the remaining slots.
+        n = self.spark.sparkContext.defaultParallelism
+        self.spark.range(0, 2 * n, 1, 2 * n).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
         self.docs()
         self.dictionary()
         self._postings()
