@@ -90,11 +90,17 @@ def encode_cursor_mark(score: float, doc_id: int) -> str:
 
 
 def decode_cursor_mark(token: str | None) -> tuple[float, int] | None:
-    """'*'/None -> None (first page); otherwise (round6_score, doc_id)."""
+    """'*'/None -> None (first page); otherwise (round6_score, doc_id).
+    A malformed/truncated token raises a clean ValueError -- Solr's
+    'unable to parse cursorMark' error, not a raw base64/json traceback."""
     if token is None or token == CURSOR_START:
         return None
-    s6, d = json.loads(base64.urlsafe_b64decode(token.encode()).decode())
-    return float(s6), int(d)
+    try:
+        payload = json.loads(base64.urlsafe_b64decode(token.encode()).decode())
+        s6, d = payload
+        return float(s6), int(d)
+    except (ValueError, TypeError) as e:  # binascii/json errors are ValueError
+        raise ValueError(f"unable to parse cursorMark: {token!r}") from e
 
 
 def _buckets_of(terms: list[str], n_buckets: int, spark: SparkSession) -> dict[str, int]:
@@ -511,15 +517,25 @@ class BM25Index:
         if not terms or (mm is not None and mm > len(terms)):
             return self._finish(empty, k, 0, with_stored, "round6", fl)
         scored = self._scored_frame(terms, idf, k, op, mode, fq, after=after, mm=mm)
-        if after is not None:
-            # exhaustive paths score every match, so the keyset applies as
-            # a plain predicate; on the WAND path this re-states what the
-            # kernels already enforced (no-op on an already-filtered set)
-            key = F.round(F.col("score"), 6)
-            scored = scored.filter(
-                (key < F.lit(after[0]))
-                | ((key == F.lit(after[0])) & (F.col("doc_id") > F.lit(after[1])))
-            )
+        if after is not None and mode != "wand":
+            # exhaustive paths score every match, so the keyset applies as a
+            # predicate here. The WAND path is NOT re-filtered: its kernels
+            # already enforced the keyset with np.round -- the same half-even
+            # convention encode_cursor_mark uses -- and a SQL F.round
+            # (HALF_UP on the shortest decimal repr) restatement could
+            # disagree on a boundary score and silently drop a row the
+            # kernel correctly kept. One rounding convention per path.
+            from pyspark.sql.functions import pandas_udf
+
+            a_s, a_d = after
+
+            @pandas_udf(T.BooleanType())
+            def _after_ok(score: pd.Series, doc_id: pd.Series) -> pd.Series:
+                key = np.round(score.to_numpy(np.float64), 6)
+                d = doc_id.to_numpy(np.int64)
+                return pd.Series((key < a_s) | ((key == a_s) & (d > a_d)))
+
+            scored = scored.filter(_after_ok(F.col("score"), F.col("doc_id")))
         return self._finish(scored, k, 0, with_stored, "round6", fl)
 
     def search_cursor(
@@ -1277,27 +1293,26 @@ class BM25Index:
             return empty
         return self._scored_frame(terms, idf, 0, op, "exhaustive", fq, mm=mm)
 
-    def count_matches(
+    def _matched_ids(
         self, query: str, op: str = "OR",
         fq: str | list[str] | None = None,
         mm: int | str | None = None,
-    ) -> int:
-        """Total match count for a query — Solr's ``numFound`` (every
-        /select response carries it regardless of ``rows``). ``*:*`` counts
-        live docs under fq. Scored queries count distinct docs holding any
-        term (OR) or all terms (AND) from the pruned postings scan — the
-        decode is column-pruned to doc lists, the count is a partial-agg
-        job, and nothing doc-sized reaches the driver."""
-        if query.strip() == "*:*":
-            return self._anti_dead(self._apply_fq(self.docs(), fq)).count()
+    ) -> DataFrame:
+        """The DISTINCT live matched doc ids of a query under op/mm/fq --
+        the DocSet behind numFound, facet and facet.range (Solr facets the
+        exact filtered DocSet, so op/mm MUST shape it identically to the
+        docs list on the same response). Pruned postings decode -> doc ids
+        (no scoring math); AND/mm add one per-doc clause count. Nothing
+        doc-sized reaches the driver."""
+        empty = self.docs().select("doc_id").limit(0)
         terms, _ = self.parse_boosted_query(query)  # boosts don't change the set
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         idf = self.idf_map(terms)
         if op == "AND" and any(t not in idf for t in terms):
-            return 0
+            return empty
         terms = list(dict.fromkeys(t for t in terms if t in idf))
         if not terms or (mm is not None and mm > len(terms)):
-            return 0
+            return empty
         # each (term, doc) posting decodes to exactly one row, so rows per
         # doc = number of query terms present in it
         hits = self._decode_score_df(terms, idf).select("doc_id")
@@ -1314,7 +1329,20 @@ class BM25Index:
             )
         else:
             matched = hits.distinct()
-        return self._anti_dead(self._apply_fq(matched, fq)).count()
+        return self._anti_dead(self._apply_fq(matched, fq))
+
+    def count_matches(
+        self, query: str, op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> int:
+        """Total match count for a query — Solr's ``numFound`` (every
+        /select response carries it regardless of ``rows``). ``*:*`` counts
+        live docs under fq; scored queries count the :meth:`_matched_ids`
+        DocSet — a partial-agg count job, nothing collected."""
+        if query.strip() == "*:*":
+            return self._anti_dead(self._apply_fq(self.docs(), fq)).count()
+        return self._matched_ids(query, op=op, fq=fq, mm=mm).count()
 
     def _config_from_manifest(self, build_id: str):
         """Reconstruct the BuildConfig the index was built with from the
@@ -1401,28 +1429,21 @@ class BM25Index:
         return BM25Index(self.spark, self.index_dir)
 
     def facet(
-        self, query: str, field: str, fq: str | list[str] | None = None
+        self, query: str, field: str, fq: str | list[str] | None = None,
+        op: str = "OR", mm: int | str | None = None,
     ) -> DataFrame:
-        """Q5 over a result set: non-scoring facet counts on ``field`` across
-        all docs matching ANY query term (Solr facet.field over the match
-        set, SolrAdminActions.java:233-245; limit -1 => all buckets).
+        """Q5 over a result set: non-scoring facet counts on ``field`` over
+        the EXACT match set (Solr facet.field facets the filtered DocSet,
+        SolrAdminActions.java:233-245; limit -1 => all buckets) -- so
+        ``q.op=AND`` and ``mm`` shape the counted set exactly as they shape
+        numFound/docs on the same /select response.
 
         Plan: pruned postings scan -> distinct matched doc ids (small) ->
         join to the docs table -> groupBy(field).count().
         """
-        terms = self.analyze_query(query)
-        idf = self.idf_map(terms)
-        terms = [t for t in terms if t in idf]
-        if not terms:
-            return self.docs().limit(0).groupBy(field).agg(
-                F.count("*").alias("facet_count")
-            )
-        matched = self._anti_dead(
-            self._decode_score_df(terms, idf).select("doc_id").distinct()
-        )
-        docs = self._apply_fq(self.docs(), fq)
+        matched = self._matched_ids(query, op=op, fq=fq, mm=mm)
         return (
-            matched.join(docs, "doc_id")
+            matched.join(self.docs(), "doc_id")
             .groupBy(field)
             .agg(F.count("*").alias("facet_count"))
         )
@@ -1435,6 +1456,8 @@ class BM25Index:
         end: float,
         gap: float,
         fq: str | list[str] | None = None,
+        op: str = "OR",
+        mm: int | str | None = None,
     ) -> DataFrame:
         """Solr facet.range over a numeric field: half-open buckets
         [start+i*gap, start+(i+1)*gap) for the match set; values outside
@@ -1455,16 +1478,9 @@ class BM25Index:
         if query.strip() == "*:*":
             base = self._anti_dead(self._apply_fq(self.docs(), fq))
         else:
-            terms = self.analyze_query(query)
-            idf = self.idf_map(terms)
-            terms = [t for t in terms if t in idf]
-            if not terms:
-                base = self.docs().limit(0)
-            else:
-                matched = self._anti_dead(
-                    self._decode_score_df(terms, idf).select("doc_id").distinct()
-                )
-                base = matched.join(self._apply_fq(self.docs(), fq), "doc_id")
+            # the exact filtered DocSet -- op/mm respected like facet()
+            matched = self._matched_ids(query, op=op, fq=fq, mm=mm)
+            base = matched.join(self.docs(), "doc_id")
         return (
             base.filter((x >= start) & (x < end))
             .groupBy(bucket)

@@ -86,11 +86,20 @@ def _num(v: float):
     return int(v) if float(v).is_integer() else v
 
 
-def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
+def solr_select(
+    idx: BM25Index, params: dict[str, Any], *,
+    known_num_found: int | None = None,
+) -> dict[str, Any]:
     """Execute one ``/select`` request against a :class:`BM25Index`. See
     module docstring for the param surface; unknown params raise (the
     caller finds out their filter is unsupported instead of silently
-    getting unfiltered results)."""
+    getting unfiltered results).
+
+    ``known_num_found`` (keyword-only, not a Solr param): a numFound the
+    caller already holds for THIS query/fq/op/mm -- used by
+    :func:`select_cursor_pages` so a cursor walk counts the match set once
+    on page 1 instead of paying a full postings decode per page (the cost
+    the cursor exists to avoid)."""
     unknown = {
         p for p in set(params) - _RESERVED
         if not _FACET_RANGE_RE.match(p)
@@ -148,7 +157,9 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
     #   which at 10^12 turns halves the per-request work.
     # - scored + field sort: the full match set is materialized for the
     #   sort anyway; count THAT instead of decoding postings a second time.
-    if match_all:
+    if known_num_found is not None:
+        num_found = int(known_num_found)
+    elif match_all:
         num_found = idx.count_matches(q, op=op, fq=fq, mm=mm)
     elif (sort == "score desc" and mec is not None
           and max(int(mec), start + rows) <= idx.QUERY_RESULT_MAX_DOCS):
@@ -221,7 +232,8 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
         # TakeOrderedAndProject on the field.
         field, _, direction = sort.partition(" ")
         matched = idx.score_matches(q, op=op, fq=fq, mm=mm)
-        num_found = matched.count()  # the sort needs every match anyway
+        if num_found < 0:
+            num_found = matched.count()  # the sort needs every match anyway
         joined = matched.join(idx._stored_side(fetch_fl), "doc_id")
         key = joined[field].desc() if direction == "desc" else joined[field].asc()
         ordered = joined.orderBy(key, "doc_id")
@@ -263,7 +275,7 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
                 )
                 pairs = [(r[field], r["count"]) for r in counts]
             else:
-                counts = idx.facet(q, field, fq=fq).collect()
+                counts = idx.facet(q, field, fq=fq, op=op, mm=mm).collect()
                 pairs = sorted(
                     ((r[field], r["facet_count"]) for r in counts),
                     key=lambda p: (-p[1], str(p[0])),
@@ -290,7 +302,9 @@ def solr_select(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
             # the same representation for fractional gaps
             got = {
                 round(float(r["bucket_start"]), 9): int(r["facet_count"])
-                for r in idx.facet_range(q, field, lo, hi, gap, fq=fq).collect()
+                for r in idx.facet_range(
+                    q, field, lo, hi, gap, fq=fq, op=op, mm=mm
+                ).collect()
             }
             flat = []
             i = 0
@@ -371,7 +385,20 @@ def _grouped_select(
     """Solr result grouping response (``group=true&group.field=F``): the
     ``grouped`` section replaces ``response`` (Solr's shape). ``rows`` =
     number of groups, ``group.limit`` = docs per group (Solr defaults
-    10/1); ``group.ngroups=true`` adds the distinct-group count."""
+    10/1); ``group.ngroups=true`` adds the distinct-group count.
+
+    Fail-loud contract: components the grouped path does not implement
+    (cursorMark, facet/facet.range, hl, stats, debugQuery, spellcheck,
+    minExactCount, sort, start) raise instead of passing _RESERVED
+    validation and then being silently dropped."""
+    for p in ("cursorMark", "minExactCount", "sort"):
+        if p in params:
+            raise ValueError(f"group=true does not support {p}")
+    if int(params.get("start", 0)) != 0:
+        raise ValueError("group=true does not support start (use rows)")
+    for p in ("facet", "hl", "stats", "debugQuery", "spellcheck"):
+        if _truthy(params.get(p, False)):
+            raise ValueError(f"group=true does not support {p}")
     q = str(params.get("q", "*:*"))
     if q.strip() == "*:*":
         raise ValueError("group=true needs a scored q (not *:*)")
@@ -545,9 +572,11 @@ def select_cursor_pages(
     cursor page is O(page)). Yields response dicts until Solr's stop
     condition: nextCursorMark == the mark the page was requested with."""
     mark = str(params.get("cursorMark", "*"))
+    num_found: int | None = None  # counted ONCE on the first page, carried
     while True:
         page = dict(params, cursorMark=mark, start=0, rows=page_size)
-        resp = solr_select(idx, page)
+        resp = solr_select(idx, page, known_num_found=num_found)
+        num_found = int(resp["response"]["numFound"])
         yield resp
         nxt = resp["nextCursorMark"]
         if nxt == mark:

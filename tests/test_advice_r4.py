@@ -1,0 +1,184 @@
+"""Round-4 ADVICE regression tests.
+
+1. facet / facet.range respect q.op=AND and mm (Solr facets the EXACT
+   filtered DocSet the response's numFound/docs reflect).
+2. select_cursor_pages counts the match set once, not once per page.
+3. the search_after keyset predicate uses one rounding convention per
+   path (np.round kernels on WAND; np.round Arrow predicate on
+   exhaustive) -- walks are rank-identical across modes.
+4. a malformed cursorMark raises a clean ValueError, not a raw
+   base64/json traceback.
+5. the grouped /select path fails loud on components it drops.
+"""
+
+import base64
+
+import pytest
+
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.query.engine import BM25Index, decode_cursor_mark
+from solr_semantic_importer_spark.query.select_api import (
+    select_cursor_pages,
+    solr_select,
+)
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=60, turns_per_conv=6, seed=44)
+    idx_dir = str(tmp_path_factory.mktemp("advr4"))
+    build_index(spark, df, idx_dir, BuildConfig(build_id="advr4", **CFG))
+    return df, BM25Index(spark, idx_dir)
+
+
+def _matched_set(idx, q, op="OR", mm=None, fq=None):
+    return {
+        int(r["doc_id"])
+        for r in idx._matched_ids(q, op=op, fq=fq, mm=mm).collect()
+    }
+
+
+def _brute_facet(idx, doc_ids, field):
+    want = {}
+    for r in idx.docs().select("doc_id", field).collect():
+        if int(r["doc_id"]) in doc_ids:
+            want[r[field]] = want.get(r[field], 0) + 1
+    return want
+
+
+def test_facet_respects_op_and(corpus):
+    _, idx = corpus
+    q = "error tool"
+    and_set = _matched_set(idx, q, op="AND")
+    or_set = _matched_set(idx, q, op="OR")
+    assert and_set and and_set != or_set  # corpus must discriminate
+    got = {
+        r["role"]: int(r["facet_count"])
+        for r in idx.facet(q, "role", op="AND").collect()
+    }
+    assert got == _brute_facet(idx, and_set, "role")
+    assert sum(got.values()) == len(and_set)
+
+
+def test_facet_respects_mm(corpus):
+    _, idx = corpus
+    q = "error tool the"
+    mm_set = _matched_set(idx, q, mm=2)
+    or_set = _matched_set(idx, q)
+    assert mm_set and mm_set != or_set
+    got = {
+        r["role"]: int(r["facet_count"])
+        for r in idx.facet(q, "role", mm=2).collect()
+    }
+    assert got == _brute_facet(idx, mm_set, "role")
+
+
+def test_facet_range_respects_op_and(corpus):
+    _, idx = corpus
+    q = "error tool"
+    and_set = _matched_set(idx, q, op="AND")
+    rows = idx.facet_range(q, "turn_idx", 0, 6, 2, op="AND").collect()
+    got = {float(r["bucket_start"]): int(r["facet_count"]) for r in rows}
+    want = {}
+    for r in idx.docs().select("doc_id", "turn_idx").collect():
+        if int(r["doc_id"]) not in and_set:
+            continue
+        v = float(r["turn_idx"])
+        if 0 <= v < 6:
+            b = float(0 + int(v // 2) * 2)
+            want[b] = want.get(b, 0) + 1
+    assert got == want
+    assert sum(got.values()) <= len(and_set)
+
+
+def test_select_facet_counts_match_response_docset(corpus):
+    """The /select response's facet section must count the same DocSet its
+    numFound reports when q.op=AND / mm are set."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error tool", "q.op": "AND", "rows": 0,
+        "facet": "true", "facet.field": "role",
+    })
+    flat = resp["facet_counts"]["facet_fields"]["role"]
+    assert sum(flat[1::2]) == resp["response"]["numFound"]
+    resp2 = solr_select(idx, {
+        "q": "error tool the", "mm": 2, "rows": 0,
+        "facet": "true", "facet.field": "role",
+    })
+    flat2 = resp2["facet_counts"]["facet_fields"]["role"]
+    assert sum(flat2[1::2]) == resp2["response"]["numFound"]
+
+
+def test_cursor_pages_count_once(corpus, monkeypatch):
+    """A cursor walk computes numFound on page 1 and carries it: no
+    O(full-match-set) count job per page."""
+    _, idx = corpus
+    calls = {"n": 0}
+    orig = BM25Index.count_matches
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(BM25Index, "count_matches", counting)
+    pages = list(select_cursor_pages(idx, {"q": "error"}, page_size=3))
+    assert len(pages) >= 3  # a real multi-page walk
+    assert calls["n"] == 1
+    nf = {p["response"]["numFound"] for p in pages}
+    assert nf == {orig(idx, "error")}  # carried value is the exact count
+
+
+def test_cursor_walk_rank_identity_exhaustive_vs_wand(corpus):
+    """The exhaustive-mode cursor path (Arrow np.round keyset predicate)
+    walks the identical sequence as the WAND path (kernel-enforced
+    keyset) and as the unpaged ranking."""
+    _, idx = corpus
+    full = [(int(r["doc_id"]), round(float(r["score"]), 6))
+            for r in idx.search("error in tool", k=50, use_cache=False,
+                                mode="exhaustive").collect()]
+
+    def walk(mode):
+        out, cursor = [], "*"
+        while True:
+            rows, nxt = idx.search_cursor(
+                "error in tool", k=7, cursor=cursor, mode=mode)
+            out.extend(
+                (int(r["doc_id"]), round(float(r["score"]), 6)) for r in rows
+            )
+            if nxt == cursor:
+                return out
+            cursor = nxt
+
+    we, ww = walk("exhaustive"), walk("wand")
+    assert we == ww  # both conventions walk the identical total order
+    assert we[: len(full)] == full
+    assert len(we) > len(full)  # the walk really went past page depth k
+
+
+def test_malformed_cursor_mark_raises_cleanly(corpus):
+    for bad in ["zzz-not-base64", base64.urlsafe_b64encode(b"[1,2,3]").decode(),
+                base64.urlsafe_b64encode(b"{\"a\":1}").decode(),
+                base64.urlsafe_b64encode(b"not json").decode()]:
+        with pytest.raises(ValueError, match="unable to parse cursorMark"):
+            decode_cursor_mark(bad)
+    _, idx = corpus
+    with pytest.raises(ValueError, match="unable to parse cursorMark"):
+        solr_select(idx, {"q": "error", "cursorMark": "garbage!!"})
+
+
+def test_grouped_select_fails_loud_on_dropped_components(corpus):
+    _, idx = corpus
+    base = {"q": "error", "group": "true", "group.field": "conv_id"}
+    for extra in ({"cursorMark": "*"}, {"minExactCount": 10},
+                  {"sort": "ts desc"}, {"start": 3},
+                  {"facet": "true", "facet.field": "role"},
+                  {"hl": "true"}, {"stats": "true", "stats.field": "dl"},
+                  {"debugQuery": "true"}, {"spellcheck": "true"}):
+        with pytest.raises(ValueError, match="group=true does not support"):
+            solr_select(idx, {**base, **extra})
+    # falsy component flags remain harmless
+    assert "grouped" in solr_select(idx, {**base, "facet": "false"})
