@@ -62,6 +62,8 @@ __all__ = [
     "register_japanese_fallback_chain",
     "make_thai_fallback_analyzer",
     "register_thai_fallback_chain",
+    "make_korean_fallback_analyzer",
+    "register_korean_fallback_chain",
     "UNICODE_TOKEN_PATTERN",
 ]
 
@@ -194,12 +196,14 @@ POST_STOP_TRANSFORMS = {"de": german_normalize}
 
 # Unsegmented-script languages whose Lucene chains need a dictionary /
 # algorithmic segmenter (text_ja = kuromoji, managed-schema.xml:838;
-# text_th = ThaiTokenizer, :1004). A whitespace/regex tokenizer would emit
-# whole clauses as single tokens -- retrieval would silently return zero
-# hits -- so these are NOT registered by the generic stop-only loop.
-# Each has a dedicated dictionary-free chain below (register_japanese_
-# fallback_chain / register_thai_fallback_chain).
-UNSEGMENTED = frozenset({"ja", "th"})
+# text_th = ThaiTokenizer, :1004; text_ko = nori/mecab-ko-dic, :885-905 --
+# Korean writes words+particles as unspaced eojeol runs). A whitespace/
+# regex tokenizer would emit whole clauses as single tokens -- retrieval
+# would silently return zero hits -- so these are NOT registered by the
+# generic stop-only loop. Each has a dedicated dictionary-free chain below
+# (register_japanese_fallback_chain / register_thai_fallback_chain /
+# register_korean_fallback_chain).
+UNSEGMENTED = frozenset({"ja", "th", "ko"})
 
 # CJK unified ideographs + kana + hangul (the ranges CJKBigramFilter pairs)
 _CJK_RANGE = (
@@ -456,6 +460,106 @@ def register_thai_fallback_chain(lang_dir: str, name: str = "text_th") -> None:
     TOKEN_NORMALIZERS[name] = analyze
     HIGHLIGHT_TOKEN_PATTERNS[name] = (
         "[ก-๛]+|[^\\W_฀-๿]+"
+    )
+
+
+# text_ko fallback script classes. Hangul = precomposed syllables +
+# compatibility jamo (the blocks KoreanTokenizer segments); hanja = the
+# same CJK-ideograph ranges as the kanji class (Korean mixed-script text).
+# The word class excludes both so "abc학교" still splits at the boundary.
+_KO_RUN_RE = re.compile(
+    r"(?P<hangul>[가-힣ㄱ-ㆎᄀ-ᇿ]+)"
+    r"|(?P<hanja>[㐀-䶿一-鿿豈-﫿]+)"
+    r"|(?P<word>[^\W_가-힣ㄱ-ㆎᄀ-ᇿ㐀-䶿一-鿿豈-﫿]+)",
+    re.UNICODE,
+)
+
+
+def make_korean_fallback_analyzer(stop_set: frozenset[str] = frozenset()):
+    """Dictionary-free approximation of the reference's ``text_ko`` chain
+    (managed-schema.xml:885-905: KoreanTokenizer(nori, decompoundMode=
+    discard) -> koreanPartOfSpeechStop -> koreanReadingForm -> lowercase).
+    Nori's mecab-ko-dic statistical model is not reproducible offline, so
+    each stage maps to a no-dictionary stand-in -- the exact recipe of the
+    r3 ``text_ja`` fallback, adapted to hangul:
+
+    - tokenizer: script-run segmentation (hangul / hanja / romaji), then
+      hangul runs emit overlapping SYLLABLE BIGRAMS -- Lucene's own
+      no-dictionary Korean treatment (CJKBigramFilter han+hangul; the
+      schema's text_cjk bigrams hangul the same way). A noun+particle
+      eojeol (학교에) shares the bare noun's bigram (학교), so queries
+      match without segmentation; a lone syllable emits itself.
+    - koreanPartOfSpeechStop (drops particles/endings, "basically
+      equivalent to stemming" per the schema comment) has no
+      dictionary-free analog; bigram overlap substitutes -- the particle
+      syllables only add low-idf bigrams at run edges. An optional
+      ``stop_set`` drops whole-run surface forms (no stopwords_ko.txt
+      ships in the reference configset, so the default is empty).
+    - koreanReadingForm (hanja -> hangul reading) needs a reading
+      dictionary; hanja runs instead emit ideograph bigrams (the text_cjk
+      han treatment), so query and index still agree on hanja-for-hanja.
+    - lowercase + width: NFKC fold then str.lower before everything
+      (full-width romaji -> ascii, half-width forms -> full)."""
+    import unicodedata
+
+    def analyze(text: str | None) -> list[str]:
+        if text is None:
+            return []
+        out: list[str] = []
+        for m in _KO_RUN_RE.finditer(
+            unicodedata.normalize("NFKC", text).lower()
+        ):
+            hangul, hanja, word = m.group("hangul", "hanja", "word")
+            if word:
+                out.append(word)
+                continue
+            run = hangul or hanja
+            if run in stop_set:
+                continue
+            if len(run) == 1:
+                out.append(run)
+            else:
+                out.extend(run[i : i + 2] for i in range(len(run) - 1))
+        return [t for t in out if t not in stop_set]
+
+    return analyze
+
+
+def register_korean_fallback_chain(
+    lang_dir: str | None = None, name: str = "text_ko"
+) -> None:
+    """Register the dictionary-free ``text_ko`` fallback. ``lang_dir`` is
+    accepted for symmetry with the ja/th registrars and read IF a
+    ``stopwords_ko.txt`` is present (the reference configset ships none --
+    nori stops by part-of-speech tags instead, which need the
+    dictionary)."""
+    from .analysis import (
+        HIGHLIGHT_TOKEN_PATTERNS,
+        POSITION_ANALYZERS,
+        QUERY_ANALYZERS,
+        TOKEN_NORMALIZERS,
+    )
+
+    stops: frozenset[str] = frozenset()
+    if lang_dir is not None:
+        p = os.path.join(lang_dir, "stopwords_ko.txt")
+        if os.path.exists(p):
+            stops = parse_stopwords_file(p, fmt="wordset")
+    analyze = make_korean_fallback_analyzer(stops)
+
+    def positions_of(text: str | None) -> dict[str, list[int]]:
+        m: dict[str, list[int]] = {}
+        for i, tok in enumerate(analyze(text)):
+            m.setdefault(tok, []).append(i)
+        return m
+
+    QUERY_ANALYZERS[name] = analyze
+    POSITION_ANALYZERS[name] = positions_of
+    TOKEN_NORMALIZERS[name] = analyze
+    HIGHLIGHT_TOKEN_PATTERNS[name] = (
+        r"[가-힣ㄱ-ㆎᄀ-ᇿ]{1,2}"
+        r"|[㐀-䶿一-鿿豈-﫿]{1,2}"
+        r"|[^\W_가-힣ㄱ-ㆎᄀ-ᇿ㐀-䶿一-鿿豈-﫿]+"
     )
 
 

@@ -1516,10 +1516,16 @@ class BM25Index:
         if not terms or any(t not in idf for t in uniq_terms):
             return self._finish(empty, k, offset, with_stored, order_key, fl)
         if len(terms) == 1:
-            return self.search(
-                phrase, k=k, fq=fq, offset=offset,
-                with_stored=with_stored, order_key=order_key, fl=fl,
+            # a 1-term phrase IS a term query (Lucene rewrites it so) --
+            # score the analyzed TERM directly rather than re-parsing the
+            # surface string through search() (whose whitespace clause
+            # split would re-tokenize multi-word keyword-chain values,
+            # e.g. the `lowercase` fieldType's whole-value tokens)
+            t = terms[0]
+            scored = self._scored_frame(
+                [t], {t: idf[t]}, k + offset, "OR", "wand", self._norm_fq(fq)
             )
+            return self._finish(scored, k, offset, with_stored, order_key, fl)
         # Lucene sums idf over the phrase's term array (duplicates counted)
         idf_sum = float(sum(idf[t] for t in terms))
         k1, b, avgdl = K1, B, self.avgdl
