@@ -918,6 +918,160 @@ class BM25Index:
             F.stddev_samp(x).alias("stddev"),
         )
 
+    def _grouped_matches(
+        self,
+        query: str,
+        group_field: str,
+        group_limit: int,
+        op: str = "OR",
+        synonyms: bool | dict = False,
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """The grouped-query candidate relation: exact per-doc BM25 scores,
+        COLLAPSED inside each segment kernel to the top ``group_limit``
+        docs per group (canonical round6/doc_id order). Exactness: a doc's
+        postings for every query term live in its segment, so per-doc
+        scores and mm/AND clause counts are complete per kernel call; and
+        a group's global top-limit docs are contained in the union of its
+        per-segment top-limits. fq/tombstones filter BEFORE the collapse
+        (a dead doc outranking a live one inside a group must not evict
+        it), cogrouped as minority doc-id sets alongside the segment's
+        doc->group map (kind=3 rows; segment_id = doc_id // segment_size,
+        so routing needs no join and each kernel sees only its own
+        segment's map, bounded by segment_size)."""
+        terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
+        mm_n = self._norm_mm(mm, len(terms)) if op != "AND" else None
+        fq = self._norm_fq(fq)
+        idf = self.idf_map(terms)
+        if boosts:
+            idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
+        empty = self.spark.createDataFrame([], _SCORE_ROW)
+        if op == "AND" and any(t not in idf for t in terms):
+            return empty
+        terms = [t for t in terms if t in idf]
+        if not terms or (mm_n is not None and mm_n > len(terms)):
+            return empty
+
+        k1, b, avgdl = K1, B, self.avgdl
+        bidf = dict(idf)
+        n_query_terms = len(terms)
+        lim = max(int(group_limit), 1)
+        need_nt = n_query_terms if op == "AND" else (mm_n or 1)
+        is_and = op == "AND"
+
+        post = self.postings_for(terms).select(
+            "term", "segment_id", "count", "doc_gaps", "tfs", "dls"
+        )
+        side, fq_repr = self._side_frame(fq)
+        gmap = self.docs().select(
+            (F.col("doc_id") / self.segment_size).cast("long").alias(
+                "segment_id"
+            ),
+            "doc_id",
+            F.lit(3).alias("kind"),
+            F.col(group_field).cast("string").alias("gkey"),
+        )
+        if side is not None:
+            side = side.withColumn(
+                "gkey", F.lit(None).cast("string")
+            ).unionByName(gmap)
+        else:
+            side = gmap
+        FQ_INCLUDE, FQ_EXCLUDE = self._FQ_INCLUDE, self._FQ_EXCLUDE
+
+        def collapse(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            res_empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            left = left[left["term"].map(bidf.__contains__)]
+            if not len(left):
+                return res_empty
+            if is_and and left["term"].nunique() < n_query_terms:
+                return res_empty  # a conjunct is absent from this segment
+            dead = np.sort(
+                right.loc[right["kind"] == 0, "doc_id"].to_numpy(np.int64)
+            )
+            allowed = excluded = None
+            if fq_repr == FQ_INCLUDE:
+                allowed = np.sort(
+                    right.loc[right["kind"] == FQ_INCLUDE, "doc_id"]
+                    .to_numpy(np.int64)
+                )
+            elif fq_repr == FQ_EXCLUDE:
+                excluded = np.sort(
+                    right.loc[right["kind"] == FQ_EXCLUDE, "doc_id"]
+                    .to_numpy(np.int64)
+                )
+            g = right[right["kind"] == 3]
+            gdocs = g["doc_id"].to_numpy(np.int64)
+            gkeys = g["gkey"].to_numpy(object)
+            o = np.argsort(gdocs)
+            gdocs, gkeys = gdocs[o], gkeys[o]
+
+            w = left["term"].map(bidf).to_numpy(np.float64)
+            parts_d, parts_s = [], []
+            for i, row in enumerate(left.itertuples(index=False)):
+                gaps = varint_decode(row.doc_gaps, row.count)
+                docs = np.cumsum(gaps).astype(np.int64)
+                tf = varint_decode(row.tfs, row.count).astype(np.float64)
+                dl = varint_decode(row.dls, row.count).astype(np.float64)
+                if allowed is not None or excluded is not None or dead.size:
+                    live = (
+                        np.isin(docs, allowed)
+                        if allowed is not None
+                        else np.ones(len(docs), dtype=bool)
+                    )
+                    if excluded is not None and excluded.size:
+                        live &= ~np.isin(docs, excluded)
+                    if dead.size:
+                        live &= ~np.isin(docs, dead)
+                    docs, tf, dl = docs[live], tf[live], dl[live]
+                denom = tf + k1 * (
+                    1.0 - b + b * (dl / avgdl if avgdl else 1.0)
+                )
+                parts_d.append(docs)
+                parts_s.append(w[i] * tf * (k1 + 1.0) / denom)
+            cat = np.concatenate(parts_d) if parts_d else np.empty(0, np.int64)
+            if not len(cat):
+                return res_empty
+            uniq, inv = np.unique(cat, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(sums, inv, np.concatenate(parts_s))
+            if need_nt > 1:
+                m = np.bincount(inv, minlength=len(uniq)) >= need_nt
+                uniq, sums = uniq[m], sums[m]
+            if not len(uniq):
+                return res_empty
+            # doc -> group key via the sorted segment map; a doc missing
+            # from the map (never happens for live docs) gets its own ""
+            # bucket, and null group values share one group (Solr's null
+            # group semantics)
+            pos = np.searchsorted(gdocs, uniq)
+            pos_c = np.minimum(pos, max(len(gdocs) - 1, 0))
+            gk = gkeys[pos_c].copy() if len(gdocs) else np.full(
+                len(uniq), None, dtype=object
+            )
+            if len(gdocs):
+                gk[gdocs[pos_c] != uniq] = None
+            codes, _ = pd.factorize(gk, use_na_sentinel=False)
+            # per-group top-limit under (round6 desc, doc asc): sort by
+            # (group, -round6, doc), then positional rank within group
+            order = np.lexsort((uniq, -np.round(sums, 6), codes))
+            cs = codes[order]
+            idx = np.arange(len(cs))
+            new_grp = np.ones(len(cs), dtype=bool)
+            new_grp[1:] = cs[1:] != cs[:-1]
+            grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+            keep = order[(idx - grp_start) < lim]
+            return pd.DataFrame({"doc_id": uniq[keep], "score": sums[keep]})
+
+        return (
+            post.groupBy("segment_id")
+            .cogroup(side.groupBy("segment_id"))
+            .applyInPandas(collapse, schema=_SCORE_ROW)
+        )
+
     def search_grouped(
         self,
         query: str,
@@ -936,15 +1090,25 @@ class BM25Index:
         matching turns per conversation" -- Solr's canonical use.
 
         Returns (group_value, group_rank, rank_in_group, doc_id, score),
-        ordered. Like Solr, grouping needs the full match set (the k-th
-        group's head can sit arbitrarily deep in the flat ranking when one
-        group dominates), so this runs the exhaustive scorer -- then one
-        window per group for rank_in_group and a broadcast join of the k
-        group heads (k rows) to cut the output. Nothing group-related is
-        ever collected driver-side."""
+        ordered. The k-th group's head can sit arbitrarily deep in the
+        flat ranking when one group dominates, so every group must be
+        SEEN -- but not every match must survive: the segment kernels
+        collapse to the per-group top ``group_limit`` rows (Solr's
+        collapse qparser shape; a group's global top-limit is a subset of
+        the union of its per-segment top-limits, so the collapse is
+        exact). Only groups-in-segment x limit rows per segment reach the
+        window stage, instead of the full match set -- at 10^12 turns
+        grouping by conv_id that's a ~turns-per-conversation-fold
+        reduction before any shuffle. Then one window per group for
+        rank_in_group and a broadcast join of the k group heads (k rows)
+        cut the output. Nothing group-related is ever collected
+        driver-side."""
         from pyspark.sql.window import Window
 
-        matched = self.score_matches(query, op=op, fq=fq, mm=mm)
+        matched = self._grouped_matches(
+            query, group_field, group_limit, op=op, synonyms=synonyms,
+            fq=fq, mm=mm,
+        )
         joined = matched.join(
             self.docs().select("doc_id", group_field), "doc_id"
         )

@@ -22,8 +22,8 @@ def corpus(spark, tmp_path_factory):
     return df, BM25Index(spark, idx_dir)
 
 
-def _brute_groups(idx, q, field, k, limit):
-    rows = idx.score_matches(q).collect()
+def _brute_groups(idx, q, field, k, limit, op="OR", fq=None, mm=None):
+    rows = idx.score_matches(q, op=op, fq=fq, mm=mm).collect()
     scores = {r["doc_id"]: r["score"] for r in rows}
     fld = {
         r["doc_id"]: r[field]
@@ -67,6 +67,66 @@ def test_grouped_head_is_flat_top1(corpus):
     g = idx.search_grouped("error", "conv_id", k=1).collect()
     head = [r for r in g if r["group_rank"] == 1 and r["rank_in_group"] == 1][0]
     assert head["doc_id"] == top["doc_id"]
+
+
+def _assert_grouped_equals_brute(idx, q, field, k, limit, **kw):
+    got_rows = idx.search_grouped(q, field, k=k, group_limit=limit, **kw).collect()
+    got: dict = {}
+    order = []
+    for r in sorted(got_rows, key=lambda r: (r["group_rank"], r["rank_in_group"])):
+        if r["group_value"] not in got:
+            order.append(r["group_value"])
+        got.setdefault(r["group_value"], []).append(
+            (r["doc_id"], round(r["score"], 6))
+        )
+    want = _brute_groups(idx, q, field, k, limit, **kw)
+    assert order == [gv for gv, _ in want]
+    for gv, docs in want:
+        assert got[gv] == docs
+    return got
+
+
+def test_grouped_collapse_cross_segment_groups(corpus):
+    """group.field=role spans every segment (conv_id is segment-clustered,
+    role is not): the per-segment collapse must union correctly across
+    segments before the global window cut."""
+    _, idx = corpus
+    got = _assert_grouped_equals_brute(idx, "error tool", "role", 3, 4)
+    assert len(got) == 3  # all three roles matched somewhere
+
+
+def test_grouped_collapse_under_fq_and_mm(corpus):
+    """fq and op/mm filter BEFORE the collapse -- a filtered-out doc must
+    not evict a live doc from its group's per-segment top-limit."""
+    _, idx = corpus
+    _assert_grouped_equals_brute(
+        idx, "error tool", "conv_id", 4, 2, fq="role != 'tool'"
+    )
+    _assert_grouped_equals_brute(idx, "error tool", "conv_id", 4, 2, op="AND")
+    _assert_grouped_equals_brute(idx, "error tool the", "conv_id", 4, 2, mm=2)
+
+
+def test_grouped_collapse_after_delete(spark, tmp_path_factory):
+    from solr_semantic_importer_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    df = generate_transcripts(spark, n_convs=30, turns_per_conv=6, seed=77)
+    idx_dir = str(tmp_path_factory.mktemp("grpdel"))
+    build_index(spark, df, idx_dir, BuildConfig(build_id="grpdel", **CFG))
+    idx = BM25Index(spark, idx_dir)
+    before = idx.search_grouped("error", "conv_id", k=5, group_limit=2).collect()
+    n = idx.delete_by_query("role = 'user'")
+    assert n > 0
+    got = _assert_grouped_equals_brute(idx, "error", "conv_id", 5, 2)
+    # tombstoned docs are really gone from the grouped page
+    dead = {
+        r["doc_id"]
+        for r in idx.docs().filter("role = 'user'").select("doc_id").collect()
+    }
+    for docs in got.values():
+        assert not ({d for d, _ in docs} & dead)
+    assert before  # sanity: the pre-delete page existed
 
 
 def test_select_grouped_shape(corpus):
