@@ -243,11 +243,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (consolidated r3 to fit the driver's 50-row CORRECTNESS gate: the OOV
     # term rides the mixed query -- df=0 terms must contribute nothing --
     # and paging rides the selective query shape)
+    # (r4 gate rotation: bm25_paged out -- offset paging is gated by
+    # match_all_paged and cursor-walk pytest; exhaustive mode rides
+    # bm25_synonyms -- freeing slots for mlt/terms/stats/grouped below)
     q["bm25_topk_hot"] = _bm25("table the a", k=10)
     q["bm25_topk_mixed"] = _bm25("merge window customer zzzunknownoov", k=10)
     q["bm25_and"] = _bm25("spark window", k=10, op="AND")
     q["bm25_fq_role"] = _bm25("table scan", k=10, fq="role = 'user'")
-    q["bm25_paged"] = _bm25("vector stream", k=5, offset=5, mode="exhaustive")
 
     def term_df_top20(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -547,15 +549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_synonyms"] = _bm25("gb table", k=10, synonyms=True, mode="exhaustive")
 
     # ---- phrase queries (positional index) + facet-on-results (Q5) ----
-    # (bare "table hash" phrase entry consolidated into bm25_phrase_fq,
-    # which runs the same phrase through the fq path; r3 gate fit)
-    def bm25_phrase_long(spark, sf_dir):
-        idx = _index_for(spark, sf_dir)
-        res = idx.search_phrase("merge group", k=10, order_key="milli")
-        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
-
-    q["bm25_phrase_long"] = bm25_phrase_long
-
+    # (r4 gate rotation: bm25_phrase_long out -- bm25_phrase_fq exercises
+    # the same positional kernel through the fq path, and multi-term
+    # phrase shapes are pytest-covered in test_query_surface.py)
     def bm25_phrase_fq(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
         res = idx.search_phrase(
@@ -611,20 +607,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["match_all_paged"] = match_all_paged
 
     # ---- Q6 spellcheck suggest + Q7 highlighting ----
+    # (r4 gate rotation: highlight_top out -- highlight_frag certifies the
+    # same idx.highlight engine path plus the gap fragmenter; whole-field
+    # highlighting is pytest-covered in test_query_surface.py)
     def spell_suggest(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
         return idx.suggest("tabel", n=5)
 
     q["spell_suggest"] = spell_suggest
-
-    def highlight_top(spark, sf_dir):
-        # whole-field highlight through the ENGINE path (fragsize=None), so
-        # the oracle row certifies idx.highlight, not an inline regex
-        idx = _index_for(spark, sf_dir)
-        res = idx.highlight("merge window", k=5, order_key="milli")
-        return res.select("doc_id", "highlighted")
-
-    q["highlight_top"] = highlight_top
 
     def highlight_frag(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -633,13 +623,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["highlight_frag"] = highlight_frag
 
+    # ---- /terms component (new r4 gate row) ----
+    def terms_prefix(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        return idx.terms(prefix="s", limit=15, sort="count")
+
+    q["terms_prefix"] = terms_prefix
+
+    # ---- stats component (new r4 gate row) ----
+    def stats_numeric(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        row = idx.stats_field("table scan", "turn_idx")
+        return row.select(
+            F.col("min").cast("long").alias("min"),
+            F.col("max").cast("long").alias("max"),
+            F.col("count").cast("long").alias("count"),
+            F.col("missing").cast("long").alias("missing"),
+            F.col("sum").cast("long").alias("sum"),
+            F.col("sumOfSquares").cast("long").alias("sum_sq"),
+            _milli(F.col("mean")).alias("mean_milli"),
+            _milli(F.col("stddev")).alias("stddev_milli"),
+        )
+
+    q["stats_numeric"] = stats_numeric
+
+    # ---- MoreLikeThis (new r4 gate row) ----
+    def mlt_topk(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        res = idx.more_like_this(
+            7, k=10, max_query_terms=10, min_tf=1, min_df=5,
+            order_key="milli",
+        )
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["mlt_topk"] = mlt_topk
+
+    # ---- result grouping, collapsed segment kernels (new r4 gate row) ----
+    def grouped_topk(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        res = idx.search_grouped("table merge", "conv_id", k=5, group_limit=2)
+        return res.select(
+            "group_value",
+            F.col("group_rank").cast("long").alias("group_rank"),
+            F.col("rank_in_group").cast("long").alias("rank_in_group"),
+            "doc_id",
+            _milli(F.col("score")).alias("score_milli"),
+        )
+
+    q["grouped_topk"] = grouped_topk
+
     # ---- multimodal binary columns ----
-    def multimodal_digest(spark, sf_dir):
-        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-        return MM.payload_digest(MM.attach_binary_payload(d))
-
-    q["multimodal_digest"] = multimodal_digest
-
+    # (r4 gate rotation: multimodal_digest out -- multimodal_frames gates
+    # the same attach/decode plumbing plus frame sampling; payload_digest
+    # is pytest-covered in test_multimodal_flatten.py)
     def multimodal_frames(spark, sf_dir):
         d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
         fr = MM.sample_frames(MM.attach_binary_payload(d), every_nth=2)
@@ -861,7 +897,6 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_mixed"] = OSQL.bm25_topk_sql("merge window customer zzzunknownoov", k=10)
     o["bm25_and"] = OSQL.bm25_topk_sql("spark window", k=10, op="AND")
     o["bm25_fq_role"] = OSQL.bm25_topk_sql("table scan", k=10, fq="role = 'user'")
-    o["bm25_paged"] = OSQL.bm25_topk_sql("vector stream", k=5, offset=5)
     o["term_df_top20"] = OSQL.term_df_top_sql(20)
     o["corpus_stats"] = OSQL.corpus_stats_sql()
     o["doc_lengths"] = OSQL.doc_lengths_sql(50)
@@ -1064,8 +1099,15 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_synonyms"] = OSQL.bm25_topk_sql("gb gib gigabyte gigabytes table", k=10)
 
     o["bm25_phrase_fq"] = OSQL.bm25_phrase_sql("table hash", k=10, fq="role = 'user'")
-    o["bm25_phrase_long"] = OSQL.bm25_phrase_sql("merge group", k=10)
     o["bm25_facet_role"] = OSQL.facet_on_results_sql("table scan", "role")
+    o["terms_prefix"] = OSQL.terms_prefix_sql("s", limit=15)
+    o["stats_numeric"] = OSQL.stats_field_sql("table scan", "turn_idx")
+    o["mlt_topk"] = OSQL.mlt_topk_sql(
+        7, k=10, max_query_terms=10, min_tf=1, min_df=5
+    )
+    o["grouped_topk"] = OSQL.grouped_topk_sql(
+        "table merge", "conv_id", k=5, group_limit=2
+    )
 
     o["bm25_after_delete"] = OSQL.bm25_topk_sql(
         "table scan the", k=10, exclude="role = 'tool'"
@@ -1100,15 +1142,6 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 5
     """
     hl_inner = OSQL.bm25_topk_sql("merge window", k=5)
-    o["highlight_top"] = f"""
-        WITH topk AS ({hl_inner}),
-        t AS ({OSQL.transcripts_ids_cte()})
-        SELECT topk.doc_id,
-               regexp_replace(t.text, '(?i)\\b(merge|window)\\b',
-                              '<em>\\1</em>', 'g') AS highlighted
-        FROM topk JOIN t ON t.doc_id = topk.doc_id
-    """
-
     o["highlight_frag"] = f"""
         WITH topk AS ({hl_inner}),
         t AS ({OSQL.transcripts_ids_cte()}),
@@ -1129,14 +1162,6 @@ def oracle_sql() -> dict[str, str]:
                              ELSE greatest(1, first - 40) END, 80),
                  '(?i)\\b(merge|window)\\b', '<em>\\1</em>', 'g') AS highlighted
         FROM j
-    """
-    o["multimodal_digest"] = """
-        SELECT doc_id,
-               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
-               md5(coalesce(text, '')) AS payload_md5
-        FROM documents WHERE doc_id < 200
     """
     # fake video decode: payload split into n_frames slices, every 2nd kept
     o["multimodal_frames"] = """

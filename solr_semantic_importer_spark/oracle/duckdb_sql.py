@@ -206,6 +206,136 @@ def corpus_stats_sql() -> str:
     """
 
 
+def terms_prefix_sql(prefix: str, limit: int = 10, min_df: int = 1) -> str:
+    """/terms component oracle: indexed terms with df, count-sorted
+    (df desc, term asc -- Solr's default comparator)."""
+    min_df_pred = f"AND df >= {min_df}" if min_df > 1 else ""
+    return f"""
+    WITH {bm25_base_ctes()}
+    SELECT term, CAST(df AS BIGINT) AS df
+    FROM dft
+    WHERE term LIKE '{prefix}%' {min_df_pred}
+    ORDER BY df DESC, term ASC
+    LIMIT {limit}
+    """
+
+
+def stats_field_sql(query: str, field: str) -> str:
+    """Stats component oracle over an ids column: min/max/count/missing/
+    sum/sumOfSquares (integral at this corpus -> BIGINT) + milli mean and
+    sample stddev, over the distinct OR match set of ``query``."""
+    terms = list(dict.fromkeys(analyze_text(query)))
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH {bm25_base_ctes()},
+    matched AS (SELECT DISTINCT doc_id FROM tfc WHERE term IN ({term_list})),
+    x AS (SELECT ids.{field}::DOUBLE AS v FROM matched JOIN ids USING (doc_id))
+    SELECT CAST(min(v) AS BIGINT) AS min,
+           CAST(max(v) AS BIGINT) AS max,
+           CAST(count(v) AS BIGINT) AS count,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+           CAST(sum(v) AS BIGINT) AS sum,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(round(avg(v) * 1000) AS BIGINT) AS mean_milli,
+           CAST(round(stddev_samp(v) * 1000) AS BIGINT) AS stddev_milli
+    FROM x
+    """
+
+
+def mlt_topk_sql(
+    seed_doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_tf: int = 2,
+    min_df: int = 5,
+) -> str:
+    """MoreLikeThis oracle, replicating the engine's MLT pipeline from
+    first principles: the seed doc's terms gated by mlt.mintf/mlt.mindf,
+    ranked by tf x idf (term-asc ties), top maxqt run as a tf-boosted OR
+    BM25 query, the seed excluded."""
+    return f"""
+    WITH {bm25_base_ctes()},
+    seedtf AS (
+      SELECT term, tf FROM tfc
+      WHERE doc_id = {seed_doc_id} AND tf >= {min_tf}
+    ),
+    cand AS (
+      SELECT s.term, s.tf,
+             ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) AS idf
+      FROM seedtf s JOIN dft d USING (term) CROSS JOIN st
+      WHERE d.df >= {min_df}
+    ),
+    ranked AS (
+      SELECT term, tf, idf FROM cand
+      ORDER BY tf * idf DESC, term ASC LIMIT {max_query_terms}
+    ),
+    scored AS (
+      SELECT tfc.doc_id,
+             sum( r.tf * r.idf * tfc.tf * ({K1} + 1)
+                  / (tfc.tf + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl)) ) AS score
+      FROM tfc
+      JOIN ranked r USING (term)
+      JOIN lens ON lens.doc_id = tfc.doc_id
+      CROSS JOIN st
+      GROUP BY tfc.doc_id
+    )
+    SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_milli
+    FROM scored WHERE doc_id != {seed_doc_id}
+    ORDER BY score_milli DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+def grouped_topk_sql(
+    query: str, field: str, k: int = 10, group_limit: int = 1
+) -> str:
+    """Result-grouping oracle: the full OR BM25 match set grouped by an
+    ids column; groups ranked by their head doc's (round6, doc_id) key,
+    top ``group_limit`` docs per group for the top ``k`` groups."""
+    terms = list(dict.fromkeys(analyze_text(query)))
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH {bm25_base_ctes()},
+    scored AS (
+      SELECT tfc.doc_id,
+             sum( ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                  * tfc.tf * ({K1} + 1)
+                  / (tfc.tf + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl)) ) AS score
+      FROM tfc
+      JOIN dft USING (term)
+      JOIN lens ON lens.doc_id = tfc.doc_id
+      CROSS JOIN st
+      WHERE tfc.term IN ({term_list})
+      GROUP BY tfc.doc_id
+    ),
+    g AS (
+      SELECT s.doc_id, s.score, ids.{field} AS group_value
+      FROM scored s JOIN ids USING (doc_id)
+    ),
+    ing AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY group_value ORDER BY round(score, 6) DESC, doc_id ASC
+      ) AS rank_in_group
+      FROM g
+    ),
+    heads AS (
+      SELECT group_value, row_number() OVER (
+        ORDER BY round(score, 6) DESC, doc_id ASC
+      ) AS group_rank
+      FROM ing WHERE rank_in_group = 1
+      ORDER BY group_rank LIMIT {k}
+    )
+    SELECT h.group_value AS group_value,
+           CAST(h.group_rank AS BIGINT) AS group_rank,
+           CAST(i.rank_in_group AS BIGINT) AS rank_in_group,
+           i.doc_id,
+           CAST(round(i.score * 1000) AS BIGINT) AS score_milli
+    FROM ing i JOIN heads h USING (group_value)
+    WHERE i.rank_in_group <= {group_limit}
+    ORDER BY h.group_rank, i.rank_in_group
+    """
+
+
 def doc_lengths_sql(max_doc: int = 50) -> str:
     return f"""
     WITH {bm25_base_ctes()}

@@ -847,6 +847,7 @@ class BM25Index:
         min_tf: int = 2,
         min_df: int = 5,
         fq: str | list[str] | None = None,
+        order_key: str = "round6",
     ) -> DataFrame:
         """Solr MoreLikeThis: find docs similar to ``doc_id``. The seed
         doc's "interesting terms" are ranked by tf×idf with Solr's MLT
@@ -881,10 +882,16 @@ class BM25Index:
         # per-term boost = the seed doc's tf (Solr MLT boost=true shape);
         # ask for k+1 and drop the seed (it always matches itself best)
         q = " ".join(f"{t}^{tf_counts[t]}" for t in ranked)
-        out = self.search(q, k=k + 1, fq=fq, use_cache=False)
+        out = self.search(
+            q, k=k + 1, fq=fq, use_cache=False, order_key=order_key
+        )
+        if order_key == "milli":
+            key = F.round(F.col("score") * 1000).cast("long")
+        else:
+            key = F.round(F.col("score"), 6)
         return (
             out.filter(F.col("doc_id") != int(doc_id))
-            .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+            .orderBy(key.desc(), F.col("doc_id").asc())
             .limit(k)
         )
 
