@@ -64,6 +64,7 @@ __all__ = [
     "register_thai_fallback_chain",
     "make_korean_fallback_analyzer",
     "register_korean_fallback_chain",
+    "register_reference_configset",
     "UNICODE_TOKEN_PATTERN",
 ]
 
@@ -561,6 +562,42 @@ def register_korean_fallback_chain(
         r"|[㐀-䶿一-鿿豈-﫿]{1,2}"
         r"|[^\W_가-힣ㄱ-ㆎᄀ-ᇿ㐀-䶿一-鿿豈-﫿]+"
     )
+
+
+def register_reference_configset(lang_dir: str) -> list[str]:
+    """One call registers EVERY analysis fieldType the reference schema
+    declares against a configset ``lang/`` dir: the 29 space-delimited
+    stopword languages, the 3 segmenter-language fallbacks (ja/th/ko), the
+    schema's own ``text_cjk``, and the minor types (``text_ws``,
+    ``lowercase``, ``phonetic_en``, ``text_general_rev``). Built-ins
+    (text_general/text_en/WDG chains) are already registered at import.
+    Returns the chain names registered by THIS call -- after it, every
+    fieldType in managed-schema.xml resolves as a ``BuildConfig.analyzer``.
+    """
+    from .analysis import QUERY_ANALYZERS
+    from .field_types import (
+        register_lowercase_chain,
+        register_text_general_rev_chain,
+        register_text_ws_chain,
+    )
+    from .phonetic import register_phonetic_en_chain
+
+    out = register_language_chains(lang_dir)
+    extras = {
+        "text_cjk": register_cjk_bigram_chain,
+        "text_ja": lambda: register_japanese_fallback_chain(lang_dir),
+        "text_th": lambda: register_thai_fallback_chain(lang_dir),
+        "text_ko": lambda: register_korean_fallback_chain(lang_dir),
+        "text_ws": register_text_ws_chain,
+        "lowercase": register_lowercase_chain,
+        "phonetic_en": register_phonetic_en_chain,
+        "text_general_rev": register_text_general_rev_chain,
+    }
+    for name, fn in extras.items():
+        if name not in QUERY_ANALYZERS:
+            fn()
+            out.append(name)
+    return out
 
 
 def register_language_chains(

@@ -979,6 +979,16 @@ class BM25Index:
             F.lit(3).alias("kind"),
             F.col(group_field).cast("string").alias("gkey"),
         )
+        # only segments holding postings of the query terms can match --
+        # prune the (big) doc->group map to them before it enters the
+        # cogroup shuffle; the distinct segment list is n_segments rows,
+        # always broadcastable, so a selective query never ships the whole
+        # corpus's group map
+        gmap = gmap.join(
+            F.broadcast(post.select("segment_id").distinct()),
+            "segment_id",
+            "left_semi",
+        )
         if side is not None:
             side = side.withColumn(
                 "gkey", F.lit(None).cast("string")

@@ -28,6 +28,22 @@ from solr_semantic_importer_spark.query.engine import BM25Index
 REF_LANG = "/root/reference/src/main/resources/default-base-config/lang"
 
 
+def test_register_reference_configset_covers_every_fieldtype():
+    """One call -> every analysis fieldType the schema declares resolves."""
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        register_reference_configset,
+    )
+
+    register_reference_configset(REF_LANG)
+    for name in ("text_general", "text_en", "text_en_splitting", "text_fr",
+                 "text_de", "text_ru", "text_cjk", "text_ja", "text_th",
+                 "text_ko", "text_ws", "lowercase", "phonetic_en",
+                 "text_general_rev"):
+        assert name in QUERY_ANALYZERS, f"fieldType missing: {name}"
+    # idempotent: a second call registers nothing new and overwrites nothing
+    assert register_reference_configset(REF_LANG) == []
+
+
 def _mini_index(spark, tmp_path_factory, name, analyzer, texts):
     rows = [("c0", i, "user", t, None) for i, t in enumerate(texts)]
     df = spark.createDataFrame(

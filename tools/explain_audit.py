@@ -159,12 +159,16 @@ def main() -> None:
                               "fl": "doc_id,score,conv_id"}),
         ),
         (
-            "Result grouping (top docs per group)",
-            "What to check: exhaustive match set joined to (doc_id,\n"
-            "group_field), ONE window exchange partitioned by the group\n"
-            "field for rank_in_group, and the k group heads coming back as a\n"
-            "`BroadcastHashJoin` (k rows) to cut the output — no global sort\n"
-            "of the match set, nothing group-sized at the driver.",
+            "Result grouping (collapsed segment kernels, r4)",
+            "What to check: the pruned postings scan cogrouped per segment\n"
+            "with the (segment_id, doc_id, gkey) map (`FlatMapCoGroupsInPandas`\n"
+            "— the collapse kernel emits at most groups-in-segment × limit\n"
+            "rows per segment, never the full match set), then the join to\n"
+            "(doc_id, group_field), ONE window exchange partitioned by the\n"
+            "group field for rank_in_group, and the k group heads coming\n"
+            "back as a `BroadcastHashJoin` (k rows) to cut the output — no\n"
+            "global sort of the match set, nothing group-sized at the\n"
+            "driver, and the window's input is already collapse-bounded.",
             idx.search_grouped("table merge window", "conv_id",
                                k=5, group_limit=2),
         ),
