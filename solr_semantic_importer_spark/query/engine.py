@@ -1620,8 +1620,15 @@ class BM25Index:
         numFound/docs on the same /select response.
 
         Plan: pruned postings scan -> distinct matched doc ids (small) ->
-        join to the docs table -> groupBy(field).count().
+        join to the docs table -> groupBy(field).count(). ``*:*`` facets
+        every live doc under fq (MatchAllDocsQuery), no postings touched.
         """
+        if query.strip() == "*:*":
+            return (
+                self._anti_dead(self._apply_fq(self.docs(), fq))
+                .groupBy(field)
+                .agg(F.count("*").alias("facet_count"))
+            )
         matched = self._matched_ids(query, op=op, fq=fq, mm=mm)
         return (
             matched.join(self.docs(), "doc_id")

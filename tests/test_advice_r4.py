@@ -113,6 +113,22 @@ def test_select_facet_counts_match_response_docset(corpus):
     assert sum(flat2[1::2]) == resp2["response"]["numFound"]
 
 
+def test_facet_match_all(corpus):
+    """idx.facet('*:*', f) counts every live doc under fq (MatchAllDocs),
+    not the empty set the no-terms path would produce."""
+    _, idx = corpus
+    got = {
+        r["role"]: int(r["facet_count"])
+        for r in idx.facet("*:*", "role").collect()
+    }
+    assert sum(got.values()) == idx.docs().count()
+    under_fq = {
+        r["role"]: int(r["facet_count"])
+        for r in idx.facet("*:*", "role", fq="role != 'tool'").collect()
+    }
+    assert "tool" not in under_fq and under_fq
+
+
 def test_cursor_pages_count_once(corpus, monkeypatch):
     """A cursor walk computes numFound on page 1 and carries it: no
     O(full-match-set) count job per page."""
