@@ -166,6 +166,11 @@ class BM25Index:
         self._bucket_cache: dict[str, int] = {}
         self._df_cache: dict[str, int] | None = None
         self._filter_cache: OrderedDict[str, tuple[int, DataFrame]] = OrderedDict()
+        # fieldValueCache analog (Solr's implicit cache backing grouping /
+        # field faceting): group_field -> PERSISTED (segment_id, doc_id,
+        # kind, gkey) map, so repeated grouped queries never re-scan the
+        # docs table for the same field
+        self._gmap_cache: OrderedDict[str, DataFrame] = OrderedDict()
         # queryResultCache: (terms, op, mode, fq, order_key) -> (DocList
         # rows, complete?). complete=True means the query has fewer matches
         # than the fetched window, so ANY page is answerable from the entry.
@@ -925,6 +930,38 @@ class BM25Index:
             F.stddev_samp(x).alias("stddev"),
         )
 
+    GMAP_CACHE_MAX = 16
+
+    def _gmap_entry(self, group_field: str) -> DataFrame:
+        """Solr fieldValueCache analog (the implicit cache Solr grouping
+        and field faceting lean on): the (segment_id, doc_id, kind=3,
+        gkey) doc->group map of a field, PERSISTED distributed
+        (MEMORY_AND_DISK) on first grouped use and LRU-evicted at
+        GMAP_CACHE_MAX fields -- repeated grouped queries on the same
+        field (the conv_id pattern) never re-scan the docs table. Safe
+        across delete_by_query (tombstones travel as separate kind-0
+        rows); compact/merge return a fresh handle; :meth:`release`
+        unpersists."""
+        from pyspark import StorageLevel
+
+        ent = self._gmap_cache.get(group_field)
+        if ent is not None:
+            self._gmap_cache.move_to_end(group_field)
+            return ent
+        gmap = self.docs().select(
+            (F.col("doc_id") / self.segment_size).cast("long").alias(
+                "segment_id"
+            ),
+            "doc_id",
+            F.lit(3).alias("kind"),
+            F.col(group_field).cast("string").alias("gkey"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        self._gmap_cache[group_field] = gmap
+        while len(self._gmap_cache) > self.GMAP_CACHE_MAX:
+            _, old = self._gmap_cache.popitem(last=False)
+            old.unpersist()
+        return gmap
+
     def _grouped_matches(
         self,
         query: str,
@@ -971,20 +1008,12 @@ class BM25Index:
             "term", "segment_id", "count", "doc_gaps", "tfs", "dls"
         )
         side, fq_repr = self._side_frame(fq)
-        gmap = self.docs().select(
-            (F.col("doc_id") / self.segment_size).cast("long").alias(
-                "segment_id"
-            ),
-            "doc_id",
-            F.lit(3).alias("kind"),
-            F.col(group_field).cast("string").alias("gkey"),
-        )
         # only segments holding postings of the query terms can match --
-        # prune the (big) doc->group map to them before it enters the
-        # cogroup shuffle; the distinct segment list is n_segments rows,
-        # always broadcastable, so a selective query never ships the whole
-        # corpus's group map
-        gmap = gmap.join(
+        # prune the (big, cached) doc->group map to them before it enters
+        # the cogroup shuffle; the distinct segment list is n_segments
+        # rows, always broadcastable, so a selective query never ships the
+        # whole corpus's group map
+        gmap = self._gmap_entry(group_field).join(
             F.broadcast(post.select("segment_id").distinct()),
             "segment_id",
             "left_semi",
@@ -1559,6 +1588,9 @@ class BM25Index:
         for _fq, (_repr, rows) in self._filter_cache.items():
             rows.unpersist()
         self._filter_cache.clear()
+        for _f, gmap in self._gmap_cache.items():
+            gmap.unpersist()
+        self._gmap_cache.clear()
         self._result_cache.clear()
 
     def compact(self, config=None, prune_keep_versions: int | None = 2) -> "BM25Index":

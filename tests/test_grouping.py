@@ -129,6 +129,21 @@ def test_grouped_collapse_after_delete(spark, tmp_path_factory):
     assert before  # sanity: the pre-delete page existed
 
 
+def test_gmap_field_value_cache(corpus):
+    """The fieldValueCache analog: the first grouped query persists the
+    field's doc->group map; repeated queries reuse it (entry present,
+    results identical), and release() unpersists."""
+    _, idx = corpus
+    idx._gmap_cache.clear()
+    r1 = idx.search_grouped("error", "conv_id", k=3, group_limit=1).collect()
+    assert "conv_id" in idx._gmap_cache
+    assert idx._gmap_cache["conv_id"].storageLevel.useMemory
+    r2 = idx.search_grouped("error", "conv_id", k=3, group_limit=1).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    idx.release()
+    assert not idx._gmap_cache
+
+
 def test_select_grouped_shape(corpus):
     _, idx = corpus
     resp = solr_select(idx, {
