@@ -89,6 +89,7 @@ def _num(v: float):
 def solr_select(
     idx: BM25Index, params: dict[str, Any], *,
     known_num_found: int | None = None,
+    known_num_found_exact: bool = True,
 ) -> dict[str, Any]:
     """Execute one ``/select`` request against a :class:`BM25Index`. See
     module docstring for the param surface; unknown params raise (the
@@ -159,6 +160,7 @@ def solr_select(
     #   sort anyway; count THAT instead of decoding postings a second time.
     if known_num_found is not None:
         num_found = int(known_num_found)
+        num_found_exact = bool(known_num_found_exact)  # page-1 verdict carries
     elif match_all:
         num_found = idx.count_matches(q, op=op, fq=fq, mm=mm)
     elif (sort == "score desc" and mec is not None
@@ -573,10 +575,13 @@ def select_cursor_pages(
     condition: nextCursorMark == the mark the page was requested with."""
     mark = str(params.get("cursorMark", "*"))
     num_found: int | None = None  # counted ONCE on the first page, carried
+    nf_exact = True
     while True:
         page = dict(params, cursorMark=mark, start=0, rows=page_size)
-        resp = solr_select(idx, page, known_num_found=num_found)
+        resp = solr_select(idx, page, known_num_found=num_found,
+                           known_num_found_exact=nf_exact)
         num_found = int(resp["response"]["numFound"])
+        nf_exact = bool(resp["response"]["numFoundExact"])
         yield resp
         nxt = resp["nextCursorMark"]
         if nxt == mark:

@@ -148,6 +148,20 @@ def test_cursor_pages_count_once(corpus, monkeypatch):
     assert nf == {orig(idx, "error")}  # carried value is the exact count
 
 
+def test_cursor_pages_carry_inexactness(corpus):
+    """A cursor walk whose page-1 count used minExactCount (a lower
+    bound) must keep reporting numFoundExact=false on carried pages."""
+    _, idx = corpus
+    exact = idx.count_matches("error")
+    pages = list(select_cursor_pages(
+        idx, {"q": "error", "minExactCount": 3}, page_size=3))
+    if not pages[0]["response"]["numFoundExact"]:
+        assert all(not p["response"]["numFoundExact"] for p in pages)
+        assert pages[0]["response"]["numFound"] <= exact
+    else:  # fewer matches than the window: exact verdict carries instead
+        assert pages[0]["response"]["numFound"] == exact
+
+
 def test_cursor_walk_rank_identity_exhaustive_vs_wand(corpus):
     """The exhaustive-mode cursor path (Arrow np.round keyset predicate)
     walks the identical sequence as the WAND path (kernel-enforced
