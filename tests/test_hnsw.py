@@ -57,6 +57,52 @@ def test_recall_on_isotropic_vectors():
     assert np.mean(recalls) >= 0.95
 
 
+def test_bulk_build_deterministic_connected_and_exact_at_covered_beam():
+    """The exact-kNN bulk path (empty graph): double-build byte equality,
+    full reachability (covered beam == exact brute force, the oracle
+    regime), and high pruned-beam recall."""
+    N, d = 1500, 48
+    V = _random_vecs(N, d, seed=11)
+    g1, g2 = HNSWGraph(d, M=16, ef_construction=100), HNSWGraph(d, M=16, ef_construction=100)
+    g1.add_batch(np.arange(N), V)
+    g2.add_batch(np.arange(N), V)
+    assert g1.to_bytes() == g2.to_bytes()
+    V64 = V.astype(np.float64)
+    n64 = np.linalg.norm(V64, axis=1)
+    recalls = []
+    for qi in range(0, N, 150):
+        cos = np.round(V64 @ V64[qi] / (n64 * n64[qi]), 6)
+        exact = [int(i) for i in np.lexsort((np.arange(N), -cos))[:10]]
+        # covered beam (ef = N) must equal exact ids AND scores
+        got_full = g1.search(V[qi], 10, ef_search=N)
+        assert [i for i, _ in got_full] == exact
+        got = g1.search(V[qi], 10, ef_search=100)
+        recalls.append(len({i for i, _ in got} & set(exact)) / 10)
+    assert np.mean(recalls) >= 0.95
+
+
+def test_incremental_add_batch_on_nonempty_graph():
+    """The batched-insertion path (non-empty graph): deterministic, every
+    node searchable, covered-beam exact after the increment."""
+    N, d = 900, 48
+    V = _random_vecs(N, d, seed=13)
+    def build():
+        g = HNSWGraph(d, M=16, ef_construction=100)
+        g.add_batch(np.arange(500), V[:500])       # bulk path
+        g.add_batch(np.arange(500, N), V[500:])    # incremental batched path
+        return g
+    g1, g2 = build(), build()
+    assert g1.to_bytes() == g2.to_bytes()
+    assert g1._n == N and len(g1.ids) == N
+    V64 = V.astype(np.float64)
+    n64 = np.linalg.norm(V64, axis=1)
+    for qi in (3, 600, 899):
+        cos = np.round(V64 @ V64[qi] / (n64 * n64[qi]), 6)
+        exact = [int(i) for i in np.lexsort((np.arange(N), -cos))[:10]]
+        got = g1.search(V[qi], 10, ef_search=N)
+        assert [i for i, _ in got] == exact  # late nodes fully reachable
+
+
 def test_zero_norm_vectors_do_not_crash():
     g = HNSWGraph(8)
     g.add(0, np.zeros(8, dtype=np.float32))
