@@ -140,6 +140,25 @@ def test_double_metaphone_golden():
     assert double_metaphone("") == ("", "")
 
 
+def test_double_metaphone_properties():
+    """Property sweep (hypothesis): codes stay in the DM alphabet, respect
+    max_len, are case-insensitive, and never crash on arbitrary text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = set("AFHJKLMNPRSTX0")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=24))
+    def check(s):
+        p, a = double_metaphone(s)
+        assert set(p) <= alphabet and set(a) <= alphabet
+        assert len(p) <= 4 and len(a) <= 4
+        assert (p, a) == double_metaphone(s.upper()) == double_metaphone(s.lower())
+
+    check()
+
+
 def test_phonetic_en_chain_analyzer():
     register_phonetic_en_chain(name="tzz_phon")
     a = QUERY_ANALYZERS["tzz_phon"]
