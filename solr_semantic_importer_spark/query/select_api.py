@@ -21,11 +21,13 @@ components its solrconfig enables):
 - ``fq`` — one string or a list (Solr sends one param per filter); Solr
   filter syntax or SQL, per `functions/solr_fq.py`
 - ``start``/``rows`` (Solr defaults 0/10)
-- ``fl`` — comma-separated stored-field list; ``score`` is returned only
-  when requested (Solr semantics); default = all stored fields
-- ``sort`` — ``score desc`` (default) or ``<field> asc|desc`` (match-all
-  scans sort the live filtered table; scored queries sort the full match
-  set, Solr's field-sort-over-DocSet behavior)
+- ``fl`` — comma-separated stored-field list; ``*`` = every stored field;
+  ``score`` is returned only when requested (Solr semantics); default =
+  all stored fields
+- ``sort`` — ``score desc`` (default) or comma-separated ``<field>
+  asc|desc`` terms, Solr's multi-field syntax (match-all scans sort the
+  live filtered table; scored queries sort the full match set, Solr's
+  field-sort-over-DocSet behavior; sort fields need not be in ``fl``)
 - ``facet=true&facet.field=F`` (repeatable) → ``facet_counts.facet_fields``
   as Solr's flat ``[val, count, val, count, ...]`` arrays
 - ``hl=true`` (``hl.fragsize`` honored) → ``highlighting`` map keyed by
@@ -86,6 +88,32 @@ def _num(v: float):
     return int(v) if float(v).is_integer() else v
 
 
+def _parse_sort(sort: str) -> list[tuple[str, str]]:
+    """Solr sort spec -> [(field, 'asc'|'desc'), ...]. Multi-field sorts
+    are comma-separated, Solr's syntax; malformed entries raise."""
+    out = []
+    for part in sort.split(","):
+        p = " ".join(part.split())
+        f, _, d = p.partition(" ")
+        if not f or d not in ("asc", "desc"):
+            raise ValueError(
+                f"unsupported sort: {sort!r} (use '<field> asc|desc'"
+                f"[, '<field> asc|desc' ...])"
+            )
+        out.append((f, d))
+    return out
+
+
+def _sort_cols(df, sort_spec: list[tuple[str, str]]) -> list:
+    """Spark sort columns for a parsed sort spec over ``df``; 'score'
+    sorts on the canonical round-6 key."""
+    cols = []
+    for f, d in sort_spec:
+        c = F.round(F.col("score"), 6) if f == "score" else df[f]
+        cols.append(c.desc() if d == "desc" else c.asc())
+    return cols
+
+
 def solr_select(
     idx: BM25Index, params: dict[str, Any], *,
     known_num_found: int | None = None,
@@ -120,13 +148,14 @@ def solr_select(
     fl = params.get("fl")
     fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
     want_score = bool(fl) and "score" in fl
-    fetch_fl = [f for f in (fl or []) if f != "score"] or None
+    if fl and "*" in fl:
+        fetch_fl = None  # Solr fl=* : every stored field (score iff asked)
+    else:
+        fetch_fl = [f for f in (fl or []) if f != "score"] or None
     sort = " ".join(str(params.get("sort", "score desc")).split())
-    if sort not in ("score desc", "doc_id asc"):
-        # single-field `<name> asc|desc` only; reject multi-field sorts
-        # loudly instead of silently sorting by the first field
-        if "," in sort or sort.partition(" ")[2] not in ("asc", "desc"):
-            raise ValueError(f"unsupported sort: {sort!r} (use '<field> asc|desc')")
+    sort_spec = (
+        None if sort in ("score desc", "doc_id asc") else _parse_sort(sort)
+    )
 
     match_all = q.strip() == "*:*"
     mec = params.get("minExactCount")
@@ -187,14 +216,13 @@ def solr_select(
         elif sort in ("score desc", "doc_id asc"):
             page = idx.match_all(k=rows, fq=fq, offset=start)
         else:
-            # field sort over the live filtered scan (TakeOrderedAndProject:
-            # the orderBy+limit never materializes a full sort)
-            field, _, direction = sort.partition(" ")
+            # field sort (possibly multi-field, Solr comma syntax) over the
+            # live filtered scan (TakeOrderedAndProject: the orderBy+limit
+            # never materializes a full sort)
             live = idx._anti_dead(idx._apply_fq(idx.docs(), fq))
-            key = live[field].desc() if direction == "desc" else live[field].asc()
-            ordered = live.select(
-                "doc_id", F.lit(1.0).alias("score")
-            ).orderBy(key, "doc_id")
+            ordered = live.orderBy(
+                *_sort_cols(live, sort_spec), "doc_id"
+            ).select("doc_id", F.lit(1.0).alias("score"))
             page = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
         # the page is <= rows rows: take its order driver-side, then fetch
         # stored fields by doc_id (docid-pushdown scan) and re-order to it
@@ -228,19 +256,28 @@ def solr_select(
             )
             rows_out = [r.asDict() for r in df.collect()]
     else:
-        # Solr field sort over a scored query: the MATCH SET ordered by the
-        # field (scores still reported when fl asks). Plan: pruned postings
-        # decode -> scored match set (+fq, tombstones) -> join stored ->
-        # TakeOrderedAndProject on the field.
-        field, _, direction = sort.partition(" ")
+        # Solr field sort (possibly multi-field) over a scored query: the
+        # MATCH SET ordered by the fields (scores still reported when fl
+        # asks). Plan: pruned postings decode -> scored match set (+fq,
+        # tombstones) -> join stored -> TakeOrderedAndProject. Sort fields
+        # need not be in fl (Solr sorts on docValues): they join in for
+        # the sort and are dropped from the response below.
         matched = idx.score_matches(q, op=op, fq=fq, mm=mm)
         if num_found < 0:
             num_found = matched.count()  # the sort needs every match anyway
-        joined = matched.join(idx._stored_side(fetch_fl), "doc_id")
-        key = joined[field].desc() if direction == "desc" else joined[field].asc()
-        ordered = joined.orderBy(key, "doc_id")
+        need = [f for f, _ in sort_spec if f not in ("score", "doc_id")]
+        side_fl = (
+            None if fetch_fl is None
+            else list(dict.fromkeys(fetch_fl + need))
+        )
+        joined = matched.join(idx._stored_side(side_fl), "doc_id")
+        ordered = joined.orderBy(*_sort_cols(joined, sort_spec), "doc_id")
         page = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
-        rows_out = [r.asDict() for r in page.collect()]
+        keep = None if fetch_fl is None else set(fetch_fl) | {"doc_id", "score"}
+        rows_out = [
+            {k: v for k, v in r.asDict().items() if keep is None or k in keep}
+            for r in page.collect()
+        ]
 
     docs = []
     for r in rows_out:
@@ -505,9 +542,7 @@ def solr_export(idx: BM25Index, params: dict[str, Any]):
     fl = params.get("fl")
     fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
     sort = " ".join(str(params.get("sort", "score desc")).split())
-    field, _, direction = sort.partition(" ")
-    if direction not in ("asc", "desc") or "," in sort:
-        raise ValueError(f"unsupported sort: {sort!r} (use '<field> asc|desc')")
+    spec = _parse_sort(sort)  # multi-field Solr comma syntax accepted
 
     if q.strip() == "*:*":
         base = idx._anti_dead(idx._apply_fq(idx.docs(), fq))
@@ -517,12 +552,7 @@ def solr_export(idx: BM25Index, params: dict[str, Any]):
         # sort fields need not appear in fl (Solr: docValues, not fl), so
         # the field-list projection happens AFTER the sort key is applied
         out = matched.join(idx.docs(), "doc_id")
-    if field == "score":
-        key = F.round(F.col("score"), 6)
-        skey = key.desc() if direction == "desc" else key.asc()
-    else:
-        skey = out[field].desc() if direction == "desc" else out[field].asc()
-    out = out.orderBy(skey, "doc_id")
+    out = out.orderBy(*_sort_cols(out, spec), "doc_id")
     if fl:
         out = out.select(*fl) if "doc_id" in fl else out.select("doc_id", *fl)
     return out

@@ -67,4 +67,15 @@ def test_export_mm_and_validation(corpus):
     n2 = solr_export(idx, {"q": "error tool the", "mm": 2}).count()
     assert n2 == idx.count_matches("error tool the", mm=2)
     with pytest.raises(ValueError, match="sort"):
-        solr_export(idx, {"q": "error", "sort": "ts asc, dl desc"})
+        solr_export(idx, {"q": "error", "sort": "ts ascending"})
+
+
+def test_export_multi_field_sort(corpus):
+    """Solr comma-separated multi-field sort on /export (r4)."""
+    _, idx = corpus
+    out = solr_export(
+        idx, {"q": "error", "fl": "doc_id,role,turn_idx",
+              "sort": "role asc, turn_idx desc"})
+    rows = out.collect()
+    key = [(r["role"], -r["turn_idx"], r["doc_id"]) for r in rows]
+    assert rows and key == sorted(key)

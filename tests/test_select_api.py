@@ -187,16 +187,58 @@ def test_select_pages_importer_loop(corpus):
 
 
 def test_unsupported_sort_raises(corpus):
-    """Multi-field and malformed sorts fail loudly instead of silently
-    sorting by the first field / defaulting the direction."""
+    """Malformed sorts fail loudly instead of defaulting the direction."""
     _, idx = corpus
-    for bad in ("ts desc, doc_id asc", "ts", "ts descending"):
+    for bad in ("ts", "ts descending", "ts desc, doc_id", ", ts desc"):
         with pytest.raises(ValueError, match="unsupported sort"):
             solr_select(idx, {"q": "*:*", "sort": bad})
     # extra internal whitespace is normalized, not misparsed as bad direction
     resp = solr_select(idx, {"q": "*:*", "sort": "turn_idx   desc", "rows": 3})
     vals = [d["turn_idx"] for d in resp["response"]["docs"]]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_multi_field_sort(corpus):
+    """Solr comma-separated multi-field sorts (r4): match-all and scored
+    paths, with the doc_id tiebreaker appended last."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "*:*", "sort": "role asc, turn_idx desc", "rows": 12,
+        "fl": "doc_id,role,turn_idx",
+    })
+    got = [(d["role"], -d["turn_idx"], d["doc_id"])
+           for d in resp["response"]["docs"]]
+    assert got == sorted(got)
+    scored = solr_select(idx, {
+        "q": "error tool", "sort": "turn_idx asc, score desc", "rows": 8,
+        "fl": "doc_id,turn_idx,score",
+    })
+    key = [(d["turn_idx"], -round(d["score"], 6), d["doc_id"])
+           for d in scored["response"]["docs"]]
+    assert key == sorted(key)
+
+
+def test_sort_field_outside_fl(corpus):
+    """Sort fields need not be in fl (Solr sorts on docValues): they join
+    in for the ordering and are dropped from the response."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error tool", "sort": "ts asc", "rows": 5, "fl": "doc_id",
+    })
+    docs = resp["response"]["docs"]
+    assert docs and all(set(d) == {"doc_id"} for d in docs)
+
+
+def test_fl_star(corpus):
+    """fl=* returns every stored field; score only when asked (fl=*,score)."""
+    _, idx = corpus
+    plain = solr_select(idx, {"q": "error", "rows": 2, "fl": "*"})
+    d = plain["response"]["docs"][0]
+    assert {"doc_id", "conv_id", "turn_idx", "role", "text"} <= set(d)
+    assert "score" not in d
+    with_score = solr_select(idx, {"q": "error", "rows": 2, "fl": "*,score"})
+    d2 = with_score["response"]["docs"][0]
+    assert "score" in d2 and {"conv_id", "text"} <= set(d2)
 
 
 def test_min_exact_count(corpus):
