@@ -1641,9 +1641,23 @@ class BM25Index:
             prune_generations(self.index_dir, prune_keep_versions)
         return BM25Index(self.spark, self.index_dir)
 
+    def _facet_base(
+        self, query: str, fq, op: str, mm,
+    ) -> DataFrame:
+        """The docs-table rows behind a facet request: the EXACT filtered
+        DocSet joined to stored fields (op/mm shape it identically to
+        numFound on the same response); ``*:*`` is every live doc under fq
+        (MatchAllDocsQuery), no postings touched."""
+        if query.strip() == "*:*":
+            return self._anti_dead(self._apply_fq(self.docs(), fq))
+        matched = self._matched_ids(query, op=op, fq=fq, mm=mm)
+        return matched.join(self.docs(), "doc_id")
+
     def facet(
         self, query: str, field: str, fq: str | list[str] | None = None,
-        op: str = "OR", mm: int | str | None = None,
+        op: str = "OR", mm: int | str | None = None, *,
+        prefix: str | None = None, mincount: int = 0,
+        limit: int = -1, offset: int = 0, sort: str | None = None,
     ) -> DataFrame:
         """Q5 over a result set: non-scoring facet counts on ``field`` over
         the EXACT match set (Solr facet.field facets the filtered DocSet,
@@ -1651,22 +1665,78 @@ class BM25Index:
         ``q.op=AND`` and ``mm`` shape the counted set exactly as they shape
         numFound/docs on the same /select response.
 
+        Solr bucket params, all applied INSIDE the plan (a facet on a
+        high-cardinality field returns ``limit`` rows to the driver, never
+        the bucket universe):
+
+        - ``prefix``: keep buckets whose (string) value starts with it
+        - ``mincount``: drop buckets with fewer docs
+        - ``sort``: ``"count"`` (count desc, value asc tie-break) or
+          ``"index"`` (value asc); Solr's default rule = count when
+          ``limit`` > 0 else index; None with limit -1 keeps the unordered
+          aggregate (callers that re-sort themselves pay no extra sort)
+        - ``limit``/``offset``: bucket-list slice; limit -1 = unlimited
+
+        Null field values never form a bucket (Solr: the missing count is
+        a separate ``facet.missing`` entry -- :meth:`facet_missing_count`).
+
         Plan: pruned postings scan -> distinct matched doc ids (small) ->
-        join to the docs table -> groupBy(field).count(). ``*:*`` facets
-        every live doc under fq (MatchAllDocsQuery), no postings touched.
+        join to the docs table -> groupBy(field).count() -> bucket filters
+        -> orderBy+limit (TakeOrderedAndProject when collected).
         """
-        if query.strip() == "*:*":
-            return (
-                self._anti_dead(self._apply_fq(self.docs(), fq))
-                .groupBy(field)
-                .agg(F.count("*").alias("facet_count"))
-            )
-        matched = self._matched_ids(query, op=op, fq=fq, mm=mm)
-        return (
-            matched.join(self.docs(), "doc_id")
-            .groupBy(field)
-            .agg(F.count("*").alias("facet_count"))
+        base = self._facet_base(query, fq, op, mm).filter(
+            F.col(field).isNotNull()
         )
+        if prefix is not None:
+            base = base.filter(F.col(field).cast("string").startswith(prefix))
+        out = base.groupBy(field).agg(F.count("*").alias("facet_count"))
+        if mincount > 0:
+            out = out.filter(F.col("facet_count") >= mincount)
+        if sort is None and limit >= 0:
+            sort = "count"  # Solr: limit>0 defaults to count order
+        if sort == "count":
+            out = out.orderBy(
+                F.col("facet_count").desc(), F.col(field).asc()
+            )
+        elif sort == "index":
+            out = out.orderBy(F.col(field).asc())
+        elif sort is not None:
+            raise ValueError(f"facet.sort must be count|index, got {sort!r}")
+        if offset:
+            out = out.offset(offset)
+        return out.limit(limit) if limit >= 0 else out
+
+    def facet_missing_count(
+        self, query: str, field: str, fq: str | list[str] | None = None,
+        op: str = "OR", mm: int | str | None = None,
+    ) -> int:
+        """Solr ``facet.missing``: the count of match-set docs with NO value
+        for ``field`` -- reported as a separate trailing entry, never as a
+        bucket. One partial-agg count job over the same DocSet plan as
+        :meth:`facet`."""
+        return (
+            self._facet_base(query, fq, op, mm)
+            .filter(F.col(field).isNull())
+            .count()
+        )
+
+    def facet_query_count(
+        self, query: str, facet_query: str | list[str],
+        fq: str | list[str] | None = None,
+        op: str = "OR", mm: int | str | None = None,
+    ) -> int:
+        """Solr ``facet.query``: how many docs of the main query's DocSet
+        also satisfy ``facet_query`` (Solr/Lucene filter syntax, the same
+        grammar fq accepts). Counting the intersection IS counting with the
+        facet query appended as one more fq -- so it rides the filterCache:
+        a repeated facet.query never re-scans the docs table."""
+        extra = (
+            tuple(facet_query) if isinstance(facet_query, (list, tuple))
+            else (facet_query,)
+        )
+        base = self._norm_fq(fq)
+        base = () if base is None else (base,) if isinstance(base, str) else base
+        return self.count_matches(query, op=op, fq=base + extra, mm=mm)
 
     def facet_range(
         self,

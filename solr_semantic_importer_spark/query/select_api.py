@@ -29,7 +29,11 @@ components its solrconfig enables):
   live filtered table; scored queries sort the full match set, Solr's
   field-sort-over-DocSet behavior; sort fields need not be in ``fl``)
 - ``facet=true&facet.field=F`` (repeatable) → ``facet_counts.facet_fields``
-  as Solr's flat ``[val, count, val, count, ...]`` arrays
+  as Solr's flat ``[val, count, val, count, ...]`` arrays; bucket params
+  ``facet.limit`` (default 100, -1 unlimited) / ``facet.offset`` /
+  ``facet.mincount`` / ``facet.sort`` (count|index) / ``facet.prefix`` /
+  ``facet.missing`` honored globally or per-field via ``f.<field>.facet.X``;
+  ``facet.query`` (repeatable, fq grammar) → ``facet_counts.facet_queries``
 - ``hl=true`` (``hl.fragsize`` honored) → ``highlighting`` map keyed by
   doc id
 - ``spellcheck=true&spellcheck.q=word`` → ``spellcheck.suggestions``
@@ -61,15 +65,20 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages",
            "solr_export", "solr_get"]
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
-             "facet.field", "facet.range", "hl", "hl.fragsize", "spellcheck",
+             "facet.field", "facet.range", "facet.query", "hl",
+             "hl.fragsize", "spellcheck",
              "spellcheck.q", "wt", "indent", "useParams", "minExactCount",
              "cursorMark", "mm", "debugQuery",
              "group", "group.field", "group.limit", "group.ngroups",
              "stats", "stats.field"}
 
-# facet.range.{start,end,gap}, globally or per-field (Solr's f.<field>.
-# prefix override convention)
+# facet.range.{start,end,gap} and the facet.field bucket params
+# (limit/offset/mincount/sort/prefix/missing), globally or per-field
+# (Solr's f.<field>. prefix override convention)
 _FACET_RANGE_RE = re.compile(r"^(?:f\.[^.]+\.)?facet\.range\.(start|end|gap)$")
+_FACET_PARAM_RE = re.compile(
+    r"^(?:f\.[^.]+\.)?facet\.(limit|offset|mincount|sort|prefix|missing)$"
+)
 
 
 def _as_list(v) -> list:
@@ -131,7 +140,7 @@ def solr_select(
     the cursor exists to avoid)."""
     unknown = {
         p for p in set(params) - _RESERVED
-        if not _FACET_RANGE_RE.match(p)
+        if not (_FACET_RANGE_RE.match(p) or _FACET_PARAM_RE.match(p))
     }
     if unknown:
         raise ValueError(f"unsupported /select params: {sorted(unknown)}")
@@ -303,27 +312,49 @@ def solr_select(
         resp["nextCursorMark"] = next_cursor
 
     if _truthy(params.get("facet", False)):
+        def _fparam(field, name, default):
+            # f.<field>.facet.X beats global facet.X (Solr override rule)
+            return params.get(f"f.{field}.facet.{name}",
+                              params.get(f"facet.{name}", default))
+
         ff: dict[str, list] = {}
         for field in _as_list(params.get("facet.field")):
-            if match_all:
-                counts = (
-                    idx._anti_dead(idx._apply_fq(idx.docs(), fq))
-                    .groupBy(field).count()
-                    .orderBy(F.col("count").desc(), F.col(field).asc())
-                    .collect()
-                )
-                pairs = [(r[field], r["count"]) for r in counts]
-            else:
-                counts = idx.facet(q, field, fq=fq, op=op, mm=mm).collect()
-                pairs = sorted(
-                    ((r[field], r["facet_count"]) for r in counts),
-                    key=lambda p: (-p[1], str(p[0])),
-                )
+            limit = int(_fparam(field, "limit", 100))  # Solr default
+            sort = _fparam(field, "sort", None)
+            # ordered + sliced INSIDE the plan: `limit` buckets reach the
+            # driver, never a high-cardinality field's bucket universe
+            counts = idx.facet(
+                q, field, fq=fq, op=op, mm=mm,
+                prefix=_fparam(field, "prefix", None),
+                mincount=int(_fparam(field, "mincount", 0)),
+                limit=limit, offset=int(_fparam(field, "offset", 0)),
+                sort=str(sort) if sort is not None else None,
+            ).collect()
+            pairs = [(r[field], r["facet_count"]) for r in counts]
+            if limit < 0 and sort is None:
+                # unlimited + unordered aggregate: present count-desc like
+                # Solr's default rendering of a full bucket list
+                pairs.sort(key=lambda p: (-p[1], str(p[0])))
             flat: list = []
             for val, cnt in pairs:  # Solr's flat [val, count, ...] array
                 flat.extend([val, int(cnt)])
+            if _truthy(_fparam(field, "missing", False)):
+                # Solr appends the null-value count as a trailing pair
+                # keyed null, outside the bucket limit/sort
+                flat.extend([
+                    None,
+                    idx.facet_missing_count(q, field, fq=fq, op=op, mm=mm),
+                ])
             ff[field] = flat
         resp["facet_counts"] = {"facet_fields": ff}
+
+        fqueries: dict[str, int] = {}
+        for fquery in _as_list(params.get("facet.query")):
+            fqueries[str(fquery)] = idx.facet_query_count(
+                q, str(fquery), fq=fq, op=op, mm=mm
+            )
+        if fqueries:
+            resp["facet_counts"]["facet_queries"] = fqueries
 
         fr: dict[str, dict] = {}
         for field in _as_list(params.get("facet.range")):
