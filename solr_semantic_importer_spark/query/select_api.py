@@ -36,7 +36,10 @@ components its solrconfig enables):
   ``facet.query`` (repeatable, fq grammar) → ``facet_counts.facet_queries``
 - ``hl=true`` (``hl.fragsize`` honored) → ``highlighting`` map keyed by
   doc id
-- ``spellcheck=true&spellcheck.q=word`` → ``spellcheck.suggestions``
+- ``spellcheck=true&spellcheck.q=words...`` → per-token
+  ``spellcheck.suggestions`` (flat [token, {...}] list) +
+  ``correctlySpelled``; ``spellcheck.collate=true`` adds ``collations``
+  (top suggestion per misspelled token, hits verified under op/fq/mm)
 - ``minExactCount`` (Solr 8.6+) — numFound for scored score-sorted
   requests is exact up to this many hits, a lower bound beyond it
   (``numFoundExact: false``), computed from the SAME top-k pass as the
@@ -67,7 +70,8 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages",
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "facet.query", "hl",
              "hl.fragsize", "spellcheck",
-             "spellcheck.q", "wt", "indent", "useParams", "minExactCount",
+             "spellcheck.q", "spellcheck.collate", "wt", "indent",
+             "useParams", "minExactCount",
              "cursorMark", "mm", "debugQuery",
              "group", "group.field", "group.limit", "group.ngroups",
              "stats", "stats.field"}
@@ -432,20 +436,55 @@ def solr_select(
         resp["debug"] = {"explain": explain, "QParser": "LuceneQParser"}
 
     if _truthy(params.get("spellcheck", False)):
+        # Solr SpellCheckComponent: spellcheck.q is analyzed per-token, each
+        # token needing correction gets its own suggestions entry (flat
+        # [token, {...}, token, {...}] list). suggest() itself applies the
+        # DirectSolrSpellChecker gates (minQueryLength, maxQueryFrequency),
+        # so common / too-short tokens never produce suggestions -- Solr's
+        # "only terms the corpus considers rare get corrected".
         sq = str(params.get("spellcheck.q", q))
-        sug = idx.suggest(sq).collect()
-        resp["spellcheck"] = {
-            "suggestions": [
-                sq,
+        tokens = list(dict.fromkeys(
+            t for surface in sq.split() for t in idx.analyze_query(surface)
+        ))
+        dfs = idx._dfs(tokens)
+        flat: list = []
+        corrections: dict[str, str] = {}
+        for t in tokens:
+            sug = idx.suggest(t).collect()
+            if not sug:
+                continue
+            flat.extend([
+                t,
                 {
                     "numFound": len(sug),
                     "suggestion": [
                         {"word": r["term"], "freq": int(r["df"])} for r in sug
                     ],
                 },
-            ] if sug else [],
-            "correctlySpelled": not sug,
+            ])
+            corrections[t] = sug[0]["term"]
+        resp["spellcheck"] = {
+            "suggestions": flat,
+            # Solr: false as soon as any query token is absent from the
+            # index (freq 0), regardless of whether suggestions were found
+            "correctlySpelled": all(dfs.get(t, 0) > 0 for t in tokens),
         }
+        if _truthy(params.get("spellcheck.collate", False)) and corrections:
+            # collation = the query with each misspelled token replaced by
+            # its top suggestion; hits verified against the index under the
+            # request's own op/fq/mm (Solr collation verification)
+            collation = " ".join(corrections.get(t, t) for t in tokens)
+            resp["spellcheck"]["collations"] = [
+                "collation",
+                {
+                    "collationQuery": collation,
+                    "hits": idx.count_matches(collation, op=op, fq=fq, mm=mm),
+                    "misspellingsAndCorrections": [
+                        x for t in tokens if t in corrections
+                        for x in (t, corrections[t])
+                    ],
+                },
+            ]
     return resp
 
 

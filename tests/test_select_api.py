@@ -274,3 +274,38 @@ def test_field_sort_numfound_reuses_match_set(corpus):
                                     "sort": "ts asc"})
     assert sorted_resp["response"]["numFound"] == exact["response"]["numFound"]
     assert sorted_resp["response"]["numFoundExact"] is True
+
+
+def test_spellcheck_multi_term_and_collate(corpus):
+    """Solr SpellCheckComponent: per-token suggestion entries for a
+    multi-term spellcheck.q, and spellcheck.collate builds a verified
+    collation from each misspelled token's top suggestion."""
+    _, idx = corpus
+    sp = solr_select(idx, {
+        "q": "*:*", "rows": 0, "spellcheck": "true",
+        "spellcheck.q": "errox topix42", "spellcheck.collate": "true",
+    })["spellcheck"]
+    assert not sp["correctlySpelled"]
+    entries = dict(zip(sp["suggestions"][::2], sp["suggestions"][1::2]))
+    assert "error" in [s["word"] for s in entries["errox"]["suggestion"]]
+    assert "topic42" in [s["word"] for s in entries["topix42"]["suggestion"]]
+    coll = sp["collations"][1]
+    # each token replaced by its TOP suggestion, hits verified
+    tops = {t: entries[t]["suggestion"][0]["word"] for t in entries}
+    want = " ".join(tops.get(t, t) for t in ("errox", "topix42"))
+    assert coll["collationQuery"] == want
+    assert coll["hits"] == idx.count_matches(want)
+    assert coll["misspellingsAndCorrections"] == [
+        "errox", tops["errox"], "topix42", tops["topix42"]]
+
+
+def test_spellcheck_correctly_spelled_common_terms(corpus):
+    """Common terms pass the maxQueryFrequency gate: no suggestions, and
+    correctlySpelled stays true; no collations section without corrections."""
+    _, idx = corpus
+    sp = solr_select(idx, {
+        "q": "*:*", "rows": 0, "spellcheck": "true",
+        "spellcheck.q": "error tool", "spellcheck.collate": "true",
+    })["spellcheck"]
+    assert sp["correctlySpelled"] and sp["suggestions"] == []
+    assert "collations" not in sp
