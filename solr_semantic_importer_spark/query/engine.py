@@ -103,6 +103,63 @@ def decode_cursor_mark(token: str | None) -> tuple[float, int] | None:
         raise ValueError(f"unable to parse cursorMark: {token!r}") from e
 
 
+def sloppy_phrase_freq(plists, slop: int) -> float:
+    """Lucene SloppyPhraseScorer.phraseFreq for ONE document: ``plists`` is
+    one sorted array of OFFSET-ADJUSTED positions (position - phrase slot)
+    per phrase slot; a phrase alignment's matchLength = max(adjusted) -
+    min(adjusted), and an alignment counts when matchLength <= slop,
+    contributing 1/(1+matchLength) to the sloppy frequency.
+
+    The enumeration IS the published greedy pass (Lucene's
+    SloppyPhraseScorer semantics, implemented from its documented
+    behavior): keep all slots in a min-heap on adjusted position, advance
+    the minimum slot; when it overtakes the next-smallest, the current
+    window is as tight as it gets -- emit it if within slop, re-seed from
+    the new minimum. Repeated-term phrases use the same simple pass (no
+    repeat-collision reassignment), a documented deviation; distinct-term
+    phrases -- the overwhelmingly common case -- follow Lucene exactly.
+
+    Pure driver/test-visible helper; the segment kernels call it per
+    candidate doc (candidates are already the conjunction of the terms'
+    doc lists, so the loop runs over matched docs only, never the corpus).
+    """
+    import heapq
+
+    m = len(plists)
+    idxs = [0] * m
+    heap = []
+    end = None
+    for j, pl in enumerate(plists):
+        p = int(pl[0])
+        end = p if end is None or p > end else end
+        heapq.heappush(heap, (p, j))
+    pos, j = heapq.heappop(heap)
+    match_len = end - pos
+    freq = 0.0
+    while True:
+        idxs[j] += 1
+        if idxs[j] >= len(plists[j]):
+            break
+        p = int(plists[j][idxs[j]])
+        if p > end:
+            end = p
+        if heap and p > heap[0][0]:
+            # the advanced slot overtook the next-smallest: the window
+            # ending here is final -- emit, then re-seed from the new min
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+            heapq.heappush(heap, (p, j))
+            pos, j = heapq.heappop(heap)
+            match_len = end - pos
+        else:
+            ml2 = end - p
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:
+        freq += 1.0 / (1.0 + match_len)
+    return freq
+
+
 def _buckets_of(terms: list[str], n_buckets: int, spark: SparkSession) -> dict[str, int]:
     """term -> build-side bucket, ONE tiny local job for the whole query.
 
@@ -436,7 +493,17 @@ class BM25Index:
 
         Per-clause boosts: Lucene ``term^2.5`` syntax is parsed from the
         query string; boosted weights multiply idf everywhere, so WAND
-        block upper bounds scale with them and skipping stays exact."""
+        block upper bounds scale with them and skipping stays exact.
+
+        A ``q`` that is exactly one quoted phrase (``"a b"``, ``"a b"~2``)
+        routes to :meth:`search_phrase` (Lucene phrase clause semantics);
+        op/mm/synonyms don't apply to a phrase clause."""
+        pq = self.parse_phrase_q(query)
+        if pq is not None:
+            return self.search_phrase(
+                pq[0], k=k, fq=fq, offset=offset, with_stored=with_stored,
+                order_key=order_key, fl=fl, slop=pq[1],
+            )
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         fq = self._norm_fq(fq)
@@ -505,7 +572,20 @@ class BM25Index:
         turns makes deep export quadratic. The cursor is a keyset
         predicate pushed INSIDE the WAND segment kernels (filter before
         each local top-k), so every page does the same bounded work as
-        page 1 and only k rows ever cross the wire."""
+        page 1 and only k rows ever cross the wire.
+
+        Quoted-phrase ``q`` pages the full phrase match set with the same
+        np.round keyset predicate as the exhaustive paths (the phrase
+        kernel scores every match, so the cursor applies as a filter)."""
+        pq = self.parse_phrase_q(query)
+        if pq is not None:
+            after = decode_cursor_mark(cursor)
+            if fl is not None:
+                with_stored = True
+            scored = self.phrase_matches(pq[0], slop=pq[1], fq=fq)
+            if after is not None:
+                scored = self._keyset_filter(scored, after)
+            return self._finish(scored, k, 0, with_stored, "round6", fl)
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         fq = self._norm_fq(fq)
@@ -523,25 +603,30 @@ class BM25Index:
             return self._finish(empty, k, 0, with_stored, "round6", fl)
         scored = self._scored_frame(terms, idf, k, op, mode, fq, after=after, mm=mm)
         if after is not None and mode != "wand":
-            # exhaustive paths score every match, so the keyset applies as a
-            # predicate here. The WAND path is NOT re-filtered: its kernels
-            # already enforced the keyset with np.round -- the same half-even
-            # convention encode_cursor_mark uses -- and a SQL F.round
-            # (HALF_UP on the shortest decimal repr) restatement could
-            # disagree on a boundary score and silently drop a row the
-            # kernel correctly kept. One rounding convention per path.
-            from pyspark.sql.functions import pandas_udf
-
-            a_s, a_d = after
-
-            @pandas_udf(T.BooleanType())
-            def _after_ok(score: pd.Series, doc_id: pd.Series) -> pd.Series:
-                key = np.round(score.to_numpy(np.float64), 6)
-                d = doc_id.to_numpy(np.int64)
-                return pd.Series((key < a_s) | ((key == a_s) & (d > a_d)))
-
-            scored = scored.filter(_after_ok(F.col("score"), F.col("doc_id")))
+            scored = self._keyset_filter(scored, after)
         return self._finish(scored, k, 0, with_stored, "round6", fl)
+
+    @staticmethod
+    def _keyset_filter(scored: DataFrame, after: tuple[float, int]) -> DataFrame:
+        """Cursor keyset predicate for paths that score EVERY match
+        (exhaustive term scoring, phrase kernels): keep rows strictly after
+        (round6_score, doc_id). The WAND path is NOT re-filtered through
+        this: its kernels already enforced the keyset with np.round -- the
+        same half-even convention encode_cursor_mark uses -- and a SQL
+        F.round (HALF_UP on the shortest decimal repr) restatement could
+        disagree on a boundary score and silently drop a row the kernel
+        correctly kept. One rounding convention per path."""
+        from pyspark.sql.functions import pandas_udf
+
+        a_s, a_d = after
+
+        @pandas_udf(T.BooleanType())
+        def _after_ok(score: pd.Series, doc_id: pd.Series) -> pd.Series:
+            key = np.round(score.to_numpy(np.float64), 6)
+            d = doc_id.to_numpy(np.int64)
+            return pd.Series((key < a_s) | ((key == a_s) & (d > a_d)))
+
+        return scored.filter(_after_ok(F.col("score"), F.col("doc_id")))
 
     def search_cursor(
         self, query: str, k: int = 10, cursor: str | None = CURSOR_START, **kw
@@ -984,6 +1069,11 @@ class BM25Index:
         doc->group map (kind=3 rows; segment_id = doc_id // segment_size,
         so routing needs no join and each kernel sees only its own
         segment's map, bounded by segment_size)."""
+        if self.parse_phrase_q(query) is not None:
+            # the term-scoring collapse kernels can't evaluate positional
+            # matches -- fail loud (facade contract) rather than grouping
+            # a bag-of-words approximation of the phrase
+            raise ValueError("grouping does not support phrase queries")
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         mm_n = self._norm_mm(mm, len(terms)) if op != "AND" else None
         fq = self._norm_fq(fq)
@@ -1218,6 +1308,11 @@ class BM25Index:
         kernel-side and the rest decode + filter) — cost is bounded by the
         query terms' postings, never the corpus, and only len(doc_ids) ×
         len(terms) rows come back."""
+        if self.parse_phrase_q(query) is not None:
+            # a per-TERM breakdown can't reconstruct a phrase score (freq is
+            # the phrase-occurrence count, not any term's tf) -- fail loud
+            # instead of returning contributions that don't sum to score
+            raise ValueError("explain does not support phrase queries")
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         idf = self.idf_map(terms)
         if boosts:
@@ -1352,7 +1447,11 @@ class BM25Index:
         are stems ('tables' -> 'tabl') that may never appear as surface text,
         so the stored text is re-analyzed token-by-token in an Arrow kernel
         and tokens are wrapped when their stem is in the query term set."""
-        terms = self.analyze_query(query)
+        pq = self.parse_phrase_q(query)
+        # phrase q: highlight the phrase's terms (Solr's default highlighter
+        # marks individual term occurrences of a phrase query's terms);
+        # search() below routes the quoted q to the phrase scorer itself
+        terms = self.analyze_query(pq[0] if pq else query)
         top = self.search(
             query, k=k, with_stored=True, order_key=order_key, fq=fq
         ).select("doc_id", "score", "text")
@@ -1489,7 +1588,11 @@ class BM25Index:
         field-sorted /select requests (Solr sorts the whole DocSet by the
         field; scores are still reported per doc when fl asks). Exhaustive
         decode + aggregate: a field sort needs every match anyway, so WAND
-        pruning has nothing to skip."""
+        pruning has nothing to skip. Quoted-phrase ``q`` routes to
+        :meth:`phrase_matches`."""
+        pq = self.parse_phrase_q(query)
+        if pq is not None:
+            return self.phrase_matches(pq[0], slop=pq[1], fq=fq)
         terms, boosts = self.parse_boosted_query(query)
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         idf = self.idf_map(terms)
@@ -1513,7 +1616,11 @@ class BM25Index:
         exact filtered DocSet, so op/mm MUST shape it identically to the
         docs list on the same response). Pruned postings decode -> doc ids
         (no scoring math); AND/mm add one per-doc clause count. Nothing
-        doc-sized reaches the driver."""
+        doc-sized reaches the driver. Quoted-phrase ``q``: the phrase match
+        set's ids (one row per matched doc already)."""
+        pq = self.parse_phrase_q(query)
+        if pq is not None:
+            return self.phrase_matches(pq[0], slop=pq[1], fq=fq).select("doc_id")
         empty = self.docs().select("doc_id").limit(0)
         terms, _ = self.parse_boosted_query(query)  # boosts don't change the set
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
@@ -1779,6 +1886,21 @@ class BM25Index:
 
     # -- phrase queries (positional index) -------------------------------------
 
+    _PHRASE_Q_RE = re.compile(r'^\s*"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?\s*$')
+
+    @classmethod
+    def parse_phrase_q(cls, query: str) -> tuple[str, int] | None:
+        """Solr/Lucene phrase syntax in ``q``: a query that is EXACTLY one
+        quoted string, optionally with a ``~N`` slop suffix (``"a b"``,
+        ``"a b"~2``). Returns (phrase_text, slop) or None for non-phrase
+        queries. Mixed term+phrase queries are not parsed (the facade's
+        term path would mis-score them as bag-of-words; callers compose
+        explicitly via search_phrase + search)."""
+        m = cls._PHRASE_Q_RE.match(query)
+        if m is None:
+            return None
+        return m.group("phrase"), int(m.group("slop") or 0)
+
     def search_phrase(
         self,
         phrase: str,
@@ -1788,16 +1910,22 @@ class BM25Index:
         with_stored: bool = False,
         order_key: str = "round6",
         fl: list[str] | None = None,
+        slop: int = 0,
     ) -> DataFrame:
-        """Exact phrase top-k: docs where the analyzed phrase terms occur at
-        consecutive positions. Lucene PhraseQuery semantics under BM25:
-        freq = number of phrase occurrences, weight idf = sum of the terms'
-        idfs, score = idf_sum * freq*(k1+1)/(freq + k1*(1-b+b*dl/avgdl)).
-        Requires an index built with store_positions=True.
+        """Phrase top-k. ``slop=0`` (Lucene PhraseQuery): docs where the
+        analyzed phrase terms occur at consecutive positions, freq = number
+        of phrase occurrences. ``slop>0`` (Lucene SloppyPhraseQuery): docs
+        where the terms align within ``slop`` total position displacement,
+        freq = the sloppy frequency sum(1/(1+matchLength)) over the matches
+        the SloppyPhraseScorer greedy pass counts (see
+        :meth:`phrase_matches`). Scoring either way is BM25 with weight =
+        sum of the terms' idfs: score = idf_sum * freq*(k1+1)/(freq +
+        k1*(1-b+b*dl/avgdl)). Requires an index built with
+        store_positions=True.
 
         Plan: postings pruned to the phrase terms (bucket partition pruning +
         term pushdown) -> segment-parallel Arrow kernel does doc-list
-        intersection + consecutive-position matching -> global top-k.
+        intersection + position matching -> global top-k.
         """
         terms = self._analyze(phrase)  # order + duplicates matter for phrases
         uniq_terms = list(dict.fromkeys(terms))
@@ -1816,9 +1944,35 @@ class BM25Index:
                 [t], {t: idf[t]}, k + offset, "OR", "wand", self._norm_fq(fq)
             )
             return self._finish(scored, k, offset, with_stored, order_key, fl)
+        scored = self.phrase_matches(phrase, slop=slop, fq=fq)
+        return self._finish(scored, k, offset, with_stored, order_key, fl)
+
+    def phrase_matches(
+        self,
+        phrase: str,
+        slop: int = 0,
+        fq: str | list[str] | None = None,
+    ) -> DataFrame:
+        """The FULL phrase match set (doc_id, score) -- no top-k cut; the
+        phrase analog of :meth:`score_matches`, backing numFound, facets
+        and field sorts for quoted-phrase ``q``. Semantics per
+        :meth:`search_phrase` (slop=0 exact, slop>0 Lucene
+        SloppyPhraseScorer greedy sloppy frequency)."""
+        terms = self._analyze(phrase)  # order + duplicates matter for phrases
+        uniq_terms = list(dict.fromkeys(terms))
+        idf = self.idf_map(uniq_terms)
+        empty = self.spark.createDataFrame([], _SCORE_ROW)
+        if not terms or any(t not in idf for t in uniq_terms):
+            return empty
+        if len(terms) == 1:
+            t = terms[0]
+            return self._scored_frame(
+                [t], {t: idf[t]}, 0, "OR", "exhaustive", self._norm_fq(fq)
+            )
         # Lucene sums idf over the phrase's term array (duplicates counted)
         idf_sum = float(sum(idf[t] for t in terms))
         k1, b, avgdl = K1, B, self.avgdl
+        slop_n = int(slop)
 
         def match_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
             res_empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -1855,6 +2009,49 @@ class BM25Index:
                 per_term[term] = (docs, tfs, dls, poss, pstart)
             if any(t not in per_term for t in uniq_terms):
                 return res_empty
+            if slop_n > 0:
+                # SloppyPhraseQuery: candidates = conjunction of the terms'
+                # (sorted, salt-contiguous) doc lists; the greedy
+                # sloppy-freq pass runs per CANDIDATE doc only
+                cand = per_term[uniq_terms[0]][0]
+                for t in uniq_terms[1:]:
+                    cand = np.intersect1d(
+                        cand, per_term[t][0], assume_unique=True
+                    )
+                if not len(cand):
+                    return res_empty
+                rows_by_term = {
+                    t: np.searchsorted(per_term[t][0], cand)
+                    for t in uniq_terms
+                }
+                out_docs, out_scores = [], []
+                for ci, doc in enumerate(cand):
+                    plists = []
+                    for jslot, t in enumerate(terms):
+                        _, _, _, poss, pstart = per_term[t]
+                        i = rows_by_term[t][ci]
+                        plists.append(
+                            poss[pstart[i]:pstart[i + 1]].astype(np.int64)
+                            - jslot
+                        )
+                    f = sloppy_phrase_freq(plists, slop_n)
+                    if f <= 0.0:
+                        continue
+                    d0, _, dl0, _, _ = per_term[terms[0]]
+                    dl = float(dl0[rows_by_term[terms[0]][ci]])
+                    denom = f + k1 * (
+                        1.0 - b + b * (dl / avgdl if avgdl else 1.0)
+                    )
+                    out_docs.append(int(doc))
+                    out_scores.append(idf_sum * f * (k1 + 1.0) / denom)
+                if not out_docs:
+                    return res_empty
+                return pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(out_docs, dtype=np.int64),
+                        "score": np.asarray(out_scores, dtype=np.float64),
+                    }
+                )
             # FULLY vectorized phrase matching: pack (doc, start_position)
             # into one uint64 key per occurrence -- for term j the key uses
             # (pos - j), so an exact phrase occurrence is a key present in
@@ -1894,8 +2091,7 @@ class BM25Index:
         scored = self._anti_dead(
             post.groupBy("segment_id").applyInPandas(match_segment, schema=_SCORE_ROW)
         )
-        scored = self._apply_fq(scored, fq)
-        return self._finish(scored, k, offset, with_stored, order_key, fl)
+        return self._apply_fq(scored, fq)
 
     # -- block-max WAND (segment-parallel fast path) ---------------------------
 

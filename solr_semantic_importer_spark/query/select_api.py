@@ -15,7 +15,10 @@ Supported params (everything the reference sends, plus the query-side
 components its solrconfig enables):
 
 - ``q`` (default ``*:*``), ``q.op`` (``OR``/``AND``); per-clause Lucene
-  boosts (``spark^2 window``) parsed from ``q``
+  boosts (``spark^2 window``) parsed from ``q``; a q that is exactly one
+  quoted phrase (``"a b"``, sloppy ``"a b"~2``) runs as a Lucene
+  Phrase/SloppyPhraseQuery (numFound, facets, sorts and cursors all
+  operate on the phrase DocSet; grouping and debugQuery fail loud)
 - ``mm`` — minimum-should-match for OR queries (int or ``'NN%'``,
   percentage of the clause count rounded down, the mm spec's rule)
 - ``fq`` — one string or a list (Solr sends one param per filter); Solr
