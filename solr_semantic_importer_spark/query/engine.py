@@ -504,6 +504,10 @@ class BM25Index:
                 pq[0], k=k, fq=fq, offset=offset, with_stored=with_stored,
                 order_key=order_key, fl=fl, slop=pq[1],
             )
+        mx = self.parse_mixed_q(query)
+        if mx is not None:
+            scored = self.mixed_matches(mx[0], mx[1], op=op, fq=fq, mm=mm)
+            return self._finish(scored, k, offset, with_stored, order_key, fl)
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         fq = self._norm_fq(fq)
@@ -578,11 +582,16 @@ class BM25Index:
         np.round keyset predicate as the exhaustive paths (the phrase
         kernel scores every match, so the cursor applies as a filter)."""
         pq = self.parse_phrase_q(query)
-        if pq is not None:
+        mx = self.parse_mixed_q(query) if pq is None else None
+        if pq is not None or mx is not None:
             after = decode_cursor_mark(cursor)
             if fl is not None:
                 with_stored = True
-            scored = self.phrase_matches(pq[0], slop=pq[1], fq=fq)
+            scored = (
+                self.phrase_matches(pq[0], slop=pq[1], fq=fq)
+                if pq is not None
+                else self.mixed_matches(mx[0], mx[1], op=op, fq=fq, mm=mm)
+            )
             if after is not None:
                 scored = self._keyset_filter(scored, after)
             return self._finish(scored, k, 0, with_stored, "round6", fl)
@@ -672,6 +681,14 @@ class BM25Index:
         over at most n_segments x k rows per query, never the corpus."""
         if not isinstance(queries, dict):
             queries = {q: q for q in queries}
+        for qs in queries.values():
+            if (self.parse_phrase_q(qs) is not None
+                    or self.parse_mixed_q(qs) is not None):
+                # the batch kernel scores terms only -- fail loud rather
+                # than silently scoring a phrase as a bag of words
+                raise ValueError(
+                    f"search_many does not support phrase queries: {qs!r}"
+                )
         wmaps: dict[str, dict[str, float]] = {}
         mms: dict[str, int] = {}
         for qid, qs in queries.items():
@@ -1069,7 +1086,8 @@ class BM25Index:
         doc->group map (kind=3 rows; segment_id = doc_id // segment_size,
         so routing needs no join and each kernel sees only its own
         segment's map, bounded by segment_size)."""
-        if self.parse_phrase_q(query) is not None:
+        if (self.parse_phrase_q(query) is not None
+                or self.parse_mixed_q(query) is not None):
             # the term-scoring collapse kernels can't evaluate positional
             # matches -- fail loud (facade contract) rather than grouping
             # a bag-of-words approximation of the phrase
@@ -1308,7 +1326,8 @@ class BM25Index:
         kernel-side and the rest decode + filter) — cost is bounded by the
         query terms' postings, never the corpus, and only len(doc_ids) ×
         len(terms) rows come back."""
-        if self.parse_phrase_q(query) is not None:
+        if (self.parse_phrase_q(query) is not None
+                or self.parse_mixed_q(query) is not None):
             # a per-TERM breakdown can't reconstruct a phrase score (freq is
             # the phrase-occurrence count, not any term's tf) -- fail loud
             # instead of returning contributions that don't sum to score
@@ -1447,11 +1466,10 @@ class BM25Index:
         are stems ('tables' -> 'tabl') that may never appear as surface text,
         so the stored text is re-analyzed token-by-token in an Arrow kernel
         and tokens are wrapped when their stem is in the query term set."""
-        pq = self.parse_phrase_q(query)
-        # phrase q: highlight the phrase's terms (Solr's default highlighter
-        # marks individual term occurrences of a phrase query's terms);
-        # search() below routes the quoted q to the phrase scorer itself
-        terms = self.analyze_query(pq[0] if pq else query)
+        # phrase/mixed q: highlight the clauses' terms (Solr's default
+        # highlighter marks individual term occurrences of a phrase query's
+        # terms); search() below routes the q to the right scorer itself
+        terms = self._surface_terms(query)
         top = self.search(
             query, k=k, with_stored=True, order_key=order_key, fq=fq
         ).select("doc_id", "score", "text")
@@ -1589,10 +1607,14 @@ class BM25Index:
         field; scores are still reported per doc when fl asks). Exhaustive
         decode + aggregate: a field sort needs every match anyway, so WAND
         pruning has nothing to skip. Quoted-phrase ``q`` routes to
-        :meth:`phrase_matches`."""
+        :meth:`phrase_matches`; mixed term+phrase ``q`` to
+        :meth:`mixed_matches`."""
         pq = self.parse_phrase_q(query)
         if pq is not None:
             return self.phrase_matches(pq[0], slop=pq[1], fq=fq)
+        mx = self.parse_mixed_q(query)
+        if mx is not None:
+            return self.mixed_matches(mx[0], mx[1], op=op, fq=fq, mm=mm)
         terms, boosts = self.parse_boosted_query(query)
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         idf = self.idf_map(terms)
@@ -1616,11 +1638,16 @@ class BM25Index:
         exact filtered DocSet, so op/mm MUST shape it identically to the
         docs list on the same response). Pruned postings decode -> doc ids
         (no scoring math); AND/mm add one per-doc clause count. Nothing
-        doc-sized reaches the driver. Quoted-phrase ``q``: the phrase match
-        set's ids (one row per matched doc already)."""
+        doc-sized reaches the driver. Quoted-phrase / mixed ``q``: the
+        match set's ids (one row per matched doc already)."""
         pq = self.parse_phrase_q(query)
         if pq is not None:
             return self.phrase_matches(pq[0], slop=pq[1], fq=fq).select("doc_id")
+        mx = self.parse_mixed_q(query)
+        if mx is not None:
+            return self.mixed_matches(
+                mx[0], mx[1], op=op, fq=fq, mm=mm
+            ).select("doc_id")
         empty = self.docs().select("doc_id").limit(0)
         terms, _ = self.parse_boosted_query(query)  # boosts don't change the set
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
@@ -1900,6 +1927,128 @@ class BM25Index:
         if m is None:
             return None
         return m.group("phrase"), int(m.group("slop") or 0)
+
+    _MIXED_TOKEN_RE = re.compile(r'"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+')
+    _PHRASE_CLAUSE_RE = re.compile(
+        r'^"(?P<p>[^"]*)"(?:~(?P<slop>\d+))?'
+        r'(?:\^(?P<boost>\d+(?:\.\d+)?))?$'
+    )
+
+    def parse_mixed_q(
+        self, query: str
+    ) -> tuple[list[tuple[str, float]], list[tuple[str, int, float]]] | None:
+        """Lucene mixed boolean queries: terms AND quoted phrases as sibling
+        SHOULD/MUST clauses (``error "table scan"~2^3 timeout^2``). Returns
+        (term_clauses [(term, boost)], phrase_clauses [(text, slop, boost)])
+        when the query contains at least one well-formed quoted phrase plus
+        other clauses (or several phrases) -- else None (pure-term queries
+        keep the WAND paths, a single lone phrase keeps the dedicated
+        phrase route). Term clauses follow parse_boosted_query's rules:
+        every analyzed token of a surface clause is its own clause carrying
+        the clause's boost, duplicates keep the larger boost."""
+        if '"' not in query or self.parse_phrase_q(query) is not None:
+            return None
+        term_clauses: list[tuple[str, float]] = []
+        tboost: dict[str, float] = {}
+        phrases: list[tuple[str, int, float]] = []
+        for tok in self._MIXED_TOKEN_RE.findall(query):
+            m = self._PHRASE_CLAUSE_RE.match(tok)
+            if m is not None:
+                ph = (m.group("p"), int(m.group("slop") or 0),
+                      float(m.group("boost") or 1.0))
+                for i, (p0, s0, b0) in enumerate(phrases):
+                    if (p0, s0) == ph[:2]:  # duplicate keeps larger boost
+                        phrases[i] = (p0, s0, max(b0, ph[2]))
+                        break
+                else:
+                    phrases.append(ph)
+                continue
+            bm = self._BOOST_RE.search(tok)
+            b = float(bm.group(1)) if bm else 1.0
+            text = tok[: bm.start()] if bm else tok
+            for t in self.analyze_query(text):
+                if t not in tboost:
+                    term_clauses.append((t, b))
+                tboost[t] = max(tboost.get(t, 0.0), b)
+        if not phrases:
+            return None  # unbalanced quote etc: legacy term analysis
+        term_clauses = [(t, tboost[t]) for t, _ in term_clauses]
+        return term_clauses, phrases
+
+    def _surface_terms(self, query: str) -> list[str]:
+        """Every analyzed term a query's clauses mention (term clauses +
+        phrase-clause contents), for components that work on terms
+        regardless of clause structure (highlighting, spellcheck)."""
+        pq = self.parse_phrase_q(query)
+        if pq is not None:
+            return self.analyze_query(pq[0])
+        mx = self.parse_mixed_q(query)
+        if mx is None:
+            return self.analyze_query(query)
+        out = [t for t, _ in mx[0]]
+        for text, _, _ in mx[1]:
+            out.extend(self.analyze_query(text))
+        return list(dict.fromkeys(out))
+
+    def mixed_matches(
+        self,
+        term_clauses: list[tuple[str, float]],
+        phrase_clauses: list[tuple[str, int, float]],
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """The FULL match set (doc_id, score) of a mixed boolean query:
+        score = sum of matching clause scores (Lucene BooleanQuery), a doc
+        matches >=1 clause under OR (>=mm with minimum-should-match, ALL
+        under AND -- mm counts every clause, phrase or term, like Lucene
+        counts SHOULD clauses).
+
+        Plan: each clause contributes AT MOST ONE row per doc -- term
+        clauses via one exhaustive pruned postings decode (a (term, doc)
+        posting is one row), phrase clauses via their segment kernels -- so
+        one union + groupBy(doc_id) yields both the summed score and the
+        matched-clause count (count(*)), with no per-clause tagging.
+        Tombstones/fq apply ONCE on the aggregated set. Mixed queries run
+        exhaustive: WAND bounds don't compose across positional clauses,
+        and (like Solr's grouped path) the full match set is the contract
+        here -- top-k cutting happens in the caller's _finish."""
+        n_clauses = len(term_clauses) + len(phrase_clauses)
+        mm_n = self._norm_mm(mm, n_clauses) if op != "AND" else None
+        empty = self.spark.createDataFrame([], _SCORE_ROW)
+        if not n_clauses or (mm_n is not None and mm_n > n_clauses):
+            return empty
+        terms = [t for t, _ in term_clauses]
+        idf = self.idf_map(terms)
+        if op == "AND" and any(t not in idf for t in terms):
+            return empty  # an OOV MUST clause empties the query
+        parts = []
+        live_terms = [t for t in terms if t in idf]
+        if live_terms:
+            boosts = dict(term_clauses)
+            widf = {t: idf[t] * boosts[t] for t in live_terms}
+            parts.append(self._decode_score_df(live_terms, widf))
+        for text, slop, boost in phrase_clauses:
+            f = self.phrase_matches(text, slop=slop)
+            if boost != 1.0:
+                f = f.select(
+                    "doc_id", (F.col("score") * F.lit(boost)).alias("score")
+                )
+            parts.append(f)
+        if not parts:
+            return empty
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        agg = un.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.count("*").alias("nc")
+        )
+        if op == "AND":
+            agg = agg.filter(F.col("nc") == n_clauses)
+        elif mm_n is not None:
+            agg = agg.filter(F.col("nc") >= mm_n)
+        out = agg.select("doc_id", "score")
+        return self._apply_fq(self._anti_dead(out), fq)
 
     def search_phrase(
         self,

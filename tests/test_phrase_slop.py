@@ -203,3 +203,106 @@ def test_one_term_quoted_q(corpus):
     b = [(int(r["doc_id"]), round(float(r["score"]), 6))
          for r in idx.search("alpha", k=10).collect()]
     assert a == b and a
+
+
+# ---- mixed term + phrase boolean queries (Lucene BooleanQuery) ----
+
+
+def test_mixed_q_scores_sum_of_clauses(corpus):
+    """score(mixed) = score(term clauses) + score(phrase clause) per doc,
+    matching Lucene's BooleanQuery sum-of-SHOULD-clauses."""
+    _, idx = corpus
+    term_scores = {
+        int(r["doc_id"]): float(r["score"])
+        for r in idx.score_matches("gamma").collect()
+    }
+    phrase_scores = {
+        int(r["doc_id"]): float(r["score"])
+        for r in idx.phrase_matches("alpha beta").collect()
+    }
+    mixed = {
+        int(r["doc_id"]): float(r["score"])
+        for r in idx.score_matches('gamma "alpha beta"').collect()
+    }
+    want = {
+        d: term_scores.get(d, 0.0) + phrase_scores.get(d, 0.0)
+        for d in set(term_scores) | set(phrase_scores)
+    }
+    assert set(mixed) == set(want)
+    for d in want:
+        assert mixed[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_mixed_q_and_mm(corpus):
+    """AND requires every clause (term AND phrase); mm counts clauses."""
+    _, idx = corpus
+    t = {int(r["doc_id"]) for r in idx.score_matches("gamma").collect()}
+    p = {int(r["doc_id"]) for r in idx.phrase_matches("alpha beta").collect()}
+    got_and = {
+        int(r["doc_id"])
+        for r in idx.score_matches('gamma "alpha beta"', op="AND").collect()
+    }
+    assert got_and == (t & p)
+    # mm=2 of 3 clauses (two terms + one phrase)
+    g = {int(r["doc_id"]) for r in idx.score_matches("gamma").collect()}
+    pad = {int(r["doc_id"]) for r in idx.score_matches("pad").collect()}
+    got_mm = {
+        int(r["doc_id"])
+        for r in idx.score_matches('gamma pad "alpha beta"', mm=2).collect()
+    }
+    want_mm = {
+        d for d in (g | pad | p)
+        if (d in g) + (d in pad) + (d in p) >= 2
+    }
+    assert got_mm == want_mm
+
+
+def test_mixed_q_boosts_and_slop(corpus):
+    """Phrase-clause ^boost scales its contribution; ~slop widens it."""
+    _, idx = corpus
+    base = {
+        int(r["doc_id"]): float(r["score"])
+        for r in idx.score_matches('gamma "alpha beta"~2').collect()
+    }
+    boosted = {
+        int(r["doc_id"]): float(r["score"])
+        for r in idx.score_matches('gamma "alpha beta"~2^3').collect()
+    }
+    p = {
+        int(r["doc_id"]): float(r["score"])
+        for r in idx.phrase_matches("alpha beta", slop=2).collect()
+    }
+    assert set(base) == set(boosted)
+    for d, s in base.items():
+        assert boosted[d] == pytest.approx(s + 2.0 * p.get(d, 0.0), rel=1e-12)
+
+
+def test_mixed_q_through_search_and_facade(corpus):
+    """Top-k search and /select both honor the mixed clause structure."""
+    _, idx = corpus
+    full = sorted(
+        ((round(float(r["score"]), 6), int(r["doc_id"]))
+         for r in idx.score_matches('gamma "alpha beta"').collect()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    topk = [
+        (round(float(r["score"]), 6), int(r["doc_id"]))
+        for r in idx.search('gamma "alpha beta"', k=3).collect()
+    ]
+    assert topk == full[:3]
+    resp = solr_select(idx, {"q": 'gamma "alpha beta"', "rows": 3,
+                             "fl": "doc_id,score"})
+    assert resp["response"]["numFound"] == len(full)
+    assert [d["doc_id"] for d in resp["response"]["docs"]] == [
+        d for _, d in full[:3]
+    ]
+
+
+def test_mixed_q_fail_loud_components(corpus):
+    _, idx = corpus
+    with pytest.raises(ValueError, match="phrase"):
+        idx.explain('gamma "alpha beta"', [0])
+    with pytest.raises(ValueError, match="phrase"):
+        idx.search_grouped('gamma "alpha beta"', "role")
+    with pytest.raises(ValueError, match="phrase"):
+        idx.search_many(['gamma "alpha beta"'])
