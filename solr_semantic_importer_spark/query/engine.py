@@ -1911,6 +1911,38 @@ class BM25Index:
             .agg(F.count("*").alias("facet_count"))
         )
 
+    def facet_range_other(
+        self,
+        query: str,
+        field: str,
+        start: float,
+        end: float,
+        fq: str | list[str] | None = None,
+        op: str = "OR",
+        mm: int | str | None = None,
+    ) -> tuple[int, int, int]:
+        """Solr ``facet.range.other``: the (before, between, after) counts
+        relative to [start, end) over the same DocSet as
+        :meth:`facet_range` -- before = value < start, after = value >=
+        end, between = inside the range (Solr's RangeEndpointCalculator
+        semantics; nulls count nowhere). ONE conditional-aggregate job, a
+        3-value row, regardless of corpus size."""
+        x = F.col(field).cast("double")
+        row = (
+            self._facet_base(query, fq, op, mm)
+            .agg(
+                F.sum((x < start).cast("long")).alias("before"),
+                F.sum(((x >= start) & (x < end)).cast("long")).alias("between"),
+                F.sum((x >= end).cast("long")).alias("after"),
+            )
+            .collect()[0]
+        )
+        return (
+            int(row["before"] or 0),
+            int(row["between"] or 0),
+            int(row["after"] or 0),
+        )
+
     # -- phrase queries (positional index) -------------------------------------
 
     _PHRASE_Q_RE = re.compile(r'^\s*"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?\s*$')

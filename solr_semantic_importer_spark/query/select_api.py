@@ -36,7 +36,9 @@ components its solrconfig enables):
   ``facet.limit`` (default 100, -1 unlimited) / ``facet.offset`` /
   ``facet.mincount`` / ``facet.sort`` (count|index) / ``facet.prefix`` /
   ``facet.missing`` honored globally or per-field via ``f.<field>.facet.X``;
-  ``facet.query`` (repeatable, fq grammar) → ``facet_counts.facet_queries``
+  ``facet.query`` (repeatable, fq grammar) → ``facet_counts.facet_queries``;
+  ``facet.range.other`` (before|after|between|all|none) adds the
+  out-of-range counts to each ``facet_ranges`` entry
 - ``hl=true`` (``hl.fragsize`` honored) → ``highlighting`` map keyed by
   doc id
 - ``spellcheck=true&spellcheck.q=words...`` → per-token
@@ -82,7 +84,9 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
 # facet.range.{start,end,gap} and the facet.field bucket params
 # (limit/offset/mincount/sort/prefix/missing), globally or per-field
 # (Solr's f.<field>. prefix override convention)
-_FACET_RANGE_RE = re.compile(r"^(?:f\.[^.]+\.)?facet\.range\.(start|end|gap)$")
+_FACET_RANGE_RE = re.compile(
+    r"^(?:f\.[^.]+\.)?facet\.range\.(start|end|gap|other)$"
+)
 _FACET_PARAM_RE = re.compile(
     r"^(?:f\.[^.]+\.)?facet\.(limit|offset|mincount|sort|prefix|missing)$"
 )
@@ -393,6 +397,23 @@ def solr_select(
                 "counts": flat, "gap": _num(gap),
                 "start": _num(lo), "end": _num(lo + i * gap),
             }
+            other = params.get(f"f.{field}.facet.range.other",
+                               params.get("facet.range.other", "none"))
+            if str(other) not in ("none", "before", "after", "between", "all"):
+                raise ValueError(
+                    f"facet.range.other must be none|before|after|between"
+                    f"|all, got {other!r}"
+                )
+            if str(other) != "none":
+                bef, bet, aft = idx.facet_range_other(
+                    q, field, lo, hi, fq=fq, op=op, mm=mm
+                )
+                vals = {"before": bef, "between": bet, "after": aft}
+                for key in (
+                    ("before", "between", "after") if other == "all"
+                    else (str(other),)
+                ):
+                    fr[field][key] = vals[key]
         if fr:
             resp["facet_counts"]["facet_ranges"] = fr
 

@@ -144,3 +144,35 @@ def test_bad_facet_sort_raises(corpus):
             "q": "*:*", "facet": "true", "facet.field": "role",
             "facet.sort": "alpha",
         })
+
+
+def test_facet_range_other(corpus):
+    """facet.range.other=all adds before/between/after counts relative to
+    [start, end) over the same DocSet (nulls count nowhere)."""
+    df, idx = corpus
+    lo, hi = 1, 4
+    resp = solr_select(idx, {
+        "q": "*:*", "rows": 0, "facet": "true", "facet.range": "turn_idx",
+        "facet.range.start": lo, "facet.range.end": hi,
+        "facet.range.gap": 1, "facet.range.other": "all",
+    })
+    fr = resp["facet_counts"]["facet_ranges"]["turn_idx"]
+    n_before = df.filter(df.turn_idx < lo).count()
+    n_between = df.filter((df.turn_idx >= lo) & (df.turn_idx < hi)).count()
+    n_after = df.filter(df.turn_idx >= hi).count()
+    assert (fr["before"], fr["between"], fr["after"]) == (
+        n_before, n_between, n_after)
+    assert sum(fr["counts"][1::2]) == n_between
+    # single-key form + validation
+    one = solr_select(idx, {
+        "q": "*:*", "rows": 0, "facet": "true", "facet.range": "turn_idx",
+        "facet.range.start": lo, "facet.range.end": hi,
+        "facet.range.gap": 1, "facet.range.other": "after",
+    })["facet_counts"]["facet_ranges"]["turn_idx"]
+    assert one["after"] == n_after and "before" not in one
+    with pytest.raises(ValueError, match="facet.range.other"):
+        solr_select(idx, {
+            "q": "*:*", "facet": "true", "facet.range": "turn_idx",
+            "facet.range.start": 0, "facet.range.end": 2,
+            "facet.range.gap": 1, "facet.range.other": "outside",
+        })
