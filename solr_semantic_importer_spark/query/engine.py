@@ -1447,6 +1447,7 @@ class BM25Index:
         fragsize: int | None = None,
         order_key: str = "round6",
         fq: str | list[str] | None = None,
+        snippets: int = 1,
     ) -> DataFrame:
         """Q7: highlighting over the top-k result set -- every stored-text
         token whose ANALYZED form matches an analyzed query term is wrapped
@@ -1465,7 +1466,15 @@ class BM25Index:
         query terms literally occur in the text). Stemmed chains: query terms
         are stems ('tables' -> 'tabl') that may never appear as surface text,
         so the stored text is re-analyzed token-by-token in an Arrow kernel
-        and tokens are wrapped when their stem is in the query term set."""
+        and tokens are wrapped when their stem is in the query term set.
+
+        ``snippets`` (Solr hl.snippets, default 1): with snippets > 1 the
+        ``highlighted`` column becomes ``array<string>`` of up to that many
+        fragments -- ~fragsize-char windows centered on successive
+        query-term occurrences, each occurrence inside an earlier window
+        consumed (non-overlapping, document order). The multi-snippet
+        fragmenter is one Arrow kernel for every chain; snippets=1 keeps
+        the frozen single-fragment spec above (oracle-shared)."""
         # phrase/mixed q: highlight the clauses' terms (Solr's default
         # highlighter marks individual term occurrences of a phrase query's
         # terms); search() below routes the q to the right scorer itself
@@ -1473,6 +1482,10 @@ class BM25Index:
         top = self.search(
             query, k=k, with_stored=True, order_key=order_key, fq=fq
         ).select("doc_id", "score", "text")
+        if snippets > 1:
+            return self._highlight_snippets(
+                top, terms, pre, post, fragsize or 100, snippets
+            )
         if not terms:
             return top.withColumn("highlighted", F.col("text"))
         if self.analyzer_chain == "text_general":
@@ -1520,6 +1533,70 @@ class BM25Index:
             return texts.map(one)
 
         return top.withColumn("highlighted", mark(F.col("text")))
+
+    def _highlight_snippets(
+        self, top: DataFrame, terms: list[str],
+        pre: str, post: str, fragsize: int, snippets: int,
+    ) -> DataFrame:
+        """hl.snippets > 1 fragmenter: per doc, up to ``snippets``
+        non-overlapping ~fragsize-char windows in document order, each
+        centered on the first query-term occurrence past the previous
+        window; every term occurrence inside a window gets pre/post
+        markers. One Arrow kernel regardless of analyzer chain (token
+        match = any analyzed form of the surface token in the query term
+        set -- the stemmed-chain rule, which reduces to literal matching
+        for text_general)."""
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.analysis import (
+            HIGHLIGHT_TOKEN_PATTERNS,
+            TOKEN_NORMALIZERS,
+        )
+
+        if not terms:
+            return top.withColumn(
+                "highlighted",
+                F.lit(None).cast(T.ArrayType(T.StringType())),
+            )
+        normalize = TOKEN_NORMALIZERS[self.analyzer_chain]
+        tset = frozenset(terms)
+        tok_re = _re.compile(HIGHLIGHT_TOKEN_PATTERNS[self.analyzer_chain])
+        half = fragsize // 2
+
+        @pandas_udf(T.ArrayType(T.StringType()))
+        def frags(texts: pd.Series) -> pd.Series:
+            def mark(frag: str) -> str:
+                out, last = [], 0
+                for m in tok_re.finditer(frag):
+                    if any(f in tset for f in normalize(m.group(0))):
+                        out.append(frag[last : m.start()])
+                        out.append(pre + m.group(0) + post)
+                        last = m.end()
+                return frag if not out else "".join(out) + frag[last:]
+
+            def one(text):
+                if text is None:
+                    return None
+                got, nxt = [], 0
+                for m in tok_re.finditer(text):
+                    if len(got) >= snippets:
+                        break
+                    if m.start() < nxt:
+                        continue
+                    if any(f in tset for f in normalize(m.group(0))):
+                        # clamp to the previous window's end so fragments
+                        # never overlap (the occurrence stays inside: its
+                        # start is >= nxt by the check above)
+                        s = max(0, m.start() - half, nxt if got else 0)
+                        got.append(mark(text[s : s + fragsize]))
+                        nxt = s + fragsize
+                return got
+
+            return texts.map(one)
+
+        return top.withColumn("highlighted", frags(F.col("text")))
 
     # -- delete-by-query (I5): Lucene-style tombstones -------------------------
 

@@ -39,7 +39,9 @@ components its solrconfig enables):
   ``facet.query`` (repeatable, fq grammar) → ``facet_counts.facet_queries``;
   ``facet.range.other`` (before|after|between|all|none) adds the
   out-of-range counts to each ``facet_ranges`` entry
-- ``hl=true`` (``hl.fragsize`` honored) → ``highlighting`` map keyed by
+- ``hl=true`` (``hl.fragsize`` + ``hl.snippets`` honored; snippets > 1
+  returns up to that many non-overlapping fragments) → ``highlighting``
+  map keyed by
   doc id
 - ``spellcheck=true&spellcheck.q=words...`` → per-token
   ``spellcheck.suggestions`` (flat [token, {...}] list) +
@@ -74,7 +76,7 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages",
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "facet.query", "hl",
-             "hl.fragsize", "spellcheck",
+             "hl.fragsize", "hl.snippets", "spellcheck",
              "spellcheck.q", "spellcheck.collate", "wt", "indent",
              "useParams", "minExactCount",
              "cursorMark", "mm", "debugQuery",
@@ -419,12 +421,20 @@ def solr_select(
 
     if _truthy(params.get("hl", False)) and not match_all:
         fragsize = params.get("hl.fragsize")
+        n_snip = int(params.get("hl.snippets", 1))
         hl_rows = idx.highlight(
             q, k=start + rows, fq=fq,
             fragsize=int(fragsize) if fragsize is not None else None,
+            snippets=n_snip,
         ).collect()[start:start + rows]
         resp["highlighting"] = {
-            str(r["doc_id"]): {"text": [r["highlighted"]]} for r in hl_rows
+            str(r["doc_id"]): {
+                "text": (
+                    list(r["highlighted"] or [])
+                    if n_snip > 1 else [r["highlighted"]]
+                )
+            }
+            for r in hl_rows
         }
 
     if _truthy(params.get("stats", False)):

@@ -309,3 +309,27 @@ def test_spellcheck_correctly_spelled_common_terms(corpus):
     })["spellcheck"]
     assert sp["correctlySpelled"] and sp["suggestions"] == []
     assert "collations" not in sp
+
+
+def test_hl_snippets_multi_fragment(corpus):
+    """hl.snippets > 1: up to N non-overlapping marked fragments per doc,
+    in document order; each fragment is ~fragsize chars and every term
+    occurrence inside it is wrapped."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error", "rows": 5, "hl": "true",
+        "hl.fragsize": 30, "hl.snippets": 3,
+    })
+    hl = resp["highlighting"]
+    assert set(hl) == {str(d["doc_id"]) for d in resp["response"]["docs"]}
+    for frags in hl.values():
+        lst = frags["text"]
+        assert isinstance(lst, list) and 1 <= len(lst) <= 3
+        for f in lst:
+            assert "<em>" in f and len(f) <= 30 + len("<em></em>") * 10
+    # snippets=1 keeps the single-fragment (string) behavior
+    one = solr_select(idx, {
+        "q": "error", "rows": 2, "hl": "true", "hl.fragsize": 30,
+    })["highlighting"]
+    for v in one.values():
+        assert len(v["text"]) == 1 and isinstance(v["text"][0], str)
