@@ -681,14 +681,16 @@ class BM25Index:
         over at most n_segments x k rows per query, never the corpus."""
         if not isinstance(queries, dict):
             queries = {q: q for q in queries}
-        for qs in queries.values():
-            if (self.parse_phrase_q(qs) is not None
-                    or self.parse_mixed_q(qs) is not None):
-                # the batch kernel scores terms only -- fail loud rather
-                # than silently scoring a phrase as a bag of words
-                raise ValueError(
-                    f"search_many does not support phrase queries: {qs!r}"
-                )
+        # phrase / mixed queries in the workload run through their own
+        # scorers (the batch kernel scores terms only); their match frames
+        # join the term batch before the shared per-query window cut, so
+        # one job still serves the whole workload
+        special = {
+            qid: qs for qid, qs in queries.items()
+            if self.parse_phrase_q(qs) is not None
+            or self.parse_mixed_q(qs) is not None
+        }
+        queries = {q: s for q, s in queries.items() if q not in special}
         wmaps: dict[str, dict[str, float]] = {}
         mms: dict[str, int] = {}
         for qid, qs in queries.items():
@@ -713,7 +715,23 @@ class BM25Index:
                 T.StructField("score", T.DoubleType(), False),
             ]
         )
-        if not wmaps:
+        special_frames = []
+        for qid, qs in sorted(special.items()):
+            pq = self.parse_phrase_q(qs)
+            f = (
+                self.phrase_matches(pq[0], slop=pq[1], fq=fq)
+                if pq is not None
+                else self.mixed_matches(
+                    *self.parse_mixed_q(qs), op=op, fq=fq, mm=mm
+                )
+            )
+            special_frames.append(
+                f.select(
+                    F.lit(qid).alias("query_id"),
+                    F.col("doc_id"), F.col("score"),
+                )
+            )
+        if not wmaps and not special_frames:
             empty = self.spark.createDataFrame([], out_schema)
             return empty.withColumn("rank", F.lit(1))
         union_terms = sorted({t for w in wmaps.values() for t in w})
@@ -816,6 +834,10 @@ class BM25Index:
                     schema=out_schema,
                 )
             )
+        if not wmaps:
+            locals_df = self.spark.createDataFrame([], out_schema)
+        for sf in special_frames:
+            locals_df = locals_df.unionByName(sf)
         from pyspark.sql.window import Window
 
         key = F.round(F.col("score"), 6)

@@ -304,5 +304,26 @@ def test_mixed_q_fail_loud_components(corpus):
         idx.explain('gamma "alpha beta"', [0])
     with pytest.raises(ValueError, match="phrase"):
         idx.search_grouped('gamma "alpha beta"', "role")
-    with pytest.raises(ValueError, match="phrase"):
-        idx.search_many(['gamma "alpha beta"'])
+
+
+def test_search_many_with_phrase_queries(corpus):
+    """A batch workload mixing term, phrase and mixed queries: each query's
+    rows equal its individual search() top-k."""
+    _, idx = corpus
+    workload = {
+        "t": "gamma",
+        "p": '"alpha beta"~1',
+        "m": 'gamma "alpha beta"',
+    }
+    batch = idx.search_many(workload, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (int(r["rank"]), int(r["doc_id"]), round(float(r["score"]), 6))
+        )
+    for qid, qs in workload.items():
+        want = [
+            (i + 1, int(r["doc_id"]), round(float(r["score"]), 6))
+            for i, r in enumerate(idx.search(qs, k=5).collect())
+        ]
+        assert sorted(got.get(qid, [])) == want, qid
