@@ -173,6 +173,27 @@ def main() -> None:
                                k=5, group_limit=2),
         ),
         (
+            "Mixed boolean query (terms + phrase clauses, late r4)",
+            "What to check: the term clauses' pruned postings decode and the\n"
+            "phrase clause's positional segment kernel UNION into one\n"
+            "`HashAggregate` on doc_id (partial before the exchange) that\n"
+            "yields both the summed score and the matched-clause count —\n"
+            "each clause contributes at most one row per doc, so no clause\n"
+            "tagging, no second shuffle; `TakeOrderedAndProject` caps the\n"
+            "result.",
+            idx.search('merge "table hash"', k=10, use_cache=False),
+        ),
+        (
+            "Facet with bucket params (in-plan limit, late r4)",
+            "What to check: matched-ids decode -> join to docs ->\n"
+            "`HashAggregate` on the facet field with partial aggregation,\n"
+            "then `TakeOrderedAndProject` from facet.limit — the driver\n"
+            "receives `limit` buckets, never a high-cardinality field's\n"
+            "bucket universe (conv_id here is the corpus' highest-cardinality\n"
+            "field).",
+            idx.facet("table merge", "conv_id", limit=10),
+        ),
+        (
             "Exact dedup (hash-groupBy, 128-bit key)",
             "What to check: the shuffle key is the 16-byte `unhex(md5(text))` —\n"
             "~32 bytes/row on the wire instead of document bodies — with\n"
