@@ -1258,12 +1258,22 @@ class BM25Index:
         synonyms: bool | dict = False,
         fq: str | list[str] | None = None,
         mm: int | str | None = None,
+        group_sort: list[tuple[str, str]] | None = None,
     ) -> DataFrame:
         """Solr result grouping (``group=true&group.field=F``): the top
         ``group_limit`` docs of each group, for the top ``k`` groups
         ordered by their best doc's (round6 score, doc_id) key. On the
         transcripts corpus ``group_field='conv_id'`` answers "the best
         matching turns per conversation" -- Solr's canonical use.
+
+        ``group_sort`` (Solr ``group.sort``, [(field, 'asc'|'desc'), ...]):
+        order -- and therefore SELECT -- the docs within each group by
+        these keys instead of relevance; group ordering itself stays the
+        request's ``sort`` (each group's best score), Solr's split. A
+        group.sort request can't use the score-collapse kernels (the
+        per-group top-by-field isn't a subset of the per-segment
+        top-by-score), so it scores the full match set exhaustively --
+        Solr's grouping collects the full match set here too.
 
         Returns (group_value, group_rank, rank_in_group, doc_id, score),
         ordered. The k-th group's head can sit arbitrarily deep in the
@@ -1281,33 +1291,74 @@ class BM25Index:
         driver-side."""
         from pyspark.sql.window import Window
 
-        matched = self._grouped_matches(
-            query, group_field, group_limit, op=op, synonyms=synonyms,
-            fq=fq, mm=mm,
-        )
-        joined = matched.join(
-            self.docs().select("doc_id", group_field), "doc_id"
-        )
         key = F.round(F.col("score"), 6)
-        wg = Window.partitionBy(group_field).orderBy(
-            key.desc(), F.col("doc_id").asc()
-        )
+        if group_sort is not None:
+            matched = self.score_matches(query, op=op, fq=fq, mm=mm)
+            extra = [
+                f for f, _ in group_sort
+                if f not in ("score", "doc_id", group_field)
+            ]
+            joined = matched.join(
+                self.docs().select("doc_id", group_field, *extra), "doc_id"
+            )
+            cols = []
+            for f, d in group_sort:
+                c = key if f == "score" else F.col(f)
+                cols.append(c.desc() if d == "desc" else c.asc())
+            wg = Window.partitionBy(group_field).orderBy(
+                *cols, F.col("doc_id").asc()
+            )
+        else:
+            matched = self._grouped_matches(
+                query, group_field, group_limit, op=op, synonyms=synonyms,
+                fq=fq, mm=mm,
+            )
+            joined = matched.join(
+                self.docs().select("doc_id", group_field), "doc_id"
+            )
+            wg = Window.partitionBy(group_field).orderBy(
+                key.desc(), F.col("doc_id").asc()
+            )
         in_group = joined.withColumn(
             "rank_in_group", F.row_number().over(wg)
         ).filter(F.col("rank_in_group") <= group_limit)
-        heads = (
-            in_group.filter(F.col("rank_in_group") == 1)
-            .orderBy(key.desc(), F.col("doc_id").asc())
-            .limit(k)
-            .select(
-                F.col(group_field),
-                F.row_number()
-                .over(
-                    Window.orderBy(key.desc(), F.col("doc_id").asc())
+        if group_sort is not None:
+            # group ordering = each group's best (round6 score, doc_id) over
+            # the FULL match set (the within-group leader under group.sort
+            # need not be the group's best-scoring doc)
+            horder = [F.col("b.k").desc(), F.col("b.nd").desc()]
+            heads = (
+                joined.groupBy(group_field)
+                .agg(
+                    F.max(
+                        F.struct(
+                            key.alias("k"), (-F.col("doc_id")).alias("nd")
+                        )
+                    ).alias("b")
                 )
-                .alias("group_rank"),
+                .orderBy(*horder)
+                .limit(k)
+                .select(
+                    F.col(group_field),
+                    F.row_number()
+                    .over(Window.orderBy(*horder))
+                    .alias("group_rank"),
+                )
             )
-        )
+        else:
+            heads = (
+                in_group.filter(F.col("rank_in_group") == 1)
+                .orderBy(key.desc(), F.col("doc_id").asc())
+                .limit(k)
+                .select(
+                    F.col(group_field),
+                    F.row_number()
+                    .over(
+                        Window.orderBy(key.desc(), F.col("doc_id").asc())
+                    )
+                    .alias("group_rank"),
+                )
+            )
         return (
             in_group.join(F.broadcast(heads), group_field)
             .select(

@@ -81,6 +81,7 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "useParams", "minExactCount",
              "cursorMark", "mm", "debugQuery",
              "group", "group.field", "group.limit", "group.ngroups",
+             "group.sort",
              "stats", "stats.field"}
 
 # facet.range.{start,end,gap} and the facet.field bucket params
@@ -553,13 +554,16 @@ def _grouped_select(
     fq = _as_list(params.get("fq")) or None
     rows = int(params.get("rows", 10))
     limit = int(params.get("group.limit", 1))
+    gsort = " ".join(str(params.get("group.sort", "score desc")).split())
+    gspec = None if gsort == "score desc" else _parse_sort(gsort)
     fl = params.get("fl")
     fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
     want_score = bool(fl) and "score" in fl
     fetch_fl = [f for f in (fl or []) if f != "score"] or None
 
     page = idx.search_grouped(
-        q, field, k=rows, group_limit=limit, op=op, fq=fq, mm=mm
+        q, field, k=rows, group_limit=limit, op=op, fq=fq, mm=mm,
+        group_sort=gspec,
     ).collect()
     matches = idx.count_matches(q, op=op, fq=fq, mm=mm)
 

@@ -170,3 +170,58 @@ def test_select_grouped_validation(corpus):
         solr_select(idx, {"q": "error", "group": "true"})
     with pytest.raises(ValueError, match="scored"):
         solr_select(idx, {"q": "*:*", "group": "true", "group.field": "conv_id"})
+
+
+def test_group_sort_within_group(corpus):
+    """group.sort orders (and selects) docs WITHIN each group by the field,
+    while group ordering stays each group's best score -- Solr's split.
+    Verified brute-force from the full match set."""
+    _, idx = corpus
+    q, field, k, lim = "error tool", "conv_id", 4, 2
+    rows = idx.search_grouped(
+        q, field, k=k, group_limit=lim, group_sort=[("turn_idx", "asc")]
+    ).collect()
+    # brute force: full scored match set joined to (conv_id, turn_idx)
+    full = {
+        int(r["doc_id"]): float(r["score"])
+        for r in idx.score_matches(q).collect()
+    }
+    meta = {
+        int(r["doc_id"]): (r[field], int(r["turn_idx"]))
+        for r in idx.docs().select("doc_id", field, "turn_idx").collect()
+    }
+    by_group: dict = {}
+    for d, s in full.items():
+        by_group.setdefault(meta[d][0], []).append((d, s))
+    # group order: best (round6 score, -doc_id) per group
+    order = sorted(
+        by_group,
+        key=lambda g: max(
+            (round(s, 6), -d) for d, s in by_group[g]
+        ),
+        reverse=True,
+    )[:k]
+    want = []
+    for gr, gv in enumerate(order, start=1):
+        members = sorted(by_group[gv], key=lambda ds: (meta[ds[0]][1], ds[0]))
+        for rig, (d, s) in enumerate(members[:lim], start=1):
+            want.append((gv, gr, rig, d))
+    got = [
+        (r["group_value"], int(r["group_rank"]),
+         int(r["rank_in_group"]), int(r["doc_id"]))
+        for r in rows
+    ]
+    assert got == want
+
+
+def test_group_sort_through_facade(corpus):
+    """/select group.sort: within-group docs come back field-ordered."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error tool", "group": "true", "group.field": "conv_id",
+        "rows": 3, "group.limit": 3, "group.sort": "turn_idx desc",
+        "fl": "doc_id,turn_idx",
+    })
+    for g in resp["grouped"]["conv_id"]["groups"]:
+        ts = [d["turn_idx"] for d in g["doclist"]["docs"]]
+        assert ts == sorted(ts, reverse=True)
