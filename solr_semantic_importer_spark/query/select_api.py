@@ -170,6 +170,19 @@ def solr_select(
     rows = int(params.get("rows", 10))
     fl = params.get("fl")
     fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
+    # Solr fl renames: `alias:field` displays `field` under `alias`;
+    # fetch by the source name, rename in the response docs below
+    renames: dict[str, str] = {}
+    if fl:
+        norm = []
+        for f in fl:
+            if ":" in f:
+                alias, src = f.split(":", 1)
+                renames[src] = alias
+                norm.append(src)
+            else:
+                norm.append(f)
+        fl = norm
     want_score = bool(fl) and "score" in fl
     if fl and "*" in fl:
         fetch_fl = None  # Solr fl=* : every stored field (score iff asked)
@@ -307,6 +320,8 @@ def solr_select(
         d = dict(r)
         if not want_score:
             d.pop("score", None)
+        if renames:
+            d = {renames.get(k2, k2): v for k2, v in d.items()}
         docs.append(d)
 
     resp: dict[str, Any] = {

@@ -333,3 +333,19 @@ def test_hl_snippets_multi_fragment(corpus):
     })["highlighting"]
     for v in one.values():
         assert len(v["text"]) == 1 and isinstance(v["text"][0], str)
+
+
+def test_fl_aliasing(corpus):
+    """Solr fl renames (`alias:field`): fetch the source field, display it
+    under the alias; works alongside plain fields and score."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error tool", "rows": 3, "fl": "id:doc_id,who:role,score",
+    })
+    for d in resp["response"]["docs"]:
+        assert set(d) == {"id", "who", "score"}
+    match_all = solr_select(idx, {
+        "q": "*:*", "rows": 2, "fl": "id:doc_id,turn_idx",
+    })
+    for d in match_all["response"]["docs"]:
+        assert "id" in d and "doc_id" not in d and "turn_idx" in d
