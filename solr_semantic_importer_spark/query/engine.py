@@ -504,9 +504,9 @@ class BM25Index:
                 pq[0], k=k, fq=fq, offset=offset, with_stored=with_stored,
                 order_key=order_key, fl=fl, slop=pq[1],
             )
-        mx = self.parse_mixed_q(query)
-        if mx is not None:
-            scored = self.mixed_matches(mx[0], mx[1], op=op, fq=fq, mm=mm)
+        cl = self.parse_boolean_q(query)
+        if cl is not None:
+            scored = self.boolean_matches(cl, op=op, fq=fq, mm=mm)
             return self._finish(scored, k, offset, with_stored, order_key, fl)
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
@@ -581,20 +581,14 @@ class BM25Index:
         Quoted-phrase ``q`` pages the full phrase match set with the same
         np.round keyset predicate as the exhaustive paths (the phrase
         kernel scores every match, so the cursor applies as a filter)."""
-        pq = self.parse_phrase_q(query)
-        mx = self.parse_mixed_q(query) if pq is None else None
-        if pq is not None or mx is not None:
+        st = self.structured_matches(query, op=op, fq=fq, mm=mm)
+        if st is not None:
             after = decode_cursor_mark(cursor)
             if fl is not None:
                 with_stored = True
-            scored = (
-                self.phrase_matches(pq[0], slop=pq[1], fq=fq)
-                if pq is not None
-                else self.mixed_matches(mx[0], mx[1], op=op, fq=fq, mm=mm)
-            )
             if after is not None:
-                scored = self._keyset_filter(scored, after)
-            return self._finish(scored, k, 0, with_stored, "round6", fl)
+                st = self._keyset_filter(st, after)
+            return self._finish(st, k, 0, with_stored, "round6", fl)
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         fq = self._norm_fq(fq)
@@ -688,7 +682,7 @@ class BM25Index:
         special = {
             qid: qs for qid, qs in queries.items()
             if self.parse_phrase_q(qs) is not None
-            or self.parse_mixed_q(qs) is not None
+            or self.parse_boolean_q(qs) is not None
         }
         queries = {q: s for q, s in queries.items() if q not in special}
         wmaps: dict[str, dict[str, float]] = {}
@@ -717,14 +711,7 @@ class BM25Index:
         )
         special_frames = []
         for qid, qs in sorted(special.items()):
-            pq = self.parse_phrase_q(qs)
-            f = (
-                self.phrase_matches(pq[0], slop=pq[1], fq=fq)
-                if pq is not None
-                else self.mixed_matches(
-                    *self.parse_mixed_q(qs), op=op, fq=fq, mm=mm
-                )
-            )
+            f = self.structured_matches(qs, op=op, fq=fq, mm=mm)
             special_frames.append(
                 f.select(
                     F.lit(qid).alias("query_id"),
@@ -1109,10 +1096,10 @@ class BM25Index:
         so routing needs no join and each kernel sees only its own
         segment's map, bounded by segment_size)."""
         if (self.parse_phrase_q(query) is not None
-                or self.parse_mixed_q(query) is not None):
+                or self.parse_boolean_q(query) is not None):
             # the term-scoring collapse kernels can't evaluate positional
-            # matches -- fail loud (facade contract) rather than grouping
-            # a bag-of-words approximation of the phrase
+            # or occur-structured matches -- fail loud (facade contract)
+            # rather than grouping a bag-of-words approximation
             raise ValueError("grouping does not support phrase queries")
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         mm_n = self._norm_mm(mm, len(terms)) if op != "AND" else None
@@ -1400,10 +1387,10 @@ class BM25Index:
         query terms' postings, never the corpus, and only len(doc_ids) ×
         len(terms) rows come back."""
         if (self.parse_phrase_q(query) is not None
-                or self.parse_mixed_q(query) is not None):
-            # a per-TERM breakdown can't reconstruct a phrase score (freq is
-            # the phrase-occurrence count, not any term's tf) -- fail loud
-            # instead of returning contributions that don't sum to score
+                or self.parse_boolean_q(query) is not None):
+            # a per-TERM breakdown can't reconstruct a phrase/boolean score
+            # (freq is the phrase-occurrence count, not any term's tf) --
+            # fail loud instead of returning contributions that don't sum
             raise ValueError("explain does not support phrase queries")
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         idf = self.idf_map(terms)
@@ -1756,15 +1743,11 @@ class BM25Index:
         field-sorted /select requests (Solr sorts the whole DocSet by the
         field; scores are still reported per doc when fl asks). Exhaustive
         decode + aggregate: a field sort needs every match anyway, so WAND
-        pruning has nothing to skip. Quoted-phrase ``q`` routes to
-        :meth:`phrase_matches`; mixed term+phrase ``q`` to
-        :meth:`mixed_matches`."""
-        pq = self.parse_phrase_q(query)
-        if pq is not None:
-            return self.phrase_matches(pq[0], slop=pq[1], fq=fq)
-        mx = self.parse_mixed_q(query)
-        if mx is not None:
-            return self.mixed_matches(mx[0], mx[1], op=op, fq=fq, mm=mm)
+        pruning has nothing to skip. Structured ``q`` (quoted phrase,
+        boolean-occur clauses) routes to :meth:`structured_matches`."""
+        st = self.structured_matches(query, op=op, fq=fq, mm=mm)
+        if st is not None:
+            return st
         terms, boosts = self.parse_boosted_query(query)
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
         idf = self.idf_map(terms)
@@ -1788,16 +1771,11 @@ class BM25Index:
         exact filtered DocSet, so op/mm MUST shape it identically to the
         docs list on the same response). Pruned postings decode -> doc ids
         (no scoring math); AND/mm add one per-doc clause count. Nothing
-        doc-sized reaches the driver. Quoted-phrase / mixed ``q``: the
-        match set's ids (one row per matched doc already)."""
-        pq = self.parse_phrase_q(query)
-        if pq is not None:
-            return self.phrase_matches(pq[0], slop=pq[1], fq=fq).select("doc_id")
-        mx = self.parse_mixed_q(query)
-        if mx is not None:
-            return self.mixed_matches(
-                mx[0], mx[1], op=op, fq=fq, mm=mm
-            ).select("doc_id")
+        doc-sized reaches the driver. Structured ``q`` (phrase / boolean
+        occur): the match set's ids (one row per matched doc already)."""
+        st = self.structured_matches(query, op=op, fq=fq, mm=mm)
+        if st is not None:
+            return st.select("doc_id")
         empty = self.docs().select("doc_id").limit(0)
         terms, _ = self.parse_boosted_query(query)  # boosts don't change the set
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
@@ -2110,11 +2088,213 @@ class BM25Index:
             return None
         return m.group("phrase"), int(m.group("slop") or 0)
 
-    _MIXED_TOKEN_RE = re.compile(r'"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+')
+    _MIXED_TOKEN_RE = re.compile(
+        r'[+-]?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+'
+    )
     _PHRASE_CLAUSE_RE = re.compile(
         r'^"(?P<p>[^"]*)"(?:~(?P<slop>\d+))?'
         r'(?:\^(?P<boost>\d+(?:\.\d+)?))?$'
     )
+
+    def parse_boolean_q(self, query: str) -> list[tuple] | None:
+        """Lucene boolean-occur query parse: whitespace clauses, each a bare
+        term or quoted phrase (``~slop``/``^boost`` suffixes) with an
+        optional ``+`` (MUST) / ``-`` (MUST_NOT) prefix (Lucene standard
+        parser occur operators; an unprefixed clause is SHOULD).
+
+        Returns a clause list [(occur, spec)] with occur in
+        {'SHOULD','MUST','MUST_NOT'} and spec = ('term', t, boost) or
+        ('phrase', text, slop, boost) -- or None when the query is PLAIN
+        (no phrases, no occur prefixes), so pure positive term queries keep
+        the WAND fast path. A term clause's surface text may analyze to
+        several tokens; each becomes its own clause with the surface
+        clause's occur + boost (same rule as parse_boosted_query).
+        Duplicate (occur, term) clauses keep the larger boost. A leading
+        ``-``/``+`` is ALWAYS an operator (quote a literal leading
+        hyphen); interior hyphens (``wi-fi``) are plain text."""
+        if '"' not in query and "+" not in query and "-" not in query:
+            return None
+        clauses: list[tuple] = []
+        seen_terms: dict[tuple[str, str], int] = {}
+        structured = False
+        for tok in self._MIXED_TOKEN_RE.findall(query):
+            occur = "SHOULD"
+            if tok[:1] in "+-" and len(tok) > 1:
+                occur = "MUST" if tok[0] == "+" else "MUST_NOT"
+                structured = True
+                tok = tok[1:]
+            m = self._PHRASE_CLAUSE_RE.match(tok)
+            if m is not None:
+                structured = True
+                clauses.append((
+                    occur,
+                    ("phrase", m.group("p"), int(m.group("slop") or 0),
+                     float(m.group("boost") or 1.0)),
+                ))
+                continue
+            bm = self._BOOST_RE.search(tok)
+            b = float(bm.group(1)) if bm else 1.0
+            text = tok[: bm.start()] if bm else tok
+            for t in self.analyze_query(text):
+                key = (occur, t)
+                if key in seen_terms:
+                    i = seen_terms[key]
+                    old = clauses[i]
+                    clauses[i] = (occur, ("term", t, max(old[1][2], b)))
+                else:
+                    seen_terms[key] = len(clauses)
+                    clauses.append((occur, ("term", t, b)))
+        return clauses if (structured and clauses) else None
+
+    def structured_matches(
+        self, query: str, op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> DataFrame | None:
+        """The full (doc_id, score) match frame for a STRUCTURED ``q`` --
+        a lone quoted phrase (dedicated route) or a boolean-occur clause
+        query -- else None (plain term queries keep their WAND/exhaustive
+        paths). The single dispatch point the query entry points share."""
+        pq = self.parse_phrase_q(query)
+        if pq is not None:
+            return self.phrase_matches(pq[0], slop=pq[1], fq=fq)
+        cl = self.parse_boolean_q(query)
+        if cl is not None:
+            return self.boolean_matches(cl, op=op, fq=fq, mm=mm)
+        return None
+
+    def boolean_matches(
+        self,
+        clauses: list[tuple],
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """Lucene BooleanQuery over occur-tagged clauses: a matching doc
+        satisfies EVERY MUST clause, NO MUST_NOT clause, and at least
+        minShouldMatch SHOULD clauses (Lucene default: 1 when there are no
+        MUST clauses, else 0; ``mm`` raises it, counted over the SHOULD
+        clauses only -- the mm spec's base). ``op='AND'`` promotes SHOULD
+        to MUST (Solr q.op). score = sum of the matching MUST + SHOULD
+        clause scores (prohibited clauses never score). A query of only
+        MUST_NOT clauses follows Solr's top-level rewrite ``*:* -clauses``
+        (every surviving live doc, score 1.0).
+
+        Plan: one exhaustive pruned decode per occur-group's term set +
+        the phrase kernels, tagged MUST=1/SHOULD=0, one groupBy(doc_id)
+        computing (score, must_hits, should_hits); MUST_NOT ids union into
+        one anti-join. Tombstones/fq once on the result."""
+        if op == "AND":
+            clauses = [
+                ("MUST" if oc == "SHOULD" else oc, sp) for oc, sp in clauses
+            ]
+        musts = [sp for oc, sp in clauses if oc == "MUST"]
+        shoulds = [sp for oc, sp in clauses if oc == "SHOULD"]
+        nots = [sp for oc, sp in clauses if oc == "MUST_NOT"]
+        empty = self.spark.createDataFrame([], _SCORE_ROW)
+
+        if not musts and not shoulds:
+            # only prohibited clauses: Solr's top-level `*:* -clauses`
+            # rewrite (handled below); anything else with zero positive
+            # clauses matches nothing
+            if not nots:
+                return empty
+            need_should = 0
+        else:
+            # minShouldMatch over the SHOULD clause count (Lucene base)
+            need_should = 1 if not musts else 0
+            if mm is not None and shoulds:
+                mm_n = self._norm_mm(mm, len(shoulds))
+                if mm_n is not None:
+                    need_should = max(need_should, mm_n)
+            if need_should > len(shoulds):
+                return empty
+
+        def _term_frame(specs, tag: int):
+            tspecs = [sp for sp in specs if sp[0] == "term"]
+            terms = [t for _, t, _ in tspecs]
+            if not terms:
+                return None, 0, False
+            boosts = {t: b for _, t, b in tspecs}
+            idf = self.idf_map(terms)
+            oov = len([t for t in terms if t not in idf])
+            live = [t for t in terms if t in idf]
+            if not live:
+                return None, oov, True
+            widf = {t: idf[t] * boosts[t] for t in live}
+            f = self._decode_score_df(live, widf).select(
+                "doc_id", "score", F.lit(tag).alias("is_must")
+            )
+            return f, oov, True
+
+        parts = []
+        n_musts = len(musts)
+        mf, must_oov, _ = _term_frame(musts, 1)
+        if must_oov:
+            return empty  # an OOV MUST clause empties the query
+        if mf is not None:
+            parts.append(mf)
+        for kind, text, slop, boost in (
+            sp for sp in musts if sp[0] == "phrase"
+        ):
+            f = self.phrase_matches(text, slop=slop)
+            if boost != 1.0:
+                f = f.select(
+                    "doc_id", (F.col("score") * F.lit(boost)).alias("score")
+                )
+            parts.append(f.select("doc_id", "score", F.lit(1).alias("is_must")))
+        sf_, _, _ = _term_frame(shoulds, 0)
+        if sf_ is not None:
+            parts.append(sf_)
+        for kind, text, slop, boost in (
+            sp for sp in shoulds if sp[0] == "phrase"
+        ):
+            f = self.phrase_matches(text, slop=slop)
+            if boost != 1.0:
+                f = f.select(
+                    "doc_id", (F.col("score") * F.lit(boost)).alias("score")
+                )
+            parts.append(f.select("doc_id", "score", F.lit(0).alias("is_must")))
+
+        if parts:
+            un = parts[0]
+            for p in parts[1:]:
+                un = un.unionByName(p)
+            agg = un.groupBy("doc_id").agg(
+                F.sum("score").alias("score"),
+                F.sum("is_must").alias("mh"),
+                (F.count("*") - F.sum("is_must")).alias("sh"),
+            )
+            out = agg.filter(
+                (F.col("mh") == n_musts) & (F.col("sh") >= need_should)
+            ).select("doc_id", "score")
+        elif nots:
+            # only prohibited clauses: Solr's top-level `*:* -clauses`
+            out = self.docs().select(
+                "doc_id", F.lit(1.0).alias("score")
+            )
+        else:
+            return empty
+
+        if nots:
+            not_ids = None
+            nterms = [sp[1] for sp in nots if sp[0] == "term"]
+            if nterms:
+                idf = self.idf_map(nterms)
+                live = [t for t in nterms if t in idf]
+                if live:
+                    not_ids = self._decode_score_df(
+                        live, {t: 1.0 for t in live}
+                    ).select("doc_id")
+            for kind, text, slop, _ in (
+                sp for sp in nots if sp[0] == "phrase"
+            ):
+                pids = self.phrase_matches(text, slop=slop).select("doc_id")
+                not_ids = pids if not_ids is None else not_ids.unionByName(pids)
+            if not_ids is not None:
+                out = out.join(not_ids.distinct(), "doc_id", "left_anti")
+
+        return self._apply_fq(self._anti_dead(out), fq)
 
     def parse_mixed_q(
         self, query: str
@@ -2158,18 +2338,25 @@ class BM25Index:
         return term_clauses, phrases
 
     def _surface_terms(self, query: str) -> list[str]:
-        """Every analyzed term a query's clauses mention (term clauses +
-        phrase-clause contents), for components that work on terms
-        regardless of clause structure (highlighting, spellcheck)."""
+        """Every analyzed term a query's POSITIVE clauses mention (term
+        clauses + phrase-clause contents; MUST_NOT terms excluded -- a
+        highlighter must not mark what the query prohibits), for components
+        that work on terms regardless of clause structure (highlighting,
+        spellcheck)."""
         pq = self.parse_phrase_q(query)
         if pq is not None:
             return self.analyze_query(pq[0])
-        mx = self.parse_mixed_q(query)
-        if mx is None:
+        cl = self.parse_boolean_q(query)
+        if cl is None:
             return self.analyze_query(query)
-        out = [t for t, _ in mx[0]]
-        for text, _, _ in mx[1]:
-            out.extend(self.analyze_query(text))
+        out: list[str] = []
+        for occur, sp in cl:
+            if occur == "MUST_NOT":
+                continue
+            if sp[0] == "term":
+                out.append(sp[1])
+            else:
+                out.extend(self.analyze_query(sp[1]))
         return list(dict.fromkeys(out))
 
     def mixed_matches(
@@ -2194,43 +2381,19 @@ class BM25Index:
         Tombstones/fq apply ONCE on the aggregated set. Mixed queries run
         exhaustive: WAND bounds don't compose across positional clauses,
         and (like Solr's grouped path) the full match set is the contract
-        here -- top-k cutting happens in the caller's _finish."""
-        n_clauses = len(term_clauses) + len(phrase_clauses)
-        mm_n = self._norm_mm(mm, n_clauses) if op != "AND" else None
-        empty = self.spark.createDataFrame([], _SCORE_ROW)
-        if not n_clauses or (mm_n is not None and mm_n > n_clauses):
-            return empty
-        terms = [t for t, _ in term_clauses]
-        idf = self.idf_map(terms)
-        if op == "AND" and any(t not in idf for t in terms):
-            return empty  # an OOV MUST clause empties the query
-        parts = []
-        live_terms = [t for t in terms if t in idf]
-        if live_terms:
-            boosts = dict(term_clauses)
-            widf = {t: idf[t] * boosts[t] for t in live_terms}
-            parts.append(self._decode_score_df(live_terms, widf))
-        for text, slop, boost in phrase_clauses:
-            f = self.phrase_matches(text, slop=slop)
-            if boost != 1.0:
-                f = f.select(
-                    "doc_id", (F.col("score") * F.lit(boost)).alias("score")
-                )
-            parts.append(f)
-        if not parts:
-            return empty
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionByName(p)
-        agg = un.groupBy("doc_id").agg(
-            F.sum("score").alias("score"), F.count("*").alias("nc")
-        )
-        if op == "AND":
-            agg = agg.filter(F.col("nc") == n_clauses)
-        elif mm_n is not None:
-            agg = agg.filter(F.col("nc") >= mm_n)
-        out = agg.select("doc_id", "score")
-        return self._apply_fq(self._anti_dead(out), fq)
+        here -- top-k cutting happens in the caller's _finish.
+
+        Implemented as the all-SHOULD case of :meth:`boolean_matches`
+        (one scorer; ``+``/``-`` occur operators are the general form)."""
+        clauses: list[tuple] = [
+            ("SHOULD", ("term", t, b)) for t, b in term_clauses
+        ]
+        clauses += [
+            ("SHOULD", ("phrase", p, s, b)) for p, s, b in phrase_clauses
+        ]
+        if not clauses:
+            return self.spark.createDataFrame([], _SCORE_ROW)
+        return self.boolean_matches(clauses, op=op, fq=fq, mm=mm)
 
     def search_phrase(
         self,

@@ -17,8 +17,12 @@ components its solrconfig enables):
 - ``q`` (default ``*:*``), ``q.op`` (``OR``/``AND``); per-clause Lucene
   boosts (``spark^2 window``) parsed from ``q``; a q that is exactly one
   quoted phrase (``"a b"``, sloppy ``"a b"~2``) runs as a Lucene
-  Phrase/SloppyPhraseQuery (numFound, facets, sorts and cursors all
-  operate on the phrase DocSet; grouping and debugQuery fail loud)
+  Phrase/SloppyPhraseQuery; Lucene occur operators ``+clause`` (MUST) /
+  ``-clause`` (MUST_NOT) on term AND phrase clauses run as a
+  BooleanQuery (every MUST, no MUST_NOT, >= minShouldMatch SHOULDs; a
+  pure-negative q follows Solr's ``*:* -clauses`` rewrite). numFound,
+  facets, sorts and cursors all operate on the structured DocSet;
+  grouping and debugQuery fail loud on structured q
 - ``mm`` — minimum-should-match for OR queries (int or ``'NN%'``,
   percentage of the clause count rounded down, the mm spec's rule)
 - ``fq`` — one string or a list (Solr sends one param per filter); Solr
