@@ -2089,8 +2089,11 @@ class BM25Index:
         return m.group("phrase"), int(m.group("slop") or 0)
 
     _MIXED_TOKEN_RE = re.compile(
-        r'[+-]?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+'
+        r'[+-]?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'  # quoted phrase clause
+        r"|[+-]?[A-Za-z_][\w.]*:\[[^\]]*\]"           # field range clause
+        r"|\S+"
     )
+    _FIELD_CLAUSE_RE = re.compile(r"^(?P<f>[A-Za-z_][\w.]*):\S")
     _PHRASE_CLAUSE_RE = re.compile(
         r'^"(?P<p>[^"]*)"(?:~(?P<slop>\d+))?'
         r'(?:\^(?P<boost>\d+(?:\.\d+)?))?$'
@@ -2111,8 +2114,20 @@ class BM25Index:
         clause's occur + boost (same rule as parse_boosted_query).
         Duplicate (occur, term) clauses keep the larger boost. A leading
         ``-``/``+`` is ALWAYS an operator (quote a literal leading
-        hyphen); interior hyphens (``wi-fi``) are plain text."""
-        if '"' not in query and "+" not in query and "-" not in query:
+        hyphen); interior hyphens (``wi-fi``) are plain text.
+
+        A ``field:value`` clause whose field is a stored docs column
+        (``role:assistant``, ``-tool:*``, ``turn_idx:[0 TO 3]`` -- the fq
+        grammar, functions/solr_fq.py) becomes a ('filter', fq_string)
+        spec: it constrains the DocSet exactly like Solr's lucene parser
+        and contributes a CONSTANT score of 1.0 when matched (documented
+        deviation: Solr scores ``field:term`` with that field's own BM25;
+        this engine indexes the ``_text_`` catch-all only, so metadata
+        clauses filter with ConstantScore semantics -- numFound, facets
+        and every DocSet-derived component are identical). A ``field:``
+        prefix naming no stored column falls through to term analysis."""
+        if ('"' not in query and "+" not in query and "-" not in query
+                and ":" not in query):
             return None
         clauses: list[tuple] = []
         seen_terms: dict[tuple[str, str], int] = {}
@@ -2132,6 +2147,11 @@ class BM25Index:
                      float(m.group("boost") or 1.0)),
                 ))
                 continue
+            fm = self._FIELD_CLAUSE_RE.match(tok)
+            if fm is not None and fm.group("f") in self._doc_columns():
+                structured = True
+                clauses.append((occur, ("filter", tok)))
+                continue
             bm = self._BOOST_RE.search(tok)
             b = float(bm.group(1)) if bm else 1.0
             text = tok[: bm.start()] if bm else tok
@@ -2145,6 +2165,18 @@ class BM25Index:
                     seen_terms[key] = len(clauses)
                     clauses.append((occur, ("term", t, b)))
         return clauses if (structured and clauses) else None
+
+    def _doc_columns(self) -> frozenset:
+        """Stored docs-table column names (cached; one schema read)."""
+        if not hasattr(self, "_doc_cols"):
+            self._doc_cols = frozenset(self.docs().columns)
+        return self._doc_cols
+
+    def _filter_clause_ids(self, fq_str: str) -> DataFrame:
+        """The live doc ids satisfying one ``field:value`` filter clause --
+        routed through _apply_fq, so it rides the filterCache exactly like
+        the same string passed as fq."""
+        return self._apply_fq(self.docs().select("doc_id"), fq_str)
 
     def structured_matches(
         self, query: str, op: str = "OR",
@@ -2243,6 +2275,13 @@ class BM25Index:
                     "doc_id", (F.col("score") * F.lit(boost)).alias("score")
                 )
             parts.append(f.select("doc_id", "score", F.lit(1).alias("is_must")))
+        for sp in (s for s in musts if s[0] == "filter"):
+            parts.append(
+                self._filter_clause_ids(sp[1]).select(
+                    "doc_id", F.lit(1.0).alias("score"),
+                    F.lit(1).alias("is_must"),
+                )
+            )
         sf_, _, _ = _term_frame(shoulds, 0)
         if sf_ is not None:
             parts.append(sf_)
@@ -2255,6 +2294,13 @@ class BM25Index:
                     "doc_id", (F.col("score") * F.lit(boost)).alias("score")
                 )
             parts.append(f.select("doc_id", "score", F.lit(0).alias("is_must")))
+        for sp in (s for s in shoulds if s[0] == "filter"):
+            parts.append(
+                self._filter_clause_ids(sp[1]).select(
+                    "doc_id", F.lit(1.0).alias("score"),
+                    F.lit(0).alias("is_must"),
+                )
+            )
 
         if parts:
             un = parts[0]
@@ -2291,6 +2337,11 @@ class BM25Index:
             ):
                 pids = self.phrase_matches(text, slop=slop).select("doc_id")
                 not_ids = pids if not_ids is None else not_ids.unionByName(pids)
+            for sp in (s for s in nots if s[0] == "filter"):
+                fids = self._filter_clause_ids(sp[1])
+                not_ids = (
+                    fids if not_ids is None else not_ids.unionByName(fids)
+                )
             if not_ids is not None:
                 out = out.join(not_ids.distinct(), "doc_id", "left_anti")
 
@@ -2351,8 +2402,8 @@ class BM25Index:
             return self.analyze_query(query)
         out: list[str] = []
         for occur, sp in cl:
-            if occur == "MUST_NOT":
-                continue
+            if occur == "MUST_NOT" or sp[0] == "filter":
+                continue  # filter clauses carry no highlightable text
             if sp[0] == "term":
                 out.append(sp[1])
             else:

@@ -129,3 +129,43 @@ def test_highlight_skips_prohibited_terms(corpus):
     _, idx = corpus
     terms = idx._surface_terms("+alpha beta -delta")
     assert "delta" not in terms and {"alpha", "beta"} <= set(terms)
+
+
+def test_field_filter_clause_in_q(corpus):
+    """`field:value` clauses in q (stored-column fields) constrain the
+    DocSet like Solr's lucene parser; score contribution is the documented
+    ConstantScore 1.0 deviation."""
+    _, idx = corpus
+    # pure filter clause: every matching doc, score 1.0
+    got = {
+        int(r["doc_id"]): float(r["score"])
+        for r in idx.score_matches("conv_id:c001").collect()
+    }
+    assert got == {1: 1.0}
+    # term + MUST_NOT field filter
+    ids = {int(r["doc_id"])
+           for r in idx._matched_ids("alpha -conv_id:c000").collect()}
+    assert ids == {i for i, t in enumerate(TEXTS)
+                   if "alpha" in t.split()} - {0}
+    # MUST field filter + optional scoring term: every filter doc matches
+    # (minShouldMatch = 0 when a MUST exists, Lucene default); score =
+    # 1.0 for the filter + the term's BM25 where present
+    alpha = {int(r["doc_id"]): float(r["score"])
+             for r in idx.score_matches("alpha").collect()}
+    got2 = {int(r["doc_id"]): float(r["score"])
+            for r in idx.score_matches("+turn_idx:[0 TO 99] alpha").collect()}
+    assert set(got2) == set(range(len(TEXTS)))
+    for d, s in got2.items():
+        assert s == pytest.approx(1.0 + alpha.get(d, 0.0), rel=1e-12)
+    # the term becomes required under q.op=AND: DocSet intersects
+    got3 = {int(r["doc_id"])
+            for r in idx._matched_ids("+turn_idx:[0 TO 99] alpha",
+                                      op="AND").collect()}
+    assert got3 == set(alpha)
+
+
+def test_unknown_field_prefix_falls_through(corpus):
+    """`nosuchfield:x` is not a stored column: the clause analyzes as
+    plain text (Lucene would error; the analyzer strips the colon)."""
+    _, idx = corpus
+    assert idx.parse_boolean_q("nosuchfield:alpha nosuch2:beta") is None
