@@ -291,17 +291,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_filter_project"] = scan_filter_project
 
-    def date_normalize(spark, sf_dir):
-        e = _events(spark, sf_dir)
-        return e.select(
-            "event_id",
-            TR.normalize_date("ts").alias("iso_ts"),
-            TR.normalize_epoch_millis(
-                (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
-            ).alias("iso_from_millis"),
-        )
-
-    q["date_normalize"] = date_normalize
+    # (r4 gate rotation: date_normalize and truncate_project out -- both
+    # are single pure-Column transforms with exact-value pytest coverage
+    # (tests/test_transform_values.py asserts the ISO-millis string and the
+    # substring cap literally; test_pipeline_e2e.py runs them in the P3/P5
+    # pipeline) -- freeing slots for the Lucene multi-term query surface:
+    # wildcard CONSTANT_SCORE and FuzzyQuery scoring under the oracle)
+    q["bm25_wildcard"] = _bm25("sl* merge", k=10)
+    q["bm25_fuzzy"] = _bm25("part~2", k=10)
 
     def crawl_stamp_facet(spark, sf_dir):
         # P4 stamp + A2/Q5 facet (pivot shape) in one row -- the former
@@ -310,13 +307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TR.facet_field(d, ["crawl_id", "lang"])
 
     q["crawl_stamp_facet"] = crawl_stamp_facet
-
-    def truncate_project(spark, sf_dir):
-        d = _docs(spark, sf_dir)
-        ex = TR.truncate_field("text", 100)
-        return d.select("doc_id", ex.alias("excerpt"), F.length(ex).alias("excerpt_len"))
-
-    q["truncate_project"] = truncate_project
 
     def orphan_anti(spark, sf_dir):
         d = _docs(spark, sf_dir).withColumn(
@@ -905,17 +895,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, source, n_chars FROM documents "
         "WHERE lang = 'en' AND n_chars >= 200"
     )
-    o["date_normalize"] = (
-        "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso_ts, "
-        "strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso_from_millis FROM events"
-    )
+    o["bm25_wildcard"] = OSQL.wildcard_plus_term_sql("sl%", "merge", k=10)
+    o["bm25_fuzzy"] = OSQL.fuzzy_topk_sql("part", max_edits=2, k=10)
     o["crawl_stamp_facet"] = (
         "SELECT 'crawl-2026-001' AS crawl_id, lang, count(*) AS facet_count "
         "FROM documents GROUP BY 1, 2"
-    )
-    o["truncate_project"] = (
-        "SELECT doc_id, substr(text, 1, 100) AS excerpt, "
-        "length(substr(text, 1, 100)) AS excerpt_len FROM documents"
     )
     o["orphan_anti"] = (
         "SELECT doc_id, 'crawl-old' AS crawl_id FROM documents WHERE doc_id % 4 = 0"

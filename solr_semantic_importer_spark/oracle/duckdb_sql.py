@@ -173,6 +173,76 @@ def bm25_phrase_sql(
     """
 
 
+def fuzzy_topk_sql(term: str, max_edits: int = 2, k: int = 10) -> str:
+    """FuzzyQuery oracle: the expansion set = every corpus term within
+    ``levenshtein(term) <= max_edits`` (DuckDB's levenshtein IS Lucene's
+    FuzzyQuery edit distance), each expanded term scored with its own BM25
+    and summed per doc (the engine's documented scoring; see
+    BM25Index.expand_fuzzy). Exact while the expansion stays under
+    FuzzyTermsEnum's maxExpansions=50 cap -- true at the gate SF, where the
+    derived-transcripts vocabulary is ~31 terms."""
+    return f"""
+    WITH {bm25_base_ctes()},
+    exp AS (SELECT term FROM dft WHERE levenshtein(term, '{term}') <= {max_edits}),
+    scored AS (
+      SELECT tfc.doc_id,
+             sum( ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                  * tfc.tf * ({K1} + 1)
+                  / (tfc.tf + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl)) ) AS score
+      FROM tfc
+      JOIN dft USING (term)
+      JOIN lens ON lens.doc_id = tfc.doc_id
+      CROSS JOIN st
+      WHERE tfc.term IN (SELECT term FROM exp)
+      GROUP BY tfc.doc_id
+    )
+    SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_milli
+    FROM scored
+    ORDER BY score_milli DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+def wildcard_plus_term_sql(like: str, term_query: str, k: int = 10) -> str:
+    """Mixed boolean `wildcard term` oracle (both SHOULD): the wildcard
+    clause follows Lucene's CONSTANT_SCORE_REWRITE -- 1.0 for every doc
+    holding any term LIKE the pattern -- the term clauses score plain BM25,
+    and the boolean union sums matching-clause scores (minShouldMatch=1)."""
+    from ..functions.analysis import analyze_text as _at
+
+    terms = list(dict.fromkeys(_at(term_query)))
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH {bm25_base_ctes()},
+    wc AS (SELECT DISTINCT doc_id FROM tfc WHERE term LIKE '{like}'),
+    ts AS (
+      SELECT tfc.doc_id,
+             sum( ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                  * tfc.tf * ({K1} + 1)
+                  / (tfc.tf + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl)) ) AS score
+      FROM tfc
+      JOIN dft USING (term)
+      JOIN lens ON lens.doc_id = tfc.doc_id
+      CROSS JOIN st
+      WHERE tfc.term IN ({term_list})
+      GROUP BY tfc.doc_id
+    ),
+    ids_all AS (SELECT doc_id FROM wc UNION SELECT doc_id FROM ts),
+    scored AS (
+      SELECT i.doc_id,
+             coalesce(ts.score, 0)
+               + CASE WHEN wc.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS score
+      FROM ids_all i
+      LEFT JOIN ts ON ts.doc_id = i.doc_id
+      LEFT JOIN wc ON wc.doc_id = i.doc_id
+    )
+    SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_milli
+    FROM scored
+    ORDER BY score_milli DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
 def facet_on_results_sql(query: str, field: str) -> str:
     """Q5 over a result set: facet counts across all docs matching any
     query term (non-scoring, like Solr facets over the match set)."""

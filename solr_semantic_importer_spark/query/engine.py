@@ -2094,6 +2094,12 @@ class BM25Index:
         r"|\S+"
     )
     _FIELD_CLAUSE_RE = re.compile(r"^(?P<f>[A-Za-z_][\w.]*):\S")
+    _FUZZY_CLAUSE_RE = re.compile(
+        r"^(?P<t>[^\s~^:]+)~(?P<n>[012])?(?:\^(?P<b>\d+(?:\.\d+)?))?$"
+    )
+    _WILDCARD_CLAUSE_RE = re.compile(
+        r"^(?P<p>[^\s^:]*[*?][^\s^:]*)(?:\^(?P<b>\d+(?:\.\d+)?))?$"
+    )
     _PHRASE_CLAUSE_RE = re.compile(
         r'^"(?P<p>[^"]*)"(?:~(?P<slop>\d+))?'
         r'(?:\^(?P<boost>\d+(?:\.\d+)?))?$'
@@ -2125,9 +2131,17 @@ class BM25Index:
         this engine indexes the ``_text_`` catch-all only, so metadata
         clauses filter with ConstantScore semantics -- numFound, facets
         and every DocSet-derived component are identical). A ``field:``
-        prefix naming no stored column falls through to term analysis."""
+        prefix naming no stored column falls through to term analysis.
+
+        Multi-term clauses (Lucene standard-parser syntax; the reference's
+        queries route through Solr's lucene QParser): ``tabl*`` / ``t?ble``
+        → ('wildcard', pattern, boost) scored with Lucene's default
+        CONSTANT_SCORE_REWRITE; ``table~`` / ``table~1`` → ('fuzzy', term,
+        max_edits, boost) with maxEdits defaulting to 2 (FuzzyQuery
+        defaults, expansion capped at 50 terms like FuzzyTermsEnum)."""
         if ('"' not in query and "+" not in query and "-" not in query
-                and ":" not in query):
+                and ":" not in query and "*" not in query
+                and "?" not in query and "~" not in query):
             return None
         clauses: list[tuple] = []
         seen_terms: dict[tuple[str, str], int] = {}
@@ -2151,6 +2165,24 @@ class BM25Index:
             if fm is not None and fm.group("f") in self._doc_columns():
                 structured = True
                 clauses.append((occur, ("filter", tok)))
+                continue
+            wm = self._WILDCARD_CLAUSE_RE.match(tok)
+            if wm is not None:
+                structured = True
+                clauses.append((
+                    occur,
+                    ("wildcard", wm.group("p"), float(wm.group("b") or 1.0)),
+                ))
+                continue
+            zm = self._FUZZY_CLAUSE_RE.match(tok)
+            if zm is not None:
+                structured = True
+                n = zm.group("n")
+                clauses.append((
+                    occur,
+                    ("fuzzy", zm.group("t"), 2 if n is None else int(n),
+                     float(zm.group("b") or 1.0)),
+                ))
                 continue
             bm = self._BOOST_RE.search(tok)
             b = float(bm.group(1)) if bm else 1.0
@@ -2177,6 +2209,67 @@ class BM25Index:
         routed through _apply_fq, so it rides the filterCache exactly like
         the same string passed as fq."""
         return self._apply_fq(self.docs().select("doc_id"), fq_str)
+
+    MAX_BOOLEAN_CLAUSES = 1024  # Solr maxBooleanClauses default
+
+    def expand_wildcard(
+        self, pattern: str, max_clauses: int | None = None
+    ) -> list[str]:
+        """Dictionary terms matching a Lucene wildcard term (``*``/``?``),
+        lowercased like the analysis chain. More than ``max_clauses``
+        expansions raises, Solr's maxBooleanClauses=1024 error -- the cap
+        is what keeps the expanded term list driver-safe and the postings
+        scan bucket-pruned at any vocabulary size (Lucene walks the term
+        automaton under the same clause cap)."""
+        from ..functions.solr_fq import _wildcard_to_like
+
+        cap = max_clauses or self.MAX_BOOLEAN_CLAUSES
+        like = _wildcard_to_like(pattern.lower())
+        if like is None:  # no unescaped wildcard: the literal term
+            return [pattern.lower()]
+        rows = (
+            self.dictionary()
+            .filter(F.col("term").like(like))
+            .select("term")
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            raise ValueError(
+                f"wildcard {pattern!r} expands past maxBooleanClauses={cap}"
+            )
+        return sorted(r["term"] for r in rows)
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 2, max_expansions: int = 50,
+        prefix_length: int = 0,
+    ) -> list[str]:
+        """Dictionary terms within ``max_edits`` Levenshtein edits of the
+        (lowercased) term -- Lucene FuzzyQuery defaults: maxEdits 2,
+        maxExpansions 50, prefixLength 0; the exact term (distance 0) is
+        included. Candidates rank (distance asc, df desc) like the
+        spellchecker; the length band + optional shared prefix push into
+        the dictionary scan before any distance math."""
+        t = term.lower()
+        band = self.dictionary().filter(
+            F.abs(F.length("term") - F.lit(len(t))) <= max_edits
+        )
+        if prefix_length > 0:
+            band = band.filter(
+                F.substring("term", 1, prefix_length) == t[:prefix_length]
+            )
+        cand = (
+            band.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("distance") <= max_edits)
+            .orderBy(F.col("distance").asc(), F.col("df").desc(),
+                     F.col("term").asc())
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in cand]
 
     def structured_matches(
         self, query: str, op: str = "OR",
@@ -2259,6 +2352,64 @@ class BM25Index:
             )
             return f, oov, True
 
+        def _clause_frame(sp):
+            """(doc_id, score) for ONE non-term clause -- at most one row
+            per doc -- or None when the clause can match nothing."""
+            kind = sp[0]
+            if kind == "phrase":
+                _, text, slop, boost = sp
+                f = self.phrase_matches(text, slop=slop)
+                if boost != 1.0:
+                    f = f.select(
+                        "doc_id",
+                        (F.col("score") * F.lit(boost)).alias("score"),
+                    )
+                return f
+            if kind == "filter":
+                return self._filter_clause_ids(sp[1]).select(
+                    "doc_id", F.lit(1.0).alias("score")
+                )
+            if kind == "wildcard":
+                _, pattern, boost = sp
+                if pattern == "*":
+                    # Solr's lucene parser rewrites a lone `*` in the
+                    # default field to MatchAllDocsQuery (tombstones/fq
+                    # are applied once on the boolean result below)
+                    return self.docs().select(
+                        "doc_id", F.lit(float(boost)).alias("score")
+                    )
+                terms = self.expand_wildcard(pattern)
+                if not terms:
+                    return None
+                # Lucene's default MultiTermQuery rewrite: CONSTANT_SCORE
+                ids = (
+                    self._decode_score_df(terms, {t: 1.0 for t in terms})
+                    .select("doc_id")
+                    .distinct()
+                )
+                return ids.select(
+                    "doc_id", F.lit(float(boost)).alias("score")
+                )
+            if kind == "fuzzy":
+                _, t, max_edits, boost = sp
+                cand = self.expand_fuzzy(t, max_edits=max_edits)
+                idf = self.idf_map(cand)
+                live = [c for c in cand if c in idf]
+                if not live:
+                    return None
+                f = (
+                    self._decode_score_df(live, {c: idf[c] for c in live})
+                    .groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"))
+                )
+                if boost != 1.0:
+                    f = f.select(
+                        "doc_id",
+                        (F.col("score") * F.lit(boost)).alias("score"),
+                    )
+                return f
+            raise ValueError(f"unknown clause kind: {kind!r}")
+
         parts = []
         n_musts = len(musts)
         mf, must_oov, _ = _term_frame(musts, 1)
@@ -2266,41 +2417,23 @@ class BM25Index:
             return empty  # an OOV MUST clause empties the query
         if mf is not None:
             parts.append(mf)
-        for kind, text, slop, boost in (
-            sp for sp in musts if sp[0] == "phrase"
-        ):
-            f = self.phrase_matches(text, slop=slop)
-            if boost != 1.0:
-                f = f.select(
-                    "doc_id", (F.col("score") * F.lit(boost)).alias("score")
-                )
+        for sp in musts:
+            if sp[0] == "term":
+                continue
+            f = _clause_frame(sp)
+            if f is None:
+                return empty  # an unmatchable MUST clause empties the query
             parts.append(f.select("doc_id", "score", F.lit(1).alias("is_must")))
-        for sp in (s for s in musts if s[0] == "filter"):
-            parts.append(
-                self._filter_clause_ids(sp[1]).select(
-                    "doc_id", F.lit(1.0).alias("score"),
-                    F.lit(1).alias("is_must"),
-                )
-            )
         sf_, _, _ = _term_frame(shoulds, 0)
         if sf_ is not None:
             parts.append(sf_)
-        for kind, text, slop, boost in (
-            sp for sp in shoulds if sp[0] == "phrase"
-        ):
-            f = self.phrase_matches(text, slop=slop)
-            if boost != 1.0:
-                f = f.select(
-                    "doc_id", (F.col("score") * F.lit(boost)).alias("score")
-                )
+        for sp in shoulds:
+            if sp[0] == "term":
+                continue
+            f = _clause_frame(sp)
+            if f is None:
+                continue  # unmatchable SHOULD: contributes nothing
             parts.append(f.select("doc_id", "score", F.lit(0).alias("is_must")))
-        for sp in (s for s in shoulds if s[0] == "filter"):
-            parts.append(
-                self._filter_clause_ids(sp[1]).select(
-                    "doc_id", F.lit(1.0).alias("score"),
-                    F.lit(0).alias("is_must"),
-                )
-            )
 
         if parts:
             un = parts[0]
@@ -2332,16 +2465,14 @@ class BM25Index:
                     not_ids = self._decode_score_df(
                         live, {t: 1.0 for t in live}
                     ).select("doc_id")
-            for kind, text, slop, _ in (
-                sp for sp in nots if sp[0] == "phrase"
-            ):
-                pids = self.phrase_matches(text, slop=slop).select("doc_id")
+            for sp in nots:
+                if sp[0] == "term":
+                    continue
+                f = _clause_frame(sp)
+                if f is None:
+                    continue  # unmatchable MUST_NOT prohibits nothing
+                pids = f.select("doc_id")
                 not_ids = pids if not_ids is None else not_ids.unionByName(pids)
-            for sp in (s for s in nots if s[0] == "filter"):
-                fids = self._filter_clause_ids(sp[1])
-                not_ids = (
-                    fids if not_ids is None else not_ids.unionByName(fids)
-                )
             if not_ids is not None:
                 out = out.join(not_ids.distinct(), "doc_id", "left_anti")
 
