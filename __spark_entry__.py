@@ -308,18 +308,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_stamp_facet"] = crawl_stamp_facet
 
-    def orphan_anti(spark, sf_dir):
-        d = _docs(spark, sf_dir).withColumn(
-            "crawl_id",
-            F.when(F.col("doc_id") % 4 == 0, F.lit("crawl-old")).otherwise(
-                F.lit("crawl-new")
-            ),
-        )
-        return TR.orphan_anti_filter(d, "crawl_id", "crawl-new").select(
-            "doc_id", "crawl_id"
+    # (r4 gate rotation: orphan_anti out -- a single anti-join with
+    # literal-value pytest coverage (tests/test_transform_values.py) and
+    # the same DocSet algebra as bm25_after_delete's tombstone anti-join
+    # -- freeing a slot for the block-join parent query under the oracle)
+    def blockjoin_parent(spark, sf_dir):
+        idx = _index_for(spark, sf_dir)
+        # k past the parent-universe size: the oracle compare is over the
+        # FULL parent set, so milli-level ties can never straddle the cut
+        return idx.block_join_parent(
+            "merge window", k=100_000, score_mode="total"
+        ).select(
+            "parent_id", _milli(F.col("score")).alias("score_milli"),
+            "n_child_hits",
         )
 
-    q["orphan_anti"] = orphan_anti
+    q["blockjoin_parent"] = blockjoin_parent
 
     def upsert_reindex(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -901,9 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'crawl-2026-001' AS crawl_id, lang, count(*) AS facet_count "
         "FROM documents GROUP BY 1, 2"
     )
-    o["orphan_anti"] = (
-        "SELECT doc_id, 'crawl-old' AS crawl_id FROM documents WHERE doc_id % 4 = 0"
-    )
+    o["blockjoin_parent"] = OSQL.block_join_parent_sql("merge window")
     o["upsert_reindex"] = """
         WITH u AS (
           SELECT doc_id AS id, 1 AS version FROM documents

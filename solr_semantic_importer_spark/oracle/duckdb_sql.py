@@ -243,6 +243,46 @@ def wildcard_plus_term_sql(like: str, term_query: str, k: int = 10) -> str:
     """
 
 
+def block_join_parent_sql(query: str, score_mode: str = "total") -> str:
+    """ToParentBlockJoinQuery oracle over the flattened block corpus:
+    per-child BM25 for the child query, aggregated per block key
+    (conv_id) with the requested ScoreMode, plus the child-hit count.
+    Emits the FULL parent set (the engine entry uses k past the parent
+    universe) so milli-rounding ties can never straddle a top-k cut."""
+    from ..functions.analysis import analyze_text as _at
+
+    terms = list(dict.fromkeys(_at(query)))
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    agg = {
+        "none": "1.0",
+        "max": "max(score)",
+        "total": "sum(score)",
+        "avg": "avg(score)",
+        "min": "min(score)",
+    }[score_mode]
+    return f"""
+    WITH {bm25_base_ctes()},
+    scored AS (
+      SELECT tfc.doc_id,
+             sum( ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                  * tfc.tf * ({K1} + 1)
+                  / (tfc.tf + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl)) ) AS score
+      FROM tfc
+      JOIN dft USING (term)
+      JOIN lens ON lens.doc_id = tfc.doc_id
+      CROSS JOIN st
+      WHERE tfc.term IN ({term_list})
+      GROUP BY tfc.doc_id
+    )
+    SELECT ids.conv_id AS parent_id,
+           CAST(round({agg} * 1000) AS BIGINT) AS score_milli,
+           count(*) AS n_child_hits
+    FROM scored JOIN ids ON ids.doc_id = scored.doc_id
+    GROUP BY ids.conv_id
+    ORDER BY score_milli DESC, parent_id ASC
+    """
+
+
 def facet_on_results_sql(query: str, field: str) -> str:
     """Q5 over a result set: facet counts across all docs matching any
     query term (non-scoring, like Solr facets over the match set)."""

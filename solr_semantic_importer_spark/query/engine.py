@@ -1358,6 +1358,109 @@ class BM25Index:
             .orderBy("group_rank", "rank_in_group")
         )
 
+    BLOCK_JOIN_SCORE_MODES = ("none", "max", "total", "avg", "min")
+
+    def block_join_parent(
+        self,
+        child_q: str,
+        k: int = 10,
+        score_mode: str = "none",
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+        parent_key: str = "conv_id",
+    ) -> DataFrame:
+        """Lucene ToParentBlockJoinQuery / Solr ``{!parent which=...
+        score=mode}childQuery``: the parents whose child block holds at
+        least one child matching ``childQuery``, scored by aggregating the
+        matching children's scores per ScoreMode -- none (constant 1.0,
+        Solr's default), max, total (sum), avg, min.
+
+        Block adaptation: Solr block-joins need parent and child docs
+        interleaved in one segment with a ``which=`` parent filter; this
+        corpus IS a flattened block structure -- ``conv_id`` is the block
+        key and turns are the children (the reference writes the same
+        shape: parent docs with nested ``body-child`` chunk children,
+        InlineDocumentListener.java:106-115) -- so the parent filter is
+        implicit and the parent's identity is the block key itself.
+        ``fq``/``mm``/``op`` shape the CHILD match set, exactly like the
+        nested query inside ``{!parent}``.
+
+        Returns (parent_id, score, n_child_hits) ordered by (round6 score
+        DESC, parent_id ASC), top ``k``.
+
+        Scale shape: the child match set comes from the pruned postings
+        decode (never the corpus); doc_id -> block key is a projection
+        join against the doc_id-sorted docs parquet (sort-merge now, a
+        co-located zipper on a doc_id-bucketed layout); the ScoreMode
+        aggregation is ONE partial-agg shuffle keyed by the block key
+        (map-side combine cuts it to unique-parents-per-partition rows);
+        the global cut is TakeOrderedAndProject on k rows. Nothing is
+        ever collected driver-side."""
+        if score_mode not in self.BLOCK_JOIN_SCORE_MODES:
+            raise ValueError(
+                f"score mode {score_mode!r} not in "
+                f"{self.BLOCK_JOIN_SCORE_MODES}"
+            )
+        matched = self.score_matches(child_q, op=op, fq=fq, mm=mm)
+        kids = matched.join(
+            self.docs().select("doc_id", parent_key), "doc_id"
+        )
+        agg = {
+            "none": F.lit(1.0),
+            "max": F.max("score"),
+            "total": F.sum("score"),
+            "avg": F.avg("score"),
+            "min": F.min("score"),
+        }[score_mode]
+        out = kids.groupBy(F.col(parent_key).alias("parent_id")).agg(
+            agg.alias("score"), F.count("*").alias("n_child_hits")
+        )
+        return out.orderBy(
+            F.round(F.col("score"), 6).desc(), F.col("parent_id").asc()
+        ).limit(k)
+
+    def block_join_children(
+        self,
+        child_q: str,
+        k: int = 10,
+        score_mode: str = "none",
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+        parent_key: str = "conv_id",
+    ) -> DataFrame:
+        """Lucene ToChildBlockJoinQuery / Solr ``{!child of=...}parentQ``:
+        every LIVE child of each matching parent block, each child carrying
+        its parent's block-join score (ToChildBlockJoinScorer hands the
+        parent score to all its children). Parent matching and ScoreMode
+        follow :meth:`block_join_parent` (same block adaptation: the
+        parent is the block key, matched through its children).
+
+        Returns (doc_id, parent_id, score) for the top ``k`` parents'
+        children, ordered by (parent round6 score DESC, parent_id ASC,
+        doc_id ASC) -- children stay in block order within their parent.
+
+        Scale shape: the k parent heads are k rows -- broadcast back
+        against the docs scan, so expanding to children never shuffles
+        the corpus; tombstoned children are dropped like any dead doc."""
+        heads = self.block_join_parent(
+            child_q, k=k, score_mode=score_mode, op=op, fq=fq, mm=mm,
+            parent_key=parent_key,
+        ).select("parent_id", "score")
+        kids = self._anti_dead(self.docs()).select(
+            "doc_id", F.col(parent_key).alias("parent_id")
+        )
+        return (
+            kids.join(F.broadcast(heads), "parent_id")
+            .select("doc_id", "parent_id", "score")
+            .orderBy(
+                F.round(F.col("score"), 6).desc(),
+                F.col("parent_id").asc(),
+                F.col("doc_id").asc(),
+            )
+        )
+
     _EXPLAIN_ROW = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),

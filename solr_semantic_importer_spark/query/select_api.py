@@ -166,6 +166,9 @@ def solr_select(
     t0 = time.monotonic()
     if _truthy(params.get("group", False)):
         return _grouped_select(idx, params, t0)
+    bj = _BJ_Q_RE.match(str(params.get("q", "")).strip())
+    if bj is not None:
+        return _block_join_select(idx, params, t0, bj)
     q = str(params.get("q", "*:*"))
     op = str(params.get("q.op", "OR")).upper()
     mm = params.get("mm")
@@ -540,6 +543,119 @@ def solr_select(
                 },
             ]
     return resp
+
+
+_BJ_Q_RE = re.compile(r"^\{!(?P<kind>parent|child)(?P<lp>[^}]*)\}(?P<inner>.+)$")
+_BJ_LP_RE = re.compile(r"""(\w[\w.]*)=("[^"]*"|'[^']*'|[^\s}]+)""")
+
+
+def _block_join_select(
+    idx: BM25Index, params: dict[str, Any], t0: float, m: "re.Match"
+) -> dict[str, Any]:
+    """Solr block-join qparsers on /select: ``q={!parent which=...
+    score=mode}childQ`` returns matching parents, ``q={!child of=...}q``
+    returns the children of matching parents carrying the parent score
+    (BlockJoinParentQParser / BlockJoinChildQParser).
+
+    Block adaptation (see BM25Index.block_join_parent): the corpus is a
+    flattened block structure -- conv_id is the block key -- so the
+    ``which=``/``of=`` parent filter is implicit; the local param is
+    accepted (it names the parent set in a true nested index) and any
+    OTHER local param raises. Parent docs are virtual (the block key),
+    so parent responses carry (parent_id, score, numChildHits) rather
+    than stored fields; child responses fetch the children's stored
+    fields like any docs page.
+
+    Fail-loud contract: components this path does not implement
+    (cursorMark, facet/facet.range, hl, stats, debugQuery, spellcheck,
+    group, minExactCount, sort, start) raise instead of being dropped."""
+    for p in ("cursorMark", "minExactCount", "sort"):
+        if p in params:
+            raise ValueError(f"block-join q does not support {p}")
+    if int(params.get("start", 0)) != 0:
+        raise ValueError("block-join q does not support start (use rows)")
+    for p in ("facet", "hl", "stats", "debugQuery", "spellcheck", "group"):
+        if _truthy(params.get(p, False)):
+            raise ValueError(f"block-join q does not support {p}")
+    kind = m.group("kind")
+    lps = dict(_BJ_LP_RE.findall(m.group("lp")))
+    lps = {k: v.strip("'\"") for k, v in lps.items()}
+    allowed = {"which", "score"} if kind == "parent" else {"of"}
+    bad = set(lps) - allowed
+    if bad:
+        raise ValueError(
+            f"unsupported {{!{kind}}} local params: {sorted(bad)}"
+        )
+    score_mode = lps.get("score", "none")
+    inner = m.group("inner").strip()
+    op = str(params.get("q.op", "OR")).upper()
+    mm = params.get("mm")
+    fq = _as_list(params.get("fq")) or None
+    rows = int(params.get("rows", 10))
+
+    if kind == "parent":
+        page = idx.block_join_parent(
+            inner, k=rows, score_mode=score_mode, op=op, fq=fq, mm=mm
+        ).collect()
+        num_found = (
+            idx.score_matches(inner, op=op, fq=fq, mm=mm)
+            .join(idx.docs().select("doc_id", "conv_id"), "doc_id")
+            .select("conv_id").distinct().count()
+        )
+        docs = [
+            {
+                "parent_id": r["parent_id"],
+                "score": float(r["score"]),
+                "numChildHits": int(r["n_child_hits"]),
+            }
+            for r in page
+        ]
+    else:
+        kids = idx.block_join_children(
+            inner, k=rows, op=op, fq=fq, mm=mm
+        ).limit(rows).collect()
+        ids = [int(r["doc_id"]) for r in kids]
+        fl = params.get("fl")
+        fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
+        fetch_fl = [f for f in (fl or []) if f != "score"] or None
+        fetched = {
+            r["doc_id"]: r.asDict()
+            for r in idx._stored_side(fetch_fl)
+            .filter(F.col("doc_id").isin(ids) if ids else F.lit(False))
+            .collect()
+        }
+        docs = [
+            {**fetched.get(int(r["doc_id"]), {"doc_id": int(r["doc_id"])}),
+             "score": float(r["score"])}
+            for r in kids
+        ]
+        # children of ALL matching parents (numFound counts the full
+        # child DocSet, the page is the top parents' children)
+        heads = (
+            idx.score_matches(inner, op=op, fq=fq, mm=mm)
+            .join(idx.docs().select("doc_id", "conv_id"), "doc_id")
+            .select("conv_id").distinct()
+        )
+        num_found = (
+            idx._anti_dead(idx.docs())
+            .select("doc_id", "conv_id")
+            .join(F.broadcast(heads), "conv_id")
+            .count()
+        )
+
+    return {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int((time.monotonic() - t0) * 1000),
+            "params": {k: str(v) for k, v in params.items()},
+        },
+        "response": {
+            "numFound": num_found,
+            "start": 0,
+            "numFoundExact": True,
+            "docs": docs,
+        },
+    }
 
 
 def _grouped_select(

@@ -38,6 +38,23 @@ def test_normalize_epoch_millis_exact(spark):
     assert rows[0]["iso"] == "2023-11-14T22:13:20.123Z"
 
 
+def test_orphan_anti_filter_exact(spark):
+    """J3 (rode the gate as `orphan_anti` through late r4): docs whose
+    stamp differs from the current crawl — the re-crawl delete set
+    (SolrInserter.java delete-by-query `-crawl_id:current`)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "crawl_id": ["new", "old", "new", "old", "older"],
+        })
+    )
+    got = sorted(
+        (r["doc_id"], r["crawl_id"])
+        for r in TR.orphan_anti_filter(df, "crawl_id", "new").collect()
+    )
+    assert got == [(1, "old"), (3, "old"), (4, "older")]
+
+
 def test_truncate_field_exact(spark):
     df = spark.createDataFrame(
         pd.DataFrame({
