@@ -1,0 +1,351 @@
+"""Solr function queries -- parser + SQL compiler (Spark and DuckDB).
+
+Solr's FunctionQParser surface (the /select side the reference's
+collections expose; HttpSolrSelectClientImpl.java builds plain /select
+requests, and any Solr client can attach ``bf=``/``boost=``/``sort=func()``
+/ ``fq={!frange}`` to them). We implement the documented public function
+grammar -- nested calls over fields and literals -- and compile it ONCE to
+a SQL expression string evaluated engine-side:
+
+- Spark dialect -> a Catalyst expression (``F.expr``): the function rides
+  whole-stage codegen next to the scan, never a Python UDF, so boosting /
+  function sorts / frange filters at 10^12 turns cost one projected column.
+- DuckDB dialect -> the driver-gate oracle recomputes the same value
+  first-principles.
+
+Supported functions (Solr public function-query list):
+  sum sub product mul div abs sqrt floor ceil log ln pow power min max
+  recip linear ms if exists not and or def map field
+Fail-loud on anything else (``scale``/``ord``/``termfreq`` need global or
+index state -- documented unsupported rather than silently wrong).
+
+Semantics notes (public Solr docs):
+- ``log`` is base-10; ``ln`` is natural.
+- ``div(a,b)`` is float division.
+- ``recip(x,m,a,b) = a / (m*x + b)``; with ``x = ms(date)`` this is
+  Solr's canonical date-recency boost.
+- ``ms(f)`` = milliseconds since epoch of a date field; ``ms(a,b)`` = the
+  difference. (``ms()``/NOW is nondeterministic -- unsupported; pass a
+  literal.)
+- ``map(x,min,max,target[,def])`` maps values in [min,max] to target,
+  else def (or x itself).
+- ``exists(f)`` / ``if(test,a,b)`` / ``not``/``and``/``or`` form the
+  boolean sublanguage; ``def(f,d)`` = value-or-default.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "parse_function_query",
+    "function_to_sql",
+    "fields_used",
+    "parse_frange",
+    "looks_like_function",
+]
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<num>-?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)"
+    r"|(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<punct>[(),])"
+    r")"
+)
+
+# name -> (min_arity, max_arity); None = unbounded
+_FUNCTIONS: dict[str, tuple[int, int | None]] = {
+    "sum": (2, None), "sub": (2, 2), "product": (2, None), "mul": (2, None),
+    "div": (2, 2), "abs": (1, 1), "sqrt": (1, 1), "floor": (1, 1),
+    "ceil": (1, 1), "log": (1, 1), "ln": (1, 1), "pow": (2, 2),
+    "power": (2, 2), "min": (2, None), "max": (2, None), "recip": (4, 4),
+    "linear": (3, 3), "ms": (1, 2), "if": (3, 3), "exists": (1, 1),
+    "not": (1, 1), "and": (2, None), "or": (2, None), "def": (2, 2),
+    "map": (4, 5), "field": (1, 1),
+}
+
+_NUMERIC_DTYPES = ("int", "bigint", "smallint", "tinyint", "float",
+                   "double", "long", "decimal")
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if m is None or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(
+                f"function query: cannot tokenize at {s[pos:]!r} in {s!r}"
+            )
+        pos = m.end()
+        for kind in ("num", "name", "punct"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+def parse_function_query(s: str):
+    """Parse a Solr function-query string into an AST of nested tuples:
+    ``('num', float)`` | ``('field', name)`` | ``('call', fname, [args])``.
+    Raises ValueError on unknown functions, bad arity, or trailing junk --
+    Solr's FunctionQParser errors a malformed function the same way."""
+    toks = _tokenize(s)
+    if not toks:
+        raise ValueError(f"empty function query: {s!r}")
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def expr():
+        nonlocal pos
+        kind, v = peek()
+        if kind == "num":
+            pos += 1
+            return ("num", float(v))
+        if kind == "name":
+            pos += 1
+            if peek() == ("punct", "("):
+                fname = v.lower()
+                if fname not in _FUNCTIONS:
+                    raise ValueError(
+                        f"unsupported function {v!r} (supported: "
+                        f"{', '.join(sorted(_FUNCTIONS))})"
+                    )
+                pos += 1  # (
+                args = [expr()]
+                while peek() == ("punct", ","):
+                    pos += 1
+                    args.append(expr())
+                if peek() != ("punct", ")"):
+                    raise ValueError(f"expected ')' in function query {s!r}")
+                pos += 1
+                lo, hi = _FUNCTIONS[fname]
+                if len(args) < lo or (hi is not None and len(args) > hi):
+                    raise ValueError(
+                        f"{fname}() takes {lo}"
+                        + (f"..{hi}" if hi is not None else "+")
+                        + f" args, got {len(args)}"
+                    )
+                if fname == "field":
+                    if args[0][0] != "field":
+                        raise ValueError("field() takes a field name")
+                    return args[0]
+                if fname == "mul":
+                    fname = "product"
+                if fname == "power":
+                    fname = "pow"
+                return ("call", fname, args)
+            return ("field", v)
+        raise ValueError(f"unexpected token in function query {s!r}")
+
+    ast = expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing input in function query {s!r}")
+    return ast
+
+
+def fields_used(ast) -> list[str]:
+    """Field names an AST reads, in first-use order -- drives ReadSchema
+    pruning (the docs scan projects exactly these columns)."""
+    out: list[str] = []
+
+    def walk(n):
+        if n[0] == "field" and n[1] not in out:
+            out.append(n[1])
+        elif n[0] == "call":
+            for a in n[2]:
+                walk(a)
+
+    walk(ast)
+    return out
+
+
+def _field_kind(name: str, types: dict[str, str]) -> str:
+    if name not in types:
+        raise ValueError(f"function query references unknown field {name!r}")
+    dt = types[name].lower()
+    if dt.startswith(_NUMERIC_DTYPES):
+        return "num"
+    if dt.startswith("timestamp") or dt.startswith("date"):
+        return "ts"
+    if dt.startswith("boolean"):
+        return "bool"
+    return "str"
+
+
+def _check(ast, types: dict[str, str]) -> str:
+    """Type-check an AST; returns its kind ('num'|'bool'|'ts'|'str').
+    Mirrors Solr's ValueSource type errors (a date field in arithmetic
+    outside ms() is an error, not a silent cast)."""
+    kind, *rest = ast
+    if kind == "num":
+        return "num"
+    if kind == "field":
+        return _field_kind(rest[0], types)
+    fname, args = rest
+    kinds = [_check(a, types) for a in args]
+
+    def need(i, want):
+        if kinds[i] != want:
+            raise ValueError(
+                f"{fname}() arg {i + 1} must be {want}, got {kinds[i]}"
+            )
+
+    if fname == "ms":
+        for i, k in enumerate(kinds):
+            if k not in ("ts", "num"):
+                need(i, "ts")
+        return "num"
+    if fname == "exists":
+        return "bool"
+    if fname in ("not", "and", "or"):
+        for i in range(len(kinds)):
+            need(i, "bool")
+        return "bool"
+    if fname == "if":
+        need(0, "bool")
+        need(1, "num")
+        need(2, "num")
+        return "num"
+    if fname == "def":
+        if kinds[0] not in ("num", "str", "ts"):
+            need(0, "num")
+        if kinds[1] != kinds[0]:
+            raise ValueError("def() default must match the field's type")
+        return kinds[0]
+    # arithmetic: every arg numeric
+    for i in range(len(kinds)):
+        need(i, "num")
+    return "num"
+
+
+def function_to_sql(
+    src: str | tuple, types: dict[str, str], dialect: str = "spark"
+) -> tuple[str, list[str]]:
+    """Compile a function query (string or parsed AST) to a SQL expression
+    in the given dialect ('spark' | 'duckdb'). Returns (sql, fields_used).
+    ``types``: column -> dtype of the table the expression runs over
+    (``dict(df.dtypes)`` / the oracle view's schema)."""
+    ast = parse_function_query(src) if isinstance(src, str) else src
+    _check(ast, types)
+
+    def emit(n) -> str:
+        kind, *rest = n
+        if kind == "num":
+            v = rest[0]
+            return repr(int(v)) if float(v).is_integer() else repr(v)
+        if kind == "field":
+            return rest[0]
+        fname, args = rest
+        a = [emit(x) for x in args]
+        if fname == "sum":
+            return "(" + " + ".join(a) + ")"
+        if fname == "sub":
+            return f"({a[0]} - {a[1]})"
+        if fname == "product":
+            return "(" + " * ".join(a) + ")"
+        if fname == "div":
+            # float division in both dialects (Solr div is float)
+            return f"(CAST({a[0]} AS DOUBLE) / {a[1]})"
+        if fname in ("abs", "sqrt", "floor", "ceil", "ln"):
+            return f"{fname}({a[0]})"
+        if fname == "log":
+            return f"log10({a[0]})"
+        if fname == "pow":
+            return f"power({a[0]}, {a[1]})"
+        if fname == "min":
+            return "least(" + ", ".join(a) + ")"
+        if fname == "max":
+            return "greatest(" + ", ".join(a) + ")"
+        if fname == "recip":
+            x, m, aa, b = a
+            return f"(CAST({aa} AS DOUBLE) / ({m} * {x} + {b}))"
+        if fname == "linear":
+            x, m, c = a
+            return f"({m} * {x} + {c})"
+        if fname == "ms":
+            ms_fn = "unix_millis" if dialect == "spark" else "epoch_ms"
+
+            def to_ms(node, sql):
+                k = _check(node, types)
+                return f"{ms_fn}({sql})" if k == "ts" else sql
+
+            parts = [to_ms(args[i], a[i]) for i in range(len(a))]
+            if len(parts) == 1:
+                return parts[0]
+            return f"({parts[0]} - {parts[1]})"
+        if fname == "if":
+            return f"(CASE WHEN {a[0]} THEN {a[1]} ELSE {a[2]} END)"
+        if fname == "exists":
+            return f"({a[0]} IS NOT NULL)"
+        if fname == "not":
+            return f"(NOT {a[0]})"
+        if fname in ("and", "or"):
+            return "(" + f" {fname.upper()} ".join(a) + ")"
+        if fname == "def":
+            return f"coalesce({a[0]}, {a[1]})"
+        if fname == "map":
+            x, lo, hi, target = a[:4]
+            dflt = a[4] if len(a) == 5 else x
+            return (
+                f"(CASE WHEN {x} >= {lo} AND {x} <= {hi} "
+                f"THEN {target} ELSE {dflt} END)"
+            )
+        raise AssertionError(f"unreachable: {fname}")
+
+    return emit(ast), fields_used(ast)
+
+
+def looks_like_function(s: str) -> bool:
+    """True when a sort/fl token is a function call rather than a plain
+    field: a known function name followed by '('."""
+    m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(", s)
+    return bool(m) and m.group(1).lower() in _FUNCTIONS
+
+
+_FRANGE_RE = re.compile(r"^\{!frange\s+([^}]*)\}(.+)$", re.S)
+
+
+def parse_frange(fq: str) -> tuple[str, dict[str, str]] | None:
+    """Detect Solr's ``{!frange l=.. u=.. incl=.. incu=..}func`` filter
+    qparser. Returns (function string, local params) or None. Unknown
+    local params fail loud (the facade contract: callers find out)."""
+    m = _FRANGE_RE.match(fq.strip())
+    if m is None:
+        return None
+    params: dict[str, str] = {}
+    for part in m.group(1).split():
+        k, eq, v = part.partition("=")
+        if not eq or k not in ("l", "u", "incl", "incu"):
+            raise ValueError(
+                f"frange: unsupported local param {part!r} (use l/u/incl/incu)"
+            )
+        params[k] = v
+    if "l" not in params and "u" not in params:
+        raise ValueError("frange needs at least one of l= / u=")
+    return m.group(2).strip(), params
+
+
+def frange_to_sql(
+    fq: str, types: dict[str, str], dialect: str = "spark"
+) -> str | None:
+    """Compile an ``{!frange}`` fq to a SQL boolean expression, or None if
+    the string isn't an frange. The caller keeps the ORIGINAL fq string as
+    its filterCache key (Solr caches frange DocSets the same way)."""
+    parsed = parse_frange(fq)
+    if parsed is None:
+        return None
+    func, p = parsed
+    sql, _ = function_to_sql(func, types, dialect)
+    conds = []
+    if "l" in p:
+        op = ">=" if p.get("incl", "true").lower() != "false" else ">"
+        conds.append(f"({sql}) {op} {float(p['l'])!r}")
+    if "u" in p:
+        op = "<=" if p.get("incu", "true").lower() != "false" else "<"
+        conds.append(f"({sql}) {op} {float(p['u'])!r}")
+    return "(" + " AND ".join(conds) + ")"

@@ -955,6 +955,77 @@ class BM25Index:
             out = agg.orderBy(F.col("df").desc(), F.col("term").asc())
         return out.limit(limit)
 
+    def function_expr(self, func: str, dialect: str = "spark") -> tuple[str, list[str]]:
+        """Compile a Solr function-query string against this index's docs
+        schema. Returns (SQL expression, fields it reads). Spark dialect
+        expressions ride whole-stage codegen (``F.expr``), never Python."""
+        from ..functions.function_query import function_to_sql
+
+        return function_to_sql(func, dict(self.docs().dtypes), dialect)
+
+    def search_boosted(
+        self,
+        query: str,
+        k: int = 10,
+        bf: str | list[str] | None = None,
+        boost: str | None = None,
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+        offset: int = 0,
+        with_stored: bool = False,
+        order_key: str = "round6",
+        fl: list[str] | None = None,
+    ) -> DataFrame:
+        """Solr function boosting: ``bf`` (additive boost functions, edismax
+        bf= -- each compiles to a function over doc fields ADDED to the
+        relevance score) and ``boost`` (multiplicative, Solr's {!boost
+        b=func} / edismax boost= -- BoostedQuery semantics). Combined as
+        Lucene composes them: ``score * boost + sum(bf)`` (boost wraps the
+        main query; bf functions are extra SHOULD clauses added after).
+
+        The function can re-rank ANY match, so this path scores the full
+        match set exactly (WAND's bound only covers the lexical part --
+        Solr pays the same: boosted queries collect every match). Plan:
+        pruned postings decode -> scored match set -> join the docs
+        projection of ONLY the fields the functions read (ReadSchema
+        pruning at 10^12 turns: a recip(ms(ts),..) boost reads one column)
+        -> one whole-stage-codegen projection -> TakeOrderedAndProject.
+        ``q=*:*`` scores 1.0 per live doc (MatchAllDocsQuery), so
+        ``boost`` alone turns it into a pure function ranking."""
+        bfs = [bf] if isinstance(bf, str) else list(bf or [])
+        if not bfs and boost is None:
+            return self.search(
+                query, k=k, op=op, fq=fq, offset=offset, mm=mm,
+                with_stored=with_stored, order_key=order_key, fl=fl,
+            )
+        if query.strip() == "*:*":
+            base = self._anti_dead(
+                self._apply_fq(self.docs().select("doc_id"), self._norm_fq(fq))
+            ).withColumn("score", F.lit(1.0))
+        else:
+            base = self.score_matches(query, op=op, fq=fq, mm=mm)
+        exprs = [self.function_expr(f) for f in bfs]
+        boost_expr = self.function_expr(boost) if boost is not None else None
+        need = sorted(
+            {c for _, fields in exprs for c in fields}
+            | set(boost_expr[1] if boost_expr else [])
+        )
+        scored = base
+        if need:
+            scored = scored.join(
+                self.docs().select("doc_id", *need), "doc_id"
+            )
+        total = F.col("score")
+        if boost_expr is not None:
+            total = total * F.expr(boost_expr[0])
+        for sql, _ in exprs:
+            total = total + F.expr(sql)
+        scored = scored.select(
+            "doc_id", total.cast("double").alias("score")
+        )
+        return self._finish(scored, k, offset, with_stored, order_key, fl)
+
     def more_like_this(
         self,
         doc_id: int,
@@ -2922,7 +2993,14 @@ class BM25Index:
         # SQL expression, keeping the ORIGINAL string as the cache key the
         # way Solr's filterCache keys by the fq as sent
         expr = fq
-        if looks_like_solr_fq(fq):
+        if fq.lstrip().startswith("{!frange"):
+            # Solr's function-range filter qparser ({!frange l=.. u=..}func)
+            # -- compiles to one codegen'd boolean over the docs scan; the
+            # DocSet is filter-cached under the original string like any fq
+            from ..functions.function_query import frange_to_sql
+
+            expr = frange_to_sql(fq, dict(self.docs().dtypes))
+        elif looks_like_solr_fq(fq):
             expr = parse_fq(fq, dict(self.docs().dtypes))
         allowed = (
             self.docs().filter(expr).select("doc_id")

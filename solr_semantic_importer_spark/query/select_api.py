@@ -34,7 +34,15 @@ components its solrconfig enables):
 - ``sort`` — ``score desc`` (default) or comma-separated ``<field>
   asc|desc`` terms, Solr's multi-field syntax (match-all scans sort the
   live filtered table; scored queries sort the full match set, Solr's
-  field-sort-over-DocSet behavior; sort fields need not be in ``fl``)
+  field-sort-over-DocSet behavior; sort fields need not be in ``fl``);
+  an entry may be a FUNCTION QUERY (``sort=recip(ms(ts),1,1,1) desc`` —
+  Solr sorts by any ValueSource; `functions/function_query.py` grammar)
+- ``bf`` (repeatable, additive) / ``boost`` (multiplicative) — Solr
+  function boosting over doc fields: final score =
+  ``score * boost + sum(bf)`` (BoostedQuery + edismax bf composition);
+  requires the relevance sort, fails loud otherwise
+- ``fq={!frange l=.. u=.. incl=.. incu=..}func`` — Solr's function-range
+  filter qparser; the DocSet is filter-cached under the original string
 - ``facet=true&facet.field=F`` (repeatable) → ``facet_counts.facet_fields``
   as Solr's flat ``[val, count, val, count, ...]`` arrays; bucket params
   ``facet.limit`` (default 100, -1 unlimited) / ``facet.offset`` /
@@ -73,6 +81,7 @@ from typing import Any, Iterator
 
 from pyspark.sql import functions as F
 
+from ..functions.function_query import looks_like_function
 from .engine import BM25Index, decode_cursor_mark, encode_cursor_mark
 
 __all__ = ["solr_select", "select_pages", "select_cursor_pages",
@@ -83,7 +92,7 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "hl.fragsize", "hl.snippets", "spellcheck",
              "spellcheck.q", "spellcheck.collate", "wt", "indent",
              "useParams", "minExactCount",
-             "cursorMark", "mm", "debugQuery",
+             "cursorMark", "mm", "debugQuery", "bf", "boost",
              "group", "group.field", "group.limit", "group.ngroups",
              "group.sort",
              "stats", "stats.field"}
@@ -115,13 +124,31 @@ def _num(v: float):
     return int(v) if float(v).is_integer() else v
 
 
+def _split_sort(sort: str) -> list[str]:
+    """Split a Solr sort spec on commas OUTSIDE parentheses -- function
+    sorts (``recip(ms(ts),1,1,1) desc``) carry commas of their own."""
+    parts, depth, cur = [], 0, []
+    for ch in sort:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        depth += ch == "("
+        depth -= ch == ")"
+        cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def _parse_sort(sort: str) -> list[tuple[str, str]]:
-    """Solr sort spec -> [(field, 'asc'|'desc'), ...]. Multi-field sorts
-    are comma-separated, Solr's syntax; malformed entries raise."""
+    """Solr sort spec -> [(field-or-function, 'asc'|'desc'), ...].
+    Multi-entry sorts are comma-separated, Solr's syntax; each entry is a
+    field name or a function query (``sort=sum(turn_idx,1) desc`` -- Solr
+    sorts by any ValueSource); malformed entries raise."""
     out = []
-    for part in sort.split(","):
+    for part in _split_sort(sort):
         p = " ".join(part.split())
-        f, _, d = p.partition(" ")
+        f, _, d = p.rpartition(" ")
         if not f or d not in ("asc", "desc"):
             raise ValueError(
                 f"unsupported sort: {sort!r} (use '<field> asc|desc'"
@@ -131,14 +158,32 @@ def _parse_sort(sort: str) -> list[tuple[str, str]]:
     return out
 
 
-def _sort_cols(df, sort_spec: list[tuple[str, str]]) -> list:
+def _sort_cols(df, sort_spec: list[tuple[str, str]], idx=None) -> list:
     """Spark sort columns for a parsed sort spec over ``df``; 'score'
-    sorts on the canonical round-6 key."""
+    sorts on the canonical round-6 key; a function entry compiles to one
+    codegen'd expression (``idx.function_expr``) over the frame."""
     cols = []
     for f, d in sort_spec:
-        c = F.round(F.col("score"), 6) if f == "score" else df[f]
+        if f == "score":
+            c = F.round(F.col("score"), 6)
+        elif looks_like_function(f):
+            c = F.expr(idx.function_expr(f)[0])
+        else:
+            c = df[f]
         cols.append(c.desc() if d == "desc" else c.asc())
     return cols
+
+
+def _sort_fields(sort_spec: list[tuple[str, str]], idx) -> list[str]:
+    """Doc fields a parsed sort spec reads (function entries expand to the
+    fields their expression uses) -- drives the stored-side projection."""
+    need: list[str] = []
+    for f, _ in sort_spec:
+        if looks_like_function(f):
+            need.extend(idx.function_expr(f)[1])
+        elif f not in ("score", "doc_id"):
+            need.append(f)
+    return list(dict.fromkeys(need))
 
 
 def solr_select(
@@ -203,6 +248,18 @@ def solr_select(
     match_all = q.strip() == "*:*"
     mec = params.get("minExactCount")
     cursor = params.get("cursorMark")
+    bf = _as_list(params.get("bf")) or None
+    boost = params.get("boost")
+    if isinstance(boost, (list, tuple)):
+        raise ValueError("boost: pass one function (multiple unsupported)")
+    if bf or boost:
+        # function boosting re-ranks by score, so it composes with the
+        # relevance sort only; other orderings would silently report
+        # un-boosted scores -- fail loud (facade contract)
+        if sort != "score desc":
+            raise ValueError("bf/boost require sort='score desc'")
+        if cursor is not None:
+            raise ValueError("bf/boost do not support cursorMark")
     if cursor is not None:
         # Solr CursorMarkParams contract: cursors start at start=0 and the
         # sort must end in the uniqueKey tiebreaker -- both canonical sorts
@@ -235,7 +292,7 @@ def solr_select(
         num_found_exact = bool(known_num_found_exact)  # page-1 verdict carries
     elif match_all:
         num_found = idx.count_matches(q, op=op, fq=fq, mm=mm)
-    elif (sort == "score desc" and mec is not None
+    elif (sort == "score desc" and mec is not None and not (bf or boost)
           and max(int(mec), start + rows) <= idx.QUERY_RESULT_MAX_DOCS):
         w = max(int(mec), start + rows)
         n_head = idx.search(q, k=w, op=op, fq=fq, mm=mm).count()
@@ -250,7 +307,13 @@ def solr_select(
         num_found = -1  # filled from the field-sort match set below
 
     next_cursor: str | None = None
-    if match_all:
+    if (bf or boost) and (match_all or sort == "score desc"):
+        df = idx.search_boosted(
+            q, k=rows, bf=bf, boost=boost, op=op, fq=fq, offset=start,
+            mm=mm, with_stored=True, fl=fetch_fl,
+        )
+        rows_out = [r.asDict() for r in df.collect()]
+    elif match_all:
         if cursor is not None:
             after = decode_cursor_mark(cursor)
             page = idx.match_all(
@@ -264,7 +327,7 @@ def solr_select(
             # never materializes a full sort)
             live = idx._anti_dead(idx._apply_fq(idx.docs(), fq))
             ordered = live.orderBy(
-                *_sort_cols(live, sort_spec), "doc_id"
+                *_sort_cols(live, sort_spec, idx), "doc_id"
             ).select("doc_id", F.lit(1.0).alias("score"))
             page = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
         # the page is <= rows rows: take its order driver-side, then fetch
@@ -308,13 +371,13 @@ def solr_select(
         matched = idx.score_matches(q, op=op, fq=fq, mm=mm)
         if num_found < 0:
             num_found = matched.count()  # the sort needs every match anyway
-        need = [f for f, _ in sort_spec if f not in ("score", "doc_id")]
+        need = _sort_fields(sort_spec, idx)
         side_fl = (
             None if fetch_fl is None
             else list(dict.fromkeys(fetch_fl + need))
         )
         joined = matched.join(idx._stored_side(side_fl), "doc_id")
-        ordered = joined.orderBy(*_sort_cols(joined, sort_spec), "doc_id")
+        ordered = joined.orderBy(*_sort_cols(joined, sort_spec, idx), "doc_id")
         page = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
         keep = None if fetch_fl is None else set(fetch_fl) | {"doc_id", "score"}
         rows_out = [
@@ -569,7 +632,7 @@ def _block_join_select(
     Fail-loud contract: components this path does not implement
     (cursorMark, facet/facet.range, hl, stats, debugQuery, spellcheck,
     group, minExactCount, sort, start) raise instead of being dropped."""
-    for p in ("cursorMark", "minExactCount", "sort"):
+    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost"):
         if p in params:
             raise ValueError(f"block-join q does not support {p}")
     if int(params.get("start", 0)) != 0:
@@ -670,7 +733,7 @@ def _grouped_select(
     (cursorMark, facet/facet.range, hl, stats, debugQuery, spellcheck,
     minExactCount, sort, start) raise instead of passing _RESERVED
     validation and then being silently dropped."""
-    for p in ("cursorMark", "minExactCount", "sort"):
+    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost"):
         if p in params:
             raise ValueError(f"group=true does not support {p}")
     if int(params.get("start", 0)) != 0:
@@ -795,7 +858,7 @@ def solr_export(idx: BM25Index, params: dict[str, Any]):
         # sort fields need not appear in fl (Solr: docValues, not fl), so
         # the field-list projection happens AFTER the sort key is applied
         out = matched.join(idx.docs(), "doc_id")
-    out = out.orderBy(*_sort_cols(out, spec), "doc_id")
+    out = out.orderBy(*_sort_cols(out, spec, idx), "doc_id")
     if fl:
         out = out.select(*fl) if "doc_id" in fl else out.select("doc_id", *fl)
     return out

@@ -1,0 +1,275 @@
+"""Solr function queries: parser goldens, Spark-vs-DuckDB dialect
+agreement, bf/boost scoring vs brute force, {!frange} filters, and
+sort-by-function -- the FunctionQParser surface on /select."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from solr_semantic_importer_spark.functions.function_query import (
+    fields_used,
+    frange_to_sql,
+    function_to_sql,
+    looks_like_function,
+    parse_frange,
+    parse_function_query,
+)
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.query.select_api import solr_select
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+TYPES = {"turn_idx": "int", "dl": "bigint", "ts": "timestamp",
+         "tool": "string", "doc_id": "bigint"}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=40, turns_per_conv=6, seed=11)
+    idx_dir = str(tmp_path_factory.mktemp("funcq"))
+    build_index(spark, df, idx_dir, BuildConfig(build_id="funcq", **CFG))
+    return BM25Index(spark, idx_dir)
+
+
+# ---------- parser ----------
+
+def test_parse_shapes():
+    assert parse_function_query("3.5") == ("num", 3.5)
+    assert parse_function_query("turn_idx") == ("field", "turn_idx")
+    assert parse_function_query("field(turn_idx)") == ("field", "turn_idx")
+    ast = parse_function_query("sum(turn_idx, 1)")
+    assert ast == ("call", "sum", [("field", "turn_idx"), ("num", 1.0)])
+    # mul aliases product, power aliases pow (Solr accepts both)
+    assert parse_function_query("mul(a,b)")[1] == "product"
+    assert parse_function_query("power(a,b)")[1] == "pow"
+
+
+@pytest.mark.parametrize("bad", [
+    "", "sum(turn_idx)", "nosuchfn(1,2)", "sum(1,2", "sum(1,2))",
+    "recip(1,2,3)", "scale(x,0,1)", "1 2",
+])
+def test_parse_fail_loud(bad):
+    with pytest.raises(ValueError):
+        parse_function_query(bad)
+
+
+def test_type_check_fail_loud():
+    with pytest.raises(ValueError):  # unknown field
+        function_to_sql("sum(nope, 1)", TYPES)
+    with pytest.raises(ValueError):  # date in arithmetic outside ms()
+        function_to_sql("sum(ts, 1)", TYPES)
+    with pytest.raises(ValueError):  # string in arithmetic
+        function_to_sql("sum(tool, 1)", TYPES)
+    with pytest.raises(ValueError):  # if() test must be boolean
+        function_to_sql("if(turn_idx, 1, 2)", TYPES)
+
+
+def test_fields_used_and_sql():
+    sql, used = function_to_sql(
+        "if(exists(tool), recip(ms(ts),3.16e-11,1,1), div(turn_idx,dl))",
+        TYPES,
+    )
+    assert used == ["tool", "ts", "turn_idx", "dl"]
+    assert "unix_millis(ts)" in sql
+    dsql, _ = function_to_sql("ms(ts)", TYPES, dialect="duckdb")
+    assert dsql == "epoch_ms(ts)"
+    assert fields_used(parse_function_query("sum(a, sum(b, a))")) == ["a", "b"]
+    assert looks_like_function("recip(ms(ts),1,1,1)")
+    assert not looks_like_function("turn_idx")
+    assert not looks_like_function("role(")  # not a known function
+
+
+def test_parse_frange():
+    func, p = parse_frange("{!frange l=0 u=5 incu=false}sum(turn_idx,1)")
+    assert func == "sum(turn_idx,1)" and p == {"l": "0", "u": "5",
+                                               "incu": "false"}
+    assert parse_frange("role:user") is None
+    with pytest.raises(ValueError):
+        parse_frange("{!frange cost=10}x")
+    with pytest.raises(ValueError):
+        parse_frange("{!frange incl=true}x")  # needs l or u
+    sql = frange_to_sql("{!frange l=1 u=3}turn_idx", TYPES)
+    assert sql == "((turn_idx) >= 1.0 AND (turn_idx) <= 3.0)"
+
+
+# ---------- dialect agreement: Spark vs DuckDB on the same rows ----------
+
+EXPRS = [
+    "sum(turn_idx, dl)",
+    "product(turn_idx, 2)",
+    "div(dl, sum(turn_idx, 1))",
+    "recip(ms(ts), 3.16e-11, 1, 1)",
+    "if(exists(tool), 2, 1)",
+    "map(turn_idx, 0, 2, 100)",
+    "min(turn_idx, 3)",
+    "linear(dl, 0.5, 7)",
+    "log(sum(dl, 1))",
+    "def(turn_idx, 0)",
+]
+
+
+def test_spark_duckdb_agree(corpus):
+    idx = corpus
+    types = dict(idx.docs().dtypes)
+    pdf = idx.docs().select("doc_id", "turn_idx", "dl", "ts", "tool") \
+        .orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    for expr in EXPRS:
+        s_sql, _ = function_to_sql(expr, types, "spark")
+        d_sql, _ = function_to_sql(expr, types, "duckdb")
+        got = [
+            r[0] for r in idx.docs().orderBy("doc_id")
+            .select(F.expr(s_sql).cast("double")).collect()
+        ]
+        want = [
+            r[0] for r in
+            con.execute(
+                f"SELECT CAST({d_sql} AS DOUBLE) FROM d ORDER BY doc_id"
+            ).fetchall()
+        ]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, rel=1e-12), expr
+
+
+# ---------- bf / boost scoring ----------
+
+def _doc_map(idx):
+    return {r["doc_id"]: r.asDict() for r in idx.docs().collect()}
+
+
+def _brute_boosted(idx, q, bf=None, boost=None, fq=None, op="OR"):
+    base = {r["doc_id"]: r["score"]
+            for r in idx.score_matches(q, op=op, fq=fq).collect()}
+    docs = _doc_map(idx)
+
+    def ms(ts):
+        return int(ts.timestamp() * 1000)
+
+    def feval(expr, d):
+        if expr == "sum(turn_idx,dl)":
+            return d["turn_idx"] + d["dl"]
+        if expr == "recip(ms(ts),3.16e-11,1,1)":
+            return 1.0 / (3.16e-11 * ms(d["ts"]) + 1)
+        if expr == "if(exists(tool),2,1)":
+            return 2.0 if d["tool"] is not None else 1.0
+        if expr == "div(turn_idx,10)":
+            return d["turn_idx"] / 10.0
+        raise AssertionError(expr)
+
+    out = {}
+    for i, s in base.items():
+        v = s * (feval(boost, docs[i]) if boost else 1.0)
+        for b in (bf or []):
+            v += feval(b, docs[i])
+        out[i] = v
+    return sorted(out.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(bf=["sum(turn_idx,dl)"]),
+    dict(boost="recip(ms(ts),3.16e-11,1,1)"),
+    dict(bf=["div(turn_idx,10)", "if(exists(tool),2,1)"],
+         boost="sum(turn_idx,dl)"),
+    dict(bf=["sum(turn_idx,dl)"], fq="role = 'user'"),
+])
+def test_search_boosted_vs_brute(corpus, kw):
+    idx = corpus
+    q = "error tool"
+    got = idx.search_boosted(q, k=10, **kw).collect()
+    want = _brute_boosted(idx, q, **kw)[:10]
+    assert [r["doc_id"] for r in got] == [i for i, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_boosted_match_all_is_pure_function_rank(corpus):
+    idx = corpus
+    got = idx.search_boosted("*:*", k=5, boost="sum(turn_idx,dl)").collect()
+    docs = _doc_map(idx)
+    want = sorted(
+        ((i, float(d["turn_idx"] + d["dl"])) for i, d in docs.items()),
+        key=lambda kv: (-round(kv[1], 6), kv[0]),
+    )[:5]
+    assert [r["doc_id"] for r in got] == [i for i, _ in want]
+
+
+def test_no_functions_delegates_to_search(corpus):
+    idx = corpus
+    a = idx.search_boosted("error tool", k=5).collect()
+    b = idx.search("error tool", k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+           [(r["doc_id"], r["score"]) for r in b]
+
+
+# ---------- frange as fq ----------
+
+def test_frange_filters_matches(corpus):
+    idx = corpus
+    fr = "{!frange l=2 u=4}sum(turn_idx,0)"
+    got = {r["doc_id"] for r in idx.score_matches("error", fq=fr).collect()}
+    base = {r["doc_id"] for r in idx.score_matches("error").collect()}
+    docs = _doc_map(idx)
+    want = {i for i in base if 2 <= docs[i]["turn_idx"] <= 4}
+    assert got == want and got != base
+    # exclusive upper bound
+    fr2 = "{!frange l=2 u=4 incu=false}turn_idx"
+    got2 = {r["doc_id"] for r in idx.score_matches("error", fq=fr2).collect()}
+    assert got2 == {i for i in base if 2 <= docs[i]["turn_idx"] < 4}
+
+
+# ---------- /select integration ----------
+
+def test_select_bf_boost_and_validation(corpus):
+    idx = corpus
+    resp = solr_select(idx, {
+        "q": "error tool", "rows": 5, "bf": "sum(turn_idx,dl)",
+        "fl": "doc_id,score",
+    })
+    want = _brute_boosted(idx, "error tool", bf=["sum(turn_idx,dl)"])[:5]
+    assert [d["doc_id"] for d in resp["response"]["docs"]] == \
+           [i for i, _ in want]
+    # numFound is the match-set size (boosts never change matching)
+    assert resp["response"]["numFound"] == \
+        idx.count_matches("error tool")
+    with pytest.raises(ValueError):
+        solr_select(idx, {"q": "error", "bf": "dl", "sort": "turn_idx asc"})
+    with pytest.raises(ValueError):
+        solr_select(idx, {"q": "error", "boost": "dl", "cursorMark": "*"})
+    with pytest.raises(ValueError):
+        solr_select(idx, {"q": "error", "group": "true",
+                          "group.field": "conv_id", "bf": "dl"})
+
+
+def test_select_sort_by_function(corpus):
+    idx = corpus
+    resp = solr_select(idx, {
+        "q": "error", "rows": 8, "sort": "sum(turn_idx,dl) desc",
+        "fl": "doc_id",
+    })
+    docs = _doc_map(idx)
+    matched = [r["doc_id"] for r in idx.score_matches("error").collect()]
+    want = sorted(
+        matched,
+        key=lambda i: (-(docs[i]["turn_idx"] + docs[i]["dl"]), i),
+    )[:8]
+    assert [d["doc_id"] for d in resp["response"]["docs"]] == want
+    # match-all path + mixed field/function sort
+    resp2 = solr_select(idx, {
+        "q": "*:*", "rows": 6,
+        "sort": "role asc, recip(ms(ts),3.16e-11,1,1) asc", "fl": "doc_id",
+    })
+    alld = sorted(
+        docs.values(),
+        key=lambda d: (d["role"],
+                       1.0 / (3.16e-11 * d["ts"].timestamp() * 1000 + 1),
+                       d["doc_id"]),
+    )[:6]
+    assert [d["doc_id"] for d in resp2["response"]["docs"]] == \
+           [d["doc_id"] for d in alld]
