@@ -2142,6 +2142,107 @@ class BM25Index:
             out = out.offset(offset)
         return out.limit(limit) if limit >= 0 else out
 
+    def pivot_facet(
+        self, query: str, fields: list[str],
+        fq: str | list[str] | None = None,
+        op: str = "OR", mm: int | str | None = None, *,
+        limit: int = 100, mincount: int = 1,
+    ) -> list[dict]:
+        """Solr ``facet.pivot=f1,f2[,f3]``: hierarchical value counts over
+        the exact match set. Returns Solr's nested pivot shape --
+        ``[{field, value, count, pivot: [...]}, ...]`` -- each level
+        ordered count desc, value asc (Solr's default pivot sort), cut to
+        ``limit`` buckets per parent, ``mincount`` (Solr pivot default 1)
+        applied per level. Null values never form a pivot bucket.
+
+        Plan: the DocSet joins the docs projection of EXACTLY the pivot
+        fields, then ONE groupBy over all of them (a single shuffle;
+        deeper levels re-aggregate that cached frame with map-side partial
+        aggs, no second scan). Each level's bucket list is cut INSIDE the
+        plan -- level 1 by orderBy+limit (TakeOrderedAndProject), deeper
+        levels by a row_number window per parent path -- so the rows
+        collected are bounded by prod(limit per level), never the value
+        universe. (Solr pivots have the same product blowup; keep depth
+        and limits modest -- that's the documented contract, not ours.)"""
+        if not fields:
+            raise ValueError("facet.pivot needs at least one field")
+        from pyspark.sql.window import Window
+
+        base = self._facet_base(query, fq, op, mm)
+        counts = (
+            base.select(*fields)
+            .groupBy(*fields)
+            .agg(F.count("*").alias("cnt"))
+            .persist()
+        )
+        levels: list[list] = []
+        parents = None  # surviving parent paths (DataFrame of fields[:d-1])
+        for d in range(1, len(fields) + 1):
+            # a null at THIS level never buckets, but must not remove the
+            # doc from shallower levels (Solr: each level drops only its
+            # own nulls) -- so nulls stay in `counts` and filter per level
+            lvl = (
+                counts.filter(F.col(fields[d - 1]).isNotNull())
+                .groupBy(*fields[:d]).agg(F.sum("cnt").alias("c"))
+            )
+            if mincount > 0:
+                lvl = lvl.filter(F.col("c") >= mincount)
+            if d == 1:
+                top = lvl.orderBy(
+                    F.col("c").desc(), F.col(fields[0]).asc()
+                ).limit(limit) if limit >= 0 else lvl.orderBy(
+                    F.col("c").desc(), F.col(fields[0]).asc()
+                )
+            else:
+                lvl = lvl.join(
+                    F.broadcast(parents), list(fields[: d - 1]), "left_semi"
+                )
+                w = Window.partitionBy(*fields[: d - 1]).orderBy(
+                    F.col("c").desc(), F.col(fields[d - 1]).asc()
+                )
+                top = lvl.withColumn("r", F.row_number().over(w))
+                if limit >= 0:
+                    top = top.filter(F.col("r") <= limit)
+                top = top.drop("r")
+            rows = top.collect()
+            levels.append(rows)
+            parents = self.spark.createDataFrame(
+                [[r[f] for f in fields[:d]] for r in rows] or
+                [[None] * d],
+                list(fields[:d]),
+            ) if rows else None
+            if parents is None:
+                break
+        counts.unpersist()
+
+        # group each level's rows by parent path once -- linear assembly
+        by_parent: list[dict[tuple, list]] = []
+        for d, rows in enumerate(levels):
+            g: dict[tuple, list] = {}
+            for r in rows:
+                g.setdefault(tuple(r[f] for f in fields[:d]), []).append(r)
+            for lst in g.values():  # collect() does not preserve plan order
+                lst.sort(key=lambda r: (-r["c"], r[fields[d]]))
+            by_parent.append(g)
+
+        def build(depth: int, path: tuple) -> list[dict]:
+            if depth >= len(by_parent):
+                return []
+            out = []
+            for r in by_parent[depth].get(path, []):
+                ent = {
+                    "field": fields[depth],
+                    "value": r[fields[depth]],
+                    "count": int(r["c"]),
+                }
+                sub = build(depth + 1, path + (r[fields[depth]],))
+                if sub:
+                    ent["pivot"] = sub
+                out.append(ent)
+            return out
+
+        return build(0, ())
+
     def facet_missing_count(
         self, query: str, field: str, fq: str | list[str] | None = None,
         op: str = "OR", mm: int | str | None = None,

@@ -50,7 +50,9 @@ components its solrconfig enables):
   ``facet.missing`` honored globally or per-field via ``f.<field>.facet.X``;
   ``facet.query`` (repeatable, fq grammar) → ``facet_counts.facet_queries``;
   ``facet.range.other`` (before|after|between|all|none) adds the
-  out-of-range counts to each ``facet_ranges`` entry
+  out-of-range counts to each ``facet_ranges`` entry; ``facet.pivot=f1,f2``
+  (repeatable) → ``facet_counts.facet_pivot`` nested trees
+  (``facet.pivot.mincount`` default 1, ``facet.limit`` per level)
 - ``hl=true`` (``hl.fragsize`` + ``hl.snippets`` honored; snippets > 1
   returns up to that many non-overlapping fragments) → ``highlighting``
   map keyed by
@@ -88,7 +90,8 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages",
            "solr_export", "solr_get"]
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
-             "facet.field", "facet.range", "facet.query", "hl",
+             "facet.field", "facet.range", "facet.query", "facet.pivot",
+             "facet.pivot.mincount", "hl",
              "hl.fragsize", "hl.snippets", "spellcheck",
              "spellcheck.q", "spellcheck.collate", "wt", "indent",
              "useParams", "minExactCount",
@@ -446,6 +449,17 @@ def solr_select(
                 ])
             ff[field] = flat
         resp["facet_counts"] = {"facet_fields": ff}
+
+        fpivots: dict[str, list] = {}
+        for pivot in _as_list(params.get("facet.pivot")):
+            pfields = [f.strip() for f in str(pivot).split(",") if f.strip()]
+            fpivots[",".join(pfields)] = idx.pivot_facet(
+                q, pfields, fq=fq, op=op, mm=mm,
+                limit=int(params.get("facet.limit", 100)),
+                mincount=int(params.get("facet.pivot.mincount", 1)),
+            )
+        if fpivots:
+            resp["facet_counts"]["facet_pivot"] = fpivots
 
         fqueries: dict[str, int] = {}
         for fquery in _as_list(params.get("facet.query")):
