@@ -1,0 +1,385 @@
+"""Solr JSON Facet API (``json.facet``) -- declarative nested facets.
+
+The modern Solr facet surface (the /select side the reference's collections
+expose; any SolrJ/HTTP client can attach ``json.facet`` to the requests
+HttpSolrSelectClientImpl.java builds). Supported subset, evaluated
+Spark-first -- every facet node is ONE DataFrame aggregation job over the
+domain (never a job per bucket):
+
+- **stat facets** (string form): ``"x": "sum(dl)"`` with
+  sum/avg/min/max/unique/missing over a field OR a function query
+  (``"sum(div(turn_idx,dl))"`` -- `functions/function_query.py` grammar).
+  ``unique`` is exact countDistinct (Solr's is exact below 100 values,
+  approximate above -- documented deviation: ours is always exact).
+- **terms facets**: ``{type: terms, field, limit (default 10), offset,
+  mincount (default 1), sort ("count desc" | "index asc" | "<stat> desc"),
+  missing: bool, allBuckets: bool, facet: {nested}}``. Nested stats and
+  query subfacets ride the SAME groupBy as the bucket counts (conditional
+  aggregates); nested terms facets re-aggregate the domain with the parent
+  field prefixed (one extra job per nesting LEVEL, cut per parent with a
+  row_number window -- the pivot_facet plan shape).
+- **query facets**: ``{type: query, q: <filter>, facet: {stats}}`` -- the
+  ``q`` is a filter over doc fields (Solr fq grammar via
+  `functions/solr_fq.py`, or SQL). Full-text scored queries inside a
+  facet are unsupported (fail loud) -- the reference never nests them.
+- **range facets**: ``{type: range, field, start, end, gap, facet:
+  {stats}}`` -- half-open ``[lo, hi)`` buckets derived in-plan
+  (``floor((x-start)/gap)``), zero buckets filled driver-side (Solr range
+  default mincount 0).
+
+Unsupported spec keys (domain/refine/overrequest/percentile/hll...) raise
+ValueError -- the facade's fail-loud contract. Response shape matches
+Solr: ``{"count": N, "<name>": {"buckets": [{"val", "count", ...stats,
+...subfacets}], "missing"?, "allBuckets"?}, "<stat>": value}``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["json_facet"]
+
+_STAT_RE = re.compile(
+    r"^\s*(sum|avg|min|max|unique|missing)\s*\((.+)\)\s*$", re.S
+)
+
+_TERMS_KEYS = {"type", "field", "limit", "offset", "mincount", "sort",
+               "missing", "allBuckets", "facet"}
+_QUERY_KEYS = {"type", "q", "facet"}
+_RANGE_KEYS = {"type", "field", "start", "end", "gap", "facet"}
+
+
+def _arg_sql(idx, arg: str) -> str:
+    """A stat's argument: a plain field name or a function query."""
+    types = dict(idx.docs().dtypes)
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", arg.strip()):
+        f = arg.strip()
+        if f not in types:
+            raise ValueError(f"json.facet stat over unknown field {f!r}")
+        return f
+    from ..functions.function_query import function_to_sql
+
+    return function_to_sql(arg, types)[0]
+
+
+def _stat_agg(idx, name: str, spec: str):
+    """One stat facet -> one Spark aggregate Column aliased to its name."""
+    m = _STAT_RE.match(spec)
+    if m is None:
+        raise ValueError(
+            f"unsupported json.facet stat {spec!r} (use "
+            f"sum/avg/min/max/unique/missing(field-or-function))"
+        )
+    fn, arg = m.group(1), m.group(2)
+    if fn == "missing":
+        return F.count(
+            F.when(F.expr(_arg_sql(idx, arg)).isNull(), 1)
+        ).alias(name)
+    col = F.expr(_arg_sql(idx, arg))
+    if fn == "unique":
+        return F.countDistinct(col).alias(name)
+    return getattr(F, fn)(col).alias(name)
+
+
+def _filter_sql(idx, q: str) -> str:
+    """A query-facet ``q``: Solr fq grammar or SQL over doc fields."""
+    from ..functions.solr_fq import looks_like_solr_fq, parse_fq
+
+    if looks_like_solr_fq(q):
+        return parse_fq(q, dict(idx.docs().dtypes))
+    return q
+
+
+def _split_subspecs(idx, sub: dict) -> tuple[list, dict, dict]:
+    """A ``facet:{...}`` block -> (agg columns ridable on the parent's
+    groupBy, nested terms specs, nested range specs). Stats and query
+    subfacets become conditional aggregates (zero extra jobs)."""
+    aggs, terms, ranges = [], {}, {}
+    for name, s in sub.items():
+        if isinstance(s, str):
+            aggs.append((name, _stat_agg(idx, name, s)))
+        elif isinstance(s, dict) and s.get("type") == "query":
+            bad = set(s) - _QUERY_KEYS
+            if bad or s.get("facet"):
+                raise ValueError(
+                    f"nested query facet {name!r}: only q supported, got "
+                    f"{sorted(bad) or 'nested facet'}"
+                )
+            aggs.append((
+                name,
+                F.count(F.when(F.expr(_filter_sql(idx, s["q"])), 1))
+                .alias(name),
+            ))
+        elif isinstance(s, dict) and s.get("type") == "terms":
+            terms[name] = s
+        elif isinstance(s, dict) and s.get("type") == "range":
+            raise ValueError(
+                f"nested range facet {name!r} unsupported (top level only)"
+            )
+        else:
+            raise ValueError(f"unsupported json.facet entry {name!r}: {s!r}")
+    return aggs, terms, ranges
+
+
+def _sort_key(sort, stat_names: list[str]):
+    """Parse a terms-facet sort: 'count desc' (default) | 'index asc' |
+    '<stat> desc' | {'<key>': 'asc'|'desc'}."""
+    if sort is None:
+        return "count", "desc"
+    if isinstance(sort, dict):
+        if len(sort) != 1:
+            raise ValueError(f"json.facet sort takes one key, got {sort!r}")
+        (k, d), = sort.items()
+    else:
+        parts = str(sort).split()
+        k = parts[0]
+        d = parts[1] if len(parts) > 1 else "desc"
+    if d not in ("asc", "desc"):
+        raise ValueError(f"json.facet sort direction must be asc|desc: {sort!r}")
+    if k not in ("count", "index") and k not in stat_names:
+        raise ValueError(f"json.facet sort key {k!r} is not a sibling stat")
+    return k, d
+
+
+def _terms_facet(
+    idx, base: DataFrame, spec: dict, prefix: list[str],
+    parents: DataFrame | None,
+) -> dict[tuple, list[dict]]:
+    """Evaluate one terms facet node. ``prefix`` = ancestor bucket fields;
+    ``parents`` = surviving ancestor paths (semi-joined so deeper levels
+    only aggregate buckets that made their parents' cut). Returns
+    {parent path tuple -> bucket list} -- the caller stitches them into
+    its own buckets. ONE aggregation job per node."""
+    bad = set(spec) - _TERMS_KEYS
+    if bad:
+        raise ValueError(f"unsupported terms facet keys: {sorted(bad)}")
+    field = spec["field"]
+    limit = int(spec.get("limit", 10))
+    offset = int(spec.get("offset", 0))
+    mincount = int(spec.get("mincount", 1))
+    sub = spec.get("facet", {}) or {}
+    named = _split_subspecs(idx, sub)
+    aggs = [c for _, c in named[0]]
+    stat_names = [n for n, _ in named[0]]
+    subterms = named[1]
+    key, direction = _sort_key(spec.get("sort"), stat_names)
+
+    lvl = base.filter(F.col(field).isNotNull())
+    if parents is not None:
+        lvl = lvl.join(F.broadcast(parents), prefix, "left_semi")
+    lvl = lvl.groupBy(*prefix, field).agg(
+        F.count("*").alias("count"), *aggs
+    )
+    if mincount > 0:
+        lvl = lvl.filter(F.col("count") >= mincount)
+    if key == "index":
+        order = [F.col(field).asc() if direction == "asc"
+                 else F.col(field).desc()]
+    else:
+        c = F.col(key)
+        order = [c.desc() if direction == "desc" else c.asc(),
+                 F.col(field).asc()]
+    if not prefix:
+        cut = lvl.orderBy(*order)
+        if offset:
+            cut = cut.offset(offset)
+        if limit >= 0:
+            cut = cut.limit(limit)
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*prefix).orderBy(*order)
+        cut = lvl.withColumn("__r", F.row_number().over(w))
+        lo, hi = offset, (offset + limit) if limit >= 0 else None
+        cond = F.col("__r") > lo
+        if hi is not None:
+            cond = cond & (F.col("__r") <= hi)
+        cut = cut.filter(cond).drop("__r")
+    rows = cut.collect()
+
+    # deterministic bucket order after collect (windows don't order output)
+    def _okey(r):
+        if key == "index":
+            v = r[field]
+            return (v,) if direction == "asc" else (_Rev(v),)
+        v = r[key]
+        return (-v, r[field]) if direction == "desc" else (v, r[field])
+
+    grouped: dict[tuple, list] = {}
+    for r in rows:
+        grouped.setdefault(tuple(r[f] for f in prefix), []).append(r)
+    for lst in grouped.values():
+        lst.sort(key=_okey)
+
+    # nested terms: one job per child node, parents = this node's survivors
+    child_results: dict[str, dict[tuple, list[dict]]] = {}
+    if subterms and rows:
+        surv = idx.spark.createDataFrame(
+            [[r[f] for f in prefix] + [r[field]] for r in rows],
+            prefix + [field],
+        )
+        for cname, cspec in subterms.items():
+            child_results[cname] = _terms_facet(
+                idx, base, cspec, prefix + [field], surv
+            )
+
+    out: dict[tuple, list[dict]] = {}
+    for path, lst in grouped.items():
+        buckets = []
+        for r in lst:
+            b: dict[str, Any] = {"val": r[field], "count": int(r["count"])}
+            for sn in stat_names:
+                b[sn] = _py(r[sn])
+            for cname, cres in child_results.items():
+                b[cname] = {
+                    "buckets": cres.get(path + (r[field],), []),
+                }
+            buckets.append(b)
+        out[path] = buckets
+    return out
+
+
+class _Rev:
+    """Descending comparator wrapper for index-desc bucket sorts."""
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
+def _py(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v
+
+
+def _extras(idx, base, spec, field, aggs, stat_names) -> dict:
+    """missing / allBuckets companion aggregates for one terms facet --
+    one extra agg job each, over the domain (Solr computes them outside
+    the bucket limit)."""
+    out = {}
+    if spec.get("missing"):
+        row = base.filter(F.col(field).isNull()).agg(
+            F.count("*").alias("count"), *aggs
+        ).collect()[0]
+        out["missing"] = {"count": int(row["count"]),
+                          **{s: _py(row[s]) for s in stat_names}}
+    if spec.get("allBuckets"):
+        row = base.filter(F.col(field).isNotNull()).agg(
+            F.count("*").alias("count"), *aggs
+        ).collect()[0]
+        out["allBuckets"] = {"count": int(row["count"]),
+                             **{s: _py(row[s]) for s in stat_names}}
+    return out
+
+
+def json_facet(
+    idx, q: str, facets: dict,
+    fq: str | list[str] | None = None,
+    op: str = "OR", mm: int | str | None = None,
+) -> dict:
+    """Evaluate a ``json.facet`` spec over the exact match set of
+    (q, fq, op, mm). Returns Solr's JSON facet response shape under the
+    usual ``facets`` key: ``{"count": <domain size>, ...}``."""
+    base = idx._facet_base(q, fq, op, mm)
+    out: dict[str, Any] = {"count": int(base.count())}
+
+    # batch every top-level stat into ONE aggregation job
+    stat_aggs, names = [], []
+    for name, s in facets.items():
+        if isinstance(s, str):
+            stat_aggs.append(_stat_agg(idx, name, s))
+            names.append(name)
+    if stat_aggs:
+        row = base.agg(*stat_aggs).collect()[0]
+        for n in names:
+            out[n] = _py(row[n])
+
+    for name, s in facets.items():
+        if isinstance(s, str):
+            continue
+        if not isinstance(s, dict):
+            raise ValueError(f"unsupported json.facet entry {name!r}: {s!r}")
+        t = s.get("type")
+        if t == "terms":
+            sub = s.get("facet", {}) or {}
+            named, _, _ = _split_subspecs(idx, sub)
+            aggs = [c for _, c in named]
+            stat_names = [n for n, _ in named]
+            res = _terms_facet(idx, base, s, [], None)
+            node: dict[str, Any] = {"buckets": res.get((), [])}
+            node.update(_extras(idx, base, s, s["field"], aggs, stat_names))
+            out[name] = node
+        elif t == "query":
+            bad = set(s) - _QUERY_KEYS
+            if bad:
+                raise ValueError(f"unsupported query facet keys: {sorted(bad)}")
+            dom = base.filter(F.expr(_filter_sql(idx, s["q"])))
+            sub = s.get("facet", {}) or {}
+            named, subterms, _ = _split_subspecs(idx, sub)
+            if subterms:
+                raise ValueError(
+                    "terms facets nested under a query facet are unsupported"
+                )
+            aggs = [c for _, c in named]
+            stat_names = [n for n, _ in named]
+            row = dom.agg(F.count("*").alias("count"), *aggs).collect()[0]
+            out[name] = {"count": int(row["count"]),
+                         **{sn: _py(row[sn]) for sn in stat_names}}
+        elif t == "range":
+            bad = set(s) - _RANGE_KEYS
+            if bad:
+                raise ValueError(f"unsupported range facet keys: {sorted(bad)}")
+            field = s["field"]
+            start, end, gap = (float(s["start"]), float(s["end"]),
+                               float(s["gap"]))
+            if gap <= 0 or end <= start:
+                raise ValueError("range facet needs gap > 0 and end > start")
+            sub = s.get("facet", {}) or {}
+            named, subterms, _ = _split_subspecs(idx, sub)
+            if subterms:
+                raise ValueError(
+                    "terms facets nested under a range facet are unsupported"
+                )
+            aggs = [c for _, c in named]
+            stat_names = [n for n, _ in named]
+            c = F.col(field)
+            bucket = F.floor((c - start) / gap).cast("long")
+            rows = (
+                base.filter(c.isNotNull() & (c >= start) & (c < end))
+                .groupBy(bucket.alias("__b"))
+                .agg(F.count("*").alias("count"), *aggs)
+                .collect()
+            )
+            got = {int(r["__b"]): r for r in rows}
+            n_buckets = int(-(-(end - start) // gap))
+            buckets = []
+            for i in range(n_buckets):
+                lo = start + i * gap
+                val = int(lo) if float(lo).is_integer() else lo
+                r = got.get(i)
+                b = {"val": val, "count": int(r["count"]) if r else 0}
+                if r is not None:
+                    for sn in stat_names:
+                        b[sn] = _py(r[sn])
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        else:
+            raise ValueError(
+                f"unsupported json.facet type {t!r} for {name!r} "
+                f"(terms|query|range|stat string)"
+            )
+    return out

@@ -53,6 +53,9 @@ components its solrconfig enables):
   out-of-range counts to each ``facet_ranges`` entry; ``facet.pivot=f1,f2``
   (repeatable) → ``facet_counts.facet_pivot`` nested trees
   (``facet.pivot.mincount`` default 1, ``facet.limit`` per level)
+- ``json.facet`` (dict or JSON string) — the JSON Facet API subset
+  (terms/query/range facets, nested stats and subfacets; see
+  `query/json_facet.py`) → the Solr ``facets`` response key
 - ``hl=true`` (``hl.fragsize`` + ``hl.snippets`` honored; snippets > 1
   returns up to that many non-overlapping fragments) → ``highlighting``
   map keyed by
@@ -91,7 +94,7 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages",
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "facet.query", "facet.pivot",
-             "facet.pivot.mincount", "hl",
+             "facet.pivot.mincount", "json.facet", "hl",
              "hl.fragsize", "hl.snippets", "spellcheck",
              "spellcheck.q", "spellcheck.collate", "wt", "indent",
              "useParams", "minExactCount",
@@ -519,6 +522,15 @@ def solr_select(
         if fr:
             resp["facet_counts"]["facet_ranges"] = fr
 
+    jf = params.get("json.facet")
+    if jf:
+        import json as _json
+
+        from .json_facet import json_facet
+
+        spec = _json.loads(jf) if isinstance(jf, str) else dict(jf)
+        resp["facets"] = json_facet(idx, q, spec, fq=fq, op=op, mm=mm)
+
     if _truthy(params.get("hl", False)) and not match_all:
         fragsize = params.get("hl.fragsize")
         n_snip = int(params.get("hl.snippets", 1))
@@ -646,7 +658,8 @@ def _block_join_select(
     Fail-loud contract: components this path does not implement
     (cursorMark, facet/facet.range, hl, stats, debugQuery, spellcheck,
     group, minExactCount, sort, start) raise instead of being dropped."""
-    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost"):
+    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost",
+              "json.facet"):
         if p in params:
             raise ValueError(f"block-join q does not support {p}")
     if int(params.get("start", 0)) != 0:
@@ -747,7 +760,8 @@ def _grouped_select(
     (cursorMark, facet/facet.range, hl, stats, debugQuery, spellcheck,
     minExactCount, sort, start) raise instead of passing _RESERVED
     validation and then being silently dropped."""
-    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost"):
+    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost",
+              "json.facet"):
         if p in params:
             raise ValueError(f"group=true does not support {p}")
     if int(params.get("start", 0)) != 0:

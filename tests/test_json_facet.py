@@ -1,0 +1,201 @@
+"""JSON Facet API: terms/query/range facets with nested stats and
+subfacets, verified against brute-force recomputation over the collected
+match set."""
+
+import statistics
+
+import pytest
+
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.query.json_facet import json_facet
+from solr_semantic_importer_spark.query.select_api import solr_select
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=40, turns_per_conv=6, seed=5)
+    idx_dir = str(tmp_path_factory.mktemp("jf"))
+    build_index(spark, df, idx_dir, BuildConfig(build_id="jf", **CFG))
+    return BM25Index(spark, idx_dir)
+
+
+def _rows(idx, q, fq=None, op="OR"):
+    if q.strip() == "*:*":
+        ids = None
+    else:
+        ids = {r["doc_id"] for r in
+               idx.score_matches(q, op=op, fq=fq).collect()}
+    return [r.asDict() for r in idx.docs().collect()
+            if ids is None or r["doc_id"] in ids]
+
+
+def test_top_level_stats(corpus):
+    idx = corpus
+    got = json_facet(idx, "error", {
+        "total_dl": "sum(dl)",
+        "mean_turn": "avg(turn_idx)",
+        "hi": "max(dl)",
+        "lo": "min(turn_idx)",
+        "roles": "unique(role)",
+        "no_tool": "missing(tool)",
+        "ratio": "sum(div(turn_idx,dl))",
+    })
+    rows = _rows(idx, "error")
+    assert got["count"] == len(rows)
+    assert got["total_dl"] == sum(r["dl"] for r in rows)
+    assert got["mean_turn"] == pytest.approx(
+        statistics.mean(r["turn_idx"] for r in rows))
+    assert got["hi"] == max(r["dl"] for r in rows)
+    assert got["lo"] == min(r["turn_idx"] for r in rows)
+    assert got["roles"] == len({r["role"] for r in rows})
+    assert got["no_tool"] == sum(1 for r in rows if r["tool"] is None)
+    assert got["ratio"] == pytest.approx(
+        sum(r["turn_idx"] / r["dl"] for r in rows))
+
+
+def test_terms_with_stats_and_query_subfacet(corpus):
+    idx = corpus
+    got = json_facet(idx, "error", {
+        "by_role": {
+            "type": "terms", "field": "role", "limit": 10,
+            "facet": {
+                "dl_sum": "sum(dl)",
+                "early": {"type": "query", "q": "turn_idx < 2"},
+            },
+        },
+    })
+    rows = _rows(idx, "error")
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["role"], []).append(r)
+    want = sorted(groups.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    bk = got["by_role"]["buckets"]
+    assert [(b["val"], b["count"]) for b in bk] == \
+           [(v, len(g)) for v, g in want]
+    for b in bk:
+        g = groups[b["val"]]
+        assert b["dl_sum"] == sum(r["dl"] for r in g)
+        assert b["early"] == sum(1 for r in g if r["turn_idx"] < 2)
+
+
+def test_nested_terms(corpus):
+    idx = corpus
+    got = json_facet(idx, "*:*", {
+        "by_role": {
+            "type": "terms", "field": "role", "limit": 2,
+            "facet": {
+                "by_turn": {"type": "terms", "field": "turn_idx",
+                            "limit": 3, "facet": {"dls": "sum(dl)"}},
+            },
+        },
+    })
+    rows = _rows(idx, "*:*")
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["role"], []).append(r)
+    top2 = sorted(groups.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:2]
+    assert [b["val"] for b in got["by_role"]["buckets"]] == \
+           [v for v, _ in top2]
+    for b, (v, g) in zip(got["by_role"]["buckets"], top2):
+        sub: dict = {}
+        for r in g:
+            sub.setdefault(r["turn_idx"], []).append(r)
+        w = sorted(sub.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:3]
+        assert [(x["val"], x["count"], x["dls"])
+                for x in b["by_turn"]["buckets"]] == \
+               [(tv, len(tg), sum(r["dl"] for r in tg)) for tv, tg in w]
+
+
+def test_terms_sort_by_stat_and_index(corpus):
+    idx = corpus
+    got = json_facet(idx, "*:*", {
+        "by_turn": {"type": "terms", "field": "turn_idx", "limit": 4,
+                    "sort": {"dls": "desc"}, "facet": {"dls": "sum(dl)"}},
+        "idx_order": {"type": "terms", "field": "role", "sort": "index asc"},
+    })
+    rows = _rows(idx, "*:*")
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["turn_idx"], []).append(r)
+    want = sorted(
+        ((v, sum(r["dl"] for r in g)) for v, g in groups.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:4]
+    assert [(b["val"], b["dls"]) for b in got["by_turn"]["buckets"]] == want
+    vals = [b["val"] for b in got["idx_order"]["buckets"]]
+    assert vals == sorted(vals)
+
+
+def test_terms_missing_and_allbuckets(corpus):
+    idx = corpus
+    got = json_facet(idx, "*:*", {
+        "by_tool": {"type": "terms", "field": "tool", "limit": 5,
+                    "missing": True, "allBuckets": True,
+                    "facet": {"dls": "sum(dl)"}},
+    })
+    rows = _rows(idx, "*:*")
+    n_null = sum(1 for r in rows if r["tool"] is None)
+    assert got["by_tool"]["missing"]["count"] == n_null
+    assert got["by_tool"]["missing"]["dls"] == \
+        sum(r["dl"] for r in rows if r["tool"] is None)
+    assert got["by_tool"]["allBuckets"]["count"] == len(rows) - n_null
+
+
+def test_query_and_range_facets(corpus):
+    idx = corpus
+    got = json_facet(idx, "error", {
+        "early": {"type": "query", "q": "turn_idx:[0 TO 1]",
+                  "facet": {"dls": "sum(dl)"}},
+        "by_dl": {"type": "range", "field": "dl", "start": 0, "end": 120,
+                  "gap": 40, "facet": {"mx": "max(turn_idx)"}},
+    })
+    rows = _rows(idx, "error")
+    early = [r for r in rows if 0 <= r["turn_idx"] <= 1]
+    assert got["early"]["count"] == len(early)
+    assert got["early"]["dls"] == sum(r["dl"] for r in early)
+    bks = got["by_dl"]["buckets"]
+    assert [b["val"] for b in bks] == [0, 40, 80]
+    for b, lo in zip(bks, (0, 40, 80)):
+        g = [r for r in rows if lo <= r["dl"] < lo + 40]
+        assert b["count"] == len(g)
+        if g:
+            assert b["mx"] == max(r["turn_idx"] for r in g)
+
+
+def test_respects_fq_op_and_select_integration(corpus):
+    idx = corpus
+    resp = solr_select(idx, {
+        "q": "error tool", "q.op": "AND", "fq": "role = 'tool'", "rows": 0,
+        "json.facet": {"n": "sum(dl)"},
+    })
+    rows = _rows(idx, "error tool", fq="role = 'tool'", op="AND")
+    assert resp["facets"]["count"] == len(rows) == \
+        resp["response"]["numFound"]
+    assert resp["facets"]["n"] == sum(r["dl"] for r in rows)
+    # JSON-string form parses too
+    resp2 = solr_select(idx, {"q": "error", "rows": 0,
+                              "json.facet": '{"m": "max(dl)"}'})
+    assert resp2["facets"]["m"] == max(r["dl"] for r in _rows(idx, "error"))
+
+
+def test_fail_loud(corpus):
+    idx = corpus
+    with pytest.raises(ValueError):
+        json_facet(idx, "error", {"p": "percentile(dl,50)"})
+    with pytest.raises(ValueError):
+        json_facet(idx, "error", {"t": {"type": "terms", "field": "role",
+                                        "refine": True}})
+    with pytest.raises(ValueError):
+        json_facet(idx, "error", {"t": {"type": "terms", "field": "role",
+                                        "sort": "nostat desc"}})
+    with pytest.raises(ValueError):
+        json_facet(idx, "error", {"x": "sum(nope)"})
+    with pytest.raises(ValueError):
+        solr_select(idx, {"q": "error", "group": "true",
+                          "group.field": "conv_id",
+                          "json.facet": {"n": "sum(dl)"}})
