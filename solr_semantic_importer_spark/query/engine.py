@@ -1431,6 +1431,110 @@ class BM25Index:
 
     BLOCK_JOIN_SCORE_MODES = ("none", "max", "total", "avg", "min")
 
+    def term_vectors(
+        self,
+        doc_ids: list[int],
+        with_positions: bool = False,
+        with_df: bool = False,
+        with_tf_idf: bool = False,
+    ) -> dict[int, dict]:
+        """Solr TermVectorComponent (``tv=true``): per requested doc, the
+        term -> {tf[, positions][, df][, tf-idf]} map. Solr reads stored
+        term vectors from the index; we re-tokenize the stored text with
+        the SAME analysis chain the index was built with, which yields the
+        identical vector (the chain is deterministic) without paying a
+        doc-major decode of the term-major postings layout.
+
+        Page-shaped by contract (<= rows ids, like Solr's component):
+        stored text arrives via the docid-pushdown scan; df for the union
+        of the page's terms comes from ONE In(term,...)-pruned dictionary
+        scan; tf-idf = tf * 1/df (Solr TermVectorComponent's formula)."""
+        if not doc_ids:
+            return {}
+        rows = (
+            self.docs().select("doc_id", "text")
+            .filter(F.col("doc_id").isin(list(doc_ids)))
+            .collect()
+        )
+        vecs: dict[int, dict] = {}
+        all_terms: set[str] = set()
+        for r in rows:
+            toks = self._analyze(r["text"] or "")
+            tv: dict[str, dict] = {}
+            for pos, t in enumerate(toks):
+                ent = tv.setdefault(t, {"tf": 0})
+                ent["tf"] += 1
+                if with_positions:
+                    ent.setdefault("positions", []).append(pos)
+            vecs[r["doc_id"]] = tv
+            all_terms.update(tv)
+        if (with_df or with_tf_idf) and all_terms:
+            dfm = {
+                r["term"]: int(r["df"])
+                for r in self.dictionary()
+                .filter(F.col("term").isin(sorted(all_terms)))
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .collect()
+            }
+            for tv in vecs.values():
+                for t, ent in tv.items():
+                    d = dfm.get(t, 0)
+                    if with_df:
+                        ent["df"] = d
+                    if with_tf_idf and d:
+                        ent["tf-idf"] = ent["tf"] / d
+        return vecs
+
+    def expand_groups(
+        self,
+        query: str,
+        field: str,
+        group_values: list,
+        exclude_ids: list[int],
+        per_group: int = 5,
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> tuple[dict, dict]:
+        """Solr ExpandComponent: for each collapsed group on the current
+        page, the top ``per_group`` OTHER matching members by relevance.
+        Returns ({group_value: [Row(doc_id, score), ...]},
+        {group_value: total expandable count}).
+
+        ``group_values``/``exclude_ids`` come from the page (<= rows
+        entries), so the isin filters broadcast as literals into the scan;
+        the match set is cut to page groups BEFORE the per-group window,
+        and only <= len(group_values) * per_group rows plus one count row
+        per group reach the driver."""
+        from pyspark.sql.window import Window
+
+        if not group_values:
+            return {}, {}
+        matched = self.score_matches(query, op=op, fq=fq, mm=mm)
+        joined = (
+            matched.join(self.docs().select("doc_id", field), "doc_id")
+            .filter(F.col(field).isin(group_values))
+            .filter(~F.col("doc_id").isin(exclude_ids))
+        )
+        key = F.round(F.col("score"), 6)
+        w = Window.partitionBy(field).orderBy(key.desc(), F.col("doc_id").asc())
+        top = (
+            joined.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= per_group)
+            .select(field, "doc_id", "score")
+            .collect()
+        )
+        counts = {
+            r[field]: int(r["n"])
+            for r in joined.groupBy(field).agg(F.count("*").alias("n")).collect()
+        }
+        groups: dict = {}
+        for r in top:
+            groups.setdefault(r[field], []).append(r)
+        for lst in groups.values():
+            lst.sort(key=lambda r: (-round(r["score"], 6), r["doc_id"]))
+        return groups, counts
+
     def block_join_parent(
         self,
         child_q: str,

@@ -56,6 +56,10 @@ components its solrconfig enables):
 - ``json.facet`` (dict or JSON string) — the JSON Facet API subset
   (terms/query/range facets, nested stats and subfacets; see
   `query/json_facet.py`) → the Solr ``facets`` response key
+- ``fq={!collapse field=F}`` + ``expand=true``/``expand.rows`` — the
+  collapse qparser (result set = each group's best doc, numFound = group
+  count, grouped segment kernels) and ExpandComponent (``expanded``
+  section with each page group's other members)
 - ``hl=true`` (``hl.fragsize`` + ``hl.snippets`` honored; snippets > 1
   returns up to that many non-overlapping fragments) → ``highlighting``
   map keyed by
@@ -64,6 +68,10 @@ components its solrconfig enables):
   ``spellcheck.suggestions`` (flat [token, {...}] list) +
   ``correctlySpelled``; ``spellcheck.collate=true`` adds ``collations``
   (top suggestion per misspelled token, hits verified under op/fq/mm)
+- ``tv=true`` (+ ``tv.positions``/``tv.df``/``tv.tf_idf``) —
+  TermVectorComponent: per page doc, term → tf[, positions][, df][,
+  tf-idf] under ``termVectors`` (vectors re-derived with the index's
+  analysis chain; df from one pruned dictionary scan)
 - ``minExactCount`` (Solr 8.6+) — numFound for scored score-sorted
   requests is exact up to this many hits, a lower bound beyond it
   (``numFoundExact: false``), computed from the SAME top-k pass as the
@@ -94,7 +102,8 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages",
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "facet.query", "facet.pivot",
-             "facet.pivot.mincount", "json.facet", "hl",
+             "facet.pivot.mincount", "json.facet", "expand", "expand.rows",
+             "tv", "tv.positions", "tv.df", "tv.tf_idf", "hl",
              "hl.fragsize", "hl.snippets", "spellcheck",
              "spellcheck.q", "spellcheck.collate", "wt", "indent",
              "useParams", "minExactCount",
@@ -217,6 +226,17 @@ def solr_select(
     t0 = time.monotonic()
     if _truthy(params.get("group", False)):
         return _grouped_select(idx, params, t0)
+    all_fq = _as_list(params.get("fq"))
+    coll = [f for f in all_fq if _COLLAPSE_RE.match(str(f))]
+    if coll:
+        if len(coll) > 1:
+            raise ValueError("at most one {!collapse} fq is supported")
+        return _collapse_select(
+            idx, params, t0, str(coll[0]),
+            [f for f in all_fq if not _COLLAPSE_RE.match(str(f))],
+        )
+    if _truthy(params.get("expand", False)):
+        raise ValueError("expand=true requires an {!collapse} fq")
     bj = _BJ_Q_RE.match(str(params.get("q", "")).strip())
     if bj is not None:
         return _block_join_select(idx, params, t0, bj)
@@ -549,6 +569,18 @@ def solr_select(
             for r in hl_rows
         }
 
+    if _truthy(params.get("tv", False)):
+        # TermVectorComponent: vectors for THIS page's docs (Solr's scope)
+        vecs = idx.term_vectors(
+            [d["doc_id"] for d in docs],
+            with_positions=_truthy(params.get("tv.positions", False)),
+            with_df=_truthy(params.get("tv.df", False)),
+            with_tf_idf=_truthy(params.get("tv.tf_idf", False)),
+        )
+        resp["termVectors"] = {
+            str(i): {"text": tv} for i, tv in vecs.items()
+        }
+
     if _truthy(params.get("stats", False)):
         sf: dict[str, Any] = {}
         for field in _as_list(params.get("stats.field")):
@@ -636,6 +668,165 @@ def solr_select(
 
 _BJ_Q_RE = re.compile(r"^\{!(?P<kind>parent|child)(?P<lp>[^}]*)\}(?P<inner>.+)$")
 _BJ_LP_RE = re.compile(r"""(\w[\w.]*)=("[^"]*"|'[^']*'|[^\s}]+)""")
+
+
+_COLLAPSE_RE = re.compile(r"^\{!collapse\s+([^}]*)\}\s*$")
+
+
+def _collapse_select(
+    idx: BM25Index, params: dict[str, Any], t0: float,
+    collapse_fq: str, fqs: list,
+) -> dict[str, Any]:
+    """Solr collapse qparser (``fq={!collapse field=F}``) + ExpandComponent
+    (``expand=true``): the result set collapses to each group's best doc
+    by relevance (rides the grouped segment kernels -- groups x 1 rows per
+    segment, never the full match set); numFound = the number of groups.
+    ``expand=true`` adds the ``expanded`` section: per page-group, the top
+    ``expand.rows`` (default 5) OTHER members. nullPolicy=ignore (Solr's
+    default -- null-field docs drop); other local params (min/max/sort/
+    hint) and other components fail loud."""
+    lp = dict(_BJ_LP_RE.findall(_COLLAPSE_RE.match(collapse_fq).group(1)))
+    lp = {k: v.strip("'\"") for k, v in lp.items()}
+    bad = set(lp) - {"field", "nullPolicy"}
+    if bad or "field" not in lp:
+        raise ValueError(
+            f"{{!collapse}} supports field= (+ nullPolicy=ignore), got {lp!r}"
+        )
+    if lp.get("nullPolicy", "ignore") != "ignore":
+        raise ValueError("{!collapse} supports nullPolicy=ignore only")
+    field = lp["field"]
+    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost",
+              "json.facet", "group"):
+        if p in params:
+            raise ValueError(f"{{!collapse}} does not support {p}")
+    for p in ("facet", "hl", "stats", "debugQuery", "spellcheck"):
+        if _truthy(params.get(p, False)):
+            raise ValueError(f"{{!collapse}} does not support {p}")
+
+    q = str(params.get("q", "*:*"))
+    op = str(params.get("q.op", "OR")).upper()
+    mm = params.get("mm")
+    fq = fqs or None
+    start = int(params.get("start", 0))
+    rows = int(params.get("rows", 10))
+    fl = params.get("fl")
+    fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
+    want_score = bool(fl) and "score" in fl
+    fetch_fl = None if (not fl or "*" in fl) else \
+        [f for f in fl if f != "score"]
+
+    match_all = q.strip() == "*:*"
+    if match_all:
+        live = idx._anti_dead(idx._apply_fq(idx.docs(), fq)).filter(
+            F.col(field).isNotNull()
+        )
+        heads_df = (
+            live.groupBy(field).agg(F.min("doc_id").alias("doc_id"))
+            .orderBy("doc_id")
+        )
+        num_found = heads_df.count()  # one partial-agg count job
+        page = heads_df.offset(start).limit(rows) if start else \
+            heads_df.limit(rows)
+        head_rows = [(r[field], r["doc_id"], 1.0) for r in page.collect()]
+    else:
+        grouped = idx.search_grouped(
+            q, field, k=start + rows, group_limit=1, op=op, fq=fq, mm=mm,
+        ).collect()
+        head_rows = [(r["group_value"], r["doc_id"], r["score"])
+                     for r in grouped][start:]
+        matched = idx._matched_ids(q, op=op, fq=fq, mm=mm)
+        num_found = (
+            matched.join(idx.docs().select("doc_id", field), "doc_id")
+            .filter(F.col(field).isNotNull())
+            .select(field).distinct().count()
+        )
+
+    order = [d for _, d, _ in head_rows]
+    scores = {d: s for _, d, s in head_rows}
+    fetched = {
+        r["doc_id"]: r.asDict()
+        for r in idx._stored_side(fetch_fl)
+        .filter(F.col("doc_id").isin(order) if order else F.lit(False))
+        .collect()
+    }
+    docs = []
+    for i in order:
+        d = dict(fetched.get(i, {"doc_id": i}))
+        if want_score:  # Solr: score only when fl asks
+            d["score"] = scores[i]
+        docs.append(d)
+
+    resp: dict[str, Any] = {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int((time.monotonic() - t0) * 1000),
+            "params": {k: params[k] for k in sorted(params, key=str)},
+        },
+        "response": {
+            "numFound": int(num_found),
+            "start": start,
+            "numFoundExact": True,
+            "docs": docs,
+        },
+    }
+
+    if _truthy(params.get("expand", False)):
+        per_group = int(params.get("expand.rows", 5))
+        gvals = [g for g, _, _ in head_rows]
+        if match_all:
+            # expand over the live set: other members by doc_id order
+            from pyspark.sql.window import Window
+
+            others = live.filter(
+                F.col(field).isin(gvals) & ~F.col("doc_id").isin(order)
+            )
+            w = Window.partitionBy(field).orderBy("doc_id")
+            top = (
+                others.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= per_group)
+                .select(field, "doc_id").collect()
+            )
+            counts = {
+                r[field]: int(r["n"]) for r in
+                others.groupBy(field).agg(F.count("*").alias("n")).collect()
+            }
+            groups: dict = {}
+            for r in sorted(top, key=lambda r: r["doc_id"]):
+                groups.setdefault(r[field], []).append(
+                    {"doc_id": r["doc_id"], "score": 1.0}
+                )
+        else:
+            graw, counts = idx.expand_groups(
+                q, field, gvals, order, per_group=per_group,
+                op=op, fq=fq, mm=mm,
+            )
+            groups = {
+                g: [{"doc_id": r["doc_id"], "score": r["score"]} for r in lst]
+                for g, lst in graw.items()
+            }
+        exp_ids = [d["doc_id"] for lst in groups.values() for d in lst]
+        efetched = {
+            r["doc_id"]: r.asDict()
+            for r in idx._stored_side(fetch_fl)
+            .filter(F.col("doc_id").isin(exp_ids) if exp_ids else F.lit(False))
+            .collect()
+        }
+        expanded: dict[str, Any] = {}
+        for g in gvals:
+            lst = groups.get(g, [])
+            edocs = []
+            for e in lst:
+                d = dict(efetched.get(e["doc_id"], {"doc_id": e["doc_id"]}))
+                if want_score:
+                    d["score"] = e["score"]
+                edocs.append(d)
+            expanded[str(g)] = {
+                "numFound": int(counts.get(g, 0)),
+                "start": 0,
+                "docs": edocs,
+            }
+        resp["expanded"] = expanded
+    return resp
 
 
 def _block_join_select(
