@@ -251,16 +251,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_and"] = _bm25("spark window", k=10, op="AND")
     q["bm25_fq_role"] = _bm25("table scan", k=10, fq="role = 'user'")
 
-    def term_df_top20(spark, sf_dir):
+    # (late-r4 gate rotation: term_df_top20 and doc_lengths out -- any df
+    # or dl error flips EVERY bm25 row's score hash (7+ rows stay under
+    # the gate), terms_prefix keeps dictionary-df aggregation under a
+    # direct oracle and corpus_stats keeps N/avgdl -- freeing slots for
+    # the function-query and collapse surfaces)
+    def func_boost_topk(spark, sf_dir):
+        # Solr function boosting: score * recip(ms(ts),..) date-recency
+        # boost + additive bf -- search_boosted's exact full-match-set path
         idx = _index_for(spark, sf_dir)
-        return (
-            idx.dictionary()
-            .select("term", "df")
-            .orderBy(F.col("df").desc(), F.col("term").asc())
-            .limit(20)
+        res = idx.search_boosted(
+            "table merge", k=10,
+            bf=["div(turn_idx,10)"], boost="recip(ms(ts),3.16e-11,1,1)",
+            order_key="milli",
         )
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
 
-    q["term_df_top20"] = term_df_top20
+    q["func_boost_topk"] = func_boost_topk
 
     def corpus_stats(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
@@ -272,15 +279,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_stats"] = corpus_stats
 
-    def doc_lengths(spark, sf_dir):
+    def collapse_topk(spark, sf_dir):
+        # collapse qparser: every conv_id group's best match (group_limit=1
+        # heads, FULL head set so milli ties can't straddle a cut)
         idx = _index_for(spark, sf_dir)
-        return (
-            idx.docs()
-            .filter(F.col("doc_id") < 50)
-            .select("doc_id", F.col("dl").cast("long").alias("dl"))
+        res = idx.search_grouped(
+            "table scan", "conv_id", k=10_000_000, group_limit=1
+        )
+        return res.select(
+            "doc_id", _milli(F.col("score")).alias("score_milli")
         )
 
-    q["doc_lengths"] = doc_lengths
+    q["collapse_topk"] = collapse_topk
 
     # ---- Layer A: scans / transforms (SURVEY 2.1/2.2) ----
     def scan_filter_project(spark, sf_dir):
@@ -300,13 +310,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_wildcard"] = _bm25("sl* merge", k=10)
     q["bm25_fuzzy"] = _bm25("part~2", k=10)
 
-    def crawl_stamp_facet(spark, sf_dir):
-        # P4 stamp + A2/Q5 facet (pivot shape) in one row -- the former
-        # facet_lang entry's facet_field coverage rides here (r3 gate fit)
-        d = TR.stamp_crawl(_docs(spark, sf_dir), "crawl-2026-001")
-        return TR.facet_field(d, ["crawl_id", "lang"])
+    # (late-r4 gate rotation: crawl_stamp_facet out -- the P4 stamp is a
+    # literal withColumn with exact-value pytest coverage
+    # (test_transform_values.py, test_pipeline_e2e.py) and its facet_field
+    # pivot shape is superseded by the REAL hierarchical pivot below plus
+    # bm25_facet_role/json_facet_role keeping facet counting under oracle)
+    def facet_pivot2(spark, sf_dir):
+        # facet.pivot: 2-level role -> turn_idx tree over the exact match
+        # set, flattened to its leaf rows (limit 100 >= cardinality, so
+        # the flat table IS the pivot -- per-level cuts are pytest-covered)
+        idx = _index_for(spark, sf_dir)
+        piv = idx.pivot_facet("table scan", ["role", "turn_idx"], limit=100)
+        rows = [
+            (p["value"], c["value"], c["count"])
+            for p in piv for c in p.get("pivot", [])
+        ]
+        return spark.createDataFrame(
+            rows, "role string, turn_idx int, cnt long"
+        )
 
-    q["crawl_stamp_facet"] = crawl_stamp_facet
+    q["facet_pivot2"] = facet_pivot2
+
+    def json_facet_role(spark, sf_dir):
+        # json.facet: terms facet on role with a sum(dl) stat and an
+        # early (turn_idx<2) query subfacet riding the same groupBy
+        idx = _index_for(spark, sf_dir)
+        from solr_semantic_importer_spark.query.json_facet import json_facet
+
+        res = json_facet(idx, "table scan", {
+            "by_role": {"type": "terms", "field": "role", "limit": 100,
+                        "sort": "index asc",
+                        "facet": {"dl_sum": "sum(dl)",
+                                  "early": {"type": "query",
+                                            "q": "turn_idx < 2"}}},
+        })
+        rows = [
+            (b["val"], b["count"], b["dl_sum"], b["early"])
+            for b in res["by_role"]["buckets"]
+        ]
+        return spark.createDataFrame(
+            rows, "val string, cnt long, dl_sum long, early long"
+        )
+
+    q["json_facet_role"] = json_facet_role
 
     # (r4 gate rotation: orphan_anti out -- a single anti-join with
     # literal-value pytest coverage (tests/test_transform_values.py) and
@@ -569,12 +615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_after_delete"] = bm25_after_delete
 
-    def match_all_after_delete(spark, sf_dir):
-        idx = _index_for_deleted(spark, sf_dir)
-        res = idx.match_all(k=20)
-        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
-
-    q["match_all_after_delete"] = match_all_after_delete
+    # (late-r4 gate rotation: match_all_after_delete out --
+    # bm25_after_delete keeps tombstoned scoring under the gate,
+    # match_all_paged keeps the match-all scan, and the 50%+-delete pytest
+    # covers their combination -- slot freed for json_facet_role above)
 
     # ---- streamed incremental build + tiered segment merge ----
     def bm25_after_merge(spark, sf_dir):
@@ -891,9 +935,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_mixed"] = OSQL.bm25_topk_sql("merge window customer zzzunknownoov", k=10)
     o["bm25_and"] = OSQL.bm25_topk_sql("spark window", k=10, op="AND")
     o["bm25_fq_role"] = OSQL.bm25_topk_sql("table scan", k=10, fq="role = 'user'")
-    o["term_df_top20"] = OSQL.term_df_top_sql(20)
+    o["func_boost_topk"] = OSQL.boosted_topk_sql("table merge", k=10)
     o["corpus_stats"] = OSQL.corpus_stats_sql()
-    o["doc_lengths"] = OSQL.doc_lengths_sql(50)
+    o["collapse_topk"] = OSQL.collapse_heads_sql("table scan")
 
     o["scan_filter_project"] = (
         "SELECT doc_id, source, n_chars FROM documents "
@@ -901,10 +945,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bm25_wildcard"] = OSQL.wildcard_plus_term_sql("sl%", "merge", k=10)
     o["bm25_fuzzy"] = OSQL.fuzzy_topk_sql("part", max_edits=2, k=10)
-    o["crawl_stamp_facet"] = (
-        "SELECT 'crawl-2026-001' AS crawl_id, lang, count(*) AS facet_count "
-        "FROM documents GROUP BY 1, 2"
-    )
+    o["facet_pivot2"] = OSQL.pivot2_sql("table scan")
+    o["json_facet_role"] = OSQL.json_facet_terms_sql("table scan")
     o["blockjoin_parent"] = OSQL.block_join_parent_sql("merge window")
     o["upsert_reindex"] = """
         WITH u AS (
@@ -1098,11 +1140,6 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_after_delete"] = OSQL.bm25_topk_sql(
         "table scan the", k=10, exclude="role = 'tool'"
     )
-    o["match_all_after_delete"] = f"""
-        WITH t AS ({OSQL.transcripts_ids_cte()})
-        SELECT doc_id, CAST(1000 AS BIGINT) AS score_milli
-        FROM t WHERE role != 'tool' ORDER BY doc_id LIMIT 20
-    """
     o["bm25_after_merge"] = OSQL.bm25_topk_sql(
         "table scan window", k=10, src_where="conv_id < 'c%06d'" % _MERGE_CONVS
     )

@@ -453,3 +453,108 @@ def doc_lengths_sql(max_doc: int = 50) -> str:
     FROM lens WHERE doc_id < {max_doc}
     ORDER BY doc_id
     """
+
+
+def _matched_terms(query: str) -> str:
+    terms = list(dict.fromkeys(analyze_text(query)))
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def boosted_topk_sql(query: str, k: int = 10) -> str:
+    """search_boosted oracle: full BM25 OR score, then the SAME function
+    composition the engine entry uses -- score * recip(ms(ts),3.16e-11,1,1)
+    + div(turn_idx,10) (BoostedQuery x date recency + additive bf).
+    epoch_ms == Spark unix_millis (both are UTC-instant millis of the same
+    parquet values)."""
+    return f"""
+    WITH {bm25_base_ctes()},
+    scored AS (
+      SELECT tfc.doc_id,
+             sum( ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                  * tfc.tf * ({K1} + 1)
+                  / (tfc.tf + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl)) ) AS score
+      FROM tfc
+      JOIN dft USING (term)
+      JOIN lens ON lens.doc_id = tfc.doc_id
+      CROSS JOIN st
+      WHERE tfc.term IN ({_matched_terms(query)})
+      GROUP BY tfc.doc_id
+    ),
+    boosted AS (
+      SELECT s.doc_id,
+             s.score * (CAST(1 AS DOUBLE) / (3.16e-11 * epoch_ms(ids.ts) + 1))
+               + (CAST(ids.turn_idx AS DOUBLE) / 10) AS score
+      FROM scored s JOIN ids USING (doc_id)
+    )
+    SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_milli
+    FROM boosted
+    ORDER BY score_milli DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+def pivot2_sql(query: str, f1: str = "role", f2: str = "turn_idx") -> str:
+    """facet.pivot oracle, 2 levels flattened to (f1, f2, cnt) rows over
+    the exact OR match set -- per-level null drop; with limit >= the value
+    cardinality (the entry passes 100 over a <=30-value field pair) the
+    flat group-by IS the pivot's leaf table."""
+    return f"""
+    WITH {bm25_base_ctes()},
+    matched AS (SELECT DISTINCT doc_id FROM tfc
+                WHERE term IN ({_matched_terms(query)}))
+    SELECT ids.{f1} AS {f1}, ids.{f2} AS {f2}, count(*) AS cnt
+    FROM matched JOIN ids USING (doc_id)
+    WHERE ids.{f1} IS NOT NULL AND ids.{f2} IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+def json_facet_terms_sql(query: str) -> str:
+    """json.facet oracle: terms facet on role with a sum(dl) stat and an
+    early=turn_idx<2 query subfacet, flattened to one row per bucket."""
+    return f"""
+    WITH {bm25_base_ctes()},
+    matched AS (SELECT DISTINCT doc_id FROM tfc
+                WHERE term IN ({_matched_terms(query)}))
+    SELECT ids.role AS val,
+           count(*) AS cnt,
+           CAST(sum(lens.dl) AS BIGINT) AS dl_sum,
+           CAST(count(CASE WHEN ids.turn_idx < 2 THEN 1 END) AS BIGINT)
+             AS early
+    FROM matched
+    JOIN ids USING (doc_id)
+    JOIN lens USING (doc_id)
+    WHERE ids.role IS NOT NULL
+    GROUP BY 1
+    """
+
+
+def collapse_heads_sql(query: str) -> str:
+    """Collapse-qparser oracle: each conv_id group's best match by the
+    engine's canonical (round6 score desc, doc_id asc) key -- the FULL
+    head set (no k cut), so milli ties can never straddle a limit."""
+    return f"""
+    WITH {bm25_base_ctes()},
+    scored AS (
+      SELECT tfc.doc_id,
+             sum( ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                  * tfc.tf * ({K1} + 1)
+                  / (tfc.tf + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl)) ) AS score
+      FROM tfc
+      JOIN dft USING (term)
+      JOIN lens ON lens.doc_id = tfc.doc_id
+      CROSS JOIN st
+      WHERE tfc.term IN ({_matched_terms(query)})
+      GROUP BY tfc.doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.score,
+             row_number() OVER (
+               PARTITION BY ids.conv_id
+               ORDER BY round(s.score, 6) DESC, s.doc_id ASC
+             ) AS rk
+      FROM scored s JOIN ids USING (doc_id)
+    )
+    SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_milli
+    FROM ranked WHERE rk = 1
+    """
