@@ -969,6 +969,7 @@ class BM25Index:
         k: int = 10,
         bf: str | list[str] | None = None,
         boost: str | None = None,
+        bq: str | list[str] | None = None,
         op: str = "OR",
         fq: str | list[str] | None = None,
         mm: int | str | None = None,
@@ -983,6 +984,9 @@ class BM25Index:
         b=func} / edismax boost= -- BoostedQuery semantics). Combined as
         Lucene composes them: ``score * boost + sum(bf)`` (boost wraps the
         main query; bf functions are extra SHOULD clauses added after).
+        ``bq`` (boost queries, repeatable): each is a full query whose
+        BM25 score adds to matching docs -- ``+ sum(bq score)`` after the
+        function terms (also an extra SHOULD clause in Lucene).
 
         The function can re-rank ANY match, so this path scores the full
         match set exactly (WAND's bound only covers the lexical part --
@@ -994,7 +998,7 @@ class BM25Index:
         ``q=*:*`` scores 1.0 per live doc (MatchAllDocsQuery), so
         ``boost`` alone turns it into a pure function ranking."""
         bfs = [bf] if isinstance(bf, str) else list(bf or [])
-        if not bfs and boost is None:
+        if not bfs and boost is None and not bq:
             return self.search(
                 query, k=k, op=op, fq=fq, offset=offset, mm=mm,
                 with_stored=with_stored, order_key=order_key, fl=fl,
@@ -1024,6 +1028,24 @@ class BM25Index:
         scored = scored.select(
             "doc_id", total.cast("double").alias("score")
         )
+        if bq:
+            # Solr bq (boost query): each bq is a full query whose score
+            # ADDS to matching docs' relevance (Lucene: an extra SHOULD
+            # clause -- it boosts but never matches on its own). One scored
+            # match set per bq, left-joined on doc_id; a doc outside the bq
+            # set gains 0.
+            for bquery in ([bq] if isinstance(bq, str) else bq):
+                side = self.score_matches(
+                    bquery, fq=fq
+                ).withColumnRenamed("score", "__bq")
+                scored = (
+                    scored.join(side, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        (F.col("score") + F.coalesce(F.col("__bq"), F.lit(0.0)))
+                        .alias("score"),
+                    )
+                )
         return self._finish(scored, k, offset, with_stored, order_key, fl)
 
     def more_like_this(
@@ -2245,6 +2267,44 @@ class BM25Index:
         if offset:
             out = out.offset(offset)
         return out.limit(limit) if limit >= 0 else out
+
+    def facet_intervals(
+        self, query: str, field: str, sets: list[str],
+        fq: str | list[str] | None = None,
+        op: str = "OR", mm: int | str | None = None,
+    ) -> dict[str, int]:
+        """Solr interval faceting (``facet.interval`` +
+        ``f.<field>.facet.interval.set``): arbitrary user intervals in
+        Solr's bracket syntax -- ``[a,b]`` inclusive, ``(a,b)`` exclusive,
+        ``*`` unbounded -- counted over the exact match set. ALL intervals
+        ride ONE aggregation job as conditional counts (Solr computes them
+        in one DocValues sweep; overlapping intervals are allowed and each
+        doc counts in every interval it falls in)."""
+        conds = []
+        for s in sets:
+            m = re.match(
+                r"^\s*([\[\(])\s*(\*|-?\d+(?:\.\d+)?)\s*,"
+                r"\s*(\*|-?\d+(?:\.\d+)?)\s*([\]\)])\s*$", s
+            )
+            if m is None:
+                raise ValueError(
+                    f"facet.interval.set {s!r}: use [a,b] / (a,b) / * bounds"
+                )
+            lbr, lo, hi, rbr = m.groups()
+            c = F.col(field).isNotNull()
+            if lo != "*":
+                c = c & (F.col(field) >= float(lo) if lbr == "["
+                         else F.col(field) > float(lo))
+            if hi != "*":
+                c = c & (F.col(field) <= float(hi) if rbr == "]"
+                         else F.col(field) < float(hi))
+            conds.append((s, c))
+        base = self._facet_base(query, fq, op, mm)
+        row = base.agg(
+            *[F.count(F.when(c, 1)).alias(f"__i{i}")
+              for i, (_, c) in enumerate(conds)]
+        ).collect()[0]
+        return {s: int(row[f"__i{i}"]) for i, (s, _) in enumerate(conds)}
 
     def pivot_facet(
         self, query: str, fields: list[str],

@@ -37,10 +37,10 @@ components its solrconfig enables):
   field-sort-over-DocSet behavior; sort fields need not be in ``fl``);
   an entry may be a FUNCTION QUERY (``sort=recip(ms(ts),1,1,1) desc`` —
   Solr sorts by any ValueSource; `functions/function_query.py` grammar)
-- ``bf`` (repeatable, additive) / ``boost`` (multiplicative) — Solr
-  function boosting over doc fields: final score =
-  ``score * boost + sum(bf)`` (BoostedQuery + edismax bf composition);
-  requires the relevance sort, fails loud otherwise
+- ``bf`` (repeatable, additive) / ``boost`` (multiplicative) /
+  ``bq`` (repeatable boost QUERIES whose BM25 score adds to matching
+  docs) — Solr boosting: final score = ``score * boost + sum(bf) +
+  sum(bq score)``; requires the relevance sort, fails loud otherwise
 - ``fq={!frange l=.. u=.. incl=.. incu=..}func`` — Solr's function-range
   filter qparser; the DocSet is filter-cached under the original string
 - ``facet=true&facet.field=F`` (repeatable) → ``facet_counts.facet_fields``
@@ -68,6 +68,13 @@ components its solrconfig enables):
   ``spellcheck.suggestions`` (flat [token, {...}] list) +
   ``correctlySpelled``; ``spellcheck.collate=true`` adds ``collations``
   (top suggestion per misspelled token, hits verified under op/fq/mm)
+- ``facet.interval=F`` + ``f.F.facet.interval.set=[a,b]`` (repeatable;
+  ``[a,b]``/``(a,b)``/``*`` bounds) — interval facets, all sets counted in
+  ONE conditional-aggregate job → ``facet_counts.facet_intervals``
+- ``elevateIds``/``excludeIds`` — QueryElevationComponent: elevated docs
+  lead the page in the given order (marked ``[elevated]: true``, score 0
+  when they don't match), excluded docs drop (exclude wins on overlap);
+  numFound adjusts for elevated non-matches and excluded matches
 - ``tv=true`` (+ ``tv.positions``/``tv.df``/``tv.tf_idf``) —
   TermVectorComponent: per page doc, term → tf[, positions][, df][,
   tf-idf] under ``termVectors`` (vectors re-derived with the index's
@@ -107,7 +114,8 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "hl.fragsize", "hl.snippets", "spellcheck",
              "spellcheck.q", "spellcheck.collate", "wt", "indent",
              "useParams", "minExactCount",
-             "cursorMark", "mm", "debugQuery", "bf", "boost",
+             "cursorMark", "mm", "debugQuery", "bf", "bq", "boost",
+             "elevateIds", "excludeIds", "facet.interval",
              "group", "group.field", "group.limit", "group.ngroups",
              "group.sort",
              "stats", "stats.field"}
@@ -120,6 +128,9 @@ _FACET_RANGE_RE = re.compile(
 )
 _FACET_PARAM_RE = re.compile(
     r"^(?:f\.[^.]+\.)?facet\.(limit|offset|mincount|sort|prefix|missing)$"
+)
+_FACET_INTERVAL_RE = re.compile(
+    r"^(?:facet\.interval|f\.[^.]+\.facet\.interval\.set)$"
 )
 
 
@@ -218,7 +229,8 @@ def solr_select(
     the cursor exists to avoid)."""
     unknown = {
         p for p in set(params) - _RESERVED
-        if not (_FACET_RANGE_RE.match(p) or _FACET_PARAM_RE.match(p))
+        if not (_FACET_RANGE_RE.match(p) or _FACET_PARAM_RE.match(p)
+                or _FACET_INTERVAL_RE.match(p))
     }
     if unknown:
         raise ValueError(f"unsupported /select params: {sorted(unknown)}")
@@ -274,18 +286,37 @@ def solr_select(
     match_all = q.strip() == "*:*"
     mec = params.get("minExactCount")
     cursor = params.get("cursorMark")
+    def _ids(name):
+        v = params.get(name)
+        if v is None:
+            return []
+        parts = v if isinstance(v, (list, tuple)) else str(v).split(",")
+        return [int(x) for x in parts if str(x).strip()]
+
+    elevate, exclude = _ids("elevateIds"), _ids("excludeIds")
+    exclude_set = set(exclude)
+    elevate = [i for i in elevate if i not in exclude_set]  # exclude wins
     bf = _as_list(params.get("bf")) or None
+    bq = _as_list(params.get("bq")) or None
     boost = params.get("boost")
     if isinstance(boost, (list, tuple)):
         raise ValueError("boost: pass one function (multiple unsupported)")
-    if bf or boost:
+    if bf or boost or bq:
         # function boosting re-ranks by score, so it composes with the
         # relevance sort only; other orderings would silently report
         # un-boosted scores -- fail loud (facade contract)
         if sort != "score desc":
-            raise ValueError("bf/boost require sort='score desc'")
+            raise ValueError("bf/bq/boost require sort='score desc'")
         if cursor is not None:
-            raise ValueError("bf/boost do not support cursorMark")
+            raise ValueError("bf/bq/boost do not support cursorMark")
+    if elevate or exclude:
+        if (match_all or sort != "score desc" or start != 0
+                or cursor is not None or bf or bq or boost
+                or mec is not None):
+            raise ValueError(
+                "elevateIds/excludeIds require a scored q with the "
+                "relevance sort at start=0 (no cursor/boost/minExactCount)"
+            )
     if cursor is not None:
         # Solr CursorMarkParams contract: cursors start at start=0 and the
         # sort must end in the uniqueKey tiebreaker -- both canonical sorts
@@ -318,7 +349,8 @@ def solr_select(
         num_found_exact = bool(known_num_found_exact)  # page-1 verdict carries
     elif match_all:
         num_found = idx.count_matches(q, op=op, fq=fq, mm=mm)
-    elif (sort == "score desc" and mec is not None and not (bf or boost)
+    elif (sort == "score desc" and mec is not None
+          and not (bf or boost or bq)
           and max(int(mec), start + rows) <= idx.QUERY_RESULT_MAX_DOCS):
         w = max(int(mec), start + rows)
         n_head = idx.search(q, k=w, op=op, fq=fq, mm=mm).count()
@@ -333,9 +365,9 @@ def solr_select(
         num_found = -1  # filled from the field-sort match set below
 
     next_cursor: str | None = None
-    if (bf or boost) and (match_all or sort == "score desc"):
+    if (bf or boost or bq) and (match_all or sort == "score desc"):
         df = idx.search_boosted(
-            q, k=rows, bf=bf, boost=boost, op=op, fq=fq, offset=start,
+            q, k=rows, bf=bf, boost=boost, bq=bq, op=op, fq=fq, offset=start,
             mm=mm, with_stored=True, fl=fetch_fl,
         )
         rows_out = [r.asDict() for r in df.collect()]
@@ -381,6 +413,44 @@ def solr_select(
                 with_stored=True, fl=fetch_fl,
             )
             rows_out = [r.asDict() for r in page_rows]
+        elif elevate or exclude:
+            # QueryElevationComponent: excluded docs drop, elevated docs
+            # lead the page in the given order with [elevated]: true
+            # (Solr's fl=[elevated] marker). Overfetch covers the removed
+            # slots; membership/score lookups are isin-pruned small jobs.
+            over = rows + len(elevate) + len(exclude)
+            df = idx.search(q, k=over, op=op, fq=fq, mm=mm,
+                            with_stored=True, fl=fetch_fl)
+            eset, xset = set(elevate), set(exclude)
+            rest = [
+                r.asDict() for r in df.collect()
+                if r["doc_id"] not in eset and r["doc_id"] not in xset
+            ][: max(0, rows - len(elevate))]
+            esc = {
+                r["doc_id"]: r["score"]
+                for r in idx.score_matches(q, op=op, fq=fq, mm=mm)
+                .filter(F.col("doc_id").isin(elevate)).collect()
+            } if elevate else {}
+            efetched = {
+                r["doc_id"]: r.asDict()
+                for r in idx._stored_side(fetch_fl)
+                .filter(F.col("doc_id").isin(elevate)).collect()
+            } if elevate else {}
+            elev_docs = []
+            for i in elevate:
+                d = dict(efetched.get(i, {"doc_id": i}))
+                # Solr elevates docs even when they don't match q (score 0)
+                d["score"] = float(esc.get(i, 0.0))
+                d["[elevated]"] = True
+                elev_docs.append(d)
+            rows_out = (elev_docs + rest)[:rows]
+            # numFound: elevated non-matches add, excluded matches drop
+            num_found += sum(1 for i in elevate if i not in esc)
+            if exclude:
+                num_found -= (
+                    idx._matched_ids(q, op=op, fq=fq, mm=mm)
+                    .filter(F.col("doc_id").isin(list(xset))).count()
+                )
         else:
             df = idx.search(
                 q, k=rows, op=op, fq=fq, offset=start, mm=mm,
@@ -472,6 +542,20 @@ def solr_select(
                 ])
             ff[field] = flat
         resp["facet_counts"] = {"facet_fields": ff}
+
+        fintervals: dict[str, dict] = {}
+        for ifield in _as_list(params.get("facet.interval")):
+            sets = _as_list(params.get(f"f.{ifield}.facet.interval.set"))
+            if not sets:
+                raise ValueError(
+                    f"facet.interval={ifield} needs "
+                    f"f.{ifield}.facet.interval.set entries"
+                )
+            fintervals[ifield] = idx.facet_intervals(
+                q, ifield, [str(s) for s in sets], fq=fq, op=op, mm=mm
+            )
+        if fintervals:
+            resp["facet_counts"]["facet_intervals"] = fintervals
 
         fpivots: dict[str, list] = {}
         for pivot in _as_list(params.get("facet.pivot")):
@@ -695,8 +779,8 @@ def _collapse_select(
     if lp.get("nullPolicy", "ignore") != "ignore":
         raise ValueError("{!collapse} supports nullPolicy=ignore only")
     field = lp["field"]
-    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost",
-              "json.facet", "group"):
+    for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
+              "json.facet", "group", "elevateIds", "excludeIds"):
         if p in params:
             raise ValueError(f"{{!collapse}} does not support {p}")
     for p in ("facet", "hl", "stats", "debugQuery", "spellcheck"):
@@ -849,8 +933,8 @@ def _block_join_select(
     Fail-loud contract: components this path does not implement
     (cursorMark, facet/facet.range, hl, stats, debugQuery, spellcheck,
     group, minExactCount, sort, start) raise instead of being dropped."""
-    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost",
-              "json.facet"):
+    for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
+              "json.facet", "elevateIds", "excludeIds"):
         if p in params:
             raise ValueError(f"block-join q does not support {p}")
     if int(params.get("start", 0)) != 0:
@@ -951,8 +1035,8 @@ def _grouped_select(
     (cursorMark, facet/facet.range, hl, stats, debugQuery, spellcheck,
     minExactCount, sort, start) raise instead of passing _RESERVED
     validation and then being silently dropped."""
-    for p in ("cursorMark", "minExactCount", "sort", "bf", "boost",
-              "json.facet"):
+    for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
+              "json.facet", "elevateIds", "excludeIds"):
         if p in params:
             raise ValueError(f"group=true does not support {p}")
     if int(params.get("start", 0)) != 0:
