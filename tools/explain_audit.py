@@ -46,6 +46,9 @@ def main() -> None:
         transcripts_from_documents,
     )
 
+    from solr_semantic_importer_spark.functions.function_query import (
+        frange_to_sql,
+    )
     from solr_semantic_importer_spark.query.select_api import solr_export
 
     def _mk_cursor(idx, q):
@@ -207,6 +210,50 @@ def main() -> None:
             "column expression (no Python in the plan) feeding\n"
             "`TakeOrderedAndProject` — one pass, no shuffle, k rows out.",
             cosine_topk(emb, qv, k=10),
+        ),
+        (
+            "Function-boosted top-k (bf/boost/bq, search_boosted)",
+            "What to check: the scored match set joins a docs projection of\n"
+            "ONLY the fields the functions read (`ReadSchema` on the docs\n"
+            "scan = doc_id + ts + turn_idx here, not the full row), the\n"
+            "boost arithmetic is a codegen'd `Project` (unix_millis — no\n"
+            "Python), and the cut is `TakeOrderedAndProject`. The function\n"
+            "can re-rank any match, so the full match set is scored exactly\n"
+            "(Solr pays the same — boosted queries collect every hit).",
+            idx.search_boosted(
+                "table merge", k=10,
+                bf=["div(turn_idx,10)"], boost="recip(ms(ts),3.16e-11,1,1)",
+            ),
+        ),
+        (
+            "frange filter DocSet ({!frange}func as fq)",
+            "What to check: the compiled function-range boolean sits as a\n"
+            "codegen'd `Filter` directly over the docs scan (one pass, no\n"
+            "Python, no join) — the resulting minority DocSet is what the\n"
+            "filterCache persists under the original fq string.",
+            idx.docs().filter(
+                frange_to_sql(
+                    "{!frange l=1 u=3}sum(turn_idx,0)",
+                    dict(idx.docs().dtypes),
+                )
+            ).select("doc_id"),
+        ),
+        (
+            "Pivot / JSON-facet aggregation (one shuffle per facet node)",
+            "What to check: ONE `HashAggregate` pair (partial before the\n"
+            "exchange, final after) over the pivot fields — the single\n"
+            "shuffle every facet level re-aggregates from; bucket stats and\n"
+            "query subfacets ride the same aggregate as conditional\n"
+            "expressions (no extra job per bucket, no Python). Level cuts\n"
+            "(orderBy+limit / row_number windows over `limit` rows per\n"
+            "parent) bound what reaches the driver.",
+            idx._facet_base("table scan", None, "OR", None)
+            .groupBy("role", "turn_idx")
+            .agg(
+                F.count("*").alias("count"),
+                F.sum("dl").alias("dl_sum"),
+                F.count(F.when(F.expr("turn_idx < 2"), 1)).alias("early"),
+            ),
         ),
     ]
 
