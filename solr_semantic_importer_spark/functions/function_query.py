@@ -62,6 +62,9 @@ _FUNCTIONS: dict[str, tuple[int, int | None]] = {
     "linear": (3, 3), "ms": (1, 2), "if": (3, 3), "exists": (1, 1),
     "not": (1, 1), "and": (2, None), "or": (2, None), "def": (2, 2),
     "map": (4, 5), "field": (1, 1),
+    # geodist(F, lat, lon): Solr's spatial distance ValueSource -- F is a
+    # spatial field mapped to F_lat/F_lon subfield columns (functions/geo.py)
+    "geodist": (3, 3),
 }
 
 _NUMERIC_DTYPES = ("int", "bigint", "smallint", "tinyint", "float",
@@ -156,6 +159,13 @@ def fields_used(ast) -> list[str]:
     def walk(n):
         if n[0] == "field" and n[1] not in out:
             out.append(n[1])
+        elif n[0] == "call" and n[1] == "geodist":
+            # arg0 is the spatial field NAME: it reads the two subfields
+            for c in (f"{n[2][0][1]}_lat", f"{n[2][0][1]}_lon"):
+                if c not in out:
+                    out.append(c)
+            for a in n[2][1:]:
+                walk(a)
         elif n[0] == "call":
             for a in n[2]:
                 walk(a)
@@ -187,6 +197,22 @@ def _check(ast, types: dict[str, str]) -> str:
     if kind == "field":
         return _field_kind(rest[0], types)
     fname, args = rest
+    if fname == "geodist":
+        # arg0 is a spatial field NAME (not a value): resolve its
+        # PointType subfield columns before any generic type-check sees it
+        if args[0][0] != "field":
+            raise ValueError("geodist() arg 1 must be a spatial field name")
+        base = args[0][1]
+        for c in (f"{base}_lat", f"{base}_lon"):
+            if c not in types or _field_kind(c, types) != "num":
+                raise ValueError(
+                    f"spatial field {base!r}: numeric column {c!r} not in "
+                    f"the docs schema (PointType subfields <F>_lat/<F>_lon)"
+                )
+        for i, a in enumerate(args[1:], start=2):
+            if _check(a, types) != "num":
+                raise ValueError(f"geodist() arg {i} must be num")
+        return "num"
     kinds = [_check(a, types) for a in args]
 
     def need(i, want):
@@ -267,6 +293,18 @@ def function_to_sql(
         if fname == "linear":
             x, m, c = a
             return f"({m} * {x} + {c})"
+        if fname == "geodist":
+            from .geo import haversine_sql
+
+            if args[1][0] != "num" or args[2][0] != "num":
+                raise ValueError(
+                    "geodist() needs a literal lat,lon point"
+                )
+            base = args[0][1]
+            return haversine_sql(
+                f"{base}_lat", f"{base}_lon",
+                float(args[1][1]), float(args[2][1]),
+            )
         if fname == "ms":
             ms_fn = "unix_millis" if dialect == "spark" else "epoch_ms"
 

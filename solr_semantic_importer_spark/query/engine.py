@@ -3265,6 +3265,13 @@ class BM25Index:
             from ..functions.function_query import frange_to_sql
 
             expr = frange_to_sql(fq, dict(self.docs().dtypes))
+        elif fq.lstrip().startswith(("{!geofilt", "{!bbox")):
+            # spatial qparsers (managed-schema.xml:521-536 fieldTypes):
+            # haversine circle / enclosing rectangle as one codegen'd
+            # boolean over the docs scan, filter-cached like any fq
+            from ..functions.geo import geo_fq_to_sql
+
+            expr = geo_fq_to_sql(fq, dict(self.docs().dtypes))
         elif looks_like_solr_fq(fq):
             expr = parse_fq(fq, dict(self.docs().dtypes))
         allowed = (
