@@ -3265,6 +3265,27 @@ class BM25Index:
             from ..functions.function_query import frange_to_sql
 
             expr = frange_to_sql(fq, dict(self.docs().dtypes))
+        elif fq.lstrip().startswith("{!terms"):
+            # Solr terms qparser ({!terms f=F}v1,v2,...): a large
+            # disjunction as ONE membership test -- compiles to IN over
+            # the docs scan (Catalyst turns big INs into hash sets)
+            m = re.match(r"^\{!terms\s+f=(\w+)(?:\s+[^}]*)?\}(.*)$",
+                         fq.strip(), re.S)
+            if m is None:
+                raise ValueError(f"cannot parse terms qparser: {fq!r}")
+            fld, vals = m.group(1), [v for v in m.group(2).split(",") if v]
+            types = dict(self.docs().dtypes)
+            if fld not in types:
+                raise ValueError(f"{{!terms}}: unknown field {fld!r}")
+            if not vals:
+                expr = "false"  # empty terms list matches nothing (Solr)
+            elif types[fld] == "string":
+                quoted = ", ".join(
+                    "'" + v.replace("'", "''") + "'" for v in vals
+                )
+                expr = f"{fld} IN ({quoted})"
+            else:
+                expr = f"{fld} IN ({', '.join(repr(float(v)) if '.' in v else v for v in vals)})"
         elif fq.lstrip().startswith(("{!geofilt", "{!bbox")):
             # spatial qparsers (managed-schema.xml:521-536 fieldTypes):
             # haversine circle / enclosing rectangle as one codegen'd

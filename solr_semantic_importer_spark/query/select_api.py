@@ -105,7 +105,7 @@ from ..functions.function_query import looks_like_function
 from .engine import BM25Index, decode_cursor_mark, encode_cursor_mark
 
 __all__ = ["solr_select", "select_pages", "select_cursor_pages",
-           "solr_export", "solr_get"]
+           "solr_export", "solr_get", "solr_suggest"]
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "facet.query", "facet.pivot",
@@ -1127,6 +1127,54 @@ def _grouped_select(
             "params": {k: params[k] for k in sorted(params, key=str)},
         },
         "grouped": {field: section},
+    }
+
+
+def solr_suggest(idx: BM25Index, params: dict[str, Any]) -> dict[str, Any]:
+    """Solr ``/suggest`` handler (SuggestComponent): complete the LAST
+    token of ``suggest.q`` against the live dictionary, weight = term df
+    (Solr's DocumentDictionaryFactory weights by a stored field; the
+    index-frequency weight is the FreeTextSuggester default). The prefix
+    pushes into the dictionary scan as a StartsWith predicate and only
+    ``suggest.count`` rows (default 10) reach the driver -- at a
+    10^12-turn vocabulary the scan reads matching row groups only.
+
+    Params: ``suggest`` (must be truthy), ``suggest.q``,
+    ``suggest.count``, ``suggest.dictionary`` (label echoed in the
+    response, Solr's named-suggester convention). Response is Solr's
+    suggest shape: suggest -> dictionary -> q -> {numFound, suggestions:
+    [{term, weight}]}."""
+    t0 = time.monotonic()
+    known = {"suggest", "suggest.q", "suggest.count", "suggest.dictionary"}
+    unknown = set(params) - known
+    if unknown:
+        raise ValueError(f"unsupported /suggest params: {sorted(unknown)}")
+    if not _truthy(params.get("suggest", True)):
+        raise ValueError("suggest=false on /suggest")
+    sq = str(params.get("suggest.q", ""))
+    if not sq.strip():
+        raise ValueError("/suggest needs suggest.q")
+    count = int(params.get("suggest.count", 10))
+    name = str(params.get("suggest.dictionary", "default"))
+    toks = idx.analyze_query(sq)
+    prefix = toks[-1] if toks else sq.strip().lower()
+    rows = idx.terms(prefix=prefix, limit=count, sort="count").collect()
+    return {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int((time.monotonic() - t0) * 1000),
+        },
+        "suggest": {
+            name: {
+                sq: {
+                    "numFound": len(rows),
+                    "suggestions": [
+                        {"term": r["term"], "weight": int(r["df"])}
+                        for r in rows
+                    ],
+                }
+            }
+        },
     }
 
 
