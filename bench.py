@@ -44,8 +44,13 @@ BENCH_QUERIES = [
     # r4: result grouping through the collapsed segment kernels. NOT part
     # of the headline `value` (kept comparable with r1-r3 artifacts).
     ("q_grouped", "table merge"),
+    # late r4: function-boosted ranking (score x recip(ms(ts)) + bf) --
+    # the exact full-match-set path; also excluded from the headline.
+    ("q_boost", "table merge"),
 ]
-HEADLINE_QUERIES = [n for n, _ in BENCH_QUERIES if n != "q_grouped"]
+HEADLINE_QUERIES = [
+    n for n, _ in BENCH_QUERIES if n not in ("q_grouped", "q_boost")
+]
 
 # Canary normalization (BASELINE.md "Host variance"): the sandbox is a
 # shared microVM whose effective CPU swings several-fold between runs;
@@ -143,6 +148,11 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
             return idx.search_phrase(q, k=10).collect()
         if name == "q_grouped":
             return idx.search_grouped(q, "conv_id", k=10, group_limit=2).collect()
+        if name == "q_boost":
+            return idx.search_boosted(
+                q, k=10, bf=["div(turn_idx,10)"],
+                boost="recip(ms(ts),3.16e-11,1,1)",
+            ).collect()
         kw = {"fq": "role = 'user'"} if name == "q_fq" else {}
         if name == "q_and":
             # default mode: conjunction rides the segment-kernel
@@ -180,7 +190,8 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
     # its own positional kernels) as ONE search_many job; per-query cost in
     # a batch is the offline-workload number (eval sets, mining runs)
     batch_qs = {
-        n: q for n, q in BENCH_QUERIES if n not in ("q_phrase", "q_grouped")
+        n: q for n, q in BENCH_QUERIES
+        if n not in ("q_phrase", "q_grouped", "q_boost")
     }
     t1 = time.monotonic()
     idx.search_many(batch_qs, k=10).collect()
