@@ -146,6 +146,39 @@ def _index_for_merged(spark: SparkSession, sf_dir: str) -> BM25Index:
     return _INDEX_CACHE[key]
 
 
+def _index_for_geo(spark: SparkSession, sf_dir: str) -> BM25Index:
+    """Index whose docs carry the spatial PointType subfields: a
+    deterministic doc_id-derived lat/lon grid (integer arithmetic, so the
+    DuckDB oracle recomputes the IDENTICAL coordinates) -- extra input
+    columns flow through build_index into the docs table."""
+    from pyspark.sql.window import Window
+
+    key = f"{sf_dir}#geo"
+    if key not in _INDEX_CACHE:
+        h = hashlib.md5(f"{sf_dir}:{ENTRY_BUILD_ID}:geo".encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"ssi_entry_idx_{h}")
+        t = transcripts_from_documents(spark, sf_dir)
+        t = t.withColumn(
+            "doc_id0",
+            F.row_number().over(Window.orderBy("conv_id", "turn_idx")) - 1,
+        ).withColumn(
+            "loc_lat", (F.col("doc_id0") % 1800) / 10.0 - 90.0
+        ).withColumn(
+            "loc_lon", ((F.col("doc_id0") * 7) % 3600) / 10.0 - 180.0
+        ).drop("doc_id0")
+        cfg = BuildConfig(
+            segment_size=256,
+            block_size=64,
+            n_term_buckets=8,
+            hot_df_threshold=150,
+            hot_salts=4,
+            build_id=ENTRY_BUILD_ID + "-geo",
+        )
+        build_index(spark, t, idx_dir, cfg)
+        _INDEX_CACHE[key] = BM25Index(spark, idx_dir)
+    return _INDEX_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -838,23 +871,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["proto_flatten"] = proto_flatten
 
     # ---- nested flatten (S5 struct analog) ----
-    def flatten_events(spark, sf_dir):
-        e = _events(spark, sf_dir).select(
-            "event_id",
-            F.struct(
-                F.struct(F.col("user_id"), F.col("event_type")).alias("u"),
-                F.col("value"),
-            ).alias("nested"),
+    # (late-r4 gate rotation: flatten_events out -- proto_flatten keeps the
+    # SAME flatten_columns operator under an oracle (protobuf decode +
+    # `_`-join flatten in one row) and tests/test_multimodal_flatten.py
+    # asserts struct/map flattening literally -- slot freed for the
+    # geospatial surface)
+    def geo_filter_dist(spark, sf_dir):
+        # {!geofilt} circle filter + geodist(): every "table scan" match
+        # within 3000 km of (-70,-100), with its haversine distance. No k
+        # cut (the full filtered set), so milli ties can't straddle.
+        idx = _index_for_geo(spark, sf_dir)
+        ids = idx.score_matches(
+            "table scan", fq="{!geofilt sfield=loc pt=-70,-100 d=3000}"
+        ).select("doc_id")
+        expr, _ = idx.function_expr("geodist(loc,-70,-100)")
+        out = ids.join(
+            idx.docs().select("doc_id", "loc_lat", "loc_lon"), "doc_id"
         )
-        flat = flatten_columns(e)
-        return flat.select(
-            "event_id",
-            "nested_u_user_id",
-            "nested_u_event_type",
-            _micro(F.col("nested_value")).alias("nested_value_micro"),
+        return out.select(
+            "doc_id", _milli(F.expr(expr)).alias("dist_milli")
         )
 
-    q["flatten_events"] = flatten_events
+    q["geo_filter_dist"] = geo_filter_dist
 
     # ---- JSON round-trip (S4 parse + P8 serialize, _version_ strip) ----
     def json_roundtrip(spark, sf_dir):
@@ -918,8 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict as insurance against any future cap/sampling.
     first = [
         "schemaless_parse", "msmarco_scan", "proto_flatten",
-        "sessionize_events", "json_roundtrip", "flatten_events",
+        "sessionize_events", "json_roundtrip", 
         "nested_children", "event_windows", "multimodal_frames",
+        "geo_filter_dist",
     ]
     return {k: q[k] for k in first} | {k: v for k, v in q.items() if k not in first}
 
@@ -1234,11 +1273,7 @@ def oracle_sql() -> dict[str, str]:
                strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS ts_iso
         FROM events
     """
-    o["flatten_events"] = (
-        "SELECT event_id, user_id AS nested_u_user_id, "
-        "event_type AS nested_u_event_type, "
-        "CAST(round(value * 1000000) AS BIGINT) AS nested_value_micro FROM events"
-    )
+    o["geo_filter_dist"] = OSQL.geo_filter_sql("table scan", -70, -100, 3000)
     o["json_roundtrip"] = "SELECT doc_id, text, lang FROM documents"
 
     chunks_sql2 = CH.chunks_duckdb_sql(

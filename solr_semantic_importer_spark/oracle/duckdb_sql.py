@@ -558,3 +558,28 @@ def collapse_heads_sql(query: str) -> str:
     SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_milli
     FROM ranked WHERE rk = 1
     """
+
+
+def geo_filter_sql(query: str, lat: float, lon: float, d_km: float) -> str:
+    """{!geofilt} + geodist() oracle: the doc_id-derived lat/lon grid the
+    geo entry synthesizes (integer arithmetic -- identical in both
+    engines), haversine from functions/geo.py's shared SQL (valid DuckDB),
+    circle filter + milli distance. Full filtered set, no k cut."""
+    from ..functions.geo import haversine_sql
+
+    hav = haversine_sql("lat", "lon", lat, lon)
+    return f"""
+    WITH {bm25_base_ctes()},
+    matched AS (SELECT DISTINCT doc_id FROM tfc
+                WHERE term IN ({_matched_terms(query)})),
+    loc AS (
+      SELECT doc_id,
+             (doc_id % 1800) / 10.0 - 90.0 AS lat,
+             ((doc_id * 7) % 3600) / 10.0 - 180.0 AS lon
+      FROM ids
+    )
+    SELECT m.doc_id,
+           CAST(round({hav} * 1000) AS BIGINT) AS dist_milli
+    FROM matched m JOIN loc USING (doc_id)
+    WHERE {hav} <= {d_km!r}
+    """
