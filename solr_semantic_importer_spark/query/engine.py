@@ -1557,6 +1557,57 @@ class BM25Index:
             lst.sort(key=lambda r: (-round(r["score"], 6), r["doc_id"]))
         return groups, counts
 
+    def search_grouped_func(
+        self,
+        query: str,
+        func: str,
+        k: int = 10,
+        group_limit: int = 1,
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """Solr ``group.func``: group the match set by a FUNCTION value
+        (same return shape as :meth:`search_grouped`). No collapse-kernel
+        shortcut exists for function grouping -- the per-doc value must
+        materialize before any group cut (Solr's function grouping
+        collects the full match set too) -- so the plan is: scored match
+        set -> join ONLY the fields the function reads -> one codegen'd
+        value column -> per-group window -> k broadcast heads."""
+        from pyspark.sql.window import Window
+
+        sql, fields = self.function_expr(func)
+        matched = self.score_matches(query, op=op, fq=fq, mm=mm)
+        joined = matched.join(
+            self.docs().select("doc_id", *fields), "doc_id"
+        ).withColumn("__gval", F.expr(sql))
+        key = F.round(F.col("score"), 6)
+        wg = Window.partitionBy("__gval").orderBy(
+            key.desc(), F.col("doc_id").asc()
+        )
+        in_group = joined.withColumn(
+            "rank_in_group", F.row_number().over(wg)
+        ).filter(F.col("rank_in_group") <= group_limit)
+        horder = [key.desc(), F.col("doc_id").asc()]
+        heads = (
+            in_group.filter(F.col("rank_in_group") == 1)
+            .orderBy(*horder)
+            .limit(k)
+            .select(
+                "__gval",
+                F.row_number().over(Window.orderBy(*horder))
+                .alias("group_rank"),
+            )
+        )
+        return (
+            in_group.join(F.broadcast(heads), "__gval")
+            .select(
+                F.col("__gval").alias("group_value"),
+                "group_rank", "rank_in_group", "doc_id", "score",
+            )
+            .orderBy("group_rank", "rank_in_group")
+        )
+
     def block_join_parent(
         self,
         child_q: str,

@@ -117,7 +117,7 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "cursorMark", "mm", "debugQuery", "bf", "bq", "boost",
              "elevateIds", "excludeIds", "facet.interval",
              "group", "group.field", "group.limit", "group.ngroups",
-             "group.sort",
+             "group.sort", "group.func", "group.query",
              "stats", "stats.field"}
 
 # facet.range.{start,end,gap} and the facet.field bucket params
@@ -1048,8 +1048,14 @@ def _grouped_select(
     if q.strip() == "*:*":
         raise ValueError("group=true needs a scored q (not *:*)")
     field = params.get("group.field")
-    if not field:
-        raise ValueError("group=true requires group.field")
+    gfunc = params.get("group.func")
+    gqueries = _as_list(params.get("group.query"))
+    n_modes = sum(1 for x in (field, gfunc, gqueries) if x)
+    if n_modes != 1:
+        raise ValueError(
+            "group=true requires exactly one of group.field / group.func "
+            "/ group.query"
+        )
     op = str(params.get("q.op", "OR")).upper()
     mm = params.get("mm")
     fq = _as_list(params.get("fq")) or None
@@ -1062,10 +1068,31 @@ def _grouped_select(
     want_score = bool(fl) and "score" in fl
     fetch_fl = [f for f in (fl or []) if f != "score"] or None
 
-    page = idx.search_grouped(
-        q, field, k=rows, group_limit=limit, op=op, fq=fq, mm=mm,
-        group_sort=gspec,
-    ).collect()
+    if gqueries:
+        # Solr group.query: each query names one group -- its doclist is
+        # the top group.limit docs matching main q AND that query (the
+        # query string rides the fq machinery: Solr grammar or SQL, one
+        # filter-cached DocSet each), numFound = the intersection count.
+        if gspec is not None or _truthy(params.get("group.ngroups", False)):
+            raise ValueError(
+                "group.query does not support group.sort/group.ngroups"
+            )
+        return _group_query_select(
+            idx, params, t0, q, [str(g) for g in gqueries],
+            op=op, mm=mm, fq=fq, limit=limit,
+            fl=fl, fetch_fl=fetch_fl, want_score=want_score,
+        )
+    if gfunc:
+        if gspec is not None:
+            raise ValueError("group.func does not support group.sort")
+        page = idx.search_grouped_func(
+            q, str(gfunc), k=rows, group_limit=limit, op=op, fq=fq, mm=mm,
+        ).collect()
+    else:
+        page = idx.search_grouped(
+            q, field, k=rows, group_limit=limit, op=op, fq=fq, mm=mm,
+            group_sort=gspec,
+        ).collect()
     matches = idx.count_matches(q, op=op, fq=fq, mm=mm)
 
     # stored fields for the <= rows*limit page docs: docid-pushdown fetch
@@ -1079,13 +1106,20 @@ def _grouped_select(
     # per-group totals for the page's group values (<= rows values)
     gvals = sorted({r["group_value"] for r in page})
     matched = idx.score_matches(q, op=op, fq=fq, mm=mm)
-    totals = {
-        r[field]: int(r["n"])
-        for r in matched.join(
+    if gfunc:
+        sql, gf_fields = idx.function_expr(str(gfunc))
+        gv = matched.join(
+            idx.docs().select("doc_id", *gf_fields), "doc_id"
+        ).select(F.expr(sql).alias("__gv"))
+    else:
+        gv = matched.join(
             idx.docs().select("doc_id", field), "doc_id"
-        )
-        .filter(F.col(field).isin(gvals) if gvals else F.lit(False))
-        .groupBy(field)
+        ).select(F.col(field).alias("__gv"))
+    totals = {
+        r["__gv"]: int(r["n"])
+        for r in gv
+        .filter(F.col("__gv").isin(gvals) if gvals else F.lit(False))
+        .groupBy("__gv")
         .agg(F.count("*").alias("n"))
         .collect()
     }
@@ -1114,19 +1148,51 @@ def _grouped_select(
 
     section: dict[str, Any] = {"matches": matches, "groups": groups}
     if _truthy(params.get("group.ngroups", False)):
-        section["ngroups"] = (
-            matched.join(idx.docs().select("doc_id", field), "doc_id")
-            .select(field)
-            .distinct()
-            .count()
-        )
+        section["ngroups"] = gv.distinct().count()
     return {
         "responseHeader": {
             "status": 0,
             "QTime": int((time.monotonic() - t0) * 1000),
             "params": {k: params[k] for k in sorted(params, key=str)},
         },
-        "grouped": {field: section},
+        "grouped": {str(field or gfunc): section},
+    }
+
+
+def _group_query_select(
+    idx: BM25Index, params: dict[str, Any], t0: float, q: str,
+    gqueries: list[str], *, op, mm, fq, limit, fl, fetch_fl, want_score,
+) -> dict[str, Any]:
+    """Solr ``group.query``: the grouped section keyed by each query
+    string -- its doclist = top ``group.limit`` docs matching the main q
+    AND that query (composed as one more fq: Solr grammar or SQL, each a
+    filter-cached DocSet), numFound = the intersection count."""
+    matches = idx.count_matches(q, op=op, fq=fq, mm=mm)
+    grouped: dict[str, Any] = {}
+    for gq in gqueries:
+        gfq = ([*fq] if fq else []) + [gq]
+        hits = idx.search(
+            q, k=limit, op=op, fq=gfq, mm=mm,
+            with_stored=True, fl=fetch_fl,
+        ).collect()
+        n = idx.count_matches(q, op=op, fq=gfq, mm=mm)
+        docs = []
+        for r in hits:
+            d = r.asDict()
+            if not want_score:
+                d.pop("score", None)
+            docs.append(d)
+        grouped[gq] = {
+            "matches": matches,
+            "doclist": {"numFound": n, "start": 0, "docs": docs},
+        }
+    return {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int((time.monotonic() - t0) * 1000),
+            "params": {k: params[k] for k in sorted(params, key=str)},
+        },
+        "grouped": grouped,
     }
 
 
