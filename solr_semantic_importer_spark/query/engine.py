@@ -1557,6 +1557,74 @@ class BM25Index:
             lst.sort(key=lambda r: (-round(r["score"], 6), r["doc_id"]))
         return groups, counts
 
+    def search_reranked(
+        self,
+        query: str,
+        rerank_query: str,
+        k: int = 10,
+        rerank_docs: int = 200,
+        rerank_weight: float = 2.0,
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+        offset: int = 0,
+        with_stored: bool = False,
+        order_key: str = "round6",
+        fl: list[str] | None = None,
+    ) -> DataFrame:
+        """Lucene/Solr ReRankQParser (``rq={!rerank reRankQuery=..
+        reRankDocs=N reRankWeight=W}``): run the main query, take its top
+        ``rerank_docs`` hits, and add ``W x reRankQuery score`` to those
+        that also match the rerank query (ReRankQuery.rescore semantics:
+        docs outside the window, and window docs the rerank query misses,
+        keep their original score). Docs below the window keep their
+        original ranking -- the final page may interleave boosted window
+        docs with unboosted ones only within the window; Solr cuts the
+        page from the rescored window followed by the tail, and so do we.
+
+        Plan: the main top-window pass is the normal WAND top-k (window =
+        reRankDocs, a driver-side list <= N); the rerank side scores once
+        (pruned postings decode) and is cut to the window ids by an isin
+        pushdown BEFORE collecting <= N rows. Nothing beyond the window
+        is ever rescored -- the rerank cost is O(window), not O(match
+        set), exactly the contract reRankDocs exists for."""
+        need = offset + k
+        window = self.search(
+            query, k=max(int(rerank_docs), need), op=op, fq=fq, mm=mm,
+            order_key=order_key,
+        ).collect()
+        win = window[: int(rerank_docs)]
+        tail = window[int(rerank_docs):]
+        ids = [r["doc_id"] for r in win]
+        if ids:
+            rr = {
+                r["doc_id"]: r["score"]
+                for r in self.score_matches(rerank_query, fq=fq)
+                .filter(F.col("doc_id").isin(ids))
+                .collect()
+            }
+        else:
+            rr = {}
+        rescored = [
+            (r["doc_id"],
+             r["score"] + float(rerank_weight) * rr.get(r["doc_id"], 0.0))
+            for r in win
+        ]
+        # cut with the SAME key convention the result frame sorts by;
+        # rescoring only ever raises window scores, and every window doc
+        # already outscored every tail doc, so window-then-tail IS the
+        # global score order
+        if order_key == "milli":
+            rescored.sort(key=lambda t: (-int(round(t[1] * 1000)), t[0]))
+        else:
+            rescored.sort(key=lambda t: (-round(t[1], 6), t[0]))
+        page = (rescored + [(r["doc_id"], r["score"]) for r in tail])
+        page = page[offset:need]
+        return self._from_doclist(
+            [{"doc_id": int(d), "score": float(s)} for d, s in page],
+            with_stored, order_key, fl,
+        )
+
     def search_grouped_func(
         self,
         query: str,

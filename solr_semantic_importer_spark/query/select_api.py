@@ -83,6 +83,11 @@ components its solrconfig enables):
   requests is exact up to this many hits, a lower bound beyond it
   (``numFoundExact: false``), computed from the SAME top-k pass as the
   page instead of a second postings decode; omit for Solr's exact default
+- ``rq={!rerank reRankQuery=$rqq reRankDocs=N reRankWeight=W}`` — the
+  ReRank qparser: the main query's top-N window is rescored as
+  ``score + W x reRankQuery score`` (docs outside the window, and window
+  docs the rerank query misses, keep their original score; O(window)
+  rerank cost, the reRankDocs contract)
 - ``cursorMark`` (Solr deep paging) — ``*`` starts a cursor; the response
   carries ``nextCursorMark``; an unchanged mark means exhaustion. Requires
   ``start=0`` and the canonical sort (Solr requires the uniqueKey
@@ -115,7 +120,7 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "spellcheck.q", "spellcheck.collate", "wt", "indent",
              "useParams", "minExactCount",
              "cursorMark", "mm", "debugQuery", "bf", "bq", "boost",
-             "elevateIds", "excludeIds", "facet.interval",
+             "elevateIds", "excludeIds", "facet.interval", "rq", "rqq",
              "group", "group.field", "group.limit", "group.ngroups",
              "group.sort", "group.func", "group.query",
              "stats", "stats.field"}
@@ -365,7 +370,39 @@ def solr_select(
         num_found = -1  # filled from the field-sort match set below
 
     next_cursor: str | None = None
-    if (bf or boost or bq) and (match_all or sort == "score desc"):
+    rq = params.get("rq")
+    if rq is not None:
+        m = re.match(r"^\{!rerank\s+([^}]*)\}\s*$", str(rq).strip())
+        if m is None:
+            raise ValueError(f"cannot parse rq: {rq!r} (use {{!rerank ...}})")
+        lp = dict(_BJ_LP_RE.findall(m.group(1)))
+        bad = set(lp) - {"reRankQuery", "reRankDocs", "reRankWeight"}
+        if bad or "reRankQuery" not in lp:
+            raise ValueError(
+                f"{{!rerank}} needs reRankQuery (+ reRankDocs/reRankWeight), "
+                f"got {sorted(lp)}"
+            )
+        rqq = lp["reRankQuery"].strip("'\"")
+        if rqq.startswith("$"):  # Solr param dereference ($rqq convention)
+            ref = params.get(rqq[1:])
+            if ref is None:
+                raise ValueError(f"rq references missing param {rqq!r}")
+            rqq = str(ref)
+        if (match_all or sort != "score desc" or cursor is not None
+                or bf or bq or boost or elevate or exclude):
+            raise ValueError(
+                "rq={!rerank} requires a scored q with the relevance sort "
+                "(no cursor/boost/elevation)"
+            )
+        df = idx.search_reranked(
+            q, rqq, k=rows,
+            rerank_docs=int(lp.get("reRankDocs", 200)),
+            rerank_weight=float(lp.get("reRankWeight", 2.0)),
+            op=op, fq=fq, mm=mm, offset=start,
+            with_stored=True, fl=fetch_fl,
+        )
+        rows_out = [r.asDict() for r in df.collect()]
+    elif (bf or boost or bq) and (match_all or sort == "score desc"):
         df = idx.search_boosted(
             q, k=rows, bf=bf, boost=boost, bq=bq, op=op, fq=fq, offset=start,
             mm=mm, with_stored=True, fl=fetch_fl,
