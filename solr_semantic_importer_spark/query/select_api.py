@@ -60,10 +60,9 @@ components its solrconfig enables):
   collapse qparser (result set = each group's best doc, numFound = group
   count, grouped segment kernels) and ExpandComponent (``expanded``
   section with each page group's other members)
-- ``hl=true`` (``hl.fragsize`` + ``hl.snippets`` honored; snippets > 1
-  returns up to that many non-overlapping fragments) → ``highlighting``
-  map keyed by
-  doc id
+- ``hl=true`` (``hl.fragsize``/``hl.snippets``/``hl.tag.pre|post`` aka
+  ``hl.simple.pre|post`` honored; snippets > 1 returns up to that many
+  non-overlapping fragments) → ``highlighting`` map keyed by doc id
 - ``spellcheck=true&spellcheck.q=words...`` → per-token
   ``spellcheck.suggestions`` (flat [token, {...}] list) +
   ``correctlySpelled``; ``spellcheck.collate=true`` adds ``collations``
@@ -116,7 +115,8 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.field", "facet.range", "facet.query", "facet.pivot",
              "facet.pivot.mincount", "json.facet", "expand", "expand.rows",
              "tv", "tv.positions", "tv.df", "tv.tf_idf", "hl",
-             "hl.fragsize", "hl.snippets", "spellcheck",
+             "hl.fragsize", "hl.snippets", "hl.tag.pre", "hl.tag.post",
+             "hl.simple.pre", "hl.simple.post", "spellcheck",
              "spellcheck.q", "spellcheck.collate", "wt", "indent",
              "useParams", "minExactCount",
              "cursorMark", "mm", "debugQuery", "bf", "bq", "boost",
@@ -675,8 +675,14 @@ def solr_select(
     if _truthy(params.get("hl", False)) and not match_all:
         fragsize = params.get("hl.fragsize")
         n_snip = int(params.get("hl.snippets", 1))
+        # Solr accepts both the hl.tag.* (unified) and hl.simple.*
+        # (original highlighter) spellings for the markup pair
+        pre = str(params.get("hl.tag.pre",
+                             params.get("hl.simple.pre", "<em>")))
+        post = str(params.get("hl.tag.post",
+                              params.get("hl.simple.post", "</em>")))
         hl_rows = idx.highlight(
-            q, k=start + rows, fq=fq,
+            q, k=start + rows, fq=fq, pre=pre, post=post,
             fragsize=int(fragsize) if fragsize is not None else None,
             snippets=n_snip,
         ).collect()[start:start + rows]

@@ -349,3 +349,15 @@ def test_fl_aliasing(corpus):
     })
     for d in match_all["response"]["docs"]:
         assert "id" in d and "doc_id" not in d and "turn_idx" in d
+
+
+def test_hl_tag_params(corpus):
+    """hl.tag.pre/post (and the hl.simple.* spelling) change the markup."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error", "rows": 2, "hl": "true",
+        "hl.tag.pre": "<b>", "hl.tag.post": "</b>", "fl": "doc_id",
+    })
+    frags = [v["text"][0] for v in resp["highlighting"].values()]
+    assert any("<b>" in f and "</b>" in f for f in frags)
+    assert all("<em>" not in f for f in frags)
