@@ -30,7 +30,9 @@ components its solrconfig enables):
 - ``start``/``rows`` (Solr defaults 0/10)
 - ``fl`` — comma-separated stored-field list; ``*`` = every stored field;
   ``score`` is returned only when requested (Solr semantics); default =
-  all stored fields
+  all stored fields; an entry may be a FUNCTION pseudo-field
+  (``fl=dist:geodist(loc,10,-20)`` or a bare function) computed for the
+  page's docs in one isin-pruned job
 - ``sort`` — ``score desc`` (default) or comma-separated ``<field>
   asc|desc`` terms, Solr's multi-field syntax (match-all scans sort the
   live filtered table; scored queries sort the full match set, Solr's
@@ -264,19 +266,29 @@ def solr_select(
     start = int(params.get("start", 0))
     rows = int(params.get("rows", 10))
     fl = params.get("fl")
-    fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
+    # paren-aware split: function pseudo-fields carry commas
+    fl = [f.strip() for f in _split_sort(fl)] if isinstance(fl, str) else fl
     # Solr fl renames: `alias:field` displays `field` under `alias`;
     # fetch by the source name, rename in the response docs below
     renames: dict[str, str] = {}
+    func_fl: dict[str, str] = {}  # alias -> function query (Solr fl=f:func())
     if fl:
         norm = []
         for f in fl:
             if ":" in f:
                 alias, src = f.split(":", 1)
+                if looks_like_function(src):
+                    func_fl[alias] = src
+                    continue  # computed below, never a stored fetch
                 renames[src] = alias
                 norm.append(src)
+            elif looks_like_function(f):
+                func_fl[f] = f  # Solr: bare function keys under itself
+                continue
             else:
                 norm.append(f)
+        if func_fl and not norm:
+            norm = ["doc_id"]  # pseudo-fields only: still key docs by id
         fl = norm
     want_score = bool(fl) and "score" in fl
     if fl and "*" in fl:
@@ -518,6 +530,19 @@ def solr_select(
             for r in page.collect()
         ]
 
+    fvals: dict[int, dict] = {}
+    if func_fl and rows_out:
+        # fl function pseudo-fields: ONE isin-pruned job computes every
+        # requested function for the page's <= rows ids
+        fsel = idx.docs().filter(
+            F.col("doc_id").isin([r["doc_id"] for r in rows_out])
+        ).select(
+            "doc_id",
+            *[F.expr(idx.function_expr(srcf)[0]).alias(alias)
+              for alias, srcf in func_fl.items()],
+        )
+        fvals = {r["doc_id"]: r.asDict() for r in fsel.collect()}
+
     docs = []
     for r in rows_out:
         d = dict(r)
@@ -525,6 +550,10 @@ def solr_select(
             d.pop("score", None)
         if renames:
             d = {renames.get(k2, k2): v for k2, v in d.items()}
+        if func_fl:
+            fv = fvals.get(d.get("doc_id"), {})
+            for alias in func_fl:
+                d[alias] = fv.get(alias)
         docs.append(d)
 
     resp: dict[str, Any] = {

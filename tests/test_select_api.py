@@ -361,3 +361,22 @@ def test_hl_tag_params(corpus):
     frags = [v["text"][0] for v in resp["highlighting"].values()]
     assert any("<b>" in f and "</b>" in f for f in frags)
     assert all("<em>" not in f for f in frags)
+
+
+def test_fl_function_pseudo_fields(corpus):
+    """fl function pseudo-fields: computed per page doc, aliased or bare."""
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error", "rows": 3,
+        "fl": "doc_id,plus:sum(turn_idx,dl),div(turn_idx,10)",
+    })
+    docs = {r["doc_id"]: r.asDict() for r in idx.docs().collect()}
+    for d in resp["response"]["docs"]:
+        src = docs[d["doc_id"]]
+        assert d["plus"] == src["turn_idx"] + src["dl"]
+        assert d["div(turn_idx,10)"] == pytest.approx(src["turn_idx"] / 10)
+    # pseudo-field only: doc_id still keys the docs
+    r2 = solr_select(idx, {"q": "error", "rows": 2,
+                           "fl": "plus:sum(turn_idx,1)"})
+    for d in r2["response"]["docs"]:
+        assert set(d) == {"doc_id", "plus"}
