@@ -1012,8 +1012,9 @@ class BM25Index:
         exprs = [self.function_expr(f) for f in bfs]
         boost_expr = self.function_expr(boost) if boost is not None else None
         need = sorted(
-            {c for _, fields in exprs for c in fields}
-            | set(boost_expr[1] if boost_expr else [])
+            ({c for _, fields in exprs for c in fields}
+             | set(boost_expr[1] if boost_expr else []))
+            - {"doc_id"}  # already on the scored frame (join key)
         )
         scored = base
         if need:
@@ -1380,7 +1381,7 @@ class BM25Index:
             ]
             joined = matched.join(
                 self.docs().select("doc_id", group_field, *extra), "doc_id"
-            )
+            ).filter(F.col(group_field).isNotNull())
             cols = []
             for f, d in group_sort:
                 c = key if f == "score" else F.col(f)
@@ -1393,9 +1394,13 @@ class BM25Index:
                 query, group_field, group_limit, op=op, synonyms=synonyms,
                 fq=fq, mm=mm,
             )
+            # null-group docs drop (collapse nullPolicy=ignore; a null key
+            # would take a head slot in limit(k) and then vanish in the
+            # equi-join, silently shorting the page). Documented deviation
+            # from Solr field grouping's explicit null group.
             joined = matched.join(
                 self.docs().select("doc_id", group_field), "doc_id"
-            )
+            ).filter(F.col(group_field).isNotNull())
             wg = Window.partitionBy(group_field).orderBy(
                 key.desc(), F.col("doc_id").asc()
             )
@@ -1645,10 +1650,15 @@ class BM25Index:
         from pyspark.sql.window import Window
 
         sql, fields = self.function_expr(func)
+        fields = [f for f in fields if f != "doc_id"]  # join key itself
         matched = self.score_matches(query, op=op, fq=fq, mm=mm)
         joined = matched.join(
             self.docs().select("doc_id", *fields), "doc_id"
-        ).withColumn("__gval", F.expr(sql))
+        ).withColumn("__gval", F.expr(sql)).filter(
+            # a NULL function value never forms a group (the equi-join on
+            # the heads would silently drop it mid-page otherwise)
+            F.col("__gval").isNotNull()
+        )
         key = F.round(F.col("score"), 6)
         wg = Window.partitionBy("__gval").orderBy(
             key.desc(), F.col("doc_id").asc()
@@ -1979,8 +1989,14 @@ class BM25Index:
                     first == 2_147_483_647, F.lit(1)
                 ).otherwise(F.greatest(F.lit(1), first - fragsize // 2))
                 target = F.substring(F.col("text"), start, fragsize)
+            # pre/post are now user-settable (hl.tag.*): escape Java regex
+            # replacement metacharacters ($ group refs, \) so a literal
+            # '$' in the markup can't throw or substitute a match group
+            esc = re.compile(r"([\\$])")
+            pre_r, post_r = esc.sub(r"\\\1", pre), esc.sub(r"\\\1", post)
             return top.withColumn(
-                "highlighted", F.regexp_replace(target, pattern, f"{pre}$1{post}")
+                "highlighted",
+                F.regexp_replace(target, pattern, f"{pre_r}$1{post_r}"),
             )
 
         import re as _re
@@ -3387,12 +3403,23 @@ class BM25Index:
         elif fq.lstrip().startswith("{!terms"):
             # Solr terms qparser ({!terms f=F}v1,v2,...): a large
             # disjunction as ONE membership test -- compiles to IN over
-            # the docs scan (Catalyst turns big INs into hash sets)
-            m = re.match(r"^\{!terms\s+f=(\w+)(?:\s+[^}]*)?\}(.*)$",
-                         fq.strip(), re.S)
+            # the docs scan (Catalyst turns big INs into hash sets).
+            # Unknown local params (separator=, method=) fail loud like
+            # frange/geofilt -- swallowing them would silently change the
+            # DocSet
+            m = re.match(r"^\{!terms\s+([^}]*)\}(.*)$", fq.strip(), re.S)
             if m is None:
                 raise ValueError(f"cannot parse terms qparser: {fq!r}")
-            fld, vals = m.group(1), [v for v in m.group(2).split(",") if v]
+            lps = dict(
+                p.partition("=")[::2] for p in m.group(1).split()
+            )
+            if set(lps) != {"f"}:
+                raise ValueError(
+                    f"{{!terms}} supports only the f= local param, got "
+                    f"{sorted(lps)}"
+                )
+            fld = lps["f"]
+            vals = [v for v in m.group(2).split(",") if v]
             types = dict(self.docs().dtypes)
             if fld not in types:
                 raise ValueError(f"{{!terms}}: unknown field {fld!r}")
@@ -3404,7 +3431,16 @@ class BM25Index:
                 )
                 expr = f"{fld} IN ({quoted})"
             else:
-                expr = f"{fld} IN ({', '.join(repr(float(v)) if '.' in v else v for v in vals)})"
+                try:  # numeric field: every value must BE a number --
+                    # raw interpolation could resolve junk as a column ref
+                    nums = [repr(float(v)) if "." in v or "e" in v.lower()
+                            else repr(int(v)) for v in vals]
+                except ValueError:
+                    raise ValueError(
+                        f"{{!terms}} on numeric field {fld!r}: "
+                        f"non-numeric value in {vals!r}"
+                    )
+                expr = f"{fld} IN ({', '.join(nums)})"
         elif fq.lstrip().startswith(("{!geofilt", "{!bbox")):
             # spatial qparsers (managed-schema.xml:521-536 fieldTypes):
             # haversine circle / enclosing rectangle as one codegen'd

@@ -156,6 +156,11 @@ def _terms_facet(
     bad = set(spec) - _TERMS_KEYS
     if bad:
         raise ValueError(f"unsupported terms facet keys: {sorted(bad)}")
+    if prefix and (spec.get("missing") or spec.get("allBuckets")):
+        raise ValueError(
+            "missing/allBuckets on a NESTED terms facet are unsupported "
+            "(top level only)"
+        )
     field = spec["field"]
     limit = int(spec.get("limit", 10))
     offset = int(spec.get("offset", 0))
@@ -200,13 +205,21 @@ def _terms_facet(
         cut = cut.filter(cond).drop("__r")
     rows = cut.collect()
 
-    # deterministic bucket order after collect (windows don't order output)
+    # deterministic bucket order after collect (windows don't order
+    # output). NULL stat values follow Spark's plan convention (nulls
+    # first on asc, last on desc) so the re-sort agrees with the in-plan
+    # cut; _Rev wraps any comparable type (min/max over strings included)
     def _okey(r):
         if key == "index":
             v = r[field]
             return (v,) if direction == "asc" else (_Rev(v),)
         v = r[key]
-        return (-v, r[field]) if direction == "desc" else (v, r[field])
+        if v is None:
+            return ((0, 0, r[field]) if direction == "asc"
+                    else (1, 0, r[field]))
+        if direction == "asc":
+            return (1, v, r[field])
+        return (0, _Rev(v), r[field])
 
     grouped: dict[tuple, list] = {}
     for r in rows:

@@ -287,8 +287,8 @@ def solr_select(
                 continue
             else:
                 norm.append(f)
-        if func_fl and not norm:
-            norm = ["doc_id"]  # pseudo-fields only: still key docs by id
+        if func_fl and not [f for f in norm if f != "score"]:
+            norm.append("doc_id")  # pseudo-fields (+score) only: key by id
         fl = norm
     want_score = bool(fl) and "score" in fl
     if fl and "*" in fl:
@@ -406,10 +406,16 @@ def solr_select(
                 "rq={!rerank} requires a scored q with the relevance sort "
                 "(no cursor/boost/elevation)"
             )
+        w = float(lp.get("reRankWeight", 2.0))
+        if w < 0:
+            raise ValueError(
+                "reRankWeight must be >= 0 (negative weights break the "
+                "window-above-tail rescore invariant)"
+            )
         df = idx.search_reranked(
             q, rqq, k=rows,
             rerank_docs=int(lp.get("reRankDocs", 200)),
-            rerank_weight=float(lp.get("reRankWeight", 2.0)),
+            rerank_weight=w,
             op=op, fq=fq, mm=mm, offset=start,
             with_stored=True, fl=fetch_fl,
         )
@@ -467,14 +473,6 @@ def solr_select(
             # lead the page in the given order with [elevated]: true
             # (Solr's fl=[elevated] marker). Overfetch covers the removed
             # slots; membership/score lookups are isin-pruned small jobs.
-            over = rows + len(elevate) + len(exclude)
-            df = idx.search(q, k=over, op=op, fq=fq, mm=mm,
-                            with_stored=True, fl=fetch_fl)
-            eset, xset = set(elevate), set(exclude)
-            rest = [
-                r.asDict() for r in df.collect()
-                if r["doc_id"] not in eset and r["doc_id"] not in xset
-            ][: max(0, rows - len(elevate))]
             esc = {
                 r["doc_id"]: r["score"]
                 for r in idx.score_matches(q, op=op, fq=fq, mm=mm)
@@ -485,6 +483,17 @@ def solr_select(
                 for r in idx._stored_side(fetch_fl)
                 .filter(F.col("doc_id").isin(elevate)).collect()
             } if elevate else {}
+            # Solr QueryElevationComponent drops unknown ids -- never
+            # fabricate a phantom document for an id the corpus lacks
+            elevate = [i for i in elevate if i in efetched]
+            over = rows + len(elevate) + len(exclude)
+            df = idx.search(q, k=over, op=op, fq=fq, mm=mm,
+                            with_stored=True, fl=fetch_fl)
+            eset, xset = set(elevate), set(exclude)
+            rest = [
+                r.asDict() for r in df.collect()
+                if r["doc_id"] not in eset and r["doc_id"] not in xset
+            ][: max(0, rows - len(elevate))]
             elev_docs = []
             for i in elevate:
                 d = dict(efetched.get(i, {"doc_id": i}))
@@ -852,7 +861,8 @@ def _collapse_select(
         raise ValueError("{!collapse} supports nullPolicy=ignore only")
     field = lp["field"]
     for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
-              "json.facet", "group", "elevateIds", "excludeIds"):
+              "json.facet", "group", "elevateIds", "excludeIds", "rq",
+              "tv"):
         if p in params:
             raise ValueError(f"{{!collapse}} does not support {p}")
     for p in ("facet", "hl", "stats", "debugQuery", "spellcheck"):
@@ -1006,7 +1016,8 @@ def _block_join_select(
     (cursorMark, facet/facet.range, hl, stats, debugQuery, spellcheck,
     group, minExactCount, sort, start) raise instead of being dropped."""
     for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
-              "json.facet", "elevateIds", "excludeIds"):
+              "json.facet", "elevateIds", "excludeIds", "rq", "tv",
+              "expand"):
         if p in params:
             raise ValueError(f"block-join q does not support {p}")
     if int(params.get("start", 0)) != 0:
@@ -1108,7 +1119,8 @@ def _grouped_select(
     minExactCount, sort, start) raise instead of passing _RESERVED
     validation and then being silently dropped."""
     for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
-              "json.facet", "elevateIds", "excludeIds"):
+              "json.facet", "elevateIds", "excludeIds", "rq", "tv",
+              "expand"):
         if p in params:
             raise ValueError(f"group=true does not support {p}")
     if int(params.get("start", 0)) != 0:

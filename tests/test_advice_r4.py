@@ -212,3 +212,135 @@ def test_grouped_select_fails_loud_on_dropped_components(corpus):
             solr_select(idx, {**base, **extra})
     # falsy component flags remain harmless
     assert "grouped" in solr_select(idx, {**base, "facet": "false"})
+
+
+# ---- late-r4 self-review regression fixes ----
+
+def _mk_idx(spark, tmp_path_factory, name, seed):
+    from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.query.engine import BM25Index
+    from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, n_convs=30, turns_per_conv=5, seed=seed)
+    d = str(tmp_path_factory.mktemp(name))
+    build_index(spark, df, d, BuildConfig(
+        build_id=name, segment_size=100, block_size=16, n_term_buckets=4,
+        hot_df_threshold=50, hot_salts=4))
+    return BM25Index(spark, d)
+
+
+@pytest.fixture(scope="module")
+def rev_idx(spark, tmp_path_factory):
+    return _mk_idx(spark, tmp_path_factory, "rev", 41)
+
+
+def test_terms_qparser_rejects_unknown_local_params(rev_idx):
+    with pytest.raises(ValueError):
+        rev_idx.score_matches(
+            "error", fq="{!terms f=role separator=|}a|b").count()
+    with pytest.raises(ValueError):
+        rev_idx.score_matches(
+            "error", fq="{!terms f=turn_idx}1,dl").count()
+
+
+def test_component_paths_reject_rq_tv_expand(rev_idx):
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    base = {"q": "error", "group": "true", "group.field": "conv_id"}
+    for extra in ({"rq": "{!rerank reRankQuery=x}"}, {"tv": "true"},
+                  {"expand": "true"}):
+        with pytest.raises(ValueError):
+            solr_select(rev_idx, {**base, **extra})
+    coll = {"q": "error", "fq": "{!collapse field=conv_id}"}
+    for extra in ({"rq": "{!rerank reRankQuery=x}"}, {"tv": "true"}):
+        with pytest.raises(ValueError):
+            solr_select(rev_idx, {**coll, **extra})
+
+
+def test_rerank_rejects_negative_weight(rev_idx):
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    with pytest.raises(ValueError):
+        solr_select(rev_idx, {
+            "q": "error",
+            "rq": "{!rerank reRankQuery=merge reRankWeight=-1}",
+        })
+
+
+def test_elevate_unknown_id_dropped(rev_idx):
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    base = solr_select(rev_idx, {"q": "error", "rows": 3, "fl": "doc_id"})
+    resp = solr_select(rev_idx, {
+        "q": "error", "rows": 3, "elevateIds": "999999999",
+        "fl": "doc_id",
+    })
+    # phantom id never fabricated; numFound unchanged
+    assert [d["doc_id"] for d in resp["response"]["docs"]] == \
+        [d["doc_id"] for d in base["response"]["docs"]]
+    assert resp["response"]["numFound"] == base["response"]["numFound"]
+
+
+def test_boost_function_may_read_doc_id(rev_idx):
+    got = rev_idx.search_boosted(
+        "error", k=5, bf=["div(doc_id,1000)"]).collect()
+    base = {r["doc_id"]: r["score"]
+            for r in rev_idx.score_matches("error").collect()}
+    want = sorted(
+        ((i, s + i / 1000.0) for i, s in base.items()),
+        key=lambda t: (-round(t[1], 6), t[0]),
+    )[:5]
+    assert [r["doc_id"] for r in got] == [i for i, _ in want]
+
+
+def test_grouped_by_nullable_field_drops_null_group(rev_idx):
+    # tool is null on non-tool turns: the null group must not occupy a
+    # head slot and then vanish in the equi-join
+    page = rev_idx.search_grouped("error tool", "tool", k=10,
+                                  group_limit=1).collect()
+    vals = [r["group_value"] for r in page]
+    assert vals and all(v is not None for v in vals)
+    # ranks are contiguous (no silently-dropped head slot)
+    assert sorted({r["group_rank"] for r in page}) == \
+        list(range(1, len(set(vals)) + 1))
+
+
+def test_hl_tag_with_dollar(rev_idx):
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    resp = solr_select(rev_idx, {
+        "q": "error", "rows": 2, "hl": "true",
+        "hl.tag.pre": "$$", "hl.tag.post": "$1", "fl": "doc_id",
+    })
+    frags = [v["text"][0] for v in resp["highlighting"].values()]
+    assert any("$$" in f for f in frags)  # literal, not a group ref
+
+
+def test_fl_score_plus_pseudo_field_only(rev_idx):
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    resp = solr_select(rev_idx, {
+        "q": "error", "rows": 2, "fl": "score,plus:sum(turn_idx,1)",
+    })
+    for d in resp["response"]["docs"]:
+        assert set(d) == {"doc_id", "score", "plus"}
+
+
+def test_json_facet_null_stat_sort(rev_idx):
+    from solr_semantic_importer_spark.query.json_facet import json_facet
+
+    # min(tool) is NULL for buckets whose docs all lack tool -- the
+    # driver-side re-sort must not TypeError and must match nulls-last
+    got = json_facet(rev_idx, "*:*", {
+        "by_role": {"type": "terms", "field": "role",
+                    "sort": {"t": "desc"}, "facet": {"t": "min(tool)"}},
+    })
+    vals = [b["t"] for b in got["by_role"]["buckets"]]
+    nn = [v for v in vals if v is not None]
+    assert vals == sorted(nn, reverse=True) + [None] * (len(vals) - len(nn))
+    with pytest.raises(ValueError):  # nested missing fails loud
+        json_facet(rev_idx, "*:*", {
+            "a": {"type": "terms", "field": "role",
+                  "facet": {"b": {"type": "terms", "field": "turn_idx",
+                                  "missing": True}}},
+        })
