@@ -47,9 +47,9 @@ _STAT_RE = re.compile(
 )
 
 _TERMS_KEYS = {"type", "field", "limit", "offset", "mincount", "sort",
-               "missing", "allBuckets", "facet"}
-_QUERY_KEYS = {"type", "q", "facet"}
-_RANGE_KEYS = {"type", "field", "start", "end", "gap", "facet"}
+               "missing", "allBuckets", "facet", "domain"}
+_QUERY_KEYS = {"type", "q", "facet", "domain"}
+_RANGE_KEYS = {"type", "field", "start", "end", "gap", "facet", "domain"}
 
 
 def _arg_sql(idx, arg: str) -> str:
@@ -103,10 +103,10 @@ def _split_subspecs(idx, sub: dict) -> tuple[list, dict, dict]:
             aggs.append((name, _stat_agg(idx, name, s)))
         elif isinstance(s, dict) and s.get("type") == "query":
             bad = set(s) - _QUERY_KEYS
-            if bad or s.get("facet"):
+            if bad or s.get("facet") or s.get("domain"):
                 raise ValueError(
                     f"nested query facet {name!r}: only q supported, got "
-                    f"{sorted(bad) or 'nested facet'}"
+                    f"{sorted(bad) or 'nested facet/domain'}"
                 )
             aggs.append((
                 name,
@@ -156,10 +156,11 @@ def _terms_facet(
     bad = set(spec) - _TERMS_KEYS
     if bad:
         raise ValueError(f"unsupported terms facet keys: {sorted(bad)}")
-    if prefix and (spec.get("missing") or spec.get("allBuckets")):
+    if prefix and (spec.get("missing") or spec.get("allBuckets")
+                   or spec.get("domain")):
         raise ValueError(
-            "missing/allBuckets on a NESTED terms facet are unsupported "
-            "(top level only)"
+            "missing/allBuckets/domain on a NESTED terms facet are "
+            "unsupported (top level only)"
         )
     field = spec["field"]
     limit = int(spec.get("limit", 10))
@@ -299,14 +300,44 @@ def _extras(idx, base, spec, field, aggs, stat_names) -> dict:
     return out
 
 
+def _node_base(idx, q, fq, op, mm, spec, tagged_fq, default_base):
+    """A facet node's domain: the default (q+fq match set) unless the
+    node carries ``domain: {excludeTags: [...]}`` -- Solr's multi-select
+    faceting: the facet counts the DocSet WITHOUT the tagged filters
+    (each variant is its own filterCache entry). Unknown domain keys
+    (filter/query/join/graph) fail loud."""
+    dom = spec.get("domain")
+    if dom is None:
+        return default_base
+    bad = set(dom) - {"excludeTags"}
+    if bad:
+        raise ValueError(
+            f"json.facet domain supports excludeTags only, got {sorted(bad)}"
+        )
+    ex = frozenset(
+        dom["excludeTags"] if isinstance(dom["excludeTags"], (list, tuple))
+        else [dom["excludeTags"]]
+    )
+    if tagged_fq is None:
+        raise ValueError(
+            "domain.excludeTags needs tagged fq filters ({!tag=..}) on "
+            "the request"
+        )
+    kept = [f for tags, f in tagged_fq if not (tags & ex)]
+    return idx._facet_base(q, kept or None, op, mm)
+
+
 def json_facet(
     idx, q: str, facets: dict,
     fq: str | list[str] | None = None,
     op: str = "OR", mm: int | str | None = None,
+    tagged_fq: list | None = None,
 ) -> dict:
     """Evaluate a ``json.facet`` spec over the exact match set of
     (q, fq, op, mm). Returns Solr's JSON facet response shape under the
-    usual ``facets`` key: ``{"count": <domain size>, ...}``."""
+    usual ``facets`` key: ``{"count": <domain size>, ...}``.
+    ``tagged_fq``: the request's (tags, filter) pairs, enabling per-facet
+    ``domain: {excludeTags}`` multi-select domains."""
     base = idx._facet_base(q, fq, op, mm)
     out: dict[str, Any] = {"count": int(base.count())}
 
@@ -328,19 +359,22 @@ def json_facet(
             raise ValueError(f"unsupported json.facet entry {name!r}: {s!r}")
         t = s.get("type")
         if t == "terms":
+            nb = _node_base(idx, q, fq, op, mm, s, tagged_fq, base)
             sub = s.get("facet", {}) or {}
             named, _, _ = _split_subspecs(idx, sub)
             aggs = [c for _, c in named]
             stat_names = [n for n, _ in named]
-            res = _terms_facet(idx, base, s, [], None)
+            res = _terms_facet(idx, nb, s, [], None)
             node: dict[str, Any] = {"buckets": res.get((), [])}
-            node.update(_extras(idx, base, s, s["field"], aggs, stat_names))
+            node.update(_extras(idx, nb, s, s["field"], aggs, stat_names))
             out[name] = node
         elif t == "query":
             bad = set(s) - _QUERY_KEYS
             if bad:
                 raise ValueError(f"unsupported query facet keys: {sorted(bad)}")
-            dom = base.filter(F.expr(_filter_sql(idx, s["q"])))
+            dom = _node_base(idx, q, fq, op, mm, s, tagged_fq, base).filter(
+                F.expr(_filter_sql(idx, s["q"]))
+            )
             sub = s.get("facet", {}) or {}
             named, subterms, _ = _split_subspecs(idx, sub)
             if subterms:
@@ -372,7 +406,8 @@ def json_facet(
             c = F.col(field)
             bucket = F.floor((c - start) / gap).cast("long")
             rows = (
-                base.filter(c.isNotNull() & (c >= start) & (c < end))
+                _node_base(idx, q, fq, op, mm, s, tagged_fq, base)
+                .filter(c.isNotNull() & (c >= start) & (c < end))
                 .groupBy(bucket.alias("__b"))
                 .agg(F.count("*").alias("count"), *aggs)
                 .collect()

@@ -140,6 +140,33 @@ _FACET_INTERVAL_RE = re.compile(
     r"^(?:facet\.interval|f\.[^.]+\.facet\.interval\.set)$"
 )
 
+# Solr multi-select faceting: fq may be tagged ({!tag=a,b}<filter>) and a
+# facet.field entry may exclude tagged filters ({!ex=a[,b]}field, optional
+# key= rename) -- the facet then counts the DocSet WITHOUT those filters
+# while docs/numFound keep them (the canonical faceted-navigation pattern)
+_TAG_RE = re.compile(r"^\{!tag=([\w,]+)\}(.*)$", re.S)
+_EX_RE = re.compile(r"^\{!ex=([\w,]+)(?:\s+key=(\w+))?\}(.+)$")
+
+
+def _split_tagged_fq(raw: list) -> list[tuple[frozenset, Any]]:
+    """fq entries -> (tags, filter) pairs. Only the plain-tag prefix form
+    ``{!tag=x}<filter>`` is recognized (a tag inside another qparser's
+    local params is unsupported -- fail loud there, not silently wrong)."""
+    out = []
+    for f in raw:
+        m = _TAG_RE.match(str(f).strip()) if isinstance(f, str) else None
+        if m is not None:
+            rest = m.group(2).strip()
+            if rest.startswith("{!"):
+                raise ValueError(
+                    f"{{!tag=}} cannot wrap another qparser: {f!r} "
+                    f"(tag plain filters only)"
+                )
+            out.append((frozenset(m.group(1).split(",")), rest))
+        else:
+            out.append((frozenset(), f))
+    return out
+
 
 def _as_list(v) -> list:
     if v is None:
@@ -262,7 +289,15 @@ def solr_select(
     q = str(params.get("q", "*:*"))
     op = str(params.get("q.op", "OR")).upper()
     mm = params.get("mm")
-    fq = _as_list(params.get("fq")) or None
+    fq_tagged = _split_tagged_fq(_as_list(params.get("fq")))
+    fq = [f for _, f in fq_tagged] or None
+
+    def _fq_excluding(ex_tags: frozenset):
+        """The fq list without filters carrying any excluded tag -- the
+        multi-select facet domain (each variant is its own filterCache
+        entry, so repeated requests pay nothing extra)."""
+        kept = [f for tags, f in fq_tagged if not (tags & ex_tags)]
+        return kept or None
     start = int(params.get("start", 0))
     rows = int(params.get("rows", 10))
     fl = params.get("fl")
@@ -589,12 +624,20 @@ def solr_select(
 
         ff: dict[str, list] = {}
         for field in _as_list(params.get("facet.field")):
+            # {!ex=tag[,tag]}field (optional key=): multi-select exclusion
+            # -- this facet counts the DocSet WITHOUT the tagged filters
+            label, facet_fq = str(field), fq
+            exm = _EX_RE.match(str(field).strip())
+            if exm is not None:
+                field = exm.group(3)
+                label = exm.group(2) or field
+                facet_fq = _fq_excluding(frozenset(exm.group(1).split(",")))
             limit = int(_fparam(field, "limit", 100))  # Solr default
             sort = _fparam(field, "sort", None)
             # ordered + sliced INSIDE the plan: `limit` buckets reach the
             # driver, never a high-cardinality field's bucket universe
             counts = idx.facet(
-                q, field, fq=fq, op=op, mm=mm,
+                q, field, fq=facet_fq, op=op, mm=mm,
                 prefix=_fparam(field, "prefix", None),
                 mincount=int(_fparam(field, "mincount", 0)),
                 limit=limit, offset=int(_fparam(field, "offset", 0)),
@@ -613,9 +656,11 @@ def solr_select(
                 # keyed null, outside the bucket limit/sort
                 flat.extend([
                     None,
-                    idx.facet_missing_count(q, field, fq=fq, op=op, mm=mm),
+                    idx.facet_missing_count(
+                        q, field, fq=facet_fq, op=op, mm=mm
+                    ),
                 ])
-            ff[field] = flat
+            ff[label] = flat
         resp["facet_counts"] = {"facet_fields": ff}
 
         fintervals: dict[str, dict] = {}
@@ -708,7 +753,9 @@ def solr_select(
         from .json_facet import json_facet
 
         spec = _json.loads(jf) if isinstance(jf, str) else dict(jf)
-        resp["facets"] = json_facet(idx, q, spec, fq=fq, op=op, mm=mm)
+        resp["facets"] = json_facet(
+            idx, q, spec, fq=fq, op=op, mm=mm, tagged_fq=fq_tagged
+        )
 
     if _truthy(params.get("hl", False)) and not match_all:
         fragsize = params.get("hl.fragsize")

@@ -199,3 +199,59 @@ def test_fail_loud(corpus):
         solr_select(idx, {"q": "error", "group": "true",
                           "group.field": "conv_id",
                           "json.facet": {"n": "sum(dl)"}})
+
+
+def test_multiselect_tag_ex_and_domain(corpus):
+    """Classic multi-select faceting: fq={!tag=r}role filter narrows docs,
+    but the {!ex=r} facet / domain.excludeTags json facet count ALL
+    roles."""
+    idx = corpus
+    rows_all = _rows(idx, "error")
+    by_role: dict = {}
+    for r in rows_all:
+        by_role[r["role"]] = by_role.get(r["role"], 0) + 1
+
+    resp = solr_select(idx, {
+        "q": "error", "rows": 0, "fq": "{!tag=r}role = 'user'",
+        "facet": "true", "facet.field": "{!ex=r}role",
+        "json.facet": {
+            "roles_all": {"type": "terms", "field": "role",
+                          "domain": {"excludeTags": ["r"]}},
+            "roles_sel": {"type": "terms", "field": "role"},
+        },
+    })
+    # docs/numFound keep the filter
+    n_user = by_role.get("user", 0)
+    assert resp["response"]["numFound"] == n_user
+    # flat facet with {!ex=r}: counts over ALL roles
+    flat = resp["facet_counts"]["facet_fields"]["role"]
+    got = dict(zip(flat[::2], flat[1::2]))
+    assert got == by_role
+    # json.facet with domain.excludeTags: same; without: filtered
+    jf_all = {b["val"]: b["count"]
+              for b in resp["facets"]["roles_all"]["buckets"]}
+    assert jf_all == by_role
+    jf_sel = {b["val"]: b["count"]
+              for b in resp["facets"]["roles_sel"]["buckets"]}
+    assert jf_sel == {"user": n_user}
+
+
+def test_multiselect_validation(corpus):
+    idx = corpus
+    with pytest.raises(ValueError):  # tag cannot wrap another qparser
+        solr_select(idx, {"q": "error",
+                          "fq": "{!tag=a}{!frange l=0}turn_idx"})
+    with pytest.raises(ValueError):  # unknown domain key
+        json_facet(idx, "error", {"t": {
+            "type": "terms", "field": "role",
+            "domain": {"filter": "x"}}})
+    with pytest.raises(ValueError):  # domain without tagged fq
+        json_facet(idx, "error", {"t": {
+            "type": "terms", "field": "role",
+            "domain": {"excludeTags": ["r"]}}})
+    with pytest.raises(ValueError):  # nested domain fails loud
+        json_facet(idx, "error", {"a": {
+            "type": "terms", "field": "role",
+            "facet": {"b": {"type": "terms", "field": "turn_idx",
+                            "domain": {"excludeTags": ["r"]}}}}},
+            tagged_fq=[(frozenset(["r"]), "role = 'user'")])
