@@ -120,7 +120,7 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "hl.fragsize", "hl.snippets", "hl.tag.pre", "hl.tag.post",
              "hl.simple.pre", "hl.simple.post", "spellcheck",
              "spellcheck.q", "spellcheck.collate", "wt", "indent",
-             "useParams", "minExactCount",
+             "useParams", "minExactCount", "omitHeader", "echoParams",
              "cursorMark", "mm", "debugQuery", "bf", "bq", "boost",
              "elevateIds", "excludeIds", "facet.interval", "rq", "rqq",
              "group", "group.field", "group.limit", "group.ngroups",
@@ -698,14 +698,49 @@ def solr_select(
 
         fr: dict[str, dict] = {}
         for field in _as_list(params.get("facet.range")):
-            def _p(name, f=field):  # f.<field>.facet.range.X beats global
+            is_date = dict(idx.docs().dtypes).get(field, "").startswith(
+                "timestamp"
+            )
+
+            def _p(name, f=field, date=is_date):
+                # f.<field>.facet.range.X beats global (Solr override rule)
                 v = params.get(f"f.{f}.facet.range.{name}",
                                params.get(f"facet.range.{name}"))
                 if v is None:
                     raise ValueError(
                         f"facet.range={f} needs facet.range.{name}"
                     )
-                return float(v)
+                if not date:
+                    return float(v)
+                # DATE range facet: ISO start/end, DateMath gap. Only
+                # fixed-width units (SECOND/MINUTE/HOUR/DAY) -- +1MONTH
+                # is variable-width and fails loud rather than drifting.
+                if name == "gap":
+                    m = re.match(r"^\+(\d+)(SECOND|MINUTE|HOUR|DAY)S?$",
+                                 str(v))
+                    if m is None:
+                        raise ValueError(
+                            f"date facet.range.gap must be +N(SECOND|MINUTE"
+                            f"|HOUR|DAY)S, got {v!r}"
+                        )
+                    mult = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                            "DAY": 86400}[m.group(2)]
+                    return float(m.group(1)) * mult
+                import datetime as _dt
+
+                return _dt.datetime.fromisoformat(
+                    str(v).replace("Z", "+00:00")
+                ).timestamp()
+
+            def _label(sec, date=is_date):
+                if not date:
+                    return _num(sec)
+                import datetime as _dt
+
+                return _dt.datetime.fromtimestamp(
+                    sec, _dt.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
             lo, hi, gap = _p("start"), _p("end"), _p("gap")
             # keys rounded to 9 places: the engine computes bucket starts as
             # start + floor(..)*gap in double math; i*gap here must land on
@@ -720,11 +755,14 @@ def solr_select(
             i = 0
             while lo + i * gap < hi:  # Solr emits EVERY bucket, zeros included
                 b = lo + i * gap
-                flat.extend([_num(b), got.get(round(b, 9), 0)])
+                flat.extend([_label(b), got.get(round(b, 9), 0)])
                 i += 1
             fr[field] = {
-                "counts": flat, "gap": _num(gap),
-                "start": _num(lo), "end": _num(lo + i * gap),
+                "counts": flat,
+                "gap": (params.get(f"f.{field}.facet.range.gap",
+                                   params.get("facet.range.gap"))
+                        if is_date else _num(gap)),
+                "start": _label(lo), "end": _label(lo + i * gap),
             }
             other = params.get(f"f.{field}.facet.range.other",
                                params.get("facet.range.other", "none"))
@@ -875,6 +913,14 @@ def solr_select(
                     ],
                 },
             ]
+    # response-writer params (Solr common query params)
+    echo = str(params.get("echoParams", "explicit")).lower()
+    if echo not in ("explicit", "all", "none"):
+        raise ValueError(f"echoParams must be explicit|all|none: {echo!r}")
+    if echo == "none":
+        resp["responseHeader"].pop("params", None)
+    if _truthy(params.get("omitHeader", False)):
+        resp.pop("responseHeader", None)
     return resp
 
 

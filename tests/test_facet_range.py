@@ -115,3 +115,55 @@ def test_select_facet_range_missing_param(corpus):
             "q": "*:*", "facet": "true", "facet.range": "dl",
             "facet.range.start": 0, "facet.range.end": 100,
         })
+
+
+def test_date_range_facet(corpus):
+    """facet.range on a timestamp field with a DateMath gap: ISO bucket
+    labels, fixed-width units only, brute-force verified."""
+    import datetime as dt
+
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    _, idx = corpus
+    rows = idx.docs().select("doc_id", "ts").collect()
+    matched = {r["doc_id"] for r in idx.score_matches("error").collect()}
+    ts = sorted(r["ts"] for r in rows if r["doc_id"] in matched)
+    lo = ts[0].replace(minute=0, second=0, microsecond=0)
+    hi = lo + dt.timedelta(hours=4)
+    fmt = "%Y-%m-%dT%H:%M:%SZ"
+    resp = solr_select(idx, {
+        "q": "error", "rows": 0, "facet": "true", "facet.range": "ts",
+        "facet.range.start": lo.strftime(fmt),
+        "facet.range.end": hi.strftime(fmt),
+        "facet.range.gap": "+1HOUR",
+    })
+    ent = resp["facet_counts"]["facet_ranges"]["ts"]
+    assert ent["gap"] == "+1HOUR" and ent["start"] == lo.strftime(fmt)
+    counts = dict(zip(ent["counts"][::2], ent["counts"][1::2]))
+    assert len(counts) == 4
+    for i in range(4):
+        b = lo + dt.timedelta(hours=i)
+        want = sum(
+            1 for r in rows if r["doc_id"] in matched
+            and b <= r["ts"].replace(tzinfo=None) < b + dt.timedelta(hours=1)
+        )
+        assert counts[b.strftime(fmt)] == want
+    with pytest.raises(ValueError):
+        solr_select(idx, {
+            "q": "error", "rows": 0, "facet": "true", "facet.range": "ts",
+            "facet.range.start": lo.strftime(fmt),
+            "facet.range.end": hi.strftime(fmt),
+            "facet.range.gap": "+1MONTH",  # variable width: fail loud
+        })
+
+
+def test_omit_header_echo_params(corpus):
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    _, idx = corpus
+    r = solr_select(idx, {"q": "error", "rows": 1, "omitHeader": "true"})
+    assert "responseHeader" not in r and r["response"]["docs"]
+    r2 = solr_select(idx, {"q": "error", "rows": 1, "echoParams": "none"})
+    assert "params" not in r2["responseHeader"]
+    with pytest.raises(ValueError):
+        solr_select(idx, {"q": "error", "echoParams": "bogus"})
