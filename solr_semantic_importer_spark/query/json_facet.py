@@ -25,7 +25,8 @@ domain (never a job per bucket):
 - **range facets**: ``{type: range, field, start, end, gap, facet:
   {stats}}`` -- half-open ``[lo, hi)`` buckets derived in-plan
   (``floor((x-start)/gap)``), zero buckets filled driver-side (Solr range
-  default mincount 0).
+  default mincount 0). A range facet may also nest UNDER a terms facet
+  (one groupBy over (parent, bucket), parents x n_buckets rows out).
 
 Unsupported spec keys (domain/refine/overrequest/percentile/hll...) raise
 ValueError -- the facade's fail-loud contract. Response shape matches
@@ -116,9 +117,13 @@ def _split_subspecs(idx, sub: dict) -> tuple[list, dict, dict]:
         elif isinstance(s, dict) and s.get("type") == "terms":
             terms[name] = s
         elif isinstance(s, dict) and s.get("type") == "range":
-            raise ValueError(
-                f"nested range facet {name!r} unsupported (top level only)"
-            )
+            bad = set(s) - _RANGE_KEYS
+            if bad or s.get("facet") or s.get("domain"):
+                raise ValueError(
+                    f"nested range facet {name!r}: only field/start/end/gap "
+                    f"supported, got {sorted(bad) or 'nested facet/domain'}"
+                )
+            ranges[name] = s
         else:
             raise ValueError(f"unsupported json.facet entry {name!r}: {s!r}")
     return aggs, terms, ranges
@@ -170,7 +175,7 @@ def _terms_facet(
     named = _split_subspecs(idx, sub)
     aggs = [c for _, c in named[0]]
     stat_names = [n for n, _ in named[0]]
-    subterms = named[1]
+    subterms, subranges = named[1], named[2]
     key, direction = _sort_key(spec.get("sort"), stat_names)
 
     lvl = base.filter(F.col(field).isNotNull())
@@ -230,13 +235,18 @@ def _terms_facet(
 
     # nested terms: one job per child node, parents = this node's survivors
     child_results: dict[str, dict[tuple, list[dict]]] = {}
-    if subterms and rows:
+    range_results: dict[str, dict[tuple, list[dict]]] = {}
+    if (subterms or subranges) and rows:
         surv = idx.spark.createDataFrame(
             [[r[f] for f in prefix] + [r[field]] for r in rows],
             prefix + [field],
         )
         for cname, cspec in subterms.items():
             child_results[cname] = _terms_facet(
+                idx, base, cspec, prefix + [field], surv
+            )
+        for cname, cspec in subranges.items():
+            range_results[cname] = _range_facet_grouped(
                 idx, base, cspec, prefix + [field], surv
             )
 
@@ -251,8 +261,52 @@ def _terms_facet(
                 b[cname] = {
                     "buckets": cres.get(path + (r[field],), []),
                 }
+            for cname, cres in range_results.items():
+                b[cname] = {
+                    "buckets": cres.get(path + (r[field],), []),
+                }
             buckets.append(b)
         out[path] = buckets
+    return out
+
+
+def _range_facet_grouped(
+    idx, base: DataFrame, spec: dict, prefix: list[str],
+    parents: DataFrame,
+) -> dict[tuple, list[dict]]:
+    """A range facet NESTED under a terms facet: ONE groupBy over
+    (parent path, derived bucket) semi-joined to the surviving parents,
+    zero buckets filled per parent driver-side (bounded: parents x
+    n_buckets rows, a response-sized constant)."""
+    field = spec["field"]
+    start, end, gap = (float(spec["start"]), float(spec["end"]),
+                       float(spec["gap"]))
+    if gap <= 0 or end <= start:
+        raise ValueError("range facet needs gap > 0 and end > start")
+    c = F.col(field)
+    bucket = F.floor((c - start) / gap).cast("long")
+    rows = (
+        base.join(F.broadcast(parents), prefix, "left_semi")
+        .filter(c.isNotNull() & (c >= start) & (c < end))
+        .groupBy(*prefix, bucket.alias("__b"))
+        .agg(F.count("*").alias("count"))
+        .collect()
+    )
+    got: dict[tuple, dict[int, int]] = {}
+    for r in rows:
+        got.setdefault(tuple(r[f] for f in prefix), {})[int(r["__b"])] = \
+            int(r["count"])
+    n_buckets = int(-(-(end - start) // gap))
+    out: dict[tuple, list[dict]] = {}
+    for p in [tuple(r[f] for f in prefix) for r in parents.collect()]:
+        buckets = []
+        for i in range(n_buckets):
+            lo = start + i * gap
+            val = int(lo) if float(lo).is_integer() else lo
+            buckets.append(
+                {"val": val, "count": got.get(p, {}).get(i, 0)}
+            )
+        out[p] = buckets
     return out
 
 
@@ -376,10 +430,10 @@ def json_facet(
                 F.expr(_filter_sql(idx, s["q"]))
             )
             sub = s.get("facet", {}) or {}
-            named, subterms, _ = _split_subspecs(idx, sub)
-            if subterms:
+            named, subterms, subranges = _split_subspecs(idx, sub)
+            if subterms or subranges:
                 raise ValueError(
-                    "terms facets nested under a query facet are unsupported"
+                    "bucket facets nested under a query facet are unsupported"
                 )
             aggs = [c for _, c in named]
             stat_names = [n for n, _ in named]
@@ -396,10 +450,10 @@ def json_facet(
             if gap <= 0 or end <= start:
                 raise ValueError("range facet needs gap > 0 and end > start")
             sub = s.get("facet", {}) or {}
-            named, subterms, _ = _split_subspecs(idx, sub)
-            if subterms:
+            named, subterms, subranges = _split_subspecs(idx, sub)
+            if subterms or subranges:
                 raise ValueError(
-                    "terms facets nested under a range facet are unsupported"
+                    "bucket facets nested under a range facet are unsupported"
                 )
             aggs = [c for _, c in named]
             stat_names = [n for n, _ in named]

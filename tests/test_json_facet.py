@@ -255,3 +255,29 @@ def test_multiselect_validation(corpus):
             "facet": {"b": {"type": "terms", "field": "turn_idx",
                             "domain": {"excludeTags": ["r"]}}}}},
             tagged_fq=[(frozenset(["r"]), "role = 'user'")])
+
+
+def test_nested_range_under_terms(corpus):
+    idx = corpus
+    got = json_facet(idx, "error", {
+        "by_role": {"type": "terms", "field": "role", "limit": 2,
+                    "facet": {"by_dl": {"type": "range", "field": "dl",
+                                        "start": 0, "end": 120, "gap": 60}}},
+    })
+    rows = _rows(idx, "error")
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["role"], []).append(r)
+    top2 = sorted(groups.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:2]
+    for b, (v, g) in zip(got["by_role"]["buckets"], top2):
+        bks = b["by_dl"]["buckets"]
+        assert [x["val"] for x in bks] == [0, 60]
+        for x, lo in zip(bks, (0, 60)):
+            assert x["count"] == sum(1 for r in g if lo <= r["dl"] < lo + 60)
+    with pytest.raises(ValueError):  # range under range still fails loud
+        json_facet(idx, "error", {
+            "a": {"type": "range", "field": "dl", "start": 0, "end": 10,
+                  "gap": 5,
+                  "facet": {"b": {"type": "range", "field": "turn_idx",
+                                  "start": 0, "end": 5, "gap": 1}}},
+        })
