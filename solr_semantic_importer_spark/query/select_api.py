@@ -32,7 +32,9 @@ components its solrconfig enables):
   ``score`` is returned only when requested (Solr semantics); default =
   all stored fields; an entry may be a FUNCTION pseudo-field
   (``fl=dist:geodist(loc,10,-20)`` or a bare function) computed for the
-  page's docs in one isin-pruned job
+  page's docs in one isin-pruned job, or the ``[explain]`` doc
+  transformer (per-doc BM25 breakdown whose total equals the score
+  exactly)
 - ``sort`` — ``score desc`` (default) or comma-separated ``<field>
   asc|desc`` terms, Solr's multi-field syntax (match-all scans sort the
   live filtered table; scored queries sort the full match set, Solr's
@@ -307,9 +309,13 @@ def solr_select(
     # fetch by the source name, rename in the response docs below
     renames: dict[str, str] = {}
     func_fl: dict[str, str] = {}  # alias -> function query (Solr fl=f:func())
+    want_explain = False  # fl=[explain] doc transformer
     if fl:
         norm = []
         for f in fl:
+            if f == "[explain]":
+                want_explain = True
+                continue
             if ":" in f:
                 alias, src = f.split(":", 1)
                 if looks_like_function(src):
@@ -322,7 +328,9 @@ def solr_select(
                 continue
             else:
                 norm.append(f)
-        if func_fl and not [f for f in norm if f != "score"]:
+        if (func_fl or want_explain) and not [
+            f for f in norm if f != "score"
+        ]:
             norm.append("doc_id")  # pseudo-fields (+score) only: key by id
         fl = norm
     want_score = bool(fl) and "score" in fl
@@ -574,6 +582,28 @@ def solr_select(
             for r in page.collect()
         ]
 
+    expl: dict[int, str] = {}
+    if want_explain and rows_out:
+        # fl=[explain] doc transformer: the per-term BM25 breakdown for
+        # the page's docs, formatted Lucene-style (sum of contributions =
+        # the doc's score exactly). Structured/match-all q fail loud in
+        # idx.explain, matching debugQuery's contract.
+        if match_all:
+            raise ValueError("fl=[explain] needs a scored q (not *:*)")
+        by_doc: dict[int, list] = {}
+        for r in idx.explain(q, [x["doc_id"] for x in rows_out]).collect():
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, terms_ in by_doc.items():
+            terms_.sort(key=lambda r: -r["contribution"])
+            total = sum(r["contribution"] for r in terms_)
+            lines = [f"{total} = sum of:"]
+            for r in terms_:
+                lines.append(
+                    f"  {r['contribution']} = weight(_text_:{r['term']}) "
+                    f"[tf={r['tf']}, dl={r['dl']}, weight={r['weight']}]"
+                )
+            expl[i] = "\n".join(lines)
+
     fvals: dict[int, dict] = {}
     if func_fl and rows_out:
         # fl function pseudo-fields: ONE isin-pruned job computes every
@@ -598,6 +628,8 @@ def solr_select(
             fv = fvals.get(d.get("doc_id"), {})
             for alias in func_fl:
                 d[alias] = fv.get(alias)
+        if want_explain:
+            d["[explain]"] = expl.get(d.get("doc_id"), "")
         docs.append(d)
 
     resp: dict[str, Any] = {

@@ -73,3 +73,20 @@ def test_select_debug_query(corpus):
         e = dbg[str(d["doc_id"])]
         assert abs(e["score"] - d["score"]) < 1e-9
         assert {x["term"] for x in e["details"]} <= {"error", "tool"}
+
+
+def test_fl_explain_transformer(corpus):
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    idx = corpus if not isinstance(corpus, tuple) else corpus[1]
+    resp = solr_select(idx, {
+        "q": "error tool", "rows": 3, "fl": "doc_id,score,[explain]",
+    })
+    for d in resp["response"]["docs"]:
+        text = d["[explain]"]
+        assert text.endswith("sum of:") or "sum of:" in text
+        # the explain total reproduces the doc's reported score exactly
+        total = float(text.split(" = sum of:")[0])
+        assert total == pytest.approx(d["score"], rel=1e-12)
+    with pytest.raises(ValueError):
+        solr_select(idx, {"q": "*:*", "fl": "doc_id,[explain]"})
