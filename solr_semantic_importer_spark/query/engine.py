@@ -1927,6 +1927,75 @@ class BM25Index:
             .limit(n)
         )
 
+    def break_suggestions(
+        self,
+        term: str,
+        n: int = 5,
+        min_break_length: int = 1,
+        min_suggestion_freq: int = 1,
+    ) -> list[dict]:
+        """WordBreakSolrSpellChecker ``breakWords=true`` (the reference's
+        second /spell dictionary, solrconfig.xml:715-722; Lucene
+        WordBreakSpellChecker.suggestWordBreaks with maxChanges=1): split a
+        token that is absent from the dictionary into two dictionary words
+        ("errorin" -> "error in").
+
+        Every split point's two parts are resolved in ONE batched ``_dfs``
+        lookup (pruned dictionary scan / cached map -- no per-split jobs), so
+        a k-char token costs one lookup of <= 2(k-1) terms regardless of
+        dictionary size. Ranked by summed part-df desc (Lucene's
+        NUM_CHANGES_THEN_SUMMED_FREQUENCY with the change count constant at
+        1); ``freq`` is that ranking sum. Returns a small driver-side list
+        (suggestion fan-out is bounded by the token length, never by corpus
+        size)."""
+        t = term.lower()
+        cuts = range(min_break_length, len(t) - min_break_length + 1)
+        parts = list(dict.fromkeys(p for i in cuts for p in (t[:i], t[i:])))
+        if not parts:
+            return []
+        dfs = self._dfs(parts)
+        out = [
+            {"word": f"{t[:i]} {t[i:]}", "freq": dfs[t[:i]] + dfs[t[i:]]}
+            for i in cuts
+            if dfs.get(t[:i], 0) >= min_suggestion_freq
+            and dfs.get(t[i:], 0) >= min_suggestion_freq
+        ]
+        out.sort(key=lambda s: (-s["freq"], s["word"]))
+        return out[:n]
+
+    def combine_suggestions(
+        self,
+        tokens: list[str],
+        n: int = 5,
+        min_suggestion_freq: int = 1,
+    ) -> list[dict]:
+        """WordBreakSolrSpellChecker ``combineWords=true`` (solrconfig.xml
+        :715-722; Lucene WordBreakSpellChecker.suggestWordCombinations):
+        adjacent query tokens whose concatenation is a dictionary word
+        ("topi c42" -> "topic42"). Only pairs where at least one side is
+        itself absent from the dictionary combine -- two correctly-spelled
+        words stay two words (the checker corrects misspellings, it does not
+        merge valid text).
+
+        All pair concatenations AND the pair members resolve in one batched
+        ``_dfs`` lookup. Returns [{"tokens": (t1, t2), "word", "freq"}]
+        ranked by combined-word df desc."""
+        pairs = [(tokens[i], tokens[i + 1]) for i in range(len(tokens) - 1)]
+        if not pairs:
+            return []
+        lookups = list(dict.fromkeys(
+            [a + b for a, b in pairs] + [p for pair in pairs for p in pair]
+        ))
+        dfs = self._dfs(lookups)
+        out = [
+            {"tokens": (a, b), "word": a + b, "freq": dfs[a + b]}
+            for a, b in pairs
+            if dfs.get(a + b, 0) >= min_suggestion_freq
+            and (dfs.get(a, 0) == 0 or dfs.get(b, 0) == 0)
+        ]
+        out.sort(key=lambda s: (-s["freq"], s["word"]))
+        return out[:n]
+
     def highlight(
         self,
         query: str,

@@ -69,8 +69,16 @@ components its solrconfig enables):
   non-overlapping fragments) → ``highlighting`` map keyed by doc id
 - ``spellcheck=true&spellcheck.q=words...`` → per-token
   ``spellcheck.suggestions`` (flat [token, {...}] list) +
-  ``correctlySpelled``; ``spellcheck.collate=true`` adds ``collations``
-  (top suggestion per misspelled token, hits verified under op/fq/mm)
+  ``correctlySpelled``; the reference /spell handler's full param set is
+  honored (solrconfig.xml:738-758): ``spellcheck.count``,
+  ``spellcheck.extendedResults`` (word/freq dicts + origFreq vs plain
+  word lists), ``spellcheck.alternativeTermCount`` (suggestions for
+  in-index terms), ``spellcheck.maxResultsForSuggest``,
+  ``spellcheck.dictionary=default,wordbreak`` (WordBreakSolrSpellChecker:
+  breakWords + combineWords), ``spellcheck.collate`` +
+  ``spellcheck.maxCollations``/``maxCollationTries`` (rank-ordered
+  candidate collations, hit-verified under op/fq/mm when tries > 0) /
+  ``collateExtendedResults``
 - ``facet.interval=F`` + ``f.F.facet.interval.set=[a,b]`` (repeatable;
   ``[a,b]``/``(a,b)``/``*`` bounds) — interval facets, all sets counted in
   ONE conditional-aggregate job → ``facet_counts.facet_intervals``
@@ -103,6 +111,7 @@ stored fetch); only the ≤``rows`` result page is ever collected.
 
 from __future__ import annotations
 
+import heapq
 import re
 import time
 from typing import Any, Iterator
@@ -121,7 +130,11 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "tv", "tv.positions", "tv.df", "tv.tf_idf", "hl",
              "hl.fragsize", "hl.snippets", "hl.tag.pre", "hl.tag.post",
              "hl.simple.pre", "hl.simple.post", "spellcheck",
-             "spellcheck.q", "spellcheck.collate", "wt", "indent",
+             "spellcheck.q", "spellcheck.collate", "spellcheck.count",
+             "spellcheck.extendedResults", "spellcheck.alternativeTermCount",
+             "spellcheck.maxResultsForSuggest", "spellcheck.dictionary",
+             "spellcheck.collateExtendedResults", "spellcheck.maxCollations",
+             "spellcheck.maxCollationTries", "wt", "indent",
              "useParams", "minExactCount", "omitHeader", "echoParams",
              "cursorMark", "mm", "debugQuery", "bf", "bq", "boost",
              "elevateIds", "excludeIds", "facet.interval", "rq", "rqq",
@@ -896,55 +909,9 @@ def solr_select(
         resp["debug"] = {"explain": explain, "QParser": "LuceneQParser"}
 
     if _truthy(params.get("spellcheck", False)):
-        # Solr SpellCheckComponent: spellcheck.q is analyzed per-token, each
-        # token needing correction gets its own suggestions entry (flat
-        # [token, {...}, token, {...}] list). suggest() itself applies the
-        # DirectSolrSpellChecker gates (minQueryLength, maxQueryFrequency),
-        # so common / too-short tokens never produce suggestions -- Solr's
-        # "only terms the corpus considers rare get corrected".
-        sq = str(params.get("spellcheck.q", q))
-        tokens = list(dict.fromkeys(
-            t for surface in sq.split() for t in idx.analyze_query(surface)
-        ))
-        dfs = idx._dfs(tokens)
-        flat: list = []
-        corrections: dict[str, str] = {}
-        for t in tokens:
-            sug = idx.suggest(t).collect()
-            if not sug:
-                continue
-            flat.extend([
-                t,
-                {
-                    "numFound": len(sug),
-                    "suggestion": [
-                        {"word": r["term"], "freq": int(r["df"])} for r in sug
-                    ],
-                },
-            ])
-            corrections[t] = sug[0]["term"]
-        resp["spellcheck"] = {
-            "suggestions": flat,
-            # Solr: false as soon as any query token is absent from the
-            # index (freq 0), regardless of whether suggestions were found
-            "correctlySpelled": all(dfs.get(t, 0) > 0 for t in tokens),
-        }
-        if _truthy(params.get("spellcheck.collate", False)) and corrections:
-            # collation = the query with each misspelled token replaced by
-            # its top suggestion; hits verified against the index under the
-            # request's own op/fq/mm (Solr collation verification)
-            collation = " ".join(corrections.get(t, t) for t in tokens)
-            resp["spellcheck"]["collations"] = [
-                "collation",
-                {
-                    "collationQuery": collation,
-                    "hits": idx.count_matches(collation, op=op, fq=fq, mm=mm),
-                    "misspellingsAndCorrections": [
-                        x for t in tokens if t in corrections
-                        for x in (t, corrections[t])
-                    ],
-                },
-            ]
+        resp["spellcheck"] = _spellcheck_section(
+            idx, params, q, resp["response"]["numFound"], op=op, fq=fq, mm=mm
+        )
     # response-writer params (Solr common query params)
     echo = str(params.get("echoParams", "explicit")).lower()
     if echo not in ("explicit", "all", "none"):
@@ -954,6 +921,167 @@ def solr_select(
     if _truthy(params.get("omitHeader", False)):
         resp.pop("responseHeader", None)
     return resp
+
+
+def _spellcheck_section(
+    idx: BM25Index,
+    params: dict,
+    q: str,
+    num_found: int,
+    *,
+    op: str,
+    fq,
+    mm,
+) -> dict:
+    """SpellCheckComponent response section with the reference /spell
+    handler's configured params (solrconfig.xml:680-758).
+
+    ``spellcheck.q`` is analyzed per-token; each token needing correction
+    gets a suggestions entry (Solr's flat [token, {...}] list). SuggestMode
+    parity with DirectSolrSpellChecker: tokens ABSENT from the index get up
+    to ``spellcheck.count`` suggestions (SUGGEST_WHEN_NOT_IN_INDEX); tokens
+    present in the index get suggestions only when
+    ``spellcheck.alternativeTermCount`` > 0 (SUGGEST_ALWAYS with that
+    count), and ``suggest()`` still applies the maxQueryFrequency gate so
+    common terms are never "corrected". A
+    ``spellcheck.maxResultsForSuggest`` below the main query's numFound
+    disables correction for the request (Solr: the query matched plenty,
+    report correctlySpelled=true with no suggestions).
+
+    ``spellcheck.dictionary`` (comma list, default "default") adds the
+    solrconfig's second checker: ``wordbreak`` = WordBreakSolrSpellChecker
+    (combineWords=true, breakWords=true). Break suggestions ("errorin" ->
+    "error in") append to the token's entry after the direct ones; combine
+    suggestions span two tokens and appear as entries keyed by the original
+    pair ("topi c42" -> suggestion "topic42"), Solr's multi-token span
+    shape. Pair entries are response-only: collations substitute per-token
+    options (break suggestions participate via their token; combined words
+    would need span-aware substitution, documented out).
+
+    ``spellcheck.collate``: candidate collations are enumerated lazily in
+    suggestion-rank order (a heap over per-token option indices -- the
+    rank-0 combination first, never materializing the cross product). With
+    ``maxCollationTries`` > 0 each candidate is verified with one
+    ``count_matches`` under the request's own op/fq/mm and zero-hit
+    candidates drop (Solr collation verification, at most `tries`
+    verifications); with tries=0 the top combination is returned unverified
+    (Solr's default). Up to ``maxCollations`` survive.
+    ``collateExtendedResults`` switches the entry from the bare collation
+    string to {collationQuery, hits, misspellingsAndCorrections}; extended
+    hits are verified on demand when tries=0."""
+    sq = str(params.get("spellcheck.q", q))
+    count = int(params.get("spellcheck.count", 10))
+    alt_count = int(params.get("spellcheck.alternativeTermCount", 0))
+    extended = _truthy(params.get("spellcheck.extendedResults", False))
+    dicts = [d.strip() for d in
+             str(params.get("spellcheck.dictionary", "default")).split(",")
+             if d.strip()]
+    unknown = set(dicts) - {"default", "wordbreak"}
+    if unknown:
+        raise ValueError(
+            f"unknown spellcheck.dictionary {sorted(unknown)} "
+            "(supported: default, wordbreak)"
+        )
+    tokens = list(dict.fromkeys(
+        t for surface in sq.split() for t in idx.analyze_query(surface)
+    ))
+    dfs = idx._dfs(tokens)
+    max_res = params.get("spellcheck.maxResultsForSuggest")
+    gate_open = max_res is None or num_found <= int(max_res)
+
+    # entry key -> ranked (word, freq) options; token keys feed collations,
+    # pair keys (combineWords spans) are response-only
+    options: dict[str, list[tuple[str, int]]] = {}
+    if gate_open:
+        for t in tokens:
+            sugs: list[tuple[str, int]] = []
+            if "default" in dicts:
+                n_sug = count if dfs.get(t, 0) == 0 else alt_count
+                if n_sug > 0:
+                    sugs += [(r["term"], int(r["df"]))
+                             for r in idx.suggest(t, n=n_sug).collect()]
+            if "wordbreak" in dicts and dfs.get(t, 0) == 0:
+                seen = {w for w, _ in sugs}
+                sugs += [(s["word"], int(s["freq"]))
+                         for s in idx.break_suggestions(t, n=count)
+                         if s["word"] not in seen]
+            if sugs:
+                options[t] = sugs[:count]
+        if "wordbreak" in dicts:
+            for s in idx.combine_suggestions(tokens, n=count):
+                key = " ".join(s["tokens"])
+                options.setdefault(key, []).append(
+                    (s["word"], int(s["freq"]))
+                )
+
+    flat: list = []
+    for key, sugs in options.items():
+        entry: dict = {"numFound": len(sugs)}
+        if extended:
+            entry["origFreq"] = int(dfs.get(key, 0))
+            entry["suggestion"] = [
+                {"word": w, "freq": f} for w, f in sugs
+            ]
+        else:
+            entry["suggestion"] = [w for w, _ in sugs]
+        flat += [key, entry]
+    section: dict = {
+        "suggestions": flat,
+        # Solr: false as soon as any query token is absent from the index
+        # (freq 0); a closed maxResultsForSuggest gate reports true
+        "correctlySpelled": (
+            all(dfs.get(t, 0) > 0 for t in tokens) if gate_open else True
+        ),
+    }
+
+    corrected = [t for t in tokens if t in options]
+    if _truthy(params.get("spellcheck.collate", False)) and corrected:
+        max_coll = int(params.get("spellcheck.maxCollations", 1))
+        tries = int(params.get("spellcheck.maxCollationTries", 0))
+        coll_ext = _truthy(
+            params.get("spellcheck.collateExtendedResults", False)
+        )
+        lens = [len(options[t]) for t in corrected]
+        budget = tries if tries > 0 else 1
+        start = (0,) * len(corrected)
+        heap: list[tuple[int, tuple[int, ...]]] = [(0, start)]
+        seen_c = {start}
+        flat_c: list = []
+        n_out = 0
+        while heap and budget > 0 and n_out < max_coll:
+            rank, combo = heapq.heappop(heap)
+            for p in range(len(combo)):
+                if combo[p] + 1 < lens[p]:
+                    nxt = combo[:p] + (combo[p] + 1,) + combo[p + 1:]
+                    if nxt not in seen_c:
+                        seen_c.add(nxt)
+                        heapq.heappush(heap, (rank + 1, nxt))
+            budget -= 1
+            repl = {t: options[t][i][0]
+                    for t, i in zip(corrected, combo)}
+            cq = " ".join(repl.get(t, t) for t in tokens)
+            hits: int | None = None
+            if tries > 0:
+                hits = idx.count_matches(cq, op=op, fq=fq, mm=mm)
+                if hits == 0:
+                    continue
+            n_out += 1
+            if coll_ext:
+                if hits is None:
+                    hits = idx.count_matches(cq, op=op, fq=fq, mm=mm)
+                flat_c += ["collation", {
+                    "collationQuery": cq,
+                    "hits": hits,
+                    "misspellingsAndCorrections": [
+                        x for t in tokens if t in repl
+                        for x in (t, repl[t])
+                    ],
+                }]
+            else:
+                flat_c += ["collation", cq]
+        if flat_c:
+            section["collations"] = flat_c
+    return section
 
 
 _BJ_Q_RE = re.compile(r"^\{!(?P<kind>parent|child)(?P<lp>[^}]*)\}(?P<inner>.+)$")

@@ -111,8 +111,9 @@ def test_highlight_and_spellcheck_sections(corpus):
         "q": "*:*", "rows": 0, "spellcheck": "true", "spellcheck.q": "topix42",
     })["spellcheck"]
     assert not sp["correctlySpelled"]
-    words = [s["word"] for s in sp["suggestions"][1]["suggestion"]]
-    assert "topic42" in words
+    # without spellcheck.extendedResults the suggestion list is plain words
+    words = sp["suggestions"][1]["suggestion"]
+    assert "topic42" in words and all(isinstance(w, str) for w in words)
 
 
 def test_field_sort_match_all(corpus):
@@ -284,6 +285,9 @@ def test_spellcheck_multi_term_and_collate(corpus):
     sp = solr_select(idx, {
         "q": "*:*", "rows": 0, "spellcheck": "true",
         "spellcheck.q": "errox topix42", "spellcheck.collate": "true",
+        "spellcheck.extendedResults": "true",
+        "spellcheck.collateExtendedResults": "true",
+        "spellcheck.maxCollationTries": "10",
     })["spellcheck"]
     assert not sp["correctlySpelled"]
     entries = dict(zip(sp["suggestions"][::2], sp["suggestions"][1::2]))
