@@ -3517,6 +3517,29 @@ class BM25Index:
             from ..functions.geo import geo_fq_to_sql
 
             expr = geo_fq_to_sql(fq, dict(self.docs().dtypes))
+        elif fq.lstrip().startswith("{!join"):
+            # JoinQParserPlugin: the DocSet is a semi-join, not a boolean
+            # over the scan -- its own branch with the same cache tail
+            allowed = (
+                self._join_fq_docset(fq).select("doc_id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            n_allowed = allowed.count()
+            if self.n_docs and n_allowed > self.n_docs // 2:
+                rows = (
+                    self.docs().select("doc_id")
+                    .join(allowed, "doc_id", "left_anti")
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                allowed.unpersist()
+                ent = (self._FQ_EXCLUDE, rows)
+            else:
+                ent = (self._FQ_INCLUDE, allowed)
+            self._filter_cache[fq] = ent
+            while len(self._filter_cache) > self.FILTER_CACHE_MAX:
+                _, (_, old) = self._filter_cache.popitem(last=False)
+                old.unpersist()
+            return ent
         elif looks_like_solr_fq(fq):
             expr = parse_fq(fq, dict(self.docs().dtypes))
         allowed = (
@@ -3540,6 +3563,60 @@ class BM25Index:
             _, (_, old) = self._filter_cache.popitem(last=False)
             old.unpersist()
         return ent
+
+    _JOIN_RE = re.compile(r"^\{!join\s+([^}]*)\}(.*)$", re.S)
+
+    def _join_fq_docset(self, fq: str) -> DataFrame:
+        """Solr JoinQParserPlugin (``fq={!join from=F to=T}innerQuery``):
+        keep docs whose T value appears among the F values of the inner
+        query's match set (same-collection join -- Solr's join qparser is
+        per-core too). The inner query is parsed like any ``q`` (terms,
+        phrases, boolean occur, ``field:value`` filter clauses, ``*:*``).
+
+        Distributed shape: inner DocSet -> distinct F keys (one shuffle
+        sized by the inner match count, never the corpus) -> LEFT SEMI join
+        against the docs scan on T. A selective inner query yields a small
+        key set that AQE broadcast-joins against a 10^12-doc scan; the
+        resulting DocSet is filter-cached under the original fq string like
+        any other filter, so repeated requests never re-run the join. Null
+        F values never join (SQL equality), and null-T docs land on the
+        exclude side -- Solr fq semantics require a positive match.
+        ``score=none`` only (the qparser's default; scored joins are a
+        documented non-goal)."""
+        m = self._JOIN_RE.match(fq.strip())
+        if m is None:
+            raise ValueError(f"cannot parse join qparser: {fq!r}")
+        lps = dict(p.partition("=")[::2] for p in m.group(1).split())
+        extra = set(lps) - {"from", "to", "score"}
+        if extra or not {"from", "to"} <= set(lps):
+            raise ValueError(
+                "{!join} requires from= and to= (optional score=none), "
+                f"got {sorted(lps)}"
+            )
+        if lps.get("score", "none") != "none":
+            raise ValueError("{!join} supports only score=none")
+        types = dict(self.docs().dtypes)
+        f_from, f_to = lps["from"], lps["to"]
+        for f in (f_from, f_to):
+            if f not in types:
+                raise ValueError(f"{{!join}}: unknown field {f!r}")
+        inner = m.group(2).strip()
+        if not inner:
+            raise ValueError("{!join}: empty inner query")
+        if inner == "*:*":
+            inner_docs = self._anti_dead(self.docs())
+        else:
+            inner_docs = self.docs().join(
+                self._matched_ids(inner), "doc_id", "left_semi"
+            )
+        keys = (
+            inner_docs.select(F.col(f_from).alias("__join_key"))
+            .where(F.col("__join_key").isNotNull())
+            .distinct()
+        )
+        return self.docs().join(
+            keys, F.col(f_to) == F.col("__join_key"), "left_semi"
+        )
 
     @staticmethod
     def _norm_fq(fq):
