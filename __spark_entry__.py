@@ -280,7 +280,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # match_all_paged and cursor-walk pytest; exhaustive mode rides
     # bm25_synonyms -- freeing slots for mlt/terms/stats/grouped below)
     q["bm25_topk_hot"] = _bm25("table the a", k=10)
-    q["bm25_topk_mixed"] = _bm25("merge window customer zzzunknownoov", k=10)
+    # (late-r4 gate rotation: bm25_topk_mixed out as a STANDALONE row --
+    # its unique coverage (mixed-df terms + an OOV term contributing
+    # nothing) rides join_fq_topk below unchanged, which adds the {!join}
+    # qparser DocSet on top; plain OR/WAND top-k stays gated by
+    # bm25_topk_hot)
+    q["join_fq_topk"] = _bm25(
+        "merge window customer zzzunknownoov", k=10,
+        fq="{!join from=conv_id to=conv_id}tool:tool_3",
+    )
     q["bm25_and"] = _bm25("spark window", k=10, op="AND")
     q["bm25_fq_role"] = _bm25("table scan", k=10, fq="role = 'user'")
 
@@ -971,7 +979,11 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["bm25_topk_hot"] = OSQL.bm25_topk_sql("table the a", k=10)
-    o["bm25_topk_mixed"] = OSQL.bm25_topk_sql("merge window customer zzzunknownoov", k=10)
+    # join fq = semi-join membership predicate over the ids relation
+    o["join_fq_topk"] = OSQL.bm25_topk_sql(
+        "merge window customer zzzunknownoov", k=10,
+        fq="ids.conv_id IN (SELECT conv_id FROM ids WHERE tool = 'tool_3')",
+    )
     o["bm25_and"] = OSQL.bm25_topk_sql("spark window", k=10, op="AND")
     o["bm25_fq_role"] = OSQL.bm25_topk_sql("table scan", k=10, fq="role = 'user'")
     o["func_boost_topk"] = OSQL.boosted_topk_sql("table merge", k=10)
