@@ -109,3 +109,125 @@ def parse_json_docs(json_df: DataFrame, schema, json_col: str = "doc_json") -> D
     :81). `schema` may include `_version_`; it is dropped after parse."""
     parsed = json_df.select(F.from_json(F.col(json_col), schema).alias("d")).select("d.*")
     return drop_internal_fields(parsed)
+
+
+_ATOMIC_CREATE_OPS = ("set", "add", "add-distinct", "inc")
+
+
+def atomic_update(
+    docs: DataFrame,
+    cmds: DataFrame,
+    key: str = "id",
+    version_col: str | None = None,
+    on_conflict: str = "error",
+) -> DataFrame:
+    """Solr atomic updates (public "Updating Parts of Documents" semantics;
+    the reference sends full-doc upserts -- SolrInputDocument in
+    SolrSemanticIndexer -- and Solr applies partial updates server-side
+    with these modifiers; this is that server-side step as an operator).
+
+    ``cmds``: one row per update command -- the uniqueKey column plus, for
+    each modified field, a STRUCT column ``(op string, value)``; a null
+    struct leaves the field untouched. Scalar fields take ``set`` (a null
+    value removes the field, Solr's set-null) and ``inc``; array fields
+    take ``set``, ``add``, ``add-distinct``, ``remove``, ``removeregex``
+    (``value`` is an array of elements / regex patterns; ``remove`` keeps
+    duplicates of non-removed elements -- element filter, not set
+    difference). An op invalid for the field's type raises AT EXECUTION
+    via ``raise_error`` (ops are data, not schema -- fail loud, never
+    silently drop). Commands matching no stored doc CREATE the doc (Solr
+    creates on atomic update), with remove-ops yielding a null field.
+
+    Optimistic concurrency when ``cmds`` carries ``_version_``: > 1 must
+    equal the stored ``version_col``, == 1 requires the doc to exist, < 0
+    requires it to NOT exist (Solr ``_version_`` contract).
+    ``on_conflict='error'`` raises with a sample of conflicting keys
+    (Solr's 409); ``'skip'`` drops the conflicting commands.
+
+    Scale shape: version checks and creations run on cmds-sized frames;
+    the main pass is ONE row-preserving LEFT join of the docs scan against
+    the (typically tiny, broadcastable) cmds side -- never a full-outer
+    shuffle of the corpus. Output schema == docs schema.
+    """
+    if on_conflict not in ("error", "skip"):
+        raise ValueError(f"on_conflict must be error|skip: {on_conflict!r}")
+    fields = [c for c in cmds.columns if c not in (key, "_version_")]
+    unknown = [f for f in fields if f not in docs.columns]
+    if unknown:
+        raise ValueError(f"atomic_update: fields not in docs: {unknown}")
+
+    if "_version_" in cmds.columns:
+        stored = docs.select(
+            F.col(key),
+            (F.col(version_col) if version_col else F.lit(None)
+             ).cast("long").alias("__stored_v"),
+            F.lit(True).alias("__exists"),
+        )
+        st = cmds.select(key, "_version_").join(stored, key, "left")
+        v, ex = F.col("_version_"), F.coalesce(F.col("__exists"), F.lit(False))
+        conflict = (
+            ((v > 1) & (~ex | (F.col("__stored_v") != v)
+                        | F.col("__stored_v").isNull()))
+            | ((v == 1) & ~ex)
+            | ((v < 0) & ex)
+        )
+        bad = st.filter(conflict).select(key)
+        if on_conflict == "error":
+            sample = [r[0] for r in bad.limit(5).collect()]
+            if sample:
+                raise ValueError(
+                    f"atomic_update: version conflict on keys {sample}"
+                )
+        else:
+            cmds = cmds.join(bad, key, "left_anti")
+
+    dtypes = {f.name: f.dataType for f in docs.schema.fields}
+
+    def _upd(f: str) -> Column:
+        dt = dtypes[f]
+        cur, cmd = F.col(f"d.{f}"), F.col(f"c.{f}")
+        op, val = cmd["op"], cmd["value"]
+        bad_op = F.raise_error(F.concat(
+            F.lit("atomic_update: op '"), F.coalesce(op, F.lit("null")),
+            F.lit(f"' not valid for field '{f}'"),
+        ))
+        w = F.when(cmd.isNull(), cur).when(op == "set", val)
+        if dt.typeName() == "array":
+            base = F.coalesce(cur, F.array().cast(dt))
+            w = (
+                w.when(op == "add", F.concat(base, val))
+                .when(op == "add-distinct", F.array_union(base, val))
+                .when(op == "remove",
+                      F.filter(base, lambda x: ~F.array_contains(val, x)))
+                .when(op == "removeregex",
+                      F.filter(base, lambda x: ~F.exists(
+                          val, lambda p: F.regexp_like(x, p))))
+            )
+        elif dt.typeName() in ("integer", "long", "float", "double",
+                               "short", "byte", "decimal"):
+            w = w.when(op == "inc", F.coalesce(cur, F.lit(0).cast(dt)) + val)
+        return w.otherwise(bad_op).cast(dt).alias(f)
+
+    d, c = docs.alias("d"), cmds.alias("c")
+    updated = d.join(c, F.col(f"d.{key}") == F.col(f"c.{key}"), "left").select(
+        *[_upd(f) if f in fields else F.col(f"d.{f}").alias(f)
+          for f in docs.columns]
+    )
+
+    def _create(f: str) -> Column:
+        dt = dtypes[f]
+        if f == key:
+            return F.col(key).cast(dt).alias(f)
+        if f not in fields:
+            return F.lit(None).cast(dt).alias(f)
+        cmd = F.col(f)
+        return (
+            F.when(cmd.isNull() | ~cmd["op"].isin(*_ATOMIC_CREATE_OPS),
+                   F.lit(None))
+            .otherwise(cmd["value"]).cast(dt).alias(f)
+        )
+
+    created = cmds.join(docs.select(key), key, "left_anti").select(
+        *[_create(f) for f in docs.columns]
+    )
+    return updated.unionByName(created)
