@@ -25,6 +25,12 @@ components its solrconfig enables):
   grouping and debugQuery fail loud on structured q
 - ``mm`` — minimum-should-match for OR queries (int or ``'NN%'``,
   percentage of the clause count rounded down, the mm spec's rule)
+- ``defType`` (``lucene`` default / ``edismax``) with ``pf``/``pf2``/
+  ``pf3`` + ``ps``/``ps2``/``ps3`` — edismax phrase boosting: each phrase
+  window (full query / bigrams / trigrams) appends as an extra SHOULD
+  phrase clause on the boolean scorer, so ranking moves while the DocSet
+  (numFound, facets) never does; single-field engine, each pf names the
+  ``_text_`` catch-all (optionally boosted), also honored by /export
 - ``fq`` — one string or a list (Solr sends one param per filter); Solr
   filter syntax or SQL, per `functions/solr_fq.py`
 - ``start``/``rows`` (Solr defaults 0/10)
@@ -134,7 +140,8 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "spellcheck.extendedResults", "spellcheck.alternativeTermCount",
              "spellcheck.maxResultsForSuggest", "spellcheck.dictionary",
              "spellcheck.collateExtendedResults", "spellcheck.maxCollations",
-             "spellcheck.maxCollationTries", "wt", "indent",
+             "spellcheck.maxCollationTries", "defType", "pf", "pf2", "pf3",
+             "ps", "ps2", "ps3", "wt", "indent",
              "useParams", "minExactCount", "omitHeader", "echoParams",
              "cursorMark", "mm", "debugQuery", "bf", "bq", "boost",
              "elevateIds", "excludeIds", "facet.interval", "rq", "rqq",
@@ -261,6 +268,83 @@ def _sort_fields(sort_spec: list[tuple[str, str]], idx) -> list[str]:
     return list(dict.fromkeys(need))
 
 
+_PF_FIELD_RE = re.compile(r"^([A-Za-z_]\w*)(?:\^(\d+(?:\.\d+)?))?$")
+_PLAIN_TERMS_Q_RE = re.compile(r'^[^"+:*?~^]+$')
+
+
+def _validate_edismax(params: dict) -> None:
+    """defType gate: ``lucene`` (default) or ``edismax``; the pf/ps family
+    is edismax-only and each ps requires its pf (Solr param coherence,
+    checked up-front so every dispatch path fails loud, not just the main
+    one)."""
+    dt = str(params.get("defType", "lucene"))
+    if dt not in ("lucene", "edismax"):
+        raise ValueError(f"unsupported defType: {dt!r}")
+    present = [p for p in ("pf", "pf2", "pf3", "ps", "ps2", "ps3")
+               if p in params]
+    if present and dt != "edismax":
+        raise ValueError(f"{present} require defType=edismax")
+    for sp, pp in (("ps", "pf"), ("ps2", "pf2"), ("ps3", "pf3")):
+        if sp in params and pp not in params:
+            raise ValueError(f"{sp} requires {pp}")
+
+
+def _edismax_rewrite_q(q: str, params: dict) -> str:
+    """edismax phrase boosting (pf/pf2/pf3 + ps/ps2/ps3) rewritten onto
+    the existing boolean scorer: the query's terms stay SHOULD clauses and
+    each phrase window (the full query for pf, consecutive bigrams for
+    pf2, trigrams for pf3) appends as an extra SHOULD phrase clause
+    carrying the pf field's ``^boost`` -- exactly the SHOULD phrase
+    queries Lucene's ExtendedDismaxQParser builds on top of the main
+    query. A SHOULD phrase can only match docs the term clauses already
+    match, so the DocSet (numFound, facets, filters) is unchanged and only
+    ranking moves. ps slops the pf phrase; ps2/ps3 default to ps (Solr).
+
+    Single-field engine subset (the schema's ``df=_text_`` catch-all is
+    the only indexed field): each pf entry must name it (``_text_`` or its
+    stored source ``text``), one field per param -- multi-field pf lists
+    fail loud, as does a non-plain q (quotes / occur prefixes / field
+    clauses / wildcards / boosts), where Solr's interaction rules need
+    per-field indexes this engine deliberately doesn't have."""
+    if not any(p in params for p in ("pf", "pf2", "pf3")):
+        return q
+    if q.strip() == "*:*":
+        return q  # no terms to phrase: pf is a no-op on match-all
+    if not _PLAIN_TERMS_Q_RE.match(q) or re.search(r"(^|\s)-", q):
+        raise ValueError(
+            "pf/pf2/pf3 require a plain term query (no quotes, occur "
+            f"prefixes, field clauses, wildcards or boosts): {q!r}"
+        )
+    words = q.split()
+    clauses = [q]
+    for pfp, psp, n in (("pf", "ps", len(words)), ("pf2", "ps2", 2),
+                        ("pf3", "ps3", 3)):
+        if pfp not in params or len(words) < max(n, 2):
+            continue
+        raw = str(params[pfp]).strip()
+        m = _PF_FIELD_RE.match(raw)
+        if m is None:
+            raise ValueError(
+                f"{pfp} supports exactly one field of the single-field "
+                f"engine, optionally boosted: {raw!r}"
+            )
+        fld, boost = m.group(1), m.group(2)
+        if fld not in ("_text_", "text"):
+            raise ValueError(
+                f"{pfp} must name the indexed catch-all field "
+                f"(_text_ or text), got {fld!r}"
+            )
+        slop = int(params.get(psp, params.get("ps", 0)))
+        for i in range(len(words) - n + 1):
+            ph = '"' + " ".join(words[i:i + n]) + '"'
+            if slop:
+                ph += f"~{slop}"
+            if boost:
+                ph += f"^{boost}"
+            clauses.append(ph)
+    return " ".join(clauses)
+
+
 def solr_select(
     idx: BM25Index, params: dict[str, Any], *,
     known_num_found: int | None = None,
@@ -283,6 +367,7 @@ def solr_select(
     }
     if unknown:
         raise ValueError(f"unsupported /select params: {sorted(unknown)}")
+    _validate_edismax(params)
 
     t0 = time.monotonic()
     if _truthy(params.get("group", False)):
@@ -302,6 +387,8 @@ def solr_select(
     if bj is not None:
         return _block_join_select(idx, params, t0, bj)
     q = str(params.get("q", "*:*"))
+    if str(params.get("defType", "lucene")) == "edismax":
+        q = _edismax_rewrite_q(q, params)
     op = str(params.get("q.op", "OR")).upper()
     mm = params.get("mm")
     fq_tagged = _split_tagged_fq(_as_list(params.get("fq")))
@@ -1115,7 +1202,7 @@ def _collapse_select(
     field = lp["field"]
     for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
               "json.facet", "group", "elevateIds", "excludeIds", "rq",
-              "tv"):
+              "tv", "pf", "pf2", "pf3"):
         if p in params:
             raise ValueError(f"{{!collapse}} does not support {p}")
     for p in ("facet", "hl", "stats", "debugQuery", "spellcheck"):
@@ -1270,7 +1357,7 @@ def _block_join_select(
     group, minExactCount, sort, start) raise instead of being dropped."""
     for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
               "json.facet", "elevateIds", "excludeIds", "rq", "tv",
-              "expand"):
+              "expand", "pf", "pf2", "pf3"):
         if p in params:
             raise ValueError(f"block-join q does not support {p}")
     if int(params.get("start", 0)) != 0:
@@ -1373,7 +1460,7 @@ def _grouped_select(
     validation and then being silently dropped."""
     for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
               "json.facet", "elevateIds", "excludeIds", "rq", "tv",
-              "expand"):
+              "expand", "pf", "pf2", "pf3"):
         if p in params:
             raise ValueError(f"group=true does not support {p}")
     if int(params.get("start", 0)) != 0:
@@ -1596,6 +1683,9 @@ def solr_export(idx: BM25Index, params: dict[str, Any]):
     ``fl`` (comma list; default all stored fields + score), ``sort``
     (``score desc`` default, or ``<field> asc|desc``)."""
     q = str(params.get("q", "*:*"))
+    _validate_edismax(params)
+    if str(params.get("defType", "lucene")) == "edismax":
+        q = _edismax_rewrite_q(q, params)  # score_matches takes structured q
     op = str(params.get("q.op", "OR")).upper()
     mm = params.get("mm")
     fq = _as_list(params.get("fq")) or None
