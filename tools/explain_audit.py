@@ -103,6 +103,17 @@ def main() -> None:
                        use_cache=False),
         ),
         (
+            "{!join} qparser DocSet (semi-join filter)",
+            "What to check: the inner query's match set reduced to DISTINCT\n"
+            "from-values (an exchange sized by the inner match count, never\n"
+            "the corpus) feeding a LEFT SEMI join against the docs scan —\n"
+            "with AQE on, a selective inner query's key set converts to a\n"
+            "broadcast at runtime, so the 10^12-doc side is never shuffled.\n"
+            "The result is filter-cached under the fq string like any DocSet\n"
+            "(one construction per distinct fq, ever).",
+            idx._join_fq_docset("{!join from=conv_id to=conv_id}role:tool"),
+        ),
+        (
             "Stored-field fetch (documentCache shape)",
             "What to check: `PushedFilters: [In(doc_id, ...)]` on the docs scan —\n"
             "row-group min/max stats prune the read to the k hit groups (docs\n"
