@@ -27,10 +27,14 @@ components its solrconfig enables):
   percentage of the clause count rounded down, the mm spec's rule)
 - ``defType`` (``lucene`` default / ``edismax``) with ``pf``/``pf2``/
   ``pf3`` + ``ps``/``ps2``/``ps3`` — edismax phrase boosting: each phrase
-  window (full query / bigrams / trigrams) appends as an extra SHOULD
-  phrase clause on the boolean scorer, so ranking moves while the DocSet
-  (numFound, facets) never does; single-field engine, each pf names the
-  ``_text_`` catch-all (optionally boosted), also honored by /export
+  window (full query / bigrams / trigrams) scores as an extra SHOULD
+  phrase clause, so ranking moves while the DocSet (numFound, facets)
+  never does — appended to the boolean scorer under the default
+  ``q.op=OR``; routed as rank-only boost queries (``bq``) under
+  ``q.op=AND`` / ``mm``, where a q-appended clause would become required
+  or inflate the mm clause count (Solr's phrase boosts sit outside the
+  main query's op/mm). Single-field engine, each pf names the ``_text_``
+  catch-all (optionally boosted); also honored by /export
 - ``fq`` — one string or a list (Solr sends one param per filter); Solr
   filter syntax or SQL, per `functions/solr_fq.py`
 - ``start``/``rows`` (Solr defaults 0/10)
@@ -289,16 +293,15 @@ def _validate_edismax(params: dict) -> None:
             raise ValueError(f"{sp} requires {pp}")
 
 
-def _edismax_rewrite_q(q: str, params: dict) -> str:
-    """edismax phrase boosting (pf/pf2/pf3 + ps/ps2/ps3) rewritten onto
-    the existing boolean scorer: the query's terms stay SHOULD clauses and
-    each phrase window (the full query for pf, consecutive bigrams for
-    pf2, trigrams for pf3) appends as an extra SHOULD phrase clause
-    carrying the pf field's ``^boost`` -- exactly the SHOULD phrase
-    queries Lucene's ExtendedDismaxQParser builds on top of the main
-    query. A SHOULD phrase can only match docs the term clauses already
-    match, so the DocSet (numFound, facets, filters) is unchanged and only
-    ranking moves. ps slops the pf phrase; ps2/ps3 default to ps (Solr).
+def _edismax_phrase_clauses(q: str, params: dict) -> list[str]:
+    """edismax phrase boosting (pf/pf2/pf3 + ps/ps2/ps3): build the phrase
+    clause for each window (the full query for pf, consecutive bigrams for
+    pf2, trigrams for pf3) carrying the pf field's ``^boost`` -- exactly
+    the SHOULD phrase queries Lucene's ExtendedDismaxQParser builds on top
+    of the main query. ps slops the pf phrase; ps2/ps3 default to ps
+    (Solr). The caller decides how to attach them (see ``_apply_edismax``)
+    so the DocSet (numFound, facets, filters) never changes and only
+    ranking moves.
 
     Single-field engine subset (the schema's ``df=_text_`` catch-all is
     the only indexed field): each pf entry must name it (``_text_`` or its
@@ -307,16 +310,16 @@ def _edismax_rewrite_q(q: str, params: dict) -> str:
     clauses / wildcards / boosts), where Solr's interaction rules need
     per-field indexes this engine deliberately doesn't have."""
     if not any(p in params for p in ("pf", "pf2", "pf3")):
-        return q
+        return []
     if q.strip() == "*:*":
-        return q  # no terms to phrase: pf is a no-op on match-all
+        return []  # no terms to phrase: pf is a no-op on match-all
     if not _PLAIN_TERMS_Q_RE.match(q) or re.search(r"(^|\s)-", q):
         raise ValueError(
             "pf/pf2/pf3 require a plain term query (no quotes, occur "
             f"prefixes, field clauses, wildcards or boosts): {q!r}"
         )
     words = q.split()
-    clauses = [q]
+    clauses: list[str] = []
     for pfp, psp, n in (("pf", "ps", len(words)), ("pf2", "ps2", 2),
                         ("pf3", "ps3", 3)):
         if pfp not in params or len(words) < max(n, 2):
@@ -342,7 +345,32 @@ def _edismax_rewrite_q(q: str, params: dict) -> str:
             if boost:
                 ph += f"^{boost}"
             clauses.append(ph)
-    return " ".join(clauses)
+    return clauses
+
+
+def _apply_edismax(
+    q: str, params: dict, op: str, mm,
+) -> tuple[str, list[str]]:
+    """Attach the edismax pf phrases so the DocSet is ALWAYS the main
+    query's. Under the default ``q.op=OR`` with no ``mm``, appending the
+    phrases as extra SHOULD clauses on the boolean scorer is score- and
+    DocSet-identical to Solr's optional phrase clauses (a phrase can only
+    match docs its terms already match), so they ride the plain q string
+    and every path (cursorMark, field sorts, /export) works unchanged.
+    Under ``q.op=AND`` or ``mm``, a clause appended to q would become
+    REQUIRED / would inflate the mm clause count -- Solr's phrase boosts
+    sit OUTSIDE the main query's op/mm, so they route as boost queries
+    (``bq``: score adds on matching docs, match set untouched) instead.
+    Returns ``(q, extra_bq)``; exactly one of the two carries the
+    phrases."""
+    if str(params.get("defType", "lucene")) != "edismax":
+        return q, []
+    phrases = _edismax_phrase_clauses(q, params)
+    if not phrases:
+        return q, []
+    if op == "AND" or mm is not None:
+        return q, phrases
+    return q + " " + " ".join(phrases), []
 
 
 def solr_select(
@@ -387,10 +415,13 @@ def solr_select(
     if bj is not None:
         return _block_join_select(idx, params, t0, bj)
     q = str(params.get("q", "*:*"))
-    if str(params.get("defType", "lucene")) == "edismax":
-        q = _edismax_rewrite_q(q, params)
     op = str(params.get("q.op", "OR")).upper()
     mm = params.get("mm")
+    # q_main: the phrase-free query. Its DocSet equals the rewritten q's
+    # by construction, so pure COUNT/facet work runs on it and never pays
+    # the appended phrases' positional decodes.
+    q_main = q
+    q, pf_bq = _apply_edismax(q, params, op, mm)
     fq_tagged = _split_tagged_fq(_as_list(params.get("fq")))
     fq = [f for _, f in fq_tagged] or None
 
@@ -458,6 +489,19 @@ def solr_select(
     elevate = [i for i in elevate if i not in exclude_set]  # exclude wins
     bf = _as_list(params.get("bf")) or None
     bq = _as_list(params.get("bq")) or None
+    if pf_bq:
+        # pf under q.op=AND / mm rides the bq machinery (rank-only score
+        # add), so it inherits bq's dispatch constraints -- fail with a
+        # pf-specific message rather than a confusing bq one
+        if sort != "score desc":
+            raise ValueError(
+                "pf with q.op=AND or mm requires sort='score desc'"
+            )
+        if cursor is not None:
+            raise ValueError(
+                "pf with q.op=AND or mm does not support cursorMark"
+            )
+        bq = (bq or []) + pf_bq
     boost = params.get("boost")
     if isinstance(boost, (list, tuple)):
         raise ValueError("boost: pass one function (multiple unsupported)")
@@ -519,8 +563,8 @@ def solr_select(
     elif sort == "score desc":
         # no minExactCount, or a threshold past the result-cache window
         # (where the cheap lower bound can't be taken from the top-k pass):
-        # Solr's exact default
-        num_found = idx.count_matches(q, op=op, fq=fq, mm=mm)
+        # Solr's exact default; q_main — counting never decodes positions
+        num_found = idx.count_matches(q_main, op=op, fq=fq, mm=mm)
     else:
         num_found = -1  # filled from the field-sort match set below
 
@@ -769,7 +813,7 @@ def solr_select(
             # ordered + sliced INSIDE the plan: `limit` buckets reach the
             # driver, never a high-cardinality field's bucket universe
             counts = idx.facet(
-                q, field, fq=facet_fq, op=op, mm=mm,
+                q_main, field, fq=facet_fq, op=op, mm=mm,
                 prefix=_fparam(field, "prefix", None),
                 mincount=int(_fparam(field, "mincount", 0)),
                 limit=limit, offset=int(_fparam(field, "offset", 0)),
@@ -789,7 +833,7 @@ def solr_select(
                 flat.extend([
                     None,
                     idx.facet_missing_count(
-                        q, field, fq=facet_fq, op=op, mm=mm
+                        q_main, field, fq=facet_fq, op=op, mm=mm
                     ),
                 ])
             ff[label] = flat
@@ -804,7 +848,7 @@ def solr_select(
                     f"f.{ifield}.facet.interval.set entries"
                 )
             fintervals[ifield] = idx.facet_intervals(
-                q, ifield, [str(s) for s in sets], fq=fq, op=op, mm=mm
+                q_main, ifield, [str(s) for s in sets], fq=fq, op=op, mm=mm
             )
         if fintervals:
             resp["facet_counts"]["facet_intervals"] = fintervals
@@ -813,7 +857,7 @@ def solr_select(
         for pivot in _as_list(params.get("facet.pivot")):
             pfields = [f.strip() for f in str(pivot).split(",") if f.strip()]
             fpivots[",".join(pfields)] = idx.pivot_facet(
-                q, pfields, fq=fq, op=op, mm=mm,
+                q_main, pfields, fq=fq, op=op, mm=mm,
                 limit=int(params.get("facet.limit", 100)),
                 mincount=int(params.get("facet.pivot.mincount", 1)),
             )
@@ -823,7 +867,7 @@ def solr_select(
         fqueries: dict[str, int] = {}
         for fquery in _as_list(params.get("facet.query")):
             fqueries[str(fquery)] = idx.facet_query_count(
-                q, str(fquery), fq=fq, op=op, mm=mm
+                q_main, str(fquery), fq=fq, op=op, mm=mm
             )
         if fqueries:
             resp["facet_counts"]["facet_queries"] = fqueries
@@ -880,7 +924,7 @@ def solr_select(
             got = {
                 round(float(r["bucket_start"]), 9): int(r["facet_count"])
                 for r in idx.facet_range(
-                    q, field, lo, hi, gap, fq=fq, op=op, mm=mm
+                    q_main, field, lo, hi, gap, fq=fq, op=op, mm=mm
                 ).collect()
             }
             flat = []
@@ -905,7 +949,7 @@ def solr_select(
                 )
             if str(other) != "none":
                 bef, bet, aft = idx.facet_range_other(
-                    q, field, lo, hi, fq=fq, op=op, mm=mm
+                    q_main, field, lo, hi, fq=fq, op=op, mm=mm
                 )
                 vals = {"before": bef, "between": bet, "after": aft}
                 for key in (
@@ -924,7 +968,7 @@ def solr_select(
 
         spec = _json.loads(jf) if isinstance(jf, str) else dict(jf)
         resp["facets"] = json_facet(
-            idx, q, spec, fq=fq, op=op, mm=mm, tagged_fq=fq_tagged
+            idx, q_main, spec, fq=fq, op=op, mm=mm, tagged_fq=fq_tagged
         )
 
     if _truthy(params.get("hl", False)) and not match_all:
@@ -966,7 +1010,7 @@ def solr_select(
     if _truthy(params.get("stats", False)):
         sf: dict[str, Any] = {}
         for field in _as_list(params.get("stats.field")):
-            row = idx.stats_field(q, field, fq=fq, op=op, mm=mm).collect()[0]
+            row = idx.stats_field(q_main, field, fq=fq, op=op, mm=mm).collect()[0]
             sf[field] = {k: row[k] for k in row.asDict()}
         resp["stats"] = {"stats_fields": sf}
 
@@ -997,7 +1041,8 @@ def solr_select(
 
     if _truthy(params.get("spellcheck", False)):
         resp["spellcheck"] = _spellcheck_section(
-            idx, params, q, resp["response"]["numFound"], op=op, fq=fq, mm=mm
+            idx, params, q_main, resp["response"]["numFound"],
+            op=op, fq=fq, mm=mm,
         )
     # response-writer params (Solr common query params)
     echo = str(params.get("echoParams", "explicit")).lower()
@@ -1684,10 +1729,11 @@ def solr_export(idx: BM25Index, params: dict[str, Any]):
     (``score desc`` default, or ``<field> asc|desc``)."""
     q = str(params.get("q", "*:*"))
     _validate_edismax(params)
-    if str(params.get("defType", "lucene")) == "edismax":
-        q = _edismax_rewrite_q(q, params)  # score_matches takes structured q
     op = str(params.get("q.op", "OR")).upper()
     mm = params.get("mm")
+    # score_matches takes structured q; under op=AND/mm the phrases attach
+    # as rank-only score additions below instead (same rule as solr_select)
+    q, pf_bq = _apply_edismax(q, params, op, mm)
     fq = _as_list(params.get("fq")) or None
     fl = params.get("fl")
     fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
@@ -1699,6 +1745,17 @@ def solr_export(idx: BM25Index, params: dict[str, Any]):
         out = base.select(F.lit(1.0).alias("score"), *base.columns)
     else:
         matched = idx.score_matches(q, op=op, fq=fq, mm=mm)
+        for ph in pf_bq:
+            # pf phrase under op=AND/mm: rank-only score add (the bq
+            # composition search_boosted uses) -- a left join on the match
+            # set, so the exported row set is exactly the main query's
+            side = (idx.score_matches(ph, fq=fq)
+                    .withColumnRenamed("score", "__pf"))
+            matched = matched.join(side, "doc_id", "left").select(
+                "doc_id",
+                (F.col("score") + F.coalesce(F.col("__pf"), F.lit(0.0)))
+                .alias("score"),
+            )
         # sort fields need not appear in fl (Solr: docValues, not fl), so
         # the field-list projection happens AFTER the sort key is applied
         out = matched.join(idx.docs(), "doc_id")

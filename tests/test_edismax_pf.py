@@ -1,8 +1,11 @@
 """edismax phrase boosting: defType=edismax + pf/pf2/pf3 (ps/ps2/ps3).
 
-The rewrite appends SHOULD phrase clauses to the boolean scorer, so the
-checkable contracts are: the DocSet never moves, and each doc's score
-rises by exactly the (boosted) phrase scores of the windows it matches."""
+Under q.op=OR the phrases append as SHOULD clauses on the boolean scorer;
+under q.op=AND / mm they route as rank-only boost queries (bq) so they
+never become required clauses or inflate the mm count. The checkable
+contracts are the same on every path: the DocSet never moves, and each
+doc's score rises by exactly the (boosted) phrase scores of the windows
+it matches."""
 
 import pytest
 
@@ -72,6 +75,95 @@ def test_pf_ranking_moves_phrase_docs_up(corpus):
     if ph:  # with a 10x boost every phrase-matching doc outranks the rest
         top = [d["doc_id"] for d in pf["response"]["docs"]]
         assert set(top[:min(len(ph), 5)]) <= ph
+
+
+def test_pf_with_and_docset_unchanged(corpus):
+    """q.op=AND + pf: the phrases must NOT become required clauses —
+    numFound and the match set equal the un-boosted AND query's, and each
+    doc's score gains exactly the boosted phrase scores (bq routing)."""
+    base = solr_select(corpus, {
+        "q": Q, "q.op": "AND", "rows": 200, "fl": "doc_id,score",
+    })
+    pf = solr_select(corpus, {
+        "q": Q, "q.op": "AND", "rows": 200, "fl": "doc_id,score",
+        "defType": "edismax", "pf": "_text_^2", "ps": "1",
+    })
+    assert pf["response"]["numFound"] == base["response"]["numFound"]
+    assert set(_scores(pf)) == set(_scores(base))
+    ph = {r["doc_id"]: r["score"]
+          for r in corpus.phrase_matches(Q, slop=1).collect()}
+    b, p = _scores(base), _scores(pf)
+    for doc, s in p.items():
+        assert s == pytest.approx(b[doc] + 2.0 * ph.get(doc, 0.0), rel=1e-9)
+    # the AND match set must include a phrase doc or the boost is vacuous
+    assert any(doc in ph for doc in p)
+
+
+def test_pf_with_mm_docset_unchanged(corpus):
+    """mm + pf: the phrase clauses must not count toward mm's clause
+    total — numFound equals the un-boosted mm query's."""
+    base = solr_select(corpus, {
+        "q": Q, "mm": 2, "rows": 200, "fl": "doc_id,score",
+    })
+    pf = solr_select(corpus, {
+        "q": Q, "mm": 2, "rows": 200, "fl": "doc_id,score",
+        "defType": "edismax", "pf2": "_text_^3",
+    })
+    assert pf["response"]["numFound"] == base["response"]["numFound"]
+    assert set(_scores(pf)) == set(_scores(base))
+    ph1 = {r["doc_id"]: r["score"]
+           for r in corpus.phrase_matches("error in").collect()}
+    ph2 = {r["doc_id"]: r["score"]
+           for r in corpus.phrase_matches("in tool").collect()}
+    b, p = _scores(base), _scores(pf)
+    for doc, s in p.items():
+        want = b[doc] + 3.0 * (ph1.get(doc, 0.0) + ph2.get(doc, 0.0))
+        assert s == pytest.approx(want, rel=1e-9)
+
+
+def test_pf_and_facet_counts_match_unboosted(corpus):
+    """facets under pf+AND count the exact AND DocSet (the facet path
+    runs on the phrase-free q_main)."""
+    base = solr_select(corpus, {
+        "q": Q, "q.op": "AND", "rows": 0,
+        "facet": "true", "facet.field": "role",
+    })
+    pf = solr_select(corpus, {
+        "q": Q, "q.op": "AND", "rows": 0,
+        "facet": "true", "facet.field": "role",
+        "defType": "edismax", "pf": "_text_^2",
+    })
+    assert (pf["facet_counts"]["facet_fields"]["role"]
+            == base["facet_counts"]["facet_fields"]["role"])
+
+
+def test_export_pf_with_and(corpus):
+    out = solr_export(corpus, {
+        "q": Q, "q.op": "AND", "defType": "edismax", "pf": "_text_^2",
+        "ps": "1", "fl": ["doc_id", "score"],
+    }).collect()
+    ph = {r["doc_id"]: r["score"]
+          for r in corpus.phrase_matches(Q, slop=1).collect()}
+    base = {r["doc_id"]: r["score"]
+            for r in corpus.score_matches(Q, op="AND").collect()}
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert got.keys() == base.keys()
+    for doc, s in got.items():
+        assert s == pytest.approx(base[doc] + 2.0 * ph.get(doc, 0.0),
+                                  rel=1e-9)
+
+
+def test_pf_and_requires_relevance_sort(corpus):
+    with pytest.raises(ValueError, match="pf with q.op=AND or mm"):
+        solr_select(corpus, {
+            "q": Q, "q.op": "AND", "defType": "edismax", "pf": "_text_",
+            "sort": "ts asc",
+        })
+    with pytest.raises(ValueError, match="does not support cursorMark"):
+        solr_select(corpus, {
+            "q": Q, "mm": 2, "defType": "edismax", "pf": "_text_",
+            "cursorMark": "*",
+        })
 
 
 def test_pf_match_all_noop(corpus):
