@@ -155,6 +155,16 @@ def atomic_update(
     unknown = [f for f in fields if f not in docs.columns]
     if unknown:
         raise ValueError(f"atomic_update: fields not in docs: {unknown}")
+    # one command per key: two commands for the same doc need sequential
+    # application (Solr applies them in request order; a left join would
+    # silently DUPLICATE the doc row instead) -- fail loud. cmds-sized job.
+    dup = [r[0] for r in cmds.groupBy(key).count()
+           .filter("count > 1").limit(5).collect()]
+    if dup:
+        raise ValueError(
+            f"atomic_update: multiple commands per key (apply them in "
+            f"separate calls, in order): {dup}"
+        )
 
     if "_version_" in cmds.columns:
         stored = docs.select(
@@ -196,11 +206,23 @@ def atomic_update(
             base = F.coalesce(cur, F.array().cast(dt))
             w = (
                 w.when(op == "add", F.concat(base, val))
-                .when(op == "add-distinct", F.array_union(base, val))
+                # Solr add-distinct (AtomicUpdateDocumentMerger.doAddDistinct):
+                # existing values keep their duplicates; each NEW value
+                # appends only if absent from the existing collection (and
+                # from the values appended before it) -- array_union would
+                # wrongly dedupe the stored side too
+                .when(op == "add-distinct", F.concat(
+                    base,
+                    F.array_distinct(F.filter(
+                        val, lambda x: ~F.array_contains(base, x))),
+                ))
+                # remove/removeregex on an ABSENT field leaves it absent
+                # (Solr no-ops): filter(cur) propagates the null, where
+                # filter(base) would materialize []
                 .when(op == "remove",
-                      F.filter(base, lambda x: ~F.array_contains(val, x)))
+                      F.filter(cur, lambda x: ~F.array_contains(val, x)))
                 .when(op == "removeregex",
-                      F.filter(base, lambda x: ~F.exists(
+                      F.filter(cur, lambda x: ~F.exists(
                           val, lambda p: F.regexp_like(x, p))))
             )
         elif dt.typeName() in ("integer", "long", "float", "double",

@@ -59,7 +59,41 @@ def test_array_modifiers(spark, docs):
     out = {r["id"]: r for r in atomic_update(docs, cmds, key="id").collect()}
     assert out[1]["tags"] == ["y"]                # BOTH 'x' occurrences drop
     assert out[2]["tags"] == ["y", "y", "z"]      # add keeps duplicates
-    assert out[3]["tags"] == ["a"]                # null current -> union dedups
+    assert out[3]["tags"] == ["a"]                # null current; [a,a] once
+
+
+def test_add_distinct_keeps_existing_duplicates(spark, docs):
+    """Solr doAddDistinct: stored duplicates survive; only NEW values
+    already present are skipped (array_union would dedupe the base too)."""
+    cmds = spark.sql("""
+      SELECT 1 AS id,
+             named_struct('op', 'add-distinct', 'value', array('x', 'z')) AS tags
+    """)
+    out = {r["id"]: r for r in atomic_update(docs, cmds, key="id").collect()}
+    assert out[1]["tags"] == ["x", "y", "x", "z"]  # both x's stay; x skipped
+
+
+def test_remove_on_absent_field_stays_absent(spark, docs):
+    """remove/removeregex on a doc without the field leaves it absent
+    (null), never materializes []."""
+    for op, val in (("remove", "array('q')"), ("removeregex", "array('.')")):
+        cmds = spark.sql(f"""
+          SELECT 3 AS id, named_struct('op', '{op}', 'value', {val}) AS tags
+        """)
+        out = {r["id"]: r
+               for r in atomic_update(docs, cmds, key="id").collect()}
+        assert out[3]["tags"] is None
+
+
+def test_duplicate_command_keys_fail_loud(spark, docs):
+    cmds = spark.sql("""
+      SELECT * FROM VALUES
+        (1, named_struct('op', 'inc', 'value', 1)),
+        (1, named_struct('op', 'inc', 'value', 2))
+      AS t(id, n)
+    """)
+    with pytest.raises(ValueError, match="multiple commands per key"):
+        atomic_update(docs, cmds, key="id")
 
 
 def test_removeregex(spark, docs):
