@@ -1955,7 +1955,8 @@ class BM25Index:
             return []
         dfs = self._dfs(parts)
         out = [
-            {"word": f"{t[:i]} {t[i:]}", "freq": dfs[t[:i]] + dfs[t[i:]]}
+            {"word": f"{t[:i]} {t[i:]}",
+             "freq": dfs.get(t[:i], 0) + dfs.get(t[i:], 0)}
             for i in cuts
             if dfs.get(t[:i], 0) >= min_suggestion_freq
             and dfs.get(t[i:], 0) >= min_suggestion_freq
@@ -1988,7 +1989,7 @@ class BM25Index:
         ))
         dfs = self._dfs(lookups)
         out = [
-            {"tokens": (a, b), "word": a + b, "freq": dfs[a + b]}
+            {"tokens": (a, b), "word": a + b, "freq": dfs.get(a + b, 0)}
             for a, b in pairs
             if dfs.get(a + b, 0) >= min_suggestion_freq
             and (dfs.get(a, 0) == 0 or dfs.get(b, 0) == 0)
