@@ -513,6 +513,15 @@ def solr_select(
             raise ValueError("bf/bq/boost require sort='score desc'")
         if cursor is not None:
             raise ValueError("bf/bq/boost do not support cursorMark")
+    if ((_truthy(params.get("debugQuery", False)) or want_explain)
+            and (bf or bq or boost or params.get("rq") is not None
+                 or q != q_main)):
+        # the explain kernels break down the LEXICAL BM25 score; under
+        # bf/bq/boost/rq/pf the reported score includes boost terms the
+        # breakdown would not sum to -- fail loud, never explain wrong
+        raise ValueError(
+            "debugQuery/fl=[explain] do not compose with bf/bq/boost/rq/pf"
+        )
     if elevate or exclude:
         if (match_all or sort != "score desc" or start != 0
                 or cursor is not None or bf or bq or boost
@@ -1174,7 +1183,10 @@ def _spellcheck_section(
             params.get("spellcheck.collateExtendedResults", False)
         )
         lens = [len(options[t]) for t in corrected]
-        budget = tries if tries > 0 else 1
+        # tries=0: no verification -- the first maxCollations candidates
+        # return as-is (Solr SpellCheckCollator), so the candidate budget
+        # is maxCollations, not 1
+        budget = tries if tries > 0 else max_coll
         start = (0,) * len(corrected)
         heap: list[tuple[int, tuple[int, ...]]] = [(0, start)]
         seen_c = {start}

@@ -90,3 +90,25 @@ def test_fl_explain_transformer(corpus):
         assert total == pytest.approx(d["score"], rel=1e-12)
     with pytest.raises(ValueError):
         solr_select(idx, {"q": "*:*", "fl": "doc_id,[explain]"})
+
+
+def test_explain_rejects_boosted_queries(corpus):
+    """explain breaks down the lexical BM25 score only: under bf/bq/
+    boost/rq/pf the reported score includes boost terms the breakdown
+    would not sum to -- fail loud instead of explaining wrong."""
+    idx = corpus if not isinstance(corpus, tuple) else corpus[1]
+    for extra in (
+        {"bq": "tool"},
+        {"bf": "recip(rord(doc_id),1,1000,1000)"},
+        {"defType": "edismax", "pf": "_text_"},
+        {"defType": "edismax", "pf": "_text_", "q.op": "AND"},
+    ):
+        with pytest.raises(ValueError, match="do not compose"):
+            solr_select(idx, {
+                "q": "error tool", "rows": 2, "debugQuery": "true", **extra,
+            })
+        with pytest.raises(ValueError, match="do not compose"):
+            solr_select(idx, {
+                "q": "error tool", "rows": 2,
+                "fl": "doc_id,score,[explain]", **extra,
+            })
