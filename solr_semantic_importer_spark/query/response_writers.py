@@ -81,8 +81,12 @@ def to_xml(resp: dict) -> str:
 def _csv_cell(v: Any) -> str:
     if v is None:
         return ""
+    if isinstance(v, bool):  # Solr renders lowercase true/false
+        return str(v).lower()
     if isinstance(v, (list, tuple)):  # Solr joins multivalued with ','
-        return _csv_cell(",".join(str(x) for x in v))
+        return _csv_cell(",".join(
+            str(x).lower() if isinstance(x, bool) else str(x) for x in v
+        ))
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%dT%H:%M:%SZ")
     s = str(v)
