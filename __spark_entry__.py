@@ -797,7 +797,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["schemaless_parse"] = schemaless_parse
 
-    # ---- S6 MS MARCO TSV source (4-col docid/url/title/body) ----
+    # ---- benchmark decontamination (n-gram collision vs an eval set) ----
+    # Gate rotation (late r4): replaces msmarco_scan -- S6 keeps pytest
+    # coverage (tests/test_file_sources.py round-trip) and its sibling
+    # file-source rows (schemaless_parse, json_roundtrip) stay under the
+    # oracle, freeing the slot for a brand-new LLM-pipeline operator.
+    def decontam_report(spark, sf_dir):
+        from solr_semantic_importer_spark.operators.decontaminate import (
+            contamination_report,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        rep = contamination_report(docs, bench, n=8)
+        return rep.select("doc_id", "n_overlap", "n_ngrams")
+
+    q["decontam_report"] = decontam_report
+
+    # S6 MS MARCO TSV source (4-col docid/url/title/body): pytest-covered
+    # (tests/test_file_sources.py); kept callable for parity demos
     def msmarco_scan(spark, sf_dir):
         from solr_semantic_importer_spark.sources.files import msmarco_tsv
 
@@ -816,8 +834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select(
             "docid", "url", "title", F.length("body").cast("long").alias("body_len")
         )
-
-    q["msmarco_scan"] = msmarco_scan
 
     # ---- S5 protobuf wire decode (round-trip vs independent recompute) ----
     def proto_flatten(spark, sf_dir):
@@ -963,7 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is now exactly 50 entries, and the formerly-unchecked nine lead the
     # dict as insurance against any future cap/sampling.
     first = [
-        "schemaless_parse", "msmarco_scan", "proto_flatten",
+        "schemaless_parse", "decontam_report", "proto_flatten",
         "sessionize_events", "json_roundtrip", 
         "nested_children", "event_windows", "multimodal_frames",
         "geo_filter_dist",
@@ -1266,13 +1282,16 @@ def oracle_sql() -> dict[str, str]:
                'x' || CAST(event_id AS VARCHAR) AS v_str
         FROM events
     """
-    o["msmarco_scan"] = """
-        SELECT printf('D%d', doc_id) AS docid,
-               printf('https://example.org/%d', doc_id) AS url,
-               printf('title %d', doc_id) AS title,
-               CAST(length(regexp_replace(coalesce(text, ''), '[\\t\\n\\r]', ' ', 'g'))
-                    AS BIGINT) AS body_len
-        FROM documents
+    from solr_semantic_importer_spark.operators.decontaminate import (
+        contamination_report_sql,
+    )
+
+    o["decontam_report"] = f"""
+        SELECT doc_id, n_overlap, n_ngrams FROM ({contamination_report_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0",
+            n=8,
+        )})
     """
     o["proto_flatten"] = """
         SELECT CAST(event_id AS INT) AS id,

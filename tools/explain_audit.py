@@ -38,6 +38,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.operators.decontaminate import (
+        contamination_report,
+    )
     from solr_semantic_importer_spark.operators.dedup import exact_dedup
     from solr_semantic_importer_spark.operators.similarity import cosine_topk
     from solr_semantic_importer_spark.query.engine import BM25Index
@@ -214,6 +217,19 @@ def main() -> None:
             "partial aggregation (`HashAggregate` before AND after the\n"
             "exchange) and WholeStageCodegen around the hash computation.",
             exact_dedup(docs, "text", "doc_id"),
+        ),
+        (
+            "Benchmark decontamination (broadcast n-gram collision)",
+            "What to check: the corpus reaches the `BroadcastHashJoin` as the\n"
+            "STREAMED side with no exchange below it (tokenize -> shingle ->\n"
+            "md5 hash -> explode, all codegen); the benchmark subtree builds\n"
+            "the broadcast (its internal distinct shuffles bench-sized rows\n"
+            "only); the single corpus-path exchange sits ABOVE the join,\n"
+            "carrying only MATCHING (doc, ngram) rows into the per-doc count\n"
+            "— at 10^12 docs the corpus is never shuffled.",
+            contamination_report(
+                docs, docs.filter(F.col("doc_id") % 97 == 0), n=8
+            ),
         ),
         (
             "Exact cosine top-k (brute-force ANN baseline)",
