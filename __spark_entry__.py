@@ -459,6 +459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TM.token_count_ws("text").cast("long").alias("ws_tokens"),
             TM.token_count_bpe("text").cast("long").alias("bpe_tokens"),
             TM.fingerprint_col("text").alias("fp"),
+            # Gopher-style repetition signals (late r4); the crafted-text
+            # branch coverage lives in tests/test_repetition_metrics.py
+            _micro(TM.dup_line_frac_col("text")).alias("dlf_micro"),
+            _micro(TM.top_ngram_char_frac_col("text", 2)).alias("t2_micro"),
+            _micro(TM.dup_ngram_char_frac_col("text", 4)).alias("d4_micro"),
         )
 
     q["text_metrics"] = text_metrics
@@ -1042,7 +1047,11 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(round(({TM.quality_score_sql('text')}) * 1000000) AS BIGINT) AS q_micro, "
         f"CAST({ws_sql} AS BIGINT) AS ws_tokens, "
         f"CAST({bpe_sql} AS BIGINT) AS bpe_tokens, "
-        f"CAST({TM.fingerprint_sql('text')} AS BIGINT) AS fp FROM documents"
+        f"CAST({TM.fingerprint_sql('text')} AS BIGINT) AS fp, "
+        f"CAST(round(({TM.dup_line_frac_sql('text')}) * 1000000) AS BIGINT) AS dlf_micro, "
+        f"CAST(round(({TM.top_ngram_char_frac_sql('text', 2)}) * 1000000) AS BIGINT) AS t2_micro, "
+        f"CAST(round(({TM.dup_ngram_char_frac_sql('text', 4)}) * 1000000) AS BIGINT) AS d4_micro "
+        f"FROM documents"
     )
 
     o["dedup_exact"] = f"""
