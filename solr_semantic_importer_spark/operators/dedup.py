@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.analysis import tokens_col
 
@@ -397,3 +398,108 @@ def embedding_neardup_sql(
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
           >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: candidate pairs -> connected components -> keep/drop
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the candidate-pair graph: ``(id,
+    component)`` where ``component`` is the COMPONENT MINIMUM id -- the
+    step that turns the pair relations (`lsh_candidate_pairs`,
+    `embedding_neardup_pairs`) into a keep/drop verdict. Only ids that
+    appear in ``pairs`` come back; singletons never enter the graph (at
+    10^12 docs a row per clean doc would dwarf the dup graph).
+
+    Algorithm: min-label propagation with POINTER DOUBLING -- each round
+    (1) every node takes the min label over itself and its neighbors,
+    then (2) re-reads the label OF its label (path halving), giving
+    O(log n) rounds on any topology where plain propagation needs the
+    graph diameter (near-dup chains: A~B~C~... are real in
+    boilerplate-heavy corpora). Every round shuffles only the PAIR graph
+    (dup-cluster sized), never the corpus.
+
+    Each round's labels ``localCheckpoint`` (eager): the checkpoint CUTS
+    LINEAGE, which is load-bearing twice -- (a) unpersisting the previous
+    round's labels would otherwise CASCADE-invalidate any cache built on
+    top of them and force every round to recompute all prior rounds
+    (exponential blowup -- the standard iterative-DataFrame trap, the
+    reason GraphX checkpoints internally), and (b) 25 rounds of nested
+    join plans would otherwise overwhelm the optimizer. localCheckpoint
+    is executor-storage only; on a real cluster with executor churn use
+    a reliable ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+    variant. The loop fails loud past ``max_iter`` rather than returning
+    a half-merged clustering."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # (1) min over self + neighbors' labels
+        nbr = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("label").alias("nl"))
+        )
+        l1 = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("label", F.coalesce("nl", "label")).alias("label"))
+        )
+        # (2) pointer doubling: label of the label
+        l2 = (
+            l1.alias("a")
+            .join(
+                l1.select(F.col("id").alias("label"),
+                          F.col("label").alias("ll")).alias("b"),
+                "label", "left",
+            )
+            .select("id", F.least("label", F.coalesce("ll", "label")).alias("label"))
+            .localCheckpoint()  # eager: cuts lineage BEFORE the old
+            # round's storage is released (see docstring)
+        )
+        changed = (
+            l2.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = l2
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one doc per near-dup cluster (the component-minimum id) plus
+    every doc outside the pair graph -- `exact_dedup`'s contract lifted to
+    NEAR duplicates. The drop set is (graph nodes - component minima):
+    dup-graph sized, broadcastable against the corpus scan."""
+    comp = connected_components(pairs, id_a, id_b)
+    drop = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
