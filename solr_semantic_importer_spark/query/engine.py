@@ -1117,12 +1117,27 @@ class BM25Index:
         min/max/count/missing/sum/sumOfSquares/mean/stddev over the match
         set's ``field`` values (stddev is Solr's sample form,
         ``stddev_samp``). One partial-agg pass -- a single scalar row
-        crosses the wire regardless of corpus size."""
+        crosses the wire regardless of corpus size.
+
+        String fields return Solr's string-stats shape (lexicographic
+        min/max + count/missing, no arithmetic block) instead of silently
+        casting to null doubles."""
+        dtypes = dict(self.docs().dtypes)
+        if field not in dtypes:
+            raise ValueError(f"stats.field: unknown field {field!r}")
         if query.strip() == "*:*":
             base = self._anti_dead(self._apply_fq(self.docs(), fq))
         else:
             matched = self.score_matches(query, op=op, fq=fq, mm=mm)
             base = matched.join(self.docs().select("doc_id", field), "doc_id")
+        if dtypes[field] == "string":
+            c = F.col(field)
+            return base.agg(
+                F.min(c).alias("min"),
+                F.max(c).alias("max"),
+                F.count(c).alias("count"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("missing"),
+            )
         x = F.col(field).cast("double")
         return base.agg(
             F.min(x).alias("min"),
@@ -2423,7 +2438,8 @@ class BM25Index:
     def facet(
         self, query: str, field: str, fq: str | list[str] | None = None,
         op: str = "OR", mm: int | str | None = None, *,
-        prefix: str | None = None, mincount: int = 0,
+        prefix: str | None = None, contains: str | None = None,
+        contains_ignore_case: bool = False, mincount: int = 0,
         limit: int = -1, offset: int = 0, sort: str | None = None,
     ) -> DataFrame:
         """Q5 over a result set: non-scoring facet counts on ``field`` over
@@ -2456,6 +2472,17 @@ class BM25Index:
         )
         if prefix is not None:
             base = base.filter(F.col(field).cast("string").startswith(prefix))
+        if contains is not None:
+            # facet.contains / facet.contains.ignoreCase (Solr bucket
+            # filter): substring match on the bucket VALUE, applied before
+            # the aggregate like prefix so filtered buckets never count
+            s = F.col(field).cast("string")
+            if contains_ignore_case:
+                base = base.filter(
+                    F.lower(s).contains(str(contains).lower())
+                )
+            else:
+                base = base.filter(s.contains(contains))
         out = base.groupBy(field).agg(F.count("*").alias("facet_count"))
         if mincount > 0:
             out = out.filter(F.col("facet_count") >= mincount)

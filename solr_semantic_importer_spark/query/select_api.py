@@ -61,6 +61,7 @@ components its solrconfig enables):
   as Solr's flat ``[val, count, val, count, ...]`` arrays; bucket params
   ``facet.limit`` (default 100, -1 unlimited) / ``facet.offset`` /
   ``facet.mincount`` / ``facet.sort`` (count|index) / ``facet.prefix`` /
+  ``facet.contains`` (+ ``facet.contains.ignoreCase``) /
   ``facet.missing`` honored globally or per-field via ``f.<field>.facet.X``;
   ``facet.query`` (repeatable, fq grammar) → ``facet_counts.facet_queries``;
   ``facet.range.other`` (before|after|between|all|none) adds the
@@ -160,7 +161,7 @@ _FACET_RANGE_RE = re.compile(
     r"^(?:f\.[^.]+\.)?facet\.range\.(start|end|gap|other)$"
 )
 _FACET_PARAM_RE = re.compile(
-    r"^(?:f\.[^.]+\.)?facet\.(limit|offset|mincount|sort|prefix|missing)$"
+    r"^(?:f\.[^.]+\.)?facet\.(limit|offset|mincount|sort|prefix|missing|contains(?:\.ignoreCase)?)$"
 )
 _FACET_INTERVAL_RE = re.compile(
     r"^(?:facet\.interval|f\.[^.]+\.facet\.interval\.set)$"
@@ -824,6 +825,9 @@ def solr_select(
             counts = idx.facet(
                 q_main, field, fq=facet_fq, op=op, mm=mm,
                 prefix=_fparam(field, "prefix", None),
+                contains=_fparam(field, "contains", None),
+                contains_ignore_case=_truthy(
+                    _fparam(field, "contains.ignoreCase", False)),
                 mincount=int(_fparam(field, "mincount", 0)),
                 limit=limit, offset=int(_fparam(field, "offset", 0)),
                 sort=str(sort) if sort is not None else None,

@@ -176,3 +176,25 @@ def test_facet_range_other(corpus):
             "facet.range.start": 0, "facet.range.end": 2,
             "facet.range.gap": 1, "facet.range.other": "outside",
         })
+
+
+def test_facet_contains(corpus):
+    """facet.contains / facet.contains.ignoreCase filter buckets by
+    substring BEFORE the aggregate (Solr bucket filters)."""
+    _, idx = corpus
+    base = {r["role"]: r["facet_count"]
+            for r in idx.facet("error tool", "role").collect()}
+    got = {r["role"]: r["facet_count"]
+           for r in idx.facet("error tool", "role", contains="ser").collect()}
+    assert got == {k: v for k, v in base.items() if "ser" in k}
+    ic = {r["role"]: r["facet_count"]
+          for r in idx.facet("error tool", "role", contains="SER",
+                             contains_ignore_case=True).collect()}
+    assert ic == got
+    assert idx.facet("error tool", "role", contains="SER").count() == 0
+    resp = solr_select(idx, {
+        "q": "error tool", "rows": 0, "facet": "true", "facet.field": "role",
+        "facet.contains": "ser",
+    })
+    flat = resp["facet_counts"]["facet_fields"]["role"]
+    assert dict(zip(flat[::2], flat[1::2])) == got

@@ -64,3 +64,19 @@ def test_stats_match_all_and_select_shape(corpus):
     assert set(sf["dl"]) == {"min", "max", "count", "missing", "sum",
                              "sumOfSquares", "mean", "stddev"}
     assert sf["dl"]["count"] == _brute(idx, "error", "dl")["count"]
+
+
+def test_stats_string_field(corpus):
+    """String fields return Solr's string-stats shape (lexicographic
+    min/max + count/missing), never null-cast doubles."""
+    _, idx = corpus
+    row = idx.stats_field("error tool", "role").collect()[0]
+    vals = [r["role"] for r in
+            idx.score_matches("error tool")
+            .join(idx.docs().select("doc_id", "role"), "doc_id")
+            .collect()]
+    assert set(row.asDict()) == {"min", "max", "count", "missing"}
+    assert row["min"] == min(vals) and row["max"] == max(vals)
+    assert row["count"] == len(vals) and row["missing"] == 0
+    with pytest.raises(ValueError, match="unknown field"):
+        idx.stats_field("error", "nope")
