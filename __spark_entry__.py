@@ -819,26 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontam_report"] = decontam_report
 
-    # S6 MS MARCO TSV source (4-col docid/url/title/body): pytest-covered
-    # (tests/test_file_sources.py); kept callable for parity demos
-    def msmarco_scan(spark, sf_dir):
-        from solr_semantic_importer_spark.sources.files import msmarco_tsv
-
-        h = hashlib.md5(f"{sf_dir}:{ENTRY_BUILD_ID}:tsv".encode()).hexdigest()[:10]
-        tsv_dir = os.path.join(tempfile.gettempdir(), f"ssi_entry_tsv_{h}")
-        if not os.path.exists(tsv_dir):
-            # deterministic MS MARCO-shaped file derived from documents;
-            # tab/newline-free body so the TSV round-trips exactly
-            _docs(spark, sf_dir).select(
-                F.format_string("D%d", F.col("doc_id")).alias("docid"),
-                F.format_string("https://example.org/%d", F.col("doc_id")).alias("url"),
-                F.format_string("title %d", F.col("doc_id")).alias("title"),
-                F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[\\t\\n\\r]", " ").alias("body"),
-            ).coalesce(1).write.mode("overwrite").option("sep", "\t").csv(tsv_dir)
-        d = msmarco_tsv(spark, tsv_dir)
-        return d.select(
-            "docid", "url", "title", F.length("body").cast("long").alias("body_len")
-        )
+    # (S6 MS MARCO TSV source rotated to pytest coverage:
+    # tests/test_file_sources.py round-trips sources.files.msmarco_tsv)
 
     # ---- S5 protobuf wire decode (round-trip vs independent recompute) ----
     def proto_flatten(spark, sf_dir):
