@@ -166,6 +166,31 @@ def test_pf_and_requires_relevance_sort(corpus):
         })
 
 
+def test_pf_cursor_walk_rank_identical(corpus):
+    """pf under the default OR rides the q string, so cursorMark deep
+    paging stays supported: the cursor walk reproduces the one-page
+    boosted ranking exactly."""
+    full = solr_select(corpus, {
+        "q": Q, "rows": 200, "fl": "doc_id,score",
+        "defType": "edismax", "pf": "_text_^2", "ps": "1",
+    })
+    want = [(d["doc_id"], round(d["score"], 6))
+            for d in full["response"]["docs"]]
+    got, mark = [], "*"
+    while True:
+        r = solr_select(corpus, {
+            "q": Q, "rows": 7, "fl": "doc_id,score",
+            "defType": "edismax", "pf": "_text_^2", "ps": "1",
+            "cursorMark": mark,
+        })
+        got += [(d["doc_id"], round(d["score"], 6))
+                for d in r["response"]["docs"]]
+        if r["nextCursorMark"] == mark or not r["response"]["docs"]:
+            break
+        mark = r["nextCursorMark"]
+    assert got == want
+
+
 def test_pf_match_all_noop(corpus):
     r = solr_select(corpus, {
         "q": "*:*", "rows": 3, "defType": "edismax", "pf": "_text_",
