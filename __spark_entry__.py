@@ -769,38 +769,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frames"] = multimodal_frames
 
-    # ---- schemaless-mode field-type inference (active update chain) ----
-    def schemaless_parse(spark, sf_dir):
-        from solr_semantic_importer_spark.operators.schema_admin import (
-            infer_string_field_types,
+    # ---- exact-substring duplicate spans (ExactSubstr dedup) ----
+    # Gate rotation (r4 post-close): replaces schemaless_parse -- the
+    # field-type inference keeps dedicated pytest coverage
+    # (tests/test_schema_multifield.py::test_infer_string_field_types_edges)
+    # and its sibling file-source rows (json_roundtrip, proto_flatten)
+    # stay under the oracle, freeing the slot for the Lee-et-al-style
+    # cross-document duplicated-span operator.
+    def dup_spans(spark, sf_dir):
+        from solr_semantic_importer_spark.operators.exact_substring import (
+            duplicate_span_report,
         )
 
-        e = _events(spark, sf_dir)
-        raw = e.select(
-            "event_id",
-            F.col("event_id").cast("string").alias("s_long"),
-            F.concat(F.col("event_id").cast("string"), F.lit(".25")).alias("s_double"),
-            F.when(F.col("event_id") % 2 == 0, F.lit("true"))
-            .otherwise(F.lit("FALSE")).alias("s_bool"),
-            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("s_ts"),
-            F.concat(F.lit("x"), F.col("event_id").cast("string")).alias("s_str"),
-        )
-        typed = infer_string_field_types(raw)
-        assert dict(typed.dtypes)["s_long"] == "bigint"
-        assert dict(typed.dtypes)["s_double"] == "double"
-        assert dict(typed.dtypes)["s_bool"] == "boolean"
-        assert dict(typed.dtypes)["s_ts"] == "timestamp"
-        assert dict(typed.dtypes)["s_str"] == "string"
-        return typed.select(
-            "event_id",
-            F.col("s_long").alias("v_long"),
-            _milli(F.col("s_double")).alias("v_double_milli"),
-            F.col("s_bool").cast("int").alias("v_bool"),
-            TR.normalize_date(F.col("s_ts")).alias("v_ts"),
-            F.col("s_str").alias("v_str"),
+        d = _docs(spark, sf_dir)
+        rep = duplicate_span_report(d, "doc_id", "text", min_len=20)
+        return rep.select(
+            F.col("id").alias("doc_id"), "n_tokens", "dup_tokens",
+            "n_spans", "dup_frac_milli",
         )
 
-    q["schemaless_parse"] = schemaless_parse
+    q["dup_spans"] = dup_spans
 
     # ---- benchmark decontamination (n-gram collision vs an eval set) ----
     # Gate rotation (late r4): replaces msmarco_scan -- S6 keeps pytest
@@ -966,7 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is now exactly 50 entries, and the formerly-unchecked nine lead the
     # dict as insurance against any future cap/sampling.
     first = [
-        "schemaless_parse", "decontam_report", "proto_flatten",
+        "dup_spans", "decontam_report", "proto_flatten",
         "sessionize_events", "json_roundtrip", 
         "nested_children", "event_windows", "multimodal_frames",
         "geo_filter_dist",
@@ -1264,14 +1252,16 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS frame_len
         FROM f
     """
-    o["schemaless_parse"] = """
-        SELECT event_id,
-               event_id AS v_long,
-               CAST(event_id * 1000 + 250 AS BIGINT) AS v_double_milli,
-               CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS v_bool,
-               strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S.%gZ') AS v_ts,
-               'x' || CAST(event_id AS VARCHAR) AS v_str
-        FROM events
+    from solr_semantic_importer_spark.operators.exact_substring import (
+        duplicate_span_report_sql,
+    )
+
+    o["dup_spans"] = f"""
+        SELECT id AS doc_id, n_tokens, dup_tokens, n_spans, dup_frac_milli
+        FROM ({duplicate_span_report_sql(
+            "SELECT doc_id, text FROM documents", "doc_id", "text",
+            min_len=20,
+        )})
     """
     from solr_semantic_importer_spark.operators.decontaminate import (
         contamination_report_sql,
