@@ -310,6 +310,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["func_boost_topk"] = func_boost_topk
 
+    def func_tfidf_boost(spark, sf_dir):
+        # index-backed function queries: per-doc termfreq (pruned postings
+        # join) x idf (dictionary constant) as an additive bf
+        idx = _index_for(spark, sf_dir)
+        res = idx.search_boosted(
+            "table merge", k=10,
+            bf=["product(termfreq(text,'window'), idf(text,'window'))"],
+            order_key="milli",
+        )
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+
+    q["func_tfidf_boost"] = func_tfidf_boost
+
     def corpus_stats(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
         st = spark.read.parquet(os.path.join(idx.index_dir, "corpus_stats"))
@@ -499,14 +512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = ngram_jaccard
 
     # ---- similarity search ----
-    def cosine_topk_emb(spark, sf_dir):
-        e = _emb(spark, sf_dir)
-        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        res = SIM.cosine_topk(e, [float(x) for x in qv], k=20, exclude_id=0)
-        return res.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
-
-    q["cosine_topk_emb"] = cosine_topk_emb
-
+    # (exact cosine_topk rotated out r4 for func_tfidf_boost: ivf_topk_emb
+    # with nprobe=n_cells IS exhaustive exact cosine under the same oracle,
+    # and tests/test_similarity.py pins cosine_topk directly)
     def ann_multiprobe_topk_emb(spark, sf_dir):
         # single-probe LSH (former ann_lsh_topk_emb entry) is the n_probes=1
         # special case of this path; consolidated r3, pytest keeps both
@@ -1058,16 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs p JOIN sh a ON a.id = p.id_a JOIN sh b ON b.id = p.id_b
     """
 
-    o["cosine_topk_emb"] = """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
-        SELECT vec_id,
-               CAST(round(round(list_dot_product(emb, qv) /
-                     (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 6)
-                    * 1000000) AS BIGINT) AS cosine_micro
-        FROM e, q WHERE vec_id != 0
-        ORDER BY cosine_micro DESC, vec_id ASC LIMIT 20
-    """
+    o["func_tfidf_boost"] = OSQL.tfidf_boost_sql("table merge", "window", k=10)
     o["ann_multiprobe_topk_emb"] = _ann_oracle_sql(n_probes=4)
 
     # IVF with nprobe = n_cells scans every list -> equals brute-force

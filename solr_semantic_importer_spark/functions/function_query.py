@@ -16,8 +16,20 @@ a SQL expression string evaluated engine-side:
 Supported functions (Solr public function-query list):
   sum sub product mul div abs sqrt floor ceil log ln pow power min max
   recip linear ms if exists not and or def map field
-Fail-loud on anything else (``scale``/``ord``/``termfreq`` need global or
-index state -- documented unsupported rather than silently wrong).
+Index-backed functions (Solr's relevance ValueSources -- they read INDEX
+state, not doc columns, so they only compile after
+``resolve_index_functions`` rewrites them against a live BM25Index;
+``BM25Index.function_expr`` does this for every /select call site):
+  termfreq(f,'t')        raw per-doc tf of the indexed term (0 if absent)
+  docfreq(f,'t')         #docs containing the term (constant per query)
+  totaltermfreq/ttf(f,'t') total occurrences of the term in the index
+  idf(f,'t')             the similarity's idf: ln(1+(N-df+.5)/(df+.5))
+  sumtotaltermfreq(f)    total #tokens indexed in the field
+  maxdoc() / numdocs()   corpus size incl. / excl. deleted docs
+Like Lucene, the term argument is the literal INDEXED term (not analyzed),
+and df/ttf statistics ignore tombstones until a merge rewrites segments.
+Fail-loud on anything else (``scale``/``ord`` need global sort state --
+documented unsupported rather than silently wrong).
 
 Semantics notes (public Solr docs):
 - ``log`` is base-10; ``ln`` is natural.
@@ -35,6 +47,7 @@ Semantics notes (public Solr docs):
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 __all__ = [
@@ -43,12 +56,16 @@ __all__ = [
     "fields_used",
     "parse_frange",
     "looks_like_function",
+    "contains_index_functions",
+    "resolve_index_functions",
+    "INDEX_FUNCTIONS",
 ]
 
 _TOKEN_RE = re.compile(
     r"\s*(?:"
     r"(?P<num>-?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)"
     r"|(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<str>'[^']*'|\"[^\"]*\")"
     r"|(?P<punct>[(),])"
     r")"
 )
@@ -65,7 +82,19 @@ _FUNCTIONS: dict[str, tuple[int, int | None]] = {
     # geodist(F, lat, lon): Solr's spatial distance ValueSource -- F is a
     # spatial field mapped to F_lat/F_lon subfield columns (functions/geo.py)
     "geodist": (3, 3),
+    # index-backed relevance ValueSources (resolved against a BM25Index
+    # before SQL emission; see resolve_index_functions)
+    "termfreq": (2, 2), "docfreq": (2, 2), "totaltermfreq": (2, 2),
+    "ttf": (2, 2), "idf": (2, 2), "sumtotaltermfreq": (1, 1),
+    "maxdoc": (0, 0), "numdocs": (0, 0),
 }
+
+# functions whose value comes from index state, not doc columns. ttf is
+# canonicalized to totaltermfreq at parse time.
+INDEX_FUNCTIONS = frozenset(
+    ("termfreq", "docfreq", "totaltermfreq", "idf", "sumtotaltermfreq",
+     "maxdoc", "numdocs")
+)
 
 _NUMERIC_DTYPES = ("int", "bigint", "smallint", "tinyint", "float",
                    "double", "long", "decimal")
@@ -82,7 +111,7 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
                 f"function query: cannot tokenize at {s[pos:]!r} in {s!r}"
             )
         pos = m.end()
-        for kind in ("num", "name", "punct"):
+        for kind in ("num", "name", "str", "punct"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -109,6 +138,9 @@ def parse_function_query(s: str):
         if kind == "num":
             pos += 1
             return ("num", float(v))
+        if kind == "str":
+            pos += 1
+            return ("str", v[1:-1])
         if kind == "name":
             pos += 1
             if peek() == ("punct", "("):
@@ -119,10 +151,13 @@ def parse_function_query(s: str):
                         f"{', '.join(sorted(_FUNCTIONS))})"
                     )
                 pos += 1  # (
-                args = [expr()]
-                while peek() == ("punct", ","):
-                    pos += 1
-                    args.append(expr())
+                if peek() == ("punct", ")"):
+                    args = []
+                else:
+                    args = [expr()]
+                    while peek() == ("punct", ","):
+                        pos += 1
+                        args.append(expr())
                 if peek() != ("punct", ")"):
                     raise ValueError(f"expected ')' in function query {s!r}")
                 pos += 1
@@ -141,6 +176,16 @@ def parse_function_query(s: str):
                     fname = "product"
                 if fname == "power":
                     fname = "pow"
+                if fname == "ttf":
+                    fname = "totaltermfreq"
+                if fname in ("termfreq", "docfreq", "totaltermfreq", "idf"):
+                    if args[0][0] != "field" or args[1][0] != "str":
+                        raise ValueError(
+                            f"{fname}(field, 'term') takes a field name and "
+                            f"a quoted term literal"
+                        )
+                if fname == "sumtotaltermfreq" and args[0][0] != "field":
+                    raise ValueError("sumtotaltermfreq() takes a field name")
                 return ("call", fname, args)
             return ("field", v)
         raise ValueError(f"unexpected token in function query {s!r}")
@@ -159,6 +204,10 @@ def fields_used(ast) -> list[str]:
     def walk(n):
         if n[0] == "field" and n[1] not in out:
             out.append(n[1])
+        elif n[0] == "call" and n[1] in INDEX_FUNCTIONS:
+            # args name the INDEXED field / term -- index state, not a
+            # docs-column read (resolution replaces the whole call)
+            return
         elif n[0] == "call" and n[1] == "geodist":
             # arg0 is the spatial field NAME: it reads the two subfields
             for c in (f"{n[2][0][1]}_lat", f"{n[2][0][1]}_lon"):
@@ -194,9 +243,15 @@ def _check(ast, types: dict[str, str]) -> str:
     kind, *rest = ast
     if kind == "num":
         return "num"
+    if kind == "str":
+        return "str"
     if kind == "field":
         return _field_kind(rest[0], types)
     fname, args = rest
+    if fname in INDEX_FUNCTIONS:
+        # shape was validated at parse time; the field names index state
+        # (validated by the resolver against the live index), not a column
+        return "num"
     if fname == "geodist":
         # arg0 is a spatial field NAME (not a value): resolve its
         # PointType subfield columns before any generic type-check sees it
@@ -267,6 +322,12 @@ def function_to_sql(
         if kind == "field":
             return rest[0]
         fname, args = rest
+        if fname in INDEX_FUNCTIONS:
+            raise ValueError(
+                f"{fname}() reads index state -- compile through "
+                f"BM25Index.function_expr (resolve_index_functions), not "
+                f"a bare function_to_sql"
+            )
         a = [emit(x) for x in args]
         if fname == "sum":
             return "(" + " + ".join(a) + ")"
@@ -336,6 +397,63 @@ def function_to_sql(
         raise AssertionError(f"unreachable: {fname}")
 
     return emit(ast), fields_used(ast)
+
+
+def contains_index_functions(ast) -> bool:
+    """True when the AST has any index-backed call left unresolved."""
+    kind, *rest = ast
+    if kind == "call":
+        if rest[0] in INDEX_FUNCTIONS:
+            return True
+        return any(contains_index_functions(a) for a in rest[1])
+    return False
+
+
+def resolve_index_functions(ast, resolver):
+    """Rewrite index-backed calls against a live index. ``resolver`` is
+    duck-typed (BM25Index implements it): ``index_function_value(fname,
+    field, term) -> float`` for the per-query constants (docfreq /
+    totaltermfreq / idf / sumtotaltermfreq / maxdoc / numdocs -- one tiny
+    pruned dictionary lookup each, never a corpus scan).
+
+    ``termfreq`` is per-DOC, so it cannot fold to a constant: each distinct
+    (field, term) becomes a synthetic column reference ``__termfreq<i>``
+    the caller joins from the term's pruned postings (BM25Index.term_tf_df)
+    -- at 10^12 turns that join ships one term's postings, not the corpus.
+
+    Returns ``(rewritten_ast, tf_cols)`` with tf_cols =
+    ``[(column_name, field, term), ...]`` in first-use order."""
+    tf_cols: list[tuple[str, str, str]] = []
+    seen: dict[tuple[str, str], str] = {}
+
+    def walk(n):
+        kind, *rest = n
+        if kind != "call":
+            return n
+        fname, args = rest
+        if fname == "termfreq":
+            key = (args[0][1], args[1][1])
+            col = seen.get(key)
+            if col is None:
+                # content-derived name: the same (field, term) in two
+                # separately-compiled expressions (bf= AND boost=) resolves
+                # to ONE column, so the caller joins each term's postings
+                # exactly once
+                digest = hashlib.md5(
+                    f"{key[0]}\x00{key[1]}".encode()
+                ).hexdigest()[:10]
+                col = f"__termfreq_{digest}"
+                seen[key] = col
+                tf_cols.append((col, key[0], key[1]))
+                resolver.index_function_value("termfreq", *key)  # validate
+            return ("field", col)
+        if fname in INDEX_FUNCTIONS:
+            field = args[0][1] if args else None
+            term = args[1][1] if len(args) > 1 else None
+            return ("num", float(resolver.index_function_value(fname, field, term)))
+        return ("call", fname, [walk(a) for a in args])
+
+    return walk(ast), tf_cols
 
 
 def looks_like_function(s: str) -> bool:

@@ -493,6 +493,41 @@ def boosted_topk_sql(query: str, k: int = 10) -> str:
     """
 
 
+def tfidf_boost_sql(query: str, bterm: str, k: int = 10) -> str:
+    """Index-backed function-boost oracle: full BM25 OR score plus the
+    additive bf ``product(termfreq(text,'bterm'), idf(text,'bterm'))`` --
+    per-doc raw tf of the boost term times the BM25 idf of that term,
+    both recomputed first-principles from the token CTEs (engine side:
+    query/engine.py termfreq postings join + idf dictionary constant)."""
+    return f"""
+    WITH {bm25_base_ctes()},
+    scored AS (
+      SELECT tfc.doc_id,
+             sum( ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                  * tfc.tf * ({K1} + 1)
+                  / (tfc.tf + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl)) ) AS score
+      FROM tfc
+      JOIN dft USING (term)
+      JOIN lens ON lens.doc_id = tfc.doc_id
+      CROSS JOIN st
+      WHERE tfc.term IN ({_matched_terms(query)})
+      GROUP BY tfc.doc_id
+    ),
+    btf AS (SELECT doc_id, tf FROM tfc WHERE term = '{bterm}'),
+    bidf AS (
+      SELECT ln(1 + (st.n - coalesce(d.df, 0) + 0.5)
+                / (coalesce(d.df, 0) + 0.5)) AS w
+      FROM st LEFT JOIN (SELECT df FROM dft WHERE term = '{bterm}') d ON TRUE
+    )
+    SELECT s.doc_id,
+           CAST(round((s.score + coalesce(btf.tf, 0) * bidf.w) * 1000)
+                AS BIGINT) AS score_milli
+    FROM scored s LEFT JOIN btf USING (doc_id) CROSS JOIN bidf
+    ORDER BY score_milli DESC, s.doc_id ASC
+    LIMIT {k}
+    """
+
+
 def pivot2_sql(query: str, f1: str = "role", f2: str = "turn_idx") -> str:
     """facet.pivot oracle, 2 levels flattened to (f1, f2, cnt) rows over
     the exact OR match set -- per-level null drop; with limit >= the value

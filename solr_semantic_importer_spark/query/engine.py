@@ -206,6 +206,7 @@ class BM25Index:
             .collect()[0]
         )
         self.n_docs = int(srow["n"] or 0)
+        self.sum_dl = int(srow["s"] or 0)
         self.avgdl = (float(srow["s"]) / self.n_docs) if self.n_docs else 0.0
         fin = data.get("steps", {}).get("finalize", {}).get("metrics", {})
         self._finalize_metrics = fin
@@ -399,6 +400,84 @@ class BM25Index:
         buckets = self._buckets(terms)
         return self._postings().filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    # -- index-backed function queries (Solr relevance ValueSources) -----------
+
+    def _check_indexed_field(self, field: str) -> None:
+        """termfreq/docfreq/... name the INDEXED field. This engine indexes
+        one catch-all stream (``text``, or copy_fields concatenated into
+        ``_text_`` -- Solr's copyField semantics, managed-schema.xml:298),
+        so both spellings address the same postings."""
+        ok = {"text", "_text_"}
+        ok.update(self._finalize_metrics.get("copy_fields") or ())
+        if field not in ok:
+            raise ValueError(
+                f"index function references unindexed field {field!r} "
+                f"(indexed: {sorted(ok)})"
+            )
+
+    def index_function_value(self, fname: str, field=None, term=None) -> float:
+        """Per-query CONSTANT value of an index-backed function (everything
+        except per-doc termfreq). Each is a driver-side scalar from the
+        dictionary/manifest -- a pruned lookup, never a corpus job. Like
+        Lucene, df/ttf/N ignore tombstones until a merge rewrites segments;
+        numdocs() is the one deletes-aware reader (Solr parity)."""
+        if field is not None:
+            self._check_indexed_field(field)
+        if fname == "termfreq":
+            return 0.0  # validation-only call; per-doc value comes from a join
+        if fname == "docfreq":
+            return float(self._dfs([term]).get(term, 0))
+        if fname == "idf":
+            df = self._dfs([term]).get(term, 0)
+            return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+        if fname == "totaltermfreq":
+            row = (
+                self.term_tf_df(term, "tf")
+                .agg(F.sum("tf").alias("s"))
+                .collect()[0]
+            )
+            return float(row["s"] or 0)
+        if fname == "sumtotaltermfreq":
+            return float(self.sum_dl)
+        if fname == "maxdoc":
+            return float(self.n_docs)
+        if fname == "numdocs":
+            return float(self.n_docs - self._n_tombstoned())
+        raise ValueError(f"unknown index function {fname!r}")
+
+    def _n_tombstoned(self) -> int:
+        if getattr(self, "_n_dead_cache", None) is None:
+            dead = self._tombstones_df()
+            self._n_dead_cache = 0 if dead is None else dead.count()
+        return self._n_dead_cache
+
+    def term_tf_df(self, term: str, colname: str = "tf") -> DataFrame:
+        """Per-doc raw term frequency of ONE indexed term:
+        DataFrame(doc_id, <colname>). Bucket + term pushdown prune the
+        postings scan to the term's rows; the decode reads only the
+        doc_gaps/tfs streams (positions never leave parquet). Docs without
+        the term are absent -- callers left-join and coalesce to 0."""
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    gaps = varint_decode(row.doc_gaps, row.count)
+                    docs = np.cumsum(gaps).astype(np.int64)
+                    tf = varint_decode(row.tfs, row.count).astype(np.int64)
+                    yield pd.DataFrame({"doc_id": docs, colname: tf})
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField(colname, T.LongType(), False),
+            ]
+        )
+        return (
+            self.postings_for([term])
+            .select("term", "count", "doc_gaps", "tfs")
+            .mapInPandas(decode, schema=schema)
         )
 
     # -- scoring paths ---------------------------------------------------------
@@ -958,10 +1037,38 @@ class BM25Index:
     def function_expr(self, func: str, dialect: str = "spark") -> tuple[str, list[str]]:
         """Compile a Solr function-query string against this index's docs
         schema. Returns (SQL expression, fields it reads). Spark dialect
-        expressions ride whole-stage codegen (``F.expr``), never Python."""
-        from ..functions.function_query import function_to_sql
+        expressions ride whole-stage codegen (``F.expr``), never Python.
+        Index-backed CONSTANTS (docfreq/idf/ttf/sumtotaltermfreq/maxdoc/
+        numdocs) fold to literals here, so they work in every function site
+        (sort, fl, frange, json.facet); per-doc ``termfreq`` needs a
+        postings join -- only bf=/boost= wires that (function_expr_indexed)."""
+        sql, fields, tf_cols = self.function_expr_indexed(func, dialect)
+        if tf_cols:
+            raise ValueError(
+                "termfreq() is per-doc (needs a postings join) -- supported "
+                "in bf=/boost= (search_boosted), not in this function site"
+            )
+        return sql, fields
 
-        return function_to_sql(func, dict(self.docs().dtypes), dialect)
+    def function_expr_indexed(
+        self, func: str, dialect: str = "spark"
+    ) -> tuple[str, list[str], list[tuple[str, str, str]]]:
+        """function_expr + per-doc termfreq support: returns (sql, fields,
+        tf_cols) where each tf_col (column, field, term) must be left-joined
+        from ``term_tf_df(term, column)`` (missing -> 0) before evaluating
+        the expression."""
+        from ..functions.function_query import (
+            function_to_sql,
+            parse_function_query,
+            resolve_index_functions,
+        )
+
+        ast = parse_function_query(func)
+        ast, tf_cols = resolve_index_functions(ast, self)
+        types = dict(self.docs().dtypes)
+        types.update({c: "bigint" for c, _, _ in tf_cols})
+        sql, fields = function_to_sql(ast, types, dialect)
+        return sql, fields, tf_cols
 
     def search_boosted(
         self,
@@ -1009,22 +1116,37 @@ class BM25Index:
             ).withColumn("score", F.lit(1.0))
         else:
             base = self.score_matches(query, op=op, fq=fq, mm=mm)
-        exprs = [self.function_expr(f) for f in bfs]
-        boost_expr = self.function_expr(boost) if boost is not None else None
-        need = sorted(
-            ({c for _, fields in exprs for c in fields}
-             | set(boost_expr[1] if boost_expr else []))
-            - {"doc_id"}  # already on the scored frame (join key)
+        exprs = [self.function_expr_indexed(f) for f in bfs]
+        boost_expr = (
+            self.function_expr_indexed(boost) if boost is not None else None
         )
+        tf_cols = {
+            (col, term)
+            for _, _, tfs in exprs + ([boost_expr] if boost_expr else [])
+            for col, _, term in tfs
+        }
+        tf_names = {col for col, _ in tf_cols}
+        need = sorted(
+            ({c for _, fields, _ in exprs for c in fields}
+             | set(boost_expr[1] if boost_expr else []))
+            - {"doc_id"} - tf_names  # doc_id is the join key; tf cols join
+        )                            # from postings, not the docs table
         scored = base
         if need:
             scored = scored.join(
                 self.docs().select("doc_id", *need), "doc_id"
             )
+        # per-doc termfreq(): one pruned single-term postings decode per
+        # distinct term, left-joined (absent -> tf 0). The joined side is
+        # df(term) rows -- never the corpus.
+        for col, term in sorted(tf_cols):
+            scored = scored.join(
+                self.term_tf_df(term, col), "doc_id", "left"
+            ).withColumn(col, F.coalesce(F.col(col), F.lit(0)))
         total = F.col("score")
         if boost_expr is not None:
             total = total * F.expr(boost_expr[0])
-        for sql, _ in exprs:
+        for sql, _, _ in exprs:
             total = total + F.expr(sql)
         scored = scored.select(
             "doc_id", total.cast("double").alias("score")

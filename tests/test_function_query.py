@@ -273,3 +273,153 @@ def test_select_sort_by_function(corpus):
     )[:6]
     assert [d["doc_id"] for d in resp2["response"]["docs"]] == \
            [d["doc_id"] for d in alld]
+
+
+# ---------- index-backed functions (Solr relevance ValueSources) ----------
+
+def test_parse_index_functions():
+    ast = parse_function_query("termfreq(text,'spark')")
+    assert ast == ("call", "termfreq", [("field", "text"), ("str", "spark")])
+    # ttf canonicalizes to totaltermfreq; double quotes accepted
+    assert parse_function_query('ttf(text,"a b")') == \
+        ("call", "totaltermfreq", [("field", "text"), ("str", "a b")])
+    assert parse_function_query("maxdoc()") == ("call", "maxdoc", [])
+    # index args are index state, not docs-column reads
+    assert fields_used(parse_function_query(
+        "sum(termfreq(text,'x'), idf(text,'x'), turn_idx)")) == ["turn_idx"]
+
+
+@pytest.mark.parametrize("bad", [
+    "termfreq(text)",            # arity
+    "termfreq('a','b')",         # field must be a name
+    "idf(text, spark)",          # term must be a quoted literal
+    "maxdoc(1)", "numdocs(text)",
+    "sumtotaltermfreq('text')",
+])
+def test_parse_index_functions_fail_loud(bad):
+    with pytest.raises(ValueError):
+        parse_function_query(bad)
+
+
+def test_bare_compile_of_index_function_fails_loud():
+    # no index state in a plain function_to_sql: must error, never guess
+    with pytest.raises(ValueError, match="index state"):
+        function_to_sql("termfreq(text,'x')", {"text": "string"})
+    with pytest.raises(ValueError, match="index state"):
+        function_to_sql("sum(1, docfreq(text,'x'))", {"text": "string"})
+
+
+def _token_counts(idx):
+    """Brute-force per-doc Counter of analyzed tokens (text_general)."""
+    import collections
+    import re as _re
+
+    return {
+        r["doc_id"]: collections.Counter(
+            _re.findall(r"[a-z0-9]+", (r["text"] or "").lower()))
+        for r in idx.docs().select("doc_id", "text").collect()
+    }
+
+
+def test_index_function_constants_vs_brute_force(corpus):
+    idx = corpus
+    counts = _token_counts(idx)
+    term = max(
+        {t for c in counts.values() for t in c},
+        key=lambda t: (sum(1 for c in counts.values() if t in c), t),
+    )
+    n = len(counts)
+    df = sum(1 for c in counts.values() if term in c)
+    assert idx.index_function_value("docfreq", "text", term) == df
+    assert idx.index_function_value("idf", "text", term) == pytest.approx(
+        math.log(1 + (n - df + 0.5) / (df + 0.5)))
+    assert idx.index_function_value("totaltermfreq", "text", term) == \
+        sum(c[term] for c in counts.values())
+    assert idx.index_function_value("sumtotaltermfreq", "text") == \
+        sum(sum(c.values()) for c in counts.values())
+    assert idx.index_function_value("maxdoc") == n
+    assert idx.index_function_value("numdocs") == n
+    # OOV: df 0, idf at the df=0 ceiling, tf column empty
+    assert idx.index_function_value("docfreq", "text", "zzzoov") == 0
+    assert idx.index_function_value("idf", "text", "zzzoov") == \
+        pytest.approx(math.log(1 + (n + 0.5) / 0.5))
+    assert idx.term_tf_df("zzzoov").count() == 0
+    # _text_ addresses the same catch-all index (copyField semantics)
+    assert idx.index_function_value("docfreq", "_text_", term) == df
+    with pytest.raises(ValueError, match="unindexed field"):
+        idx.index_function_value("docfreq", "nosuch", term)
+
+
+def test_termfreq_per_doc_and_boost_parity(corpus):
+    idx = corpus
+    counts = _token_counts(idx)
+    term = max(
+        {t for c in counts.values() for t in c},
+        key=lambda t: (sum(c[t] for c in counts.values()), t),
+    )
+    got = {r["doc_id"]: r["tf"] for r in idx.term_tf_df(term).collect()}
+    assert got == {i: c[term] for i, c in counts.items() if term in c}
+
+    n = len(counts)
+    df = sum(1 for c in counts.values() if term in c)
+    w = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    base = {r["doc_id"]: r["score"]
+            for r in idx.score_matches("error tool").collect()}
+    bf = f"product(termfreq(text,'{term}'), idf(text,'{term}'))"
+    res = idx.search_boosted("error tool", k=10, bf=bf).collect()
+    assert len(res) == 10
+    for r in res:
+        want = base[r["doc_id"]] + counts[r["doc_id"]].get(term, 0) * w
+        assert r["score"] == pytest.approx(want, abs=1e-9)
+    # the same term in bf AND boost joins its postings once and composes
+    # as Lucene does: score * boost + bf
+    res2 = idx.search_boosted(
+        "error tool", k=5,
+        boost=f"sum(1, product(0.1, termfreq(text,'{term}')))",
+        bf=f"termfreq(text,'{term}')",
+    ).collect()
+    for r in res2:
+        tf = counts[r["doc_id"]].get(term, 0)
+        want = base[r["doc_id"]] * (1 + 0.1 * tf) + tf
+        assert r["score"] == pytest.approx(want, abs=1e-9)
+    # OOV termfreq boosts by 0 everywhere (left join -> coalesce 0)
+    res3 = idx.search_boosted(
+        "error tool", k=5, bf="termfreq(text,'zzzoov')").collect()
+    for r in res3:
+        assert r["score"] == pytest.approx(base[r["doc_id"]], abs=1e-9)
+
+
+def test_index_constants_fold_into_any_function_site(corpus):
+    idx = corpus
+    counts = _token_counts(idx)
+    term = next(iter(sorted({t for c in counts.values() for t in c})))
+    df = sum(1 for c in counts.values() if term in c)
+    sql, fields = idx.function_expr(f"sum(docfreq(text,'{term}'), numdocs())")
+    assert fields == [] and sql == f"({df} + {len(counts)})"
+    # per-doc termfreq cannot fold -- non-boost sites fail loud
+    with pytest.raises(ValueError, match="postings join"):
+        idx.function_expr(f"termfreq(text,'{term}')")
+    with pytest.raises(ValueError, match="postings join"):
+        solr_select(idx, {"q": "error", "rows": 3,
+                          "sort": f"termfreq(text,'{term}') desc"})
+
+
+def test_numdocs_sees_tombstones_docfreq_does_not(spark, tmp_path):
+    df = generate_transcripts(spark, n_convs=12, turns_per_conv=4, seed=7)
+    idx_dir = str(tmp_path / "ifq_del")
+    build_index(spark, df, idx_dir, BuildConfig(build_id="ifq_del", **CFG))
+    idx = BM25Index(spark, idx_dir)
+    counts = _token_counts(idx)
+    term = max(
+        {t for c in counts.values() for t in c},
+        key=lambda t: (sum(1 for c in counts.values() if t in c), t),
+    )
+    df0 = idx.index_function_value("docfreq", "text", term)
+    n_deleted = idx.delete_by_query("role = 'user'")
+    assert n_deleted > 0
+    idx2 = BM25Index(spark, idx_dir)
+    # Lucene semantics: numdocs drops deletes, df/maxdoc/ttf do not
+    # (segment stats stay put until a merge rewrites them)
+    assert idx2.index_function_value("numdocs") == len(counts) - n_deleted
+    assert idx2.index_function_value("maxdoc") == len(counts)
+    assert idx2.index_function_value("docfreq", "text", term) == df0
