@@ -11,6 +11,13 @@ domain (never a job per bucket):
   (``"sum(div(turn_idx,dl))"`` -- `functions/function_query.py` grammar).
   ``unique`` is exact countDistinct (Solr's is exact below 100 values,
   approximate above -- documented deviation: ours is always exact).
+  ``percentile(dl, 50, 90)``: EXACT linear-interpolation percentiles
+  (Spark's percentile aggregate; Solr uses a t-digest APPROXIMATION --
+  ours is strictly more accurate; a single percentile yields a number,
+  several yield a list, Solr's response shape). The exact aggregate's
+  state is a counts map bounded by the field's distinct-value count per
+  bucket -- right for the bounded-cardinality numerics facet stats run
+  over; swap percentile_approx for unbounded doubles at 10^12 rows.
 - **terms facets**: ``{type: terms, field, limit (default 10), offset,
   mincount (default 1), sort ("count desc" | "index asc" | "<stat> desc"),
   missing: bool, allBuckets: bool, facet: {nested}}``. Nested stats and
@@ -28,7 +35,7 @@ domain (never a job per bucket):
   default mincount 0). A range facet may also nest UNDER a terms facet
   (one groupBy over (parent, bucket), parents x n_buckets rows out).
 
-Unsupported spec keys (domain/refine/overrequest/percentile/hll...) raise
+Unsupported spec keys (domain/refine/overrequest/hll...) raise
 ValueError -- the facade's fail-loud contract. Response shape matches
 Solr: ``{"count": N, "<name>": {"buckets": [{"val", "count", ...stats,
 ...subfacets}], "missing"?, "allBuckets"?}, "<stat>": value}``.
@@ -44,8 +51,29 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["json_facet"]
 
 _STAT_RE = re.compile(
-    r"^\s*(sum|avg|min|max|unique|missing)\s*\((.+)\)\s*$", re.S
+    r"^\s*(sum|avg|min|max|unique|missing|percentile)\s*\((.+)\)\s*$", re.S
 )
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parentheses/quotes (percentile's arg list
+    may itself be a function query with commas)."""
+    out, depth, q, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p.strip() for p in out]
 
 _TERMS_KEYS = {"type", "field", "limit", "offset", "mincount", "sort",
                "missing", "allBuckets", "facet", "domain"}
@@ -71,10 +99,30 @@ def _stat_agg(idx, name: str, spec: str):
     m = _STAT_RE.match(spec)
     if m is None:
         raise ValueError(
-            f"unsupported json.facet stat {spec!r} (use "
-            f"sum/avg/min/max/unique/missing(field-or-function))"
+            f"unsupported json.facet stat {spec!r} (use sum/avg/min/max/"
+            f"unique/missing(field-or-function) or percentile(arg, p...))"
         )
     fn, arg = m.group(1), m.group(2)
+    if fn == "percentile":
+        parts = _split_top_level(arg)
+        if len(parts) < 2:
+            raise ValueError(
+                f"percentile stat {spec!r}: need percentile(arg, p1[, p2...])"
+            )
+        try:
+            ps = [float(p) for p in parts[1:]]
+        except ValueError:
+            raise ValueError(
+                f"percentile stat {spec!r}: percentiles must be numbers"
+            ) from None
+        if any(not 0.0 <= p <= 100.0 for p in ps):
+            raise ValueError(f"percentile stat {spec!r}: p not in [0, 100]")
+        col = F.expr(_arg_sql(idx, parts[0])).cast("double")
+        if len(ps) == 1:
+            return F.percentile(col, F.lit(ps[0] / 100.0)).alias(name)
+        return F.percentile(
+            col, F.array(*[F.lit(p / 100.0) for p in ps])
+        ).alias(name)
     if fn == "missing":
         return F.count(
             F.when(F.expr(_arg_sql(idx, arg)).isNull(), 1)

@@ -1023,8 +1023,30 @@ def solr_select(
     if _truthy(params.get("stats", False)):
         sf: dict[str, Any] = {}
         for field in _as_list(params.get("stats.field")):
-            row = idx.stats_field(q_main, field, fq=fq, op=op, mm=mm).collect()[0]
-            sf[field] = {k: row[k] for k in row.asDict()}
+            # Solr local-param form: stats.field={!percentiles='1,99.9'}F
+            pcts: list[float] = []
+            m_p = re.match(r"^\{!percentiles='([^']*)'\}(.+)$", field)
+            if m_p:
+                pcts = [float(x) for x in m_p.group(1).split(",") if x.strip()]
+                field = m_p.group(2)
+            elif field.startswith("{!"):
+                raise ValueError(
+                    f"stats.field local params: only "
+                    f"{{!percentiles='..'}} is supported, got {field!r}"
+                )
+            row = idx.stats_field(
+                q_main, field, fq=fq, op=op, mm=mm, percentiles=pcts or None
+            ).collect()[0]
+            d = {k: row[k] for k in row.asDict() if not k.startswith("p")}
+            if pcts:
+                # Solr keys the percentiles map by the requested value
+                d["percentiles"] = {
+                    str(float(p)): row[
+                        "p" + str(float(p)).rstrip("0").rstrip(".").replace(".", "_")
+                    ]
+                    for p in pcts
+                }
+            sf[field] = d
         resp["stats"] = {"stats_fields": sf}
 
     if _truthy(params.get("debugQuery", False)) and not match_all:

@@ -186,7 +186,7 @@ def test_respects_fq_op_and_select_integration(corpus):
 def test_fail_loud(corpus):
     idx = corpus
     with pytest.raises(ValueError):
-        json_facet(idx, "error", {"p": "percentile(dl,50)"})
+        json_facet(idx, "error", {"p": "hll(role)"})
     with pytest.raises(ValueError):
         json_facet(idx, "error", {"t": {"type": "terms", "field": "role",
                                         "refine": True}})
@@ -281,3 +281,38 @@ def test_nested_range_under_terms(corpus):
                   "facet": {"b": {"type": "range", "field": "turn_idx",
                                   "start": 0, "end": 5, "gap": 1}}},
         })
+
+
+def test_percentile_stat(corpus):
+    import numpy as np
+
+    idx = corpus
+    got = json_facet(idx, "error", {
+        "med": "percentile(dl, 50)",
+        "tails": "percentile(dl, 1, 99.9)",
+        "fmed": "percentile(div(turn_idx,dl), 50)",
+        "by_role": {
+            "type": "terms", "field": "role", "limit": 10,
+            "facet": {"p90": "percentile(dl, 90)"},
+        },
+    })
+    rows = _rows(idx, "error")
+    dls = np.array([float(r["dl"]) for r in rows])
+    # single percentile -> number; several -> list (Solr's response shape)
+    assert got["med"] == pytest.approx(np.percentile(dls, 50))
+    assert got["tails"] == pytest.approx(
+        [np.percentile(dls, 1), np.percentile(dls, 99.9)])
+    fvals = np.array([r["turn_idx"] / r["dl"] for r in rows])
+    assert got["fmed"] == pytest.approx(np.percentile(fvals, 50))
+    for b in got["by_role"]["buckets"]:
+        bvals = np.array(
+            [float(r["dl"]) for r in rows if r["role"] == b["val"]])
+        assert b["p90"] == pytest.approx(np.percentile(bvals, 90))
+
+
+def test_percentile_stat_fail_loud(corpus):
+    idx = corpus
+    for bad in ("percentile(dl)", "percentile(dl, x)",
+                "percentile(dl, 101)"):
+        with pytest.raises(ValueError):
+            json_facet(idx, "error", {"p": bad})

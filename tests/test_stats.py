@@ -80,3 +80,63 @@ def test_stats_string_field(corpus):
     assert row["count"] == len(vals) and row["missing"] == 0
     with pytest.raises(ValueError, match="unknown field"):
         idx.stats_field("error", "nope")
+
+
+# ---------- percentiles (exact; Solr approximates via t-digest) ----------
+
+def test_stats_percentiles_vs_numpy(corpus):
+    import numpy as np
+
+    _, idx = corpus
+    matched = {r["doc_id"] for r in idx.score_matches("error tool").collect()}
+    vals = np.array([
+        float(r["dl"])
+        for r in idx.docs().select("doc_id", "dl").collect()
+        if r["doc_id"] in matched
+    ])
+    row = idx.stats_field(
+        "error tool", "dl", percentiles=[1, 50, 99.9]
+    ).collect()[0]
+    # Spark's exact percentile = numpy's 'linear' interpolation
+    assert row["p1"] == pytest.approx(np.percentile(vals, 1))
+    assert row["p50"] == pytest.approx(np.percentile(vals, 50))
+    assert row["p99_9"] == pytest.approx(np.percentile(vals, 99.9))
+    # DuckDB quantile_cont agrees (the oracle dialect)
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT quantile_cont(v, [0.01, 0.5, 0.999]) FROM "
+        "(SELECT unnest($vals) AS v)", params={"vals": vals.tolist()}
+    ).fetchone()[0]
+    assert got == pytest.approx([row["p1"], row["p50"], row["p99_9"]])
+
+
+def test_stats_percentiles_validation(corpus):
+    _, idx = corpus
+    with pytest.raises(ValueError, match="numeric"):
+        idx.stats_field("error", "role", percentiles=[50])
+    with pytest.raises(ValueError, match=r"not in \[0, 100\]"):
+        idx.stats_field("error", "dl", percentiles=[101])
+
+
+def test_select_stats_percentiles_local_params(corpus):
+    import numpy as np
+
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error tool", "rows": 0, "stats": "true",
+        "stats.field": "{!percentiles='1,99.9'}dl",
+    })
+    st = resp["stats"]["stats_fields"]["dl"]
+    matched = {r["doc_id"] for r in idx.score_matches("error tool").collect()}
+    vals = np.array([
+        float(r["dl"])
+        for r in idx.docs().select("doc_id", "dl").collect()
+        if r["doc_id"] in matched
+    ])
+    assert st["percentiles"]["1.0"] == pytest.approx(np.percentile(vals, 1))
+    assert st["percentiles"]["99.9"] == pytest.approx(np.percentile(vals, 99.9))
+    assert "p1" not in st and st["count"] == len(vals)
+    with pytest.raises(ValueError, match="local params"):
+        solr_select(idx, {"q": "error", "stats": "true",
+                          "stats.field": "{!mean=true}dl"})
