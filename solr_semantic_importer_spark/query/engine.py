@@ -2166,11 +2166,24 @@ class BM25Index:
         order_key: str = "round6",
         fq: str | list[str] | None = None,
         snippets: int = 1,
+        hl_q: str | None = None,
+        max_analyzed_chars: int | None = None,
     ) -> DataFrame:
         """Q7: highlighting over the top-k result set -- every stored-text
         token whose ANALYZED form matches an analyzed query term is wrapped
         in pre/post markers (solrconfig.xml default highlighter semantics;
         whole-field fragment by default).
+
+        ``hl_q`` (Solr hl.q): highlight the terms of THIS query instead of
+        the main query's -- ranking still comes from ``query``; only the
+        marked terms change.
+
+        ``max_analyzed_chars`` (Solr hl.maxAnalyzedChars, default
+        unbounded here): only the first N characters are analyzed for
+        highlighting. Fragments never start past the cap; in whole-field
+        mode the text beyond it is returned unmarked (Lucene's behavior).
+        At 10^12 turns this caps per-doc highlight work no matter how
+        large a stored field is.
 
         ``fragsize`` (solrconfig.xml HighlightComponent gap fragmenter,
         hl.fragsize=100 default): return a ~fragsize-char window centered on
@@ -2196,16 +2209,45 @@ class BM25Index:
         # phrase/mixed q: highlight the clauses' terms (Solr's default
         # highlighter marks individual term occurrences of a phrase query's
         # terms); search() below routes the q to the right scorer itself
-        terms = self._surface_terms(query)
+        terms = self._surface_terms(hl_q if hl_q is not None else query)
         top = self.search(
             query, k=k, with_stored=True, order_key=order_key, fq=fq
         ).select("doc_id", "score", "text")
-        if snippets > 1:
-            return self._highlight_snippets(
-                top, terms, pre, post, fragsize or 100, snippets
+        # hl.maxAnalyzedChars: cap the text the highlighter sees. Fragment
+        # modes (fragsize / snippets) just work on the prefix; whole-field
+        # mode re-appends the unmarked tail afterwards.
+        whole_field = snippets <= 1 and fragsize is None
+        if max_analyzed_chars is not None:
+            cap = int(max_analyzed_chars)
+            if cap <= 0:
+                raise ValueError("hl.maxAnalyzedChars must be positive")
+            if whole_field:
+                top = top.withColumn(
+                    "__hl_suffix", F.expr(f"substring(text, {cap + 1})")
+                )
+            top = top.withColumn("__hl_full", F.col("text")).withColumn(
+                "text", F.substring("text", 1, cap)
             )
+
+        def _reattach(df: DataFrame) -> DataFrame:
+            # undo the cap's plumbing: whole-field mode re-appends the
+            # unanalyzed tail to the markup; the stored text column always
+            # goes back out untruncated
+            if "__hl_suffix" in df.columns:
+                df = df.withColumn(
+                    "highlighted",
+                    F.concat(F.col("highlighted"), F.col("__hl_suffix")),
+                ).drop("__hl_suffix")
+            if "__hl_full" in df.columns:
+                df = df.withColumn("text", F.col("__hl_full")).drop("__hl_full")
+            return df
+
+        if snippets > 1:
+            return _reattach(self._highlight_snippets(
+                top, terms, pre, post, fragsize or 100, snippets
+            ))
         if not terms:
-            return top.withColumn("highlighted", F.col("text"))
+            return _reattach(top.withColumn("highlighted", F.col("text")))
         if self.analyzer_chain == "text_general":
             pattern = "(?i)\\b(" + "|".join(sorted(terms)) + ")\\b"
             target = F.col("text")
@@ -2223,10 +2265,10 @@ class BM25Index:
             # '$' in the markup can't throw or substitute a match group
             esc = re.compile(r"([\\$])")
             pre_r, post_r = esc.sub(r"\\\1", pre), esc.sub(r"\\\1", post)
-            return top.withColumn(
+            return _reattach(top.withColumn(
                 "highlighted",
                 F.regexp_replace(target, pattern, f"{pre_r}$1{post_r}"),
-            )
+            ))
 
         import re as _re
 
@@ -2256,7 +2298,7 @@ class BM25Index:
 
             return texts.map(one)
 
-        return top.withColumn("highlighted", mark(F.col("text")))
+        return _reattach(top.withColumn("highlighted", mark(F.col("text"))))
 
     def _highlight_snippets(
         self, top: DataFrame, terms: list[str],

