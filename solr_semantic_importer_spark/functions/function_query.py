@@ -28,8 +28,12 @@ state, not doc columns, so they only compile after
   maxdoc() / numdocs()   corpus size incl. / excl. deleted docs
 Like Lucene, the term argument is the literal INDEXED term (not analyzed),
 and df/ttf statistics ignore tombstones until a merge rewrites segments.
-Fail-loud on anything else (``scale``/``ord`` need global sort state --
-documented unsupported rather than silently wrong).
+``scale(x, minT, maxT)`` (Lucene ScaleFloatFunction) also resolves
+index-side: the engine computes min/max of ``x`` over ALL docs in the
+index (one partial-agg job -- Lucene's createWeight pays the same full
+traversal per query) and folds the linear transform into the expression.
+Fail-loud on anything else (``ord``/``rord`` need a global sort position
+per doc -- documented unsupported rather than silently wrong).
 
 Semantics notes (public Solr docs):
 - ``log`` is base-10; ``ln`` is natural.
@@ -58,6 +62,7 @@ __all__ = [
     "looks_like_function",
     "contains_index_functions",
     "resolve_index_functions",
+    "resolve_scale_functions",
     "INDEX_FUNCTIONS",
 ]
 
@@ -87,6 +92,9 @@ _FUNCTIONS: dict[str, tuple[int, int | None]] = {
     "termfreq": (2, 2), "docfreq": (2, 2), "totaltermfreq": (2, 2),
     "ttf": (2, 2), "idf": (2, 2), "sumtotaltermfreq": (1, 1),
     "maxdoc": (0, 0), "numdocs": (0, 0),
+    # scale(x, minTarget, maxTarget): needs a global min/max pass, resolved
+    # by the engine (resolve_scale_functions) before SQL emission
+    "scale": (3, 3),
 }
 
 # functions whose value comes from index state, not doc columns. ttf is
@@ -186,6 +194,13 @@ def parse_function_query(s: str):
                         )
                 if fname == "sumtotaltermfreq" and args[0][0] != "field":
                     raise ValueError("sumtotaltermfreq() takes a field name")
+                if fname == "scale" and (
+                    args[1][0] != "num" or args[2][0] != "num"
+                ):
+                    raise ValueError(
+                        "scale(x, minTarget, maxTarget) takes numeric "
+                        "target literals"
+                    )
                 return ("call", fname, args)
             return ("field", v)
         raise ValueError(f"unexpected token in function query {s!r}")
@@ -322,7 +337,7 @@ def function_to_sql(
         if kind == "field":
             return rest[0]
         fname, args = rest
-        if fname in INDEX_FUNCTIONS:
+        if fname in INDEX_FUNCTIONS or fname == "scale":
             raise ValueError(
                 f"{fname}() reads index state -- compile through "
                 f"BM25Index.function_expr (resolve_index_functions), not "
@@ -454,6 +469,43 @@ def resolve_index_functions(ast, resolver):
         return ("call", fname, [walk(a) for a in args])
 
     return walk(ast), tf_cols
+
+
+def resolve_scale_functions(ast, minmax_fn):
+    """Rewrite every ``scale(x, minT, maxT)`` call (Lucene
+    ScaleFloatFunction) into the folded linear transform
+    ``(x - mn) * (maxT - minT) / (mx - mn) + minT`` where ``(mn, mx)`` =
+    ``minmax_fn(inner_ast)`` -- the engine computes them with ONE
+    partial-agg job over the docs table per distinct inner expression
+    (Lucene's createWeight pays the same full traversal). Processed
+    bottom-up, so a scale nested inside another's ``x`` resolves first.
+    Degenerate mn == mx maps every value to minT (Lucene divides by zero
+    into NaN there; a constant is the only non-poisonous reading)."""
+
+    def walk(n):
+        kind, *rest = n
+        if kind != "call":
+            return n
+        fname, args = rest
+        args = [walk(a) for a in args]
+        if fname != "scale":
+            return ("call", fname, args)
+        inner, tmin, tmax = args[0], args[1][1], args[2][1]
+        mn, mx = minmax_fn(inner)
+        if mn is None or mx is None or mx == mn:
+            return ("num", float(tmin))
+        k = (tmax - tmin) / (mx - mn)
+        return (
+            "call", "sum",
+            [
+                ("call", "product",
+                 [("call", "sub", [inner, ("num", float(mn))]),
+                  ("num", float(k))]),
+                ("num", float(tmin)),
+            ],
+        )
+
+    return walk(ast)
 
 
 def looks_like_function(s: str) -> bool:

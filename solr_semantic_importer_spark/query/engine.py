@@ -1061,14 +1061,39 @@ class BM25Index:
             function_to_sql,
             parse_function_query,
             resolve_index_functions,
+            resolve_scale_functions,
         )
 
         ast = parse_function_query(func)
+        ast = resolve_scale_functions(ast, self._scale_minmax)
         ast, tf_cols = resolve_index_functions(ast, self)
         types = dict(self.docs().dtypes)
         types.update({c: "bigint" for c, _, _ in tf_cols})
         sql, fields = function_to_sql(ast, types, dialect)
         return sql, fields, tf_cols
+
+    def _scale_minmax(self, inner_ast) -> tuple[float | None, float | None]:
+        """scale()'s global (min, max) of the inner expression over ALL
+        docs in the index -- deleted docs included, like Lucene's
+        ScaleFloatFunction, whose createWeight iterates the whole reader
+        without consulting liveDocs. One partial-agg job per DISTINCT
+        inner expression per index handle (cached: repeated scale boosts
+        cost zero extra jobs)."""
+        from ..functions.function_query import function_to_sql
+
+        sql, _ = function_to_sql(inner_ast, dict(self.docs().dtypes))
+        if not hasattr(self, "_scale_cache"):
+            self._scale_cache: dict[str, tuple] = {}
+        if sql not in self._scale_cache:
+            row = self.docs().agg(
+                F.expr(f"min({sql})").alias("mn"),
+                F.expr(f"max({sql})").alias("mx"),
+            ).collect()[0]
+            self._scale_cache[sql] = (
+                None if row["mn"] is None else float(row["mn"]),
+                None if row["mx"] is None else float(row["mx"]),
+            )
+        return self._scale_cache[sql]
 
     def search_boosted(
         self,

@@ -51,7 +51,7 @@ def test_parse_shapes():
 
 @pytest.mark.parametrize("bad", [
     "", "sum(turn_idx)", "nosuchfn(1,2)", "sum(1,2", "sum(1,2))",
-    "recip(1,2,3)", "scale(x,0,1)", "1 2",
+    "recip(1,2,3)", "ord(x)", "scale(x,0,'a')", "1 2",
 ])
 def test_parse_fail_loud(bad):
     with pytest.raises(ValueError):
@@ -423,3 +423,43 @@ def test_numdocs_sees_tombstones_docfreq_does_not(spark, tmp_path):
     assert idx2.index_function_value("numdocs") == len(counts) - n_deleted
     assert idx2.index_function_value("maxdoc") == len(counts)
     assert idx2.index_function_value("docfreq", "text", term) == df0
+
+
+# ---------- scale() (Lucene ScaleFloatFunction) ----------
+
+def test_scale_vs_brute_force(corpus):
+    idx = corpus
+    docs = _doc_map(idx)
+    dls = [d["dl"] for d in docs.values()]
+    mn, mx = min(dls), max(dls)
+    base = {r["doc_id"]: r["score"]
+            for r in idx.score_matches("error tool").collect()}
+    res = idx.search_boosted("error tool", k=10, bf="scale(dl,0,5)").collect()
+    for r in res:
+        want = base[r["doc_id"]] + (docs[r["doc_id"]]["dl"] - mn) * 5.0 / (mx - mn)
+        assert r["score"] == pytest.approx(want, abs=1e-9)
+    # scale of a nested function; min/max over ALL docs (Lucene createWeight)
+    vals = {i: d["turn_idx"] / (d["dl"] + 1) for i, d in docs.items()}
+    fn, fx = min(vals.values()), max(vals.values())
+    res2 = idx.search_boosted(
+        "error tool", k=5, bf="scale(div(turn_idx,sum(dl,1)),1,3)").collect()
+    for r in res2:
+        want = base[r["doc_id"]] + 1 + (vals[r["doc_id"]] - fn) * 2.0 / (fx - fn)
+        assert r["score"] == pytest.approx(want, abs=1e-9)
+    # scale works in every function site (sort-by-function): min/max fold
+    # to constants, so the sort is a plain codegen'd expression
+    sql, fields = idx.function_expr("scale(dl,0,1)")
+    assert fields == ["dl"] and str(float(mn)) in sql
+    # degenerate: all values equal -> minTarget (never NaN)
+    sql2, _ = idx.function_expr("scale(sub(dl,dl),7,9)")
+    assert sql2 == "7"
+
+
+def test_scale_minmax_cached(corpus):
+    idx = corpus
+    idx.function_expr("scale(dl,0,1)")
+    jobs_before = len(idx._scale_cache)
+    idx.function_expr("scale(dl,0,100)")  # same inner expr -> cache hit
+    assert len(idx._scale_cache) == jobs_before
+    idx.function_expr("scale(turn_idx,0,1)")
+    assert len(idx._scale_cache) == jobs_before + 1
