@@ -725,7 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- stats component (new r4 gate row) ----
     def stats_numeric(spark, sf_dir):
         idx = _index_for(spark, sf_dir)
-        row = idx.stats_field("table scan", "turn_idx")
+        # percentiles are EXACT (Spark percentile = DuckDB quantile_cont,
+        # both linear interpolation; Solr itself approximates via t-digest)
+        row = idx.stats_field("table scan", "turn_idx", percentiles=[50, 95])
         return row.select(
             F.col("min").cast("long").alias("min"),
             F.col("max").cast("long").alias("max"),
@@ -735,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("sumOfSquares").cast("long").alias("sum_sq"),
             _milli(F.col("mean")).alias("mean_milli"),
             _milli(F.col("stddev")).alias("stddev_milli"),
+            _milli(F.col("p50")).alias("p50_milli"),
+            _milli(F.col("p95")).alias("p95_milli"),
         )
 
     q["stats_numeric"] = stats_numeric

@@ -332,8 +332,10 @@ def terms_prefix_sql(prefix: str, limit: int = 10, min_df: int = 1) -> str:
 
 def stats_field_sql(query: str, field: str) -> str:
     """Stats component oracle over an ids column: min/max/count/missing/
-    sum/sumOfSquares (integral at this corpus -> BIGINT) + milli mean and
-    sample stddev, over the distinct OR match set of ``query``."""
+    sum/sumOfSquares (integral at this corpus -> BIGINT) + milli mean,
+    sample stddev and exact percentiles (DuckDB quantile_cont = Spark's
+    percentile aggregate: both linear interpolation on the sorted set),
+    over the distinct OR match set of ``query``."""
     terms = list(dict.fromkeys(analyze_text(query)))
     term_list = ", ".join(f"'{t}'" for t in terms)
     return f"""
@@ -347,7 +349,9 @@ def stats_field_sql(query: str, field: str) -> str:
            CAST(sum(v) AS BIGINT) AS sum,
            CAST(sum(v * v) AS BIGINT) AS sum_sq,
            CAST(round(avg(v) * 1000) AS BIGINT) AS mean_milli,
-           CAST(round(stddev_samp(v) * 1000) AS BIGINT) AS stddev_milli
+           CAST(round(stddev_samp(v) * 1000) AS BIGINT) AS stddev_milli,
+           CAST(round(quantile_cont(v, 0.5) * 1000) AS BIGINT) AS p50_milli,
+           CAST(round(quantile_cont(v, 0.95) * 1000) AS BIGINT) AS p95_milli
     FROM x
     """
 
