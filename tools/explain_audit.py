@@ -253,6 +253,20 @@ def main() -> None:
             ),
         ),
         (
+            "Index-backed boost (termfreq x idf bf)",
+            "What to check: the idf folds to a LITERAL in the codegen'd\n"
+            "`Project` (a driver-side dictionary constant — no job, no\n"
+            "join), while termfreq joins ONE extra pruned postings scan\n"
+            "(`PartitionFilters: bucket = <boost term's bucket>`,\n"
+            "`PushedFilters: In(term, [window])`) decoded by a tiny\n"
+            "`MapInPandas` into (doc_id, tf) — df(term) rows on the wire,\n"
+            "never the corpus — LEFT-joined and coalesced to 0.",
+            idx.search_boosted(
+                "table merge", k=10,
+                bf=["product(termfreq(text,'window'), idf(text,'window'))"],
+            ),
+        ),
+        (
             "frange filter DocSet ({!frange}func as fq)",
             "What to check: the compiled function-range boolean sits as a\n"
             "codegen'd `Filter` directly over the docs scan (one pass, no\n"
