@@ -7,10 +7,17 @@ Spark-first -- every facet node is ONE DataFrame aggregation job over the
 domain (never a job per bucket):
 
 - **stat facets** (string form): ``"x": "sum(dl)"`` with
-  sum/avg/min/max/unique/missing over a field OR a function query
-  (``"sum(div(turn_idx,dl))"`` -- `functions/function_query.py` grammar).
+  sum/avg/min/max/unique/missing/countvals/sumsq/variance/stddev/hll
+  over a field OR a function query (``"sum(div(turn_idx,dl))"`` --
+  `functions/function_query.py` grammar).
   ``unique`` is exact countDistinct (Solr's is exact below 100 values,
   approximate above -- documented deviation: ours is always exact).
+  ``variance``/``stddev`` are the corrected-sample forms (Solr since
+  SOLR-11725; Spark ``var_samp``/``stddev_samp``). ``hll`` is Spark's
+  HyperLogLog++ ``approx_count_distinct`` (documented deviation: Solr's
+  HLLAgg is a different HLL implementation, so the approximate value may
+  differ between engines; both converge on the true cardinality and the
+  Spark sketch is exact at small cardinalities via its sparse mode).
   ``percentile(dl, 50, 90)``: EXACT linear-interpolation percentiles
   (Spark's percentile aggregate; Solr uses a t-digest APPROXIMATION --
   ours is strictly more accurate; a single percentile yields a number,
@@ -35,8 +42,10 @@ domain (never a job per bucket):
   default mincount 0). A range facet may also nest UNDER a terms facet
   (one groupBy over (parent, bucket), parents x n_buckets rows out).
 
-Unsupported spec keys (domain/refine/overrequest/hll...) raise
-ValueError -- the facade's fail-loud contract. Response shape matches
+Top-level facet nodes take ``domain: {excludeTags | filter | query}``
+(multi-select faceting, domain narrowing, domain replacement -- see
+``_node_base``). Unsupported spec keys (refine/overrequest/join/graph
+domains...) raise ValueError -- the facade's fail-loud contract. Response shape matches
 Solr: ``{"count": N, "<name>": {"buckets": [{"val", "count", ...stats,
 ...subfacets}], "missing"?, "allBuckets"?}, "<stat>": value}``.
 """
@@ -51,7 +60,8 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["json_facet"]
 
 _STAT_RE = re.compile(
-    r"^\s*(sum|avg|min|max|unique|missing|percentile)\s*\((.+)\)\s*$", re.S
+    r"^\s*(sum|avg|min|max|unique|missing|percentile"
+    r"|countvals|sumsq|variance|stddev|hll)\s*\((.+)\)\s*$", re.S
 )
 
 
@@ -100,7 +110,8 @@ def _stat_agg(idx, name: str, spec: str):
     if m is None:
         raise ValueError(
             f"unsupported json.facet stat {spec!r} (use sum/avg/min/max/"
-            f"unique/missing(field-or-function) or percentile(arg, p...))"
+            f"unique/missing/countvals/sumsq/variance/stddev/hll"
+            f"(field-or-function) or percentile(arg, p...))"
         )
     fn, arg = m.group(1), m.group(2)
     if fn == "percentile":
@@ -130,6 +141,20 @@ def _stat_agg(idx, name: str, spec: str):
     col = F.expr(_arg_sql(idx, arg))
     if fn == "unique":
         return F.countDistinct(col).alias(name)
+    if fn == "countvals":
+        # Solr CountValsAgg: number of (non-null) values in the bucket.
+        return F.count(col).alias(name)
+    if fn == "sumsq":
+        # double accumulation like Solr's SumsqAgg (and safe from int
+        # overflow at 10^12 rows).
+        d = col.cast("double")
+        return F.sum(d * d).alias(name)
+    if fn == "variance":
+        return F.var_samp(col.cast("double")).alias(name)
+    if fn == "stddev":
+        return F.stddev_samp(col.cast("double")).alias(name)
+    if fn == "hll":
+        return F.approx_count_distinct(col).alias(name)
     return getattr(F, fn)(col).alias(name)
 
 
@@ -403,30 +428,58 @@ def _extras(idx, base, spec, field, aggs, stat_names) -> dict:
 
 
 def _node_base(idx, q, fq, op, mm, spec, tagged_fq, default_base):
-    """A facet node's domain: the default (q+fq match set) unless the
-    node carries ``domain: {excludeTags: [...]}`` -- Solr's multi-select
-    faceting: the facet counts the DocSet WITHOUT the tagged filters
-    (each variant is its own filterCache entry). Unknown domain keys
-    (filter/query/join/graph) fail loud."""
+    """A facet node's domain. Default = the q+fq match set; ``domain``
+    keys adjust it the Solr way:
+
+    - ``excludeTags: [...]`` -- multi-select faceting: count the DocSet
+      WITHOUT the tagged filters (each variant is its own filterCache
+      entry).
+    - ``filter: <fq> | [<fq>...]`` -- NARROW the domain with extra
+      filters (Solr fq grammar; composes after excludeTags, each filter
+      a cached DocSet semi/anti-join like any fq).
+    - ``query: <fq> | [<fq>...]`` -- REPLACE the domain entirely: the
+      node counts the docs matching these filters over the live corpus,
+      ignoring the request's q/fq (Solr domain.query semantics). Mutually
+      exclusive with excludeTags (Solr applies excludeTags to the
+      request filters, which query discards -- combining them is a
+      contradiction we fail loud on).
+
+    Unknown domain keys (join/graph/blockParent...) fail loud."""
     dom = spec.get("domain")
     if dom is None:
         return default_base
-    bad = set(dom) - {"excludeTags"}
+    bad = set(dom) - {"excludeTags", "filter", "query"}
     if bad:
         raise ValueError(
-            f"json.facet domain supports excludeTags only, got {sorted(bad)}"
+            f"json.facet domain supports excludeTags/filter/query, "
+            f"got {sorted(bad)}"
         )
-    ex = frozenset(
-        dom["excludeTags"] if isinstance(dom["excludeTags"], (list, tuple))
-        else [dom["excludeTags"]]
-    )
-    if tagged_fq is None:
-        raise ValueError(
-            "domain.excludeTags needs tagged fq filters ({!tag=..}) on "
-            "the request"
-        )
-    kept = [f for tags, f in tagged_fq if not (tags & ex)]
-    return idx._facet_base(q, kept or None, op, mm)
+
+    def _as_list(v):
+        return list(v) if isinstance(v, (list, tuple)) else [v]
+
+    if "query" in dom:
+        if "excludeTags" in dom:
+            raise ValueError(
+                "domain.query replaces the domain; it cannot combine "
+                "with excludeTags"
+            )
+        base = idx._facet_base("*:*", _as_list(dom["query"]), op, mm)
+    elif "excludeTags" in dom:
+        ex = frozenset(_as_list(dom["excludeTags"]))
+        if tagged_fq is None:
+            raise ValueError(
+                "domain.excludeTags needs tagged fq filters ({!tag=..}) on "
+                "the request"
+            )
+        kept = [f for tags, f in tagged_fq if not (tags & ex)]
+        base = idx._facet_base(q, kept or None, op, mm)
+    else:
+        base = default_base
+    if "filter" in dom:
+        for f in _as_list(dom["filter"]):
+            base = idx._apply_fq(base, f)
+    return base
 
 
 def json_facet(

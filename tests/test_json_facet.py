@@ -186,7 +186,7 @@ def test_respects_fq_op_and_select_integration(corpus):
 def test_fail_loud(corpus):
     idx = corpus
     with pytest.raises(ValueError):
-        json_facet(idx, "error", {"p": "hll(role)"})
+        json_facet(idx, "error", {"p": "median(dl)"})
     with pytest.raises(ValueError):
         json_facet(idx, "error", {"t": {"type": "terms", "field": "role",
                                         "refine": True}})
@@ -244,7 +244,12 @@ def test_multiselect_validation(corpus):
     with pytest.raises(ValueError):  # unknown domain key
         json_facet(idx, "error", {"t": {
             "type": "terms", "field": "role",
-            "domain": {"filter": "x"}}})
+            "domain": {"join": {"from": "a", "to": "b"}}}})
+    with pytest.raises(ValueError):  # query replaces; excludeTags conflicts
+        json_facet(idx, "error", {"t": {
+            "type": "terms", "field": "role",
+            "domain": {"query": "role = 'user'", "excludeTags": ["r"]}}},
+            tagged_fq=[(frozenset(["r"]), "role = 'user'")])
     with pytest.raises(ValueError):  # domain without tagged fq
         json_facet(idx, "error", {"t": {
             "type": "terms", "field": "role",
@@ -316,3 +321,74 @@ def test_percentile_stat_fail_loud(corpus):
                 "percentile(dl, 101)"):
         with pytest.raises(ValueError):
             json_facet(idx, "error", {"p": bad})
+
+
+def test_extended_stats(corpus):
+    """sumsq / variance / stddev (corrected-sample, SOLR-11725) /
+    countvals / hll vs brute-force recomputation; hll's HLL++ sketch is
+    exact at this cardinality (sparse mode)."""
+    idx = corpus
+    got = json_facet(idx, "error", {
+        "ss": "sumsq(dl)",
+        "var": "variance(dl)",
+        "sd": "stddev(dl)",
+        "nv": "countvals(tool)",
+        "h": "hll(role)",
+        "by_role": {
+            "type": "terms", "field": "role", "limit": 10,
+            "facet": {"sd": "stddev(dl)", "nv": "countvals(tool)"},
+        },
+    })
+    rows = _rows(idx, "error")
+    dls = [float(r["dl"]) for r in rows]
+    assert got["ss"] == pytest.approx(sum(x * x for x in dls))
+    assert got["var"] == pytest.approx(statistics.variance(dls))
+    assert got["sd"] == pytest.approx(statistics.stdev(dls))
+    assert got["nv"] == sum(1 for r in rows if r["tool"] is not None)
+    assert got["h"] == len({r["role"] for r in rows})
+    for b in got["by_role"]["buckets"]:
+        g = [r for r in rows if r["role"] == b["val"]]
+        gdl = [float(r["dl"]) for r in g]
+        if len(gdl) > 1:
+            assert b["sd"] == pytest.approx(statistics.stdev(gdl))
+        assert b["nv"] == sum(1 for r in g if r["tool"] is not None)
+
+
+def test_domain_filter_and_query(corpus):
+    """domain.filter NARROWS the node's domain; domain.query REPLACES it
+    (counts over the live corpus, ignoring the request's q/fq)."""
+    idx = corpus
+    got = json_facet(idx, "error", {
+        "narrow": {"type": "terms", "field": "role",
+                   "domain": {"filter": "turn_idx:[0 TO 2]"}},
+        "narrow2": {"type": "terms", "field": "role",
+                    "domain": {"filter": ["turn_idx:[0 TO 2]",
+                                          "-tool:*"]}},
+        "replaced": {"type": "terms", "field": "role",
+                     "domain": {"query": "turn_idx:[0 TO 1]"}},
+        "rcount": {"type": "query", "q": "turn_idx >= 3",
+                   "domain": {"query": "role:user"}},
+    }, fq="role = 'user'")
+    matched = _rows(idx, "error", fq="role = 'user'")
+    alive = _rows(idx, "*:*")
+
+    def buckets(rows):
+        out: dict = {}
+        for r in rows:
+            out[r["role"]] = out.get(r["role"], 0) + 1
+        return out
+
+    want_n = buckets([r for r in matched if 0 <= r["turn_idx"] <= 2])
+    assert {b["val"]: b["count"]
+            for b in got["narrow"]["buckets"]} == want_n
+    want_n2 = buckets([r for r in matched
+                       if 0 <= r["turn_idx"] <= 2 and r["tool"] is None])
+    assert {b["val"]: b["count"]
+            for b in got["narrow2"]["buckets"]} == want_n2
+    # replaced: all LIVE docs with turn_idx in [0,1], q/fq ignored
+    want_r = buckets([r for r in alive if 0 <= r["turn_idx"] <= 1])
+    assert {b["val"]: b["count"]
+            for b in got["replaced"]["buckets"]} == want_r
+    users = [r for r in alive if r["role"] == "user"]
+    assert got["rcount"]["count"] == \
+        sum(1 for r in users if r["turn_idx"] >= 3)
