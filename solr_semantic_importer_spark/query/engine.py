@@ -1196,27 +1196,19 @@ class BM25Index:
                 )
         return self._finish(scored, k, offset, with_stored, order_key, fl)
 
-    def more_like_this(
+    def mlt_terms(
         self,
         doc_id: int,
-        k: int = 10,
         max_query_terms: int = 25,
         min_tf: int = 2,
         min_df: int = 5,
-        fq: str | list[str] | None = None,
-        order_key: str = "round6",
-    ) -> DataFrame:
-        """Solr MoreLikeThis: find docs similar to ``doc_id``. The seed
-        doc's "interesting terms" are ranked by tf×idf with Solr's MLT
-        gates (mlt.mintf, mlt.mindf, mlt.maxqt), then run as a
-        boost-weighted OR query through the normal WAND top-k path (Solr
-        builds exactly this BooleanQuery from the term vector; here the
-        analysis chain is deterministic, so re-analyzing the stored text
-        IS the term vector). The seed doc itself is excluded.
-
-        Driver cost: one stored-text fetch by doc_id pushdown + one
-        bounded term ranking; the similarity query then scales like any
-        other top-k search."""
+    ) -> list[tuple[str, int]]:
+        """The MLT "interesting terms" of ``doc_id``: the seed doc's terms
+        ranked by tf×idf under Solr's MLT gates (mlt.mintf, mlt.mindf,
+        mlt.maxqt). Returns [(term, seed_tf)] in rank order -- the term
+        vector is re-derived by re-analyzing the stored text (the chain is
+        deterministic, so this IS the term vector). One stored-text fetch
+        by doc_id pushdown + one bounded dictionary lookup."""
         row = (
             self.docs()
             .filter(F.col("doc_id") == int(doc_id))
@@ -1224,7 +1216,7 @@ class BM25Index:
             .collect()
         )
         if not row or not row[0]["text"]:
-            return self.spark.createDataFrame([], _SCORE_ROW)
+            return []
         tf_counts: dict[str, int] = {}
         for t in self._analyze(row[0]["text"]):
             tf_counts[t] = tf_counts.get(t, 0) + 1
@@ -1234,11 +1226,41 @@ class BM25Index:
         ranked = sorted(
             idf, key=lambda t: (-tf_counts[t] * idf[t], t)
         )[:max_query_terms]
+        return [(t, tf_counts[t]) for t in ranked]
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_tf: int = 2,
+        min_df: int = 5,
+        fq: str | list[str] | None = None,
+        order_key: str = "round6",
+        boost: bool = True,
+    ) -> DataFrame:
+        """Solr MoreLikeThis: find docs similar to ``doc_id``. The seed
+        doc's "interesting terms" (``mlt_terms``) are run as an OR query
+        through the normal WAND top-k path (Solr builds exactly this
+        BooleanQuery from the term vector). ``boost=True`` weights each
+        term by the seed doc's tf (Solr mlt.boost=true); ``boost=False``
+        runs the plain unweighted terms (Solr's component default). The
+        seed doc itself is excluded.
+
+        Driver cost: one stored-text fetch by doc_id pushdown + one
+        bounded term ranking; the similarity query then scales like any
+        other top-k search."""
+        ranked = self.mlt_terms(
+            doc_id, max_query_terms=max_query_terms,
+            min_tf=min_tf, min_df=min_df,
+        )
         if not ranked:
             return self.spark.createDataFrame([], _SCORE_ROW)
-        # per-term boost = the seed doc's tf (Solr MLT boost=true shape);
         # ask for k+1 and drop the seed (it always matches itself best)
-        q = " ".join(f"{t}^{tf_counts[t]}" for t in ranked)
+        if boost:
+            q = " ".join(f"{t}^{tf}" for t, tf in ranked)
+        else:
+            q = " ".join(t for t, _ in ranked)
         out = self.search(
             q, k=k + 1, fq=fq, use_cache=False, order_key=order_key
         )

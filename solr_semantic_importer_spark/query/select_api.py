@@ -156,7 +156,9 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "elevateIds", "excludeIds", "facet.interval", "rq", "rqq",
              "group", "group.field", "group.limit", "group.ngroups",
              "group.sort", "group.func", "group.query",
-             "stats", "stats.field"}
+             "stats", "stats.field",
+             "mlt", "mlt.fl", "mlt.count", "mlt.mintf", "mlt.mindf",
+             "mlt.maxqt", "mlt.boost", "mlt.interestingTerms"}
 
 # facet.range.{start,end,gap} and the facet.field bucket params
 # (limit/offset/mincount/sort/prefix/missing), globally or per-field
@@ -1035,6 +1037,72 @@ def solr_select(
             str(i): {"text": tv} for i, tv in vecs.items()
         }
 
+    if _truthy(params.get("mlt", False)):
+        # MoreLikeThisComponent: for each page doc, the top mlt.count
+        # similar docs. mlt.fl must name the indexed catch-all (this
+        # engine indexes _text_ only -- any other field fails loud rather
+        # than silently computing similarity over the wrong text).
+        mlt_fl = params.get("mlt.fl")
+        if mlt_fl is None:
+            raise ValueError("mlt=true requires mlt.fl")
+        if str(mlt_fl) not in ("_text_", "text"):
+            raise ValueError(
+                f"mlt.fl={mlt_fl!r}: only the indexed catch-all "
+                f"(_text_/text) is supported"
+            )
+        mlt_count = int(params.get("mlt.count", 5))
+        mlt_kw = dict(
+            max_query_terms=int(params.get("mlt.maxqt", 25)),
+            min_tf=int(params.get("mlt.mintf", 2)),
+            min_df=int(params.get("mlt.mindf", 5)),
+        )
+        mlt_boost = _truthy(params.get("mlt.boost", False))
+        iterms = str(params.get("mlt.interestingTerms", "none"))
+        if iterms not in ("none", "list", "details"):
+            raise ValueError(
+                f"mlt.interestingTerms must be none|list|details: {iterms!r}"
+            )
+        sections: dict[str, list] = {}
+        terms_out: dict[str, Any] = {}
+        for d in docs:
+            seed = d.get("doc_id")
+            sections[str(seed)] = idx.more_like_this(
+                seed, k=mlt_count, boost=mlt_boost, **mlt_kw
+            ).collect()
+            if iterms != "none":
+                ranked = idx.mlt_terms(seed, **mlt_kw)
+                if iterms == "list":
+                    terms_out[str(seed)] = [f"_text_:{t}" for t, _ in ranked]
+                else:  # details: term -> boost (1.0 unless mlt.boost)
+                    terms_out[str(seed)] = {
+                        f"_text_:{t}": (float(tf) if mlt_boost else 1.0)
+                        for t, tf in ranked
+                    }
+        # one stored-field fetch for every similar doc across the page
+        all_ids = sorted({r["doc_id"] for rs in sections.values() for r in rs})
+        stored = {}
+        if all_ids:
+            stored = {
+                r["doc_id"]: r.asDict()
+                for r in idx.docs()
+                .filter(F.col("doc_id").isin(all_ids)).collect()
+            }
+        resp["moreLikeThis"] = {}
+        for seed, rs in sections.items():
+            mdocs = []
+            for r in rs:
+                md = dict(stored.get(r["doc_id"], {"doc_id": r["doc_id"]}))
+                md["score"] = r["score"]
+                mdocs.append(md)
+            # numFound = returned docs (bounded by mlt.count) -- documented
+            # deviation: Solr reports the MLT query's full match count,
+            # which would cost an extra count job per page doc
+            resp["moreLikeThis"][seed] = {
+                "numFound": len(mdocs), "start": 0, "docs": mdocs,
+            }
+        if iterms != "none":
+            resp["interestingTerms"] = terms_out
+
     if _truthy(params.get("stats", False)):
         sf: dict[str, Any] = {}
         for field in _as_list(params.get("stats.field")):
@@ -1303,7 +1371,7 @@ def _collapse_select(
               "tv", "pf", "pf2", "pf3"):
         if p in params:
             raise ValueError(f"{{!collapse}} does not support {p}")
-    for p in ("facet", "hl", "stats", "debugQuery", "spellcheck"):
+    for p in ("facet", "hl", "stats", "debugQuery", "spellcheck", "mlt"):
         if _truthy(params.get(p, False)):
             raise ValueError(f"{{!collapse}} does not support {p}")
 
@@ -1460,7 +1528,8 @@ def _block_join_select(
             raise ValueError(f"block-join q does not support {p}")
     if int(params.get("start", 0)) != 0:
         raise ValueError("block-join q does not support start (use rows)")
-    for p in ("facet", "hl", "stats", "debugQuery", "spellcheck", "group"):
+    for p in ("facet", "hl", "stats", "debugQuery", "spellcheck", "group",
+              "mlt"):
         if _truthy(params.get(p, False)):
             raise ValueError(f"block-join q does not support {p}")
     kind = m.group("kind")
@@ -1563,7 +1632,7 @@ def _grouped_select(
             raise ValueError(f"group=true does not support {p}")
     if int(params.get("start", 0)) != 0:
         raise ValueError("group=true does not support start (use rows)")
-    for p in ("facet", "hl", "stats", "debugQuery", "spellcheck"):
+    for p in ("facet", "hl", "stats", "debugQuery", "spellcheck", "mlt"):
         if _truthy(params.get(p, False)):
             raise ValueError(f"group=true does not support {p}")
     q = str(params.get("q", "*:*"))

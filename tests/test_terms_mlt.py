@@ -84,3 +84,64 @@ def test_mlt_matches_manual_boosted_query(corpus):
 def test_mlt_missing_doc(corpus):
     _, idx = corpus
     assert idx.more_like_this(10**9, k=5).count() == 0
+
+
+def test_mlt_component_on_select(corpus):
+    """MoreLikeThisComponent: mlt=true attaches per-page-doc similar-doc
+    sections; mlt.boost=false (Solr default) = unweighted terms."""
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error test", "rows": 2,
+        "mlt": "true", "mlt.fl": "_text_", "mlt.count": 3,
+        "mlt.interestingTerms": "list",
+    })
+    page = resp["response"]["docs"]
+    assert set(resp["moreLikeThis"]) == {str(d["doc_id"]) for d in page}
+    for d in page:
+        sec = resp["moreLikeThis"][str(d["doc_id"])]
+        assert sec["numFound"] == len(sec["docs"]) <= 3
+        # engine parity: component docs == more_like_this(boost=False)
+        want = idx.more_like_this(
+            d["doc_id"], k=3, boost=False).collect()
+        assert [m["doc_id"] for m in sec["docs"]] == \
+               [r["doc_id"] for r in want]
+        assert all(m["doc_id"] != d["doc_id"] for m in sec["docs"])
+        # similar docs carry stored fields + score
+        assert all("text" in m and "score" in m for m in sec["docs"])
+        terms = resp["interestingTerms"][str(d["doc_id"])]
+        assert terms == [
+            f"_text_:{t}" for t, _ in idx.mlt_terms(d["doc_id"])]
+
+    # mlt.boost=true parity + details terms carry the tf boost
+    resp_b = solr_select(idx, {
+        "q": "error test", "rows": 1,
+        "mlt": "true", "mlt.fl": "_text_", "mlt.count": 2,
+        "mlt.boost": "true", "mlt.interestingTerms": "details",
+    })
+    seed = resp_b["response"]["docs"][0]["doc_id"]
+    want_b = idx.more_like_this(seed, k=2, boost=True).collect()
+    assert [m["doc_id"]
+            for m in resp_b["moreLikeThis"][str(seed)]["docs"]] == \
+           [r["doc_id"] for r in want_b]
+    det = resp_b["interestingTerms"][str(seed)]
+    assert det == {f"_text_:{t}": float(tf)
+                   for t, tf in idx.mlt_terms(seed)}
+
+
+def test_mlt_component_fail_loud(corpus):
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    _, idx = corpus
+    with pytest.raises(ValueError):  # mlt.fl required
+        solr_select(idx, {"q": "table", "mlt": "true"})
+    with pytest.raises(ValueError):  # only the indexed catch-all
+        solr_select(idx, {"q": "table", "mlt": "true", "mlt.fl": "role"})
+    with pytest.raises(ValueError):  # bad interestingTerms mode
+        solr_select(idx, {"q": "table", "mlt": "true", "mlt.fl": "_text_",
+                          "mlt.interestingTerms": "all"})
+    with pytest.raises(ValueError):  # grouped path doesn't implement mlt
+        solr_select(idx, {"q": "table", "group": "true",
+                          "group.field": "conv_id",
+                          "mlt": "true", "mlt.fl": "_text_"})
