@@ -155,7 +155,8 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "cursorMark", "mm", "debugQuery", "bf", "bq", "boost",
              "elevateIds", "excludeIds", "facet.interval", "rq", "rqq",
              "group", "group.field", "group.limit", "group.ngroups",
-             "group.sort", "group.func", "group.query",
+             "group.sort", "group.func", "group.query", "group.format",
+             "group.main",
              "stats", "stats.field",
              "mlt", "mlt.fl", "mlt.count", "mlt.mintf", "mlt.mindf",
              "mlt.maxqt", "mlt.boost", "mlt.interestingTerms"}
@@ -1668,6 +1669,11 @@ def _grouped_select(
             raise ValueError(
                 "group.query does not support group.sort/group.ngroups"
             )
+        if _truthy(params.get("group.main", False)) or \
+                str(params.get("group.format", "grouped")) != "grouped":
+            raise ValueError(
+                "group.query supports group.format=grouped only"
+            )
         return _group_query_select(
             idx, params, t0, q, [str(g) for g in gqueries],
             op=op, mm=mm, fq=fq, limit=limit,
@@ -1717,6 +1723,7 @@ def _grouped_select(
 
     groups: list[dict[str, Any]] = []
     by_rank: dict[int, dict[str, Any]] = {}
+    flat_docs: list[dict] = []
     for r in sorted(page, key=lambda r: (r["group_rank"], r["rank_in_group"])):
         g = by_rank.get(r["group_rank"])
         if g is None:
@@ -1736,16 +1743,38 @@ def _grouped_select(
         else:
             d.pop("score", None)
         g["doclist"]["docs"].append(d)
+        flat_docs.append(d)
 
-    section: dict[str, Any] = {"matches": matches, "groups": groups}
+    header = {
+        "status": 0,
+        "QTime": int((time.monotonic() - t0) * 1000),
+        "params": {k: params[k] for k in sorted(params, key=str)},
+    }
+    fmt = str(params.get("group.format", "grouped"))
+    if fmt not in ("grouped", "simple"):
+        raise ValueError(f"group.format must be grouped|simple: {fmt!r}")
+    if _truthy(params.get("group.main", False)):
+        # Solr group.main=true: the (format-forced-simple) flattened
+        # doclist REPLACES the main result list; numFound = matches
+        return {
+            "responseHeader": header,
+            "response": {
+                "numFound": matches, "start": 0, "docs": flat_docs,
+            },
+        }
+    if fmt == "simple":
+        # Solr simple format: groups flattened (group order, then
+        # rank-in-group) into one doclist per grouped key
+        section = {
+            "matches": matches,
+            "doclist": {"numFound": matches, "start": 0, "docs": flat_docs},
+        }
+    else:
+        section = {"matches": matches, "groups": groups}
     if _truthy(params.get("group.ngroups", False)):
         section["ngroups"] = gv.distinct().count()
     return {
-        "responseHeader": {
-            "status": 0,
-            "QTime": int((time.monotonic() - t0) * 1000),
-            "params": {k: params[k] for k in sorted(params, key=str)},
-        },
+        "responseHeader": header,
         "grouped": {str(field or gfunc): section},
     }
 

@@ -225,3 +225,34 @@ def test_group_sort_through_facade(corpus):
     for g in resp["grouped"]["conv_id"]["groups"]:
         ts = [d["turn_idx"] for d in g["doclist"]["docs"]]
         assert ts == sorted(ts, reverse=True)
+
+
+def test_group_format_simple_and_main(corpus):
+    """group.format=simple flattens the groups into one doclist (group
+    order, then rank-in-group); group.main=true makes that list the main
+    response."""
+    _, idx = corpus
+    base = {"q": "error test", "rows": 4, "group": "true",
+            "group.field": "conv_id", "group.limit": 2, "fl": "doc_id,score"}
+    grouped = solr_select(idx, base)
+    sec = grouped["grouped"]["conv_id"]
+    want_flat = [d["doc_id"] for g in sec["groups"]
+                 for d in g["doclist"]["docs"]]
+
+    simple = solr_select(idx, {**base, "group.format": "simple"})
+    ssec = simple["grouped"]["conv_id"]
+    assert "groups" not in ssec
+    assert ssec["doclist"]["numFound"] == sec["matches"]
+    assert [d["doc_id"] for d in ssec["doclist"]["docs"]] == want_flat
+
+    main = solr_select(idx, {**base, "group.main": "true"})
+    assert "grouped" not in main
+    assert main["response"]["numFound"] == sec["matches"]
+    assert [d["doc_id"] for d in main["response"]["docs"]] == want_flat
+
+    with pytest.raises(ValueError):
+        solr_select(idx, {**base, "group.format": "flat"})
+    with pytest.raises(ValueError):  # group.query path: grouped only
+        solr_select(idx, {"q": "error", "group": "true",
+                          "group.query": "turn_idx < 2",
+                          "group.main": "true"})
