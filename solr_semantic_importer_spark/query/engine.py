@@ -583,9 +583,10 @@ class BM25Index:
                 pq[0], k=k, fq=fq, offset=offset, with_stored=with_stored,
                 order_key=order_key, fl=fl, slop=pq[1],
             )
-        cl = self.parse_boolean_q(query)
+        cl = self.parse_boolean_q(query, op=op)
         if cl is not None:
-            scored = self.boolean_matches(cl, op=op, fq=fq, mm=mm)
+            # occurs already carry op (parse-time promotion) -- no second
+            scored = self.boolean_matches(cl, op="OR", fq=fq, mm=mm)
             return self._finish(scored, k, offset, with_stored, order_key, fl)
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         mm = self._norm_mm(mm, len(terms)) if op != "AND" else None
@@ -3009,7 +3010,78 @@ class BM25Index:
         r'(?:\^(?P<boost>\d+(?:\.\d+)?))?$'
     )
 
-    def parse_boolean_q(self, query: str) -> list[tuple] | None:
+    _BOOL_OPS = frozenset(("AND", "OR", "NOT", "&&", "||"))
+
+    def _rewrite_boolean_operators(
+        self, query: str, op: str = "OR"
+    ) -> str | None:
+        """Lucene standard-parser boolean KEYWORDS in ``q`` (``a AND b``,
+        ``x OR NOT y``, ``&&``/``||``; case-sensitive, so lowercase
+        ``and`` stays a term): resolved to the occur-prefix clause syntax
+        (``+``/``-``) with QueryParserBase.addClause's exact algorithm --
+        including its q.op interplay (under q.op=AND an ``OR`` demotes
+        BOTH neighbours to SHOULD; a clause after ``AND`` retroactively
+        upgrades its left neighbour to MUST unless prohibited). The
+        returned string carries FINAL occurs, so callers evaluate it with
+        op='OR' (no second promotion). Returns None when the query has no
+        keyword operators (quoted phrases may contain AND/OR/NOT as
+        words). Parenthesized groups fail loud rather than silently
+        flattening; dangling/duplicate operators raise like Lucene's
+        ParseException."""
+        toks = self._MIXED_TOKEN_RE.findall(query)
+        if not any(t in self._BOOL_OPS for t in toks):
+            return None
+        if "(" in query or ")" in query:
+            raise ValueError(
+                f"parenthesized boolean groups are unsupported in q: "
+                f"{query!r} (flat AND/OR/NOT only)"
+            )
+        out: list[list[str]] = []  # [occur_prefix, clause_token]
+        conj = 0  # 0 none, 1 AND, 2 OR
+        mods = 0  # 0 none, 1 required (+), 2 prohibited (-/NOT)
+        for tok in toks:
+            if tok in ("AND", "&&") or tok in ("OR", "||"):
+                if not out or conj:
+                    raise ValueError(
+                        f"misplaced boolean operator {tok!r} in q: {query!r}"
+                    )
+                conj = 1 if tok in ("AND", "&&") else 2
+                continue
+            if tok == "NOT":
+                if mods:
+                    raise ValueError(
+                        f"duplicate modifier before clause in q: {query!r}"
+                    )
+                mods = 2
+                continue
+            if tok[:1] in "+-" and len(tok) > 1:
+                if mods:
+                    raise ValueError(
+                        f"duplicate modifier before clause in q: {query!r}"
+                    )
+                mods = 1 if tok[0] == "+" else 2
+                tok = tok[1:]
+            # retroactive fixups on the previous clause (addClause)
+            if out and conj == 1 and out[-1][0] != "-":
+                out[-1][0] = "+"
+            if out and op == "AND" and conj == 2 and out[-1][0] != "-":
+                out[-1][0] = ""
+            prohibited = mods == 2
+            if op == "AND":
+                required = (not prohibited) and conj != 2
+            else:
+                required = mods == 1 or (conj == 1 and not prohibited)
+            out.append(["-" if prohibited else ("+" if required else ""),
+                        tok])
+            conj = 0
+            mods = 0
+        if conj or mods:
+            raise ValueError(f"dangling boolean operator in q: {query!r}")
+        return " ".join(p + t for p, t in out)
+
+    def parse_boolean_q(
+        self, query: str, op: str = "OR"
+    ) -> list[tuple] | None:
         """Lucene boolean-occur query parse: whitespace clauses, each a bare
         term or quoted phrase (``~slop``/``^boost`` suffixes) with an
         optional ``+`` (MUST) / ``-`` (MUST_NOT) prefix (Lucene standard
@@ -3042,7 +3114,22 @@ class BM25Index:
         → ('wildcard', pattern, boost) scored with Lucene's default
         CONSTANT_SCORE_REWRITE; ``table~`` / ``table~1`` → ('fuzzy', term,
         max_edits, boost) with maxEdits defaulting to 2 (FuzzyQuery
-        defaults, expansion capped at 50 terms like FuzzyTermsEnum)."""
+        defaults, expansion capped at 50 terms like FuzzyTermsEnum).
+
+        Boolean KEYWORDS (``a AND b``, ``x OR NOT y``, ``&&``/``||``) are
+        resolved first via ``_rewrite_boolean_operators`` -- the returned
+        clauses then carry FINAL occurs with ``op`` already applied
+        (Lucene bakes q.op into occur flags at parse time), so callers
+        evaluate them with boolean_matches(op='OR'). The same promotion
+        applies to prefix-syntax clauses when ``op='AND'`` is passed."""
+        rw = self._rewrite_boolean_operators(query, op)
+        if rw is not None:
+            cl = self.parse_boolean_q(rw)
+            if cl is None:
+                # the rewrite degenerated to plain SHOULD terms (`a OR b`)
+                cl = [("SHOULD", ("term", t, 1.0))
+                      for t in self.analyze_query(rw)]
+            return cl
         if ('"' not in query and "+" not in query and "-" not in query
                 and ":" not in query and "*" not in query
                 and "?" not in query and "~" not in query):
@@ -3100,7 +3187,14 @@ class BM25Index:
                 else:
                     seen_terms[key] = len(clauses)
                     clauses.append((occur, ("term", t, b)))
-        return clauses if (structured and clauses) else None
+        if not (structured and clauses):
+            return None
+        if op == "AND":
+            # bake q.op into occurs (Lucene does this at parse time);
+            # callers then evaluate with boolean_matches(op='OR')
+            clauses = [("MUST" if oc == "SHOULD" else oc, sp)
+                       for oc, sp in clauses]
+        return clauses
 
     def _doc_columns(self) -> frozenset:
         """Stored docs-table column names (cached; one schema read)."""
@@ -3187,9 +3281,10 @@ class BM25Index:
         pq = self.parse_phrase_q(query)
         if pq is not None:
             return self.phrase_matches(pq[0], slop=pq[1], fq=fq)
-        cl = self.parse_boolean_q(query)
+        cl = self.parse_boolean_q(query, op=op)
         if cl is not None:
-            return self.boolean_matches(cl, op=op, fq=fq, mm=mm)
+            # occurs already carry op (parse-time promotion) -- no second
+            return self.boolean_matches(cl, op="OR", fq=fq, mm=mm)
         return None
 
     def boolean_matches(
