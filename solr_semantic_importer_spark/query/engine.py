@@ -1401,7 +1401,9 @@ class BM25Index:
             # the term-scoring collapse kernels can't evaluate positional
             # or occur-structured matches -- fail loud (facade contract)
             # rather than grouping a bag-of-words approximation
-            raise ValueError("grouping does not support phrase queries")
+            raise ValueError(
+                "grouping does not support phrase/boolean-structured queries"
+            )
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         mm_n = self._norm_mm(mm, len(terms)) if op != "AND" else None
         fq = self._norm_fq(fq)
@@ -2027,7 +2029,9 @@ class BM25Index:
             # a per-TERM breakdown can't reconstruct a phrase/boolean score
             # (freq is the phrase-occurrence count, not any term's tf) --
             # fail loud instead of returning contributions that don't sum
-            raise ValueError("explain does not support phrase queries")
+            raise ValueError(
+                "explain does not support phrase/boolean-structured queries"
+            )
         terms, boosts = self.parse_boosted_query(query, synonyms=synonyms)
         idf = self.idf_map(terms)
         if boosts:
