@@ -180,6 +180,7 @@ _FACET_INTERVAL_RE = re.compile(
 # while docs/numFound keep them (the canonical faceted-navigation pattern)
 _TAG_RE = re.compile(r"^\{!tag=([\w,]+)\}(.*)$", re.S)
 _EX_RE = re.compile(r"^\{!ex=([\w,]+)(?:\s+key=(\w+))?\}(.+)$")
+_KEY_RE = re.compile(r"^\{!key=(\w+)\}(.+)$")  # rename without exclusion
 
 
 def _split_tagged_fq(raw: list) -> list[tuple[frozenset, Any]]:
@@ -825,6 +826,10 @@ def solr_select(
                 field = exm.group(3)
                 label = exm.group(2) or field
                 facet_fq = _fq_excluding(frozenset(exm.group(1).split(",")))
+            else:
+                km = _KEY_RE.match(str(field).strip())
+                if km is not None:  # {!key=label}field: rename only
+                    field, label = km.group(2), km.group(1)
             limit = int(_fparam(field, "limit", 100))  # Solr default
             sort = _fparam(field, "sort", None)
             # ordered + sliced INSIDE the plan: `limit` buckets reach the

@@ -198,3 +198,16 @@ def test_facet_contains(corpus):
     })
     flat = resp["facet_counts"]["facet_fields"]["role"]
     assert dict(zip(flat[::2], flat[1::2])) == got
+
+
+def test_facet_field_key_rename(corpus):
+    """facet.field={!key=label}F renames the section without exclusion."""
+    from solr_semantic_importer_spark.query.select_api import solr_select
+
+    idx = corpus if not isinstance(corpus, tuple) else corpus[1]
+    plain = solr_select(idx, {"q": "error", "rows": 0, "facet": "true",
+                              "facet.field": "role"})
+    renamed = solr_select(idx, {"q": "error", "rows": 0, "facet": "true",
+                                "facet.field": "{!key=who}role"})
+    assert renamed["facet_counts"]["facet_fields"]["who"] == \
+        plain["facet_counts"]["facet_fields"]["role"]
