@@ -1,0 +1,445 @@
+"""Solr streaming expressions (/stream): expression string -> DataFrame.
+
+Solr's parallel-SQL layer exposes analytics as composable TUPLE STREAMS —
+``rollup(search(coll, q=.., sort=..), over=.., sum(x))`` — documented in
+the public reference guide ("Streaming Expressions"). The reference's
+solrconfig ships the /stream and /export handlers enabled by default
+(implicit handlers in Solr 9), so a reference user can run these today;
+this module lets them keep doing so against the PySpark engine.
+
+The mapping is the whole point of a Spark-first design: a streaming
+expression IS a logical plan. Each stream function becomes one DataFrame
+transformation, the composition stays lazy, and Catalyst plans the whole
+tree at once (predicate pushdown through select/sort, partial aggs under
+rollup, broadcast for a small hashJoin side) — where Solr executes the
+tree as literal node-by-node tuple iterators, this engine hands the same
+tree to an optimizer. Nothing is collected driver-side; the caller gets a
+DataFrame to write/join/iterate.
+
+Supported stream functions (each validates its param surface and fails
+loud on anything else — the facade contract):
+
+- ``search(collection, q=, [fq=], [fl=], [sort=], [rows=], [qt=])`` —
+  the /export path (full sorted match set) via ``solr_export``; ``rows``
+  caps it (the default /select shape). ``collection`` is positional and
+  recorded but not dispatched (single-collection engine).
+- ``select(stream, "field", "field as alias", ...)`` — projection/rename
+- ``sort(stream, by="f asc, g desc")`` — re-sort
+- ``unique(stream, over="f")`` — first tuple per ``over`` value in the
+  stream's sort order (requires a sorted stream, like Solr)
+- ``top(stream, n=, sort=)`` — global top-n re-sorted
+- ``rollup(stream, over="a,b", sum(x), avg(x), min(x), max(x),
+  count(*))`` — grouped aggregation; bucket columns + Solr-named metric
+  columns (``sum(x)``...)
+- ``stats(collection, q=, ...metrics)`` — one-row aggregation over the
+  match set
+- ``innerJoin(left, right, on="a=b, c")`` / ``leftOuterJoin`` — ordered
+  merge joins; like Solr, both sides must be sorted by the join keys
+  (fail loud otherwise). ``hashJoin(left, hashed=right, on=..)`` — no
+  order requirement, the hashed side is broadcast when small.
+- ``merge(s1, s2, on="f asc")`` — union of equally-sorted streams
+- ``intersect(left, right, on=)`` / ``complement(left, right, on=)`` —
+  left tuples whose key does/doesn't appear in right (semi / anti join)
+- ``having(stream, <boolean evaluator>)`` — ``eq/gt/gteq/lt/lteq(field,
+  value)`` plus ``and(...)/or(...)/not(...)``
+
+Reference provenance: the reference consumes Solr responses over /select
+(HttpSolrSelectClientImpl.java) and its solrconfig enables the implicit
+/stream, /export, /sql handlers (solrconfig.xml upstream defaults) — this
+module is the /stream side of that surface.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .engine import BM25Index
+from .select_api import solr_export
+
+__all__ = ["parse_stream_expr", "run_stream_expr", "TupleStream"]
+
+
+# --------------------------------------------------------------- parsing
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lp>\()           |
+        (?P<rp>\))           |
+        (?P<comma>,)         |
+        (?P<eq>=)            |
+        (?P<quoted>"(?:[^"\\]|\\.)*") |
+        (?P<bare>[^\s(),=]+)
+    )""",
+    re.X,
+)
+
+
+@dataclass
+class Call:
+    name: str
+    args: list[Any]            # positional: Call | str literals
+    params: dict[str, Any]     # named: str -> Call | str
+
+
+def _tokens(s: str):
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"stream expression: cannot tokenize at {s[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        if kind == "quoted":
+            text = re.sub(r'\\(.)', r"\1", text[1:-1])
+        yield kind, text
+    yield "end", ""
+
+
+def parse_stream_expr(s: str) -> Call:
+    """Parse one streaming expression into its call tree."""
+    toks = list(_tokens(s))
+    pos = 0
+
+    def peek():
+        return toks[pos]
+
+    def take(kind=None):
+        nonlocal pos
+        k, t = toks[pos]
+        if kind and k != kind:
+            raise ValueError(f"stream expression: expected {kind}, got {t!r}")
+        pos += 1
+        return k, t
+
+    def parse_value(first_kind, first_text):
+        # a value is a call (bare followed by '(') or a literal
+        if first_kind in ("bare", "quoted") and peek()[0] == "lp":
+            return parse_call(first_text)
+        return first_text
+
+    def parse_call(name: str) -> Call:
+        take("lp")
+        args: list[Any] = []
+        params: dict[str, Any] = {}
+        if peek()[0] == "rp":
+            take("rp")
+            return Call(name, args, params)
+        while True:
+            k, t = take()
+            if k not in ("bare", "quoted"):
+                raise ValueError(f"stream expression: unexpected {t!r} in {name}()")
+            if k == "bare" and peek()[0] == "eq":
+                take("eq")
+                vk, vt = take()
+                if vk not in ("bare", "quoted"):
+                    raise ValueError(
+                        f"stream expression: bad value for {t}= in {name}()"
+                    )
+                if t in params:
+                    raise ValueError(
+                        f"stream expression: duplicate param {t}= in {name}()"
+                    )
+                params[t] = parse_value(vk, vt)
+            else:
+                args.append(parse_value(k, t))
+            k, t = take()
+            if k == "rp":
+                return Call(name, args, params)
+            if k != "comma":
+                raise ValueError(f"stream expression: expected ',' or ')' in {name}()")
+
+    k, t = take()
+    if k != "bare":
+        raise ValueError("stream expression must start with a function name")
+    call = parse_call(t)
+    if peek()[0] != "end":
+        raise ValueError("stream expression: trailing input after the root call")
+    return call
+
+
+# ------------------------------------------------------------- evaluation
+
+
+@dataclass
+class TupleStream:
+    """A stream = its DataFrame + the sort it is known to satisfy (Solr's
+    ordered-stream contract travels with the tuples; unique/innerJoin/
+    merge validate it instead of silently mis-merging)."""
+
+    df: DataFrame
+    sort: tuple[tuple[str, str], ...]  # ((field, asc|desc), ...)
+
+
+_METRICS = {"sum", "avg", "min", "max", "count"}
+
+
+def _metric_col(c: Call) -> Column:
+    if c.name not in _METRICS or len(c.args) != 1 or c.params:
+        raise ValueError(f"unsupported metric {c.name}({c.args})")
+    (fld,) = c.args
+    label = f"{c.name}({fld})"
+    if c.name == "count":
+        if fld != "*":
+            raise ValueError("count takes '*' (Solr streaming count(*))")
+        return F.count("*").alias("count(*)")
+    if not isinstance(fld, str):
+        raise ValueError(f"{c.name}() takes a field name")
+    return getattr(F, c.name)(fld).alias(label)
+
+
+def _parse_by(spec: str) -> tuple[tuple[str, str], ...]:
+    out = []
+    for part in str(spec).split(","):
+        p = " ".join(part.split())
+        if not p:
+            continue
+        f, _, d = p.partition(" ")
+        d = d or "asc"
+        if d not in ("asc", "desc"):
+            raise ValueError(f"bad sort entry {part!r} (use 'field asc|desc')")
+        out.append((f, d))
+    if not out:
+        raise ValueError("empty sort spec")
+    return tuple(out)
+
+
+def _sort_cols(spec) -> list[Column]:
+    return [F.col(f).desc() if d == "desc" else F.col(f).asc() for f, d in spec]
+
+
+def _require_params(c: Call, required: set, optional: set = frozenset()):
+    missing = required - set(c.params)
+    if missing:
+        raise ValueError(f"{c.name}(): missing params {sorted(missing)}")
+    extra = set(c.params) - required - optional
+    if extra:
+        raise ValueError(f"{c.name}(): unsupported params {sorted(extra)}")
+
+
+def _on_pairs(on: str) -> list[tuple[str, str]]:
+    pairs = []
+    for part in str(on).split(","):
+        p = part.strip()
+        if not p:
+            continue
+        left, eq, right = p.partition("=")
+        pairs.append((left.strip(), right.strip() if eq else left.strip()))
+    if not pairs:
+        raise ValueError("empty on= spec")
+    return pairs
+
+
+def _require_sorted_by(s: TupleStream, keys: list[str], who: str):
+    have = [f for f, _ in s.sort]
+    if have[: len(keys)] != keys:
+        raise ValueError(
+            f"{who}: stream must be sorted by {keys} (is sorted by {have}) — "
+            f"wrap it in sort(..., by=\"{', '.join(k + ' asc' for k in keys)}\")"
+        )
+
+
+def _bool_evaluator(c: Any) -> Column:
+    if not isinstance(c, Call):
+        raise ValueError("having(): second argument must be a boolean evaluator")
+    if c.name in ("and", "or"):
+        if len(c.args) < 2:
+            raise ValueError(f"{c.name}() needs >= 2 arguments")
+        cols = [_bool_evaluator(a) for a in c.args]
+        out = cols[0]
+        for x in cols[1:]:
+            out = (out & x) if c.name == "and" else (out | x)
+        return out
+    if c.name == "not":
+        if len(c.args) != 1:
+            raise ValueError("not() takes one argument")
+        return ~_bool_evaluator(c.args[0])
+    ops = {"eq": "==", "gt": ">", "gteq": ">=", "lt": "<", "lteq": "<="}
+    if c.name not in ops or len(c.args) != 2:
+        raise ValueError(f"unsupported boolean evaluator {c.name}()")
+    fld, val = c.args
+    if isinstance(fld, Call):
+        # a metric reference (count(*), sum(x)) names the rollup's output
+        # column -- Solr addresses it the same way in having()
+        if fld.name not in _METRICS or len(fld.args) != 1 or fld.params:
+            raise ValueError(f"having(): unsupported field ref {fld.name}()")
+        fld = f"{fld.name}({fld.args[0]})"
+    col = F.col(f"`{fld}`")
+    try:
+        lit = F.lit(int(val))
+    except (TypeError, ValueError):
+        try:
+            lit = F.lit(float(val))
+        except (TypeError, ValueError):
+            lit = F.lit(str(val))
+    return {
+        "eq": col == lit, "gt": col > lit, "gteq": col >= lit,
+        "lt": col < lit, "lteq": col <= lit,
+    }[c.name]
+
+
+def _eval(c: Call, idx: BM25Index) -> TupleStream:
+    if c.name == "search":
+        if len(c.args) != 1:
+            raise ValueError("search(collection, ...) takes one positional arg")
+        _require_params(c, {"q"}, {"fq", "fl", "sort", "rows", "qt"})
+        qt = c.params.get("qt", "/export")
+        if qt not in ("/export", "/select"):
+            raise ValueError(f"search(): unsupported qt {qt!r}")
+        sort = c.params.get("sort", "score desc")
+        p = {"q": c.params["q"], "sort": sort}
+        if "fq" in c.params:
+            p["fq"] = c.params["fq"]
+        if "fl" in c.params:
+            p["fl"] = c.params["fl"]
+        df = solr_export(idx, p)
+        if "rows" in c.params:
+            df = df.limit(int(c.params["rows"]))
+        return TupleStream(df, _parse_by(sort))
+
+    if c.name == "stats":
+        if len(c.args) < 2:
+            raise ValueError("stats(collection, metrics...) needs metrics")
+        _require_params(c, set(), {"q", "fq"})
+        p = {"q": c.params.get("q", "*:*")}
+        if "fq" in c.params:
+            p["fq"] = c.params["fq"]
+        df = solr_export(idx, p)
+        metrics = [_metric_col(a) for a in c.args[1:]]
+        return TupleStream(df.agg(*metrics), ())
+
+    # every other function decorates a stream given as the first arg
+    if not c.args or not isinstance(c.args[0], Call):
+        raise ValueError(f"{c.name}(): first argument must be a stream")
+    s = _eval(c.args[0], idx)
+
+    if c.name == "select":
+        _require_params(c, set())
+        if len(c.args) < 2:
+            raise ValueError("select(stream, fields...) needs fields")
+        cols, renames = [], {}
+        for a in c.args[1:]:
+            if isinstance(a, Call):
+                raise ValueError("select(): evaluators are unsupported")
+            m = re.match(r"^(\S+)(?:\s+as\s+(\S+))?$", a.strip())
+            if not m:
+                raise ValueError(f"select(): bad field spec {a!r}")
+            src, alias = m.group(1), m.group(2)
+            cols.append(F.col(src).alias(alias) if alias else F.col(src))
+            if alias:
+                renames[src] = alias
+        sort = tuple(
+            (renames.get(f, f), d) for f, d in s.sort
+        )
+        return TupleStream(s.df.select(*cols), sort)
+
+    if c.name == "sort":
+        _require_params(c, {"by"})
+        spec = _parse_by(c.params["by"])
+        return TupleStream(s.df.orderBy(*_sort_cols(spec)), spec)
+
+    if c.name == "unique":
+        _require_params(c, {"over"})
+        over = [x.strip() for x in str(c.params["over"]).split(",") if x.strip()]
+        _require_sorted_by(s, over, "unique()")
+        tail = [x for x in s.sort if x[0] not in over]
+        order = _sort_cols(tail) or [F.lit(1)]
+        w = Window.partitionBy(*over).orderBy(*order)
+        df = (
+            s.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .orderBy(*_sort_cols(s.sort))
+        )
+        return TupleStream(df, s.sort)
+
+    if c.name == "top":
+        _require_params(c, {"n", "sort"})
+        spec = _parse_by(c.params["sort"])
+        df = s.df.orderBy(*_sort_cols(spec)).limit(int(c.params["n"]))
+        return TupleStream(df, spec)
+
+    if c.name == "rollup":
+        _require_params(c, {"over"})
+        over = [x.strip() for x in str(c.params["over"]).split(",") if x.strip()]
+        metrics = [_metric_col(a) for a in c.args[1:] if isinstance(a, Call)]
+        if len(metrics) != len(c.args) - 1:
+            raise ValueError("rollup(stream, over=.., metrics...) — every "
+                             "positional arg after the stream must be a metric")
+        if not metrics:
+            raise ValueError("rollup() needs at least one metric")
+        df = s.df.groupBy(*over).agg(*metrics).orderBy(*[F.col(f) for f in over])
+        return TupleStream(df, tuple((f, "asc") for f in over))
+
+    if c.name == "having":
+        _require_params(c, set())
+        if len(c.args) != 2:
+            raise ValueError("having(stream, evaluator)")
+        return TupleStream(s.df.filter(_bool_evaluator(c.args[1])), s.sort)
+
+    if c.name in ("innerJoin", "leftOuterJoin", "hashJoin",
+                  "intersect", "complement", "merge"):
+        if c.name == "hashJoin":
+            _require_params(c, {"hashed", "on"})
+            right_call = c.params["hashed"]
+            if not isinstance(right_call, Call):
+                raise ValueError("hashJoin(): hashed= must be a stream")
+            r = _eval(right_call, idx)
+        else:
+            _require_params(c, {"on"})
+            if len(c.args) != 2 or not isinstance(c.args[1], Call):
+                raise ValueError(f"{c.name}(left, right, on=..)")
+            r = _eval(c.args[1], idx)
+
+        if c.name == "merge":
+            spec = _parse_by(c.params["on"])
+            for side, nm in ((s, "left"), (r, "right")):
+                if side.sort[: len(spec)] != spec:
+                    raise ValueError(
+                        f"merge(): {nm} stream must be sorted by the on= "
+                        f"spec {list(spec)} (is {list(side.sort)})"
+                    )
+            df = s.df.unionByName(r.df).orderBy(*_sort_cols(spec))
+            return TupleStream(df, spec)
+
+        pairs = _on_pairs(c.params["on"])
+        lkeys = [a for a, _ in pairs]
+        if c.name in ("innerJoin", "leftOuterJoin"):
+            # Solr's merge joins demand both sides sorted by the keys
+            _require_sorted_by(s, lkeys, f"{c.name}() left")
+            _require_sorted_by(r, [b for _, b in pairs], f"{c.name}() right")
+        cond = None
+        for a, b in pairs:
+            e = s.df[a] == r.df[b]
+            cond = e if cond is None else (cond & e)
+        how = {"innerJoin": "inner", "leftOuterJoin": "left",
+               "hashJoin": "inner", "intersect": "semi",
+               "complement": "anti"}[c.name]
+        rdf = F.broadcast(r.df) if c.name == "hashJoin" else r.df
+        joined = s.df.join(rdf, cond, how)
+        if how in ("semi", "anti"):
+            df = joined.orderBy(*_sort_cols(s.sort)) if s.sort else joined
+            return TupleStream(df, s.sort)
+        # drop the right-side duplicate key columns (Solr emits one key)
+        for a, b in pairs:
+            if b in r.df.columns and a in s.df.columns:
+                joined = joined.drop(r.df[b])
+        sort = s.sort if c.name != "hashJoin" else ()
+        if sort:
+            joined = joined.orderBy(*_sort_cols(sort))
+        return TupleStream(joined, sort)
+
+    raise ValueError(f"unsupported stream function {c.name}()")
+
+
+def run_stream_expr(idx: BM25Index, expr: str) -> DataFrame:
+    """Parse + evaluate a streaming expression against the index. Returns
+    the composed (lazy) DataFrame — the /stream response body is one
+    ``toLocalIterator()`` away, a parquet export one ``write`` away."""
+    return _eval(parse_stream_expr(expr), idx).df

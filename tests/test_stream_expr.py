@@ -1,0 +1,222 @@
+"""Streaming expressions (query/stream_expr.py): parser shape, each stream
+function vs a DataFrame-built expectation, sorted-stream contract
+enforcement, and fail-loud validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.query.stream_expr import (
+    Call,
+    parse_stream_expr,
+    run_stream_expr,
+)
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=40, turns_per_conv=6, seed=7)
+    d = str(tmp_path_factory.mktemp("sx"))
+    build_index(spark, df, d, BuildConfig(build_id="sx", **CFG))
+    return BM25Index(spark, d)
+
+
+# ----------------------------------------------------------------- parser
+
+
+def test_parse_nested_call_tree():
+    c = parse_stream_expr(
+        'rollup(search(tx, q="error tool", sort="conv_id asc"), '
+        'over="conv_id", count(*), sum(turn_idx))'
+    )
+    assert c.name == "rollup" and c.params["over"] == "conv_id"
+    assert isinstance(c.args[0], Call) and c.args[0].name == "search"
+    assert c.args[0].params["q"] == "error tool"
+    assert [a.name for a in c.args[1:]] == ["count", "sum"]
+    assert c.args[1].args == ["*"]
+
+
+def test_parse_quoted_escapes_and_errors():
+    c = parse_stream_expr(r'search(tx, q="say \"hi\"")')
+    assert c.params["q"] == 'say "hi"'
+    for bad in ("", "search(tx", "search(tx,)", 'search(tx, q="a" extra)',
+                "search(tx) trailing", 'search(tx, q="a", q="b")'):
+        with pytest.raises(ValueError):
+            parse_stream_expr(bad)
+
+
+# ---------------------------------------------------------------- search
+
+
+def test_search_equals_engine(idx):
+    df = run_stream_expr(
+        idx, 'search(tx, q="error in tool", fl="doc_id,score", '
+             'sort="score desc", rows=5)'
+    )
+    got = [(r.doc_id, round(r.score, 6)) for r in df.collect()]
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in idx.search("error in tool", k=5).collect()
+    ]
+    assert got == want
+
+
+def test_search_field_sort_and_fq(idx):
+    df = run_stream_expr(
+        idx, 'search(tx, q="*:*", fq="role:user", '
+             'fl="doc_id,conv_id", sort="doc_id asc", rows=8)'
+    )
+    rows = df.collect()
+    assert [r.doc_id for r in rows] == sorted(r.doc_id for r in rows)
+    n_user = idx.docs().filter("role = 'user'").count()
+    full = run_stream_expr(
+        idx, 'search(tx, q="*:*", fq="role:user", fl="doc_id", '
+             'sort="doc_id asc")'
+    )
+    assert full.count() == n_user
+
+
+# ------------------------------------------------------------ decorators
+
+
+def test_rollup_matches_dataframe_agg(idx):
+    df = run_stream_expr(
+        idx, 'rollup(search(tx, q="*:*", sort="role asc"), '
+             'over="role", count(*), avg(turn_idx))'
+    )
+    got = {(r.role): (r["count(*)"], round(r["avg(turn_idx)"], 6))
+           for r in df.collect()}
+    want = {
+        r.role: (r.n, round(r.a, 6))
+        for r in idx.docs()
+        .groupBy("role")
+        .agg(F.count("*").alias("n"), F.avg("turn_idx").alias("a"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stats_one_row(idx):
+    df = run_stream_expr(idx, 'stats(tx, q="*:*", sum(turn_idx), max(turn_idx))')
+    r = df.collect()
+    assert len(r) == 1
+    base = idx.docs().agg(F.sum("turn_idx"), F.max("turn_idx")).collect()[0]
+    assert (r[0]["sum(turn_idx)"], r[0]["max(turn_idx)"]) == tuple(base)
+
+
+def test_select_sort_unique_top(idx):
+    expr = ('top(unique(select(search(tx, q="*:*", '
+            'fl="doc_id,conv_id,turn_idx", sort="conv_id asc, doc_id asc"), '
+            '"conv_id", "doc_id as first_doc"), over="conv_id"), '
+            'n=5, sort="conv_id asc")')
+    rows = run_stream_expr(idx, expr).collect()
+    # unique over conv_id in (conv_id, doc_id) order = min doc per conv
+    want = (
+        idx.docs()
+        .groupBy("conv_id")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .orderBy("conv_id")
+        .limit(5)
+        .collect()
+    )
+    assert [(r.conv_id, r.first_doc) for r in rows] == [
+        (r.conv_id, r.first_doc) for r in want
+    ]
+
+
+def test_having_filters(idx):
+    rows = run_stream_expr(
+        idx, 'having(rollup(search(tx, q="*:*", sort="role asc"), '
+             'over="role", count(*)), gt(count(*), 0))'
+    ).collect()
+    assert len(rows) == 3  # user / assistant / tool all non-empty
+    rows2 = run_stream_expr(
+        idx, 'having(rollup(search(tx, q="*:*", sort="role asc"), '
+             'over="role", count(*)), and(eq(role, "user"), gt(count(*), 1)))'
+    ).collect()
+    assert len(rows2) == 1 and rows2[0].role == "user"
+
+
+# ----------------------------------------------------------------- joins
+
+
+def test_inner_join_requires_sort_and_joins(idx):
+    with pytest.raises(ValueError, match="must be sorted"):
+        run_stream_expr(
+            idx, 'innerJoin(search(tx, q="*:*", sort="score desc"), '
+                 'search(tx, q="*:*", sort="doc_id asc"), on="doc_id")'
+        )
+    df = run_stream_expr(
+        idx,
+        'innerJoin('
+        'select(search(tx, q="*:*", fq="role:user", fl="doc_id,conv_id,turn_idx",'
+        ' sort="conv_id asc"), "conv_id", "turn_idx"), '
+        'select(search(tx, q="*:*", fq="role:tool", fl="doc_id,conv_id",'
+        ' sort="conv_id asc"), "conv_id"), '
+        'on="conv_id")',
+    )
+    convs_with_tool = {
+        r.conv_id for r in idx.docs().filter("role = 'tool'")
+        .select("conv_id").distinct().collect()
+    }
+    got_convs = {r.conv_id for r in df.select("conv_id").distinct().collect()}
+    assert got_convs == {
+        r.conv_id for r in idx.docs().filter("role = 'user'")
+        .select("conv_id").distinct().collect()
+    } & convs_with_tool
+
+
+def test_intersect_and_complement(idx):
+    base = ('select(search(tx, q="*:*", fq="role:user", fl="doc_id,conv_id", '
+            'sort="conv_id asc"), "conv_id")')
+    right = ('select(search(tx, q="*:*", fq="role:tool", fl="doc_id,conv_id", '
+             'sort="conv_id asc"), "conv_id")')
+    inter = run_stream_expr(idx, f'intersect({base}, {right}, on="conv_id")')
+    comp = run_stream_expr(idx, f'complement({base}, {right}, on="conv_id")')
+    tool_convs = {
+        r.conv_id for r in idx.docs().filter("role = 'tool'")
+        .select("conv_id").distinct().collect()
+    }
+    assert {r.conv_id for r in inter.collect()} <= tool_convs
+    assert not ({r.conv_id for r in comp.collect()} & tool_convs)
+    assert inter.count() + comp.count() == run_stream_expr(idx, base).count()
+
+
+def test_merge_unions_sorted_streams(idx):
+    l = ('select(search(tx, q="*:*", fq="role:user", fl="doc_id", '
+         'sort="doc_id asc"), "doc_id")')
+    r = ('select(search(tx, q="*:*", fq="role:tool", fl="doc_id", '
+         'sort="doc_id asc"), "doc_id")')
+    df = run_stream_expr(idx, f'merge({l}, {r}, on="doc_id asc")')
+    ids = [x.doc_id for x in df.collect()]
+    assert ids == sorted(ids)
+    n = idx.docs().filter("role IN ('user','tool')").count()
+    assert len(ids) == n
+    with pytest.raises(ValueError, match="sorted by the on"):
+        run_stream_expr(idx, f'merge({l}, {r}, on="doc_id desc")')
+
+
+# ------------------------------------------------------------- fail loud
+
+
+def test_unsupported_surface_fails_loud(idx):
+    for bad, msg in [
+        ('fetch(search(tx, q="a", sort="doc_id asc"))', "unsupported stream function"),
+        ('search(tx, q="a", shards="x")', "unsupported params"),
+        ('search(tx)', "missing params"),
+        ('rollup(search(tx, q="a", sort="doc_id asc"), over="role")',
+         "at least one metric"),
+        ('rollup(search(tx, q="a", sort="doc_id asc"), over="role", '
+         'median(turn_idx))', "unsupported metric"),
+        ('unique(search(tx, q="a", sort="score desc"), over="conv_id")',
+         "must be sorted"),
+        ('having(search(tx, q="a", sort="score desc"), median(x))',
+         "boolean evaluator"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            run_stream_expr(idx, bad)
