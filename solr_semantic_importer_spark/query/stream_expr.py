@@ -42,6 +42,30 @@ loud on anything else — the facade contract):
   left tuples whose key does/doesn't appear in right (semi / anti join)
 - ``having(stream, <boolean evaluator>)`` — ``eq/gt/gteq/lt/lteq(field,
   value)`` plus ``and(...)/or(...)/not(...)``
+- ``significantTerms(collection, q=, field=, [limit=20], [minDocFreq=5],
+  [maxDocFreq=0.3], [minTermLength=4])`` — terms over-represented in the
+  match set vs the corpus. Freq bounds >= 1 are absolute document
+  counts, < 1 are corpus fractions (Solr's convention). Emits
+  ``(term, foreground, background, score)``; score here is the
+  relative-rate lift ``(fg/fg_N) / (bg/bg_N)`` — Solr's exact ranking
+  heuristic is an implementation detail, so the raw foreground /
+  background counts travel with every tuple for re-ranking. Foreground
+  counting re-analyzes only the MATCHED docs' stored text (cost scales
+  with the match set, never the corpus); background df comes from the
+  index dictionary.
+- ``timeseries(collection, q=, field=, start=, end=, gap=, ...metrics)``
+  — per-bucket metrics over ``[start, end)`` in steps of ``gap`` (exact
+  op/mm DocSet, one partial-agg shuffle of at most n_buckets rows per
+  task). Numeric bounds over a numeric field (documented deviation:
+  Solr's date-math gap strings — ``+1DAY`` — are not parsed; pass epoch
+  seconds).
+
+:func:`solr_sql` is the /sql handler analog: Solr's Parallel SQL
+translates SQL onto these same tuple streams; this engine hands the SQL
+to Spark SQL over the LIVE (tombstone-aware) doc set instead — the
+dialect is therefore a superset of Solr's subset (joins, subqueries,
+window functions all work). Documented deviation: WHERE clauses are ANSI
+predicates, not embedded Solr query strings.
 
 Reference provenance: the reference consumes Solr responses over /select
 (HttpSolrSelectClientImpl.java) and its solrconfig enables the implicit
@@ -62,7 +86,7 @@ from pyspark.sql.window import Window
 from .engine import BM25Index
 from .select_api import solr_export
 
-__all__ = ["parse_stream_expr", "run_stream_expr", "TupleStream"]
+__all__ = ["parse_stream_expr", "run_stream_expr", "TupleStream", "solr_sql"]
 
 
 # --------------------------------------------------------------- parsing
@@ -303,6 +327,22 @@ def _eval(c: Call, idx: BM25Index) -> TupleStream:
             df = df.limit(int(c.params["rows"]))
         return TupleStream(df, _parse_by(sort))
 
+    if c.name == "significantTerms":
+        if len(c.args) != 1:
+            raise ValueError("significantTerms(collection, ...) takes one "
+                             "positional arg")
+        _require_params(c, {"q", "field"},
+                        {"fq", "limit", "minDocFreq", "maxDocFreq",
+                         "minTermLength"})
+        return _significant_terms(idx, c)
+
+    if c.name == "timeseries":
+        if len(c.args) < 2:
+            raise ValueError("timeseries(collection, metrics...) needs "
+                             "at least one metric")
+        _require_params(c, {"q", "field", "start", "end", "gap"}, {"fq"})
+        return _timeseries(idx, c)
+
     if c.name == "stats":
         if len(c.args) < 2:
             raise ValueError("stats(collection, metrics...) needs metrics")
@@ -436,6 +476,109 @@ def _eval(c: Call, idx: BM25Index) -> TupleStream:
         return TupleStream(joined, sort)
 
     raise ValueError(f"unsupported stream function {c.name}()")
+
+
+def _match_base(idx: BM25Index, c: Call) -> DataFrame:
+    """The exact (op-free) DocSet for a stream source's q/fq params,
+    joined back to the stored docs — *:* takes the live filtered scan."""
+    q = str(c.params["q"])
+    fq = c.params.get("fq")
+    if q.strip() == "*:*":
+        return idx._anti_dead(idx._apply_fq(idx.docs(), fq))
+    return idx._matched_ids(q, fq=fq).join(idx.docs(), "doc_id")
+
+
+def _freq_bound(v: Any, n_docs: int, name: str) -> int:
+    x = float(v)
+    if x < 0:
+        raise ValueError(f"significantTerms(): {name} must be >= 0")
+    return int(x) if x >= 1 else int(x * n_docs)
+
+
+def _significant_terms(idx: BM25Index, c: Call) -> TupleStream:
+    from ..functions.analysis import tokens_col
+
+    if idx.analyzer_chain != "text_general":
+        raise ValueError(
+            "significantTerms(): foreground re-analysis is implemented for "
+            f"the text_general chain (index uses {idx.analyzer_chain!r})"
+        )
+    field = str(c.params["field"])
+    if field not in idx.docs().columns:
+        raise ValueError(f"significantTerms(): unknown field {field!r}")
+    limit = int(c.params.get("limit", 20))
+    min_df = _freq_bound(c.params.get("minDocFreq", 5), idx.n_docs, "minDocFreq")
+    max_df = _freq_bound(c.params.get("maxDocFreq", 0.3), idx.n_docs, "maxDocFreq")
+    min_len = int(c.params.get("minTermLength", 4))
+
+    base = _match_base(idx, c)
+    fg_n = base.count()
+    if fg_n == 0:
+        return TupleStream(
+            idx.spark.createDataFrame(
+                [], "term string, foreground long, background long, score double"
+            ),
+            (("score", "desc"), ("term", "asc")),
+        )
+    # distinct terms per matched doc -> per-term foreground doc frequency
+    fg = (
+        base.select(
+            F.explode(F.array_distinct(tokens_col(field))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("foreground"))
+    )
+    bg = idx.dictionary().select("term", F.col("df").alias("background"))
+    lift = (F.col("foreground") / F.lit(float(fg_n))) / (
+        F.col("background") / F.lit(float(idx.n_docs))
+    )
+    df = (
+        fg.join(bg, "term")
+        .filter(
+            (F.col("background") >= min_df)
+            & (F.col("background") <= max_df)
+            & (F.length("term") >= min_len)
+        )
+        .withColumn("score", F.round(lift, 6))
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(limit)
+    )
+    return TupleStream(df, (("score", "desc"), ("term", "asc")))
+
+
+def _timeseries(idx: BM25Index, c: Call) -> TupleStream:
+    field = str(c.params["field"])
+    start, end, gap = (float(c.params[k]) for k in ("start", "end", "gap"))
+    if gap <= 0 or end <= start:
+        raise ValueError("timeseries(): needs gap > 0 and end > start")
+    metrics = [_metric_col(a) for a in c.args[1:] if isinstance(a, Call)]
+    if len(metrics) != len(c.args) - 1 or not metrics:
+        raise ValueError("timeseries(): every positional arg after the "
+                         "collection must be a metric")
+    x = F.col(field).cast("double")
+    bucket = (F.lit(start) + F.floor((x - start) / gap) * gap).alias(field)
+    df = (
+        _match_base(idx, c)
+        .filter((x >= start) & (x < end))
+        .groupBy(bucket)
+        .agg(*metrics)
+        .orderBy(F.col(field).asc())
+    )
+    return TupleStream(df, ((field, "asc"),))
+
+
+def solr_sql(idx: BM25Index, sql: str, collection: str = "collection") -> DataFrame:
+    """Solr /sql handler analog: run SQL over the LIVE doc set.
+
+    Solr's Parallel SQL interface compiles SQL onto the same tuple streams
+    :func:`run_stream_expr` evaluates; this engine skips the translation
+    and registers the tombstone-aware doc table as a temp view named
+    ``collection``, handing the statement to Spark SQL (a superset of
+    Solr's SQL subset — joins, subqueries and window functions included).
+    Documented deviation: WHERE clauses are ANSI predicates, not embedded
+    Solr query strings."""
+    idx._anti_dead(idx.docs()).createOrReplaceTempView(collection)
+    return idx.spark.sql(sql)
 
 
 def run_stream_expr(idx: BM25Index, expr: str) -> DataFrame:

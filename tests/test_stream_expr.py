@@ -220,3 +220,80 @@ def test_unsupported_surface_fails_loud(idx):
     ]:
         with pytest.raises(ValueError, match=msg):
             run_stream_expr(idx, bad)
+
+
+# --------------------------------------------- significantTerms / timeseries
+
+
+def test_significant_terms_lift_matches_brute_force(idx, spark):
+    from solr_semantic_importer_spark.functions.analysis import analyze_text
+
+    rows = run_stream_expr(
+        idx, 'significantTerms(tx, q="*:*", fq="role:tool", field="text", '
+             'limit=5, minDocFreq=2, maxDocFreq=0.9, minTermLength=4)'
+    ).collect()
+    assert rows and list(rows[0].asDict()) == [
+        "term", "foreground", "background", "score"]
+    # brute force: distinct-term doc freq inside the tool subset vs corpus
+    docs = idx.docs().select("doc_id", "text", "role").collect()
+    n = len(docs)
+    fg_docs = [d for d in docs if d.role == "tool"]
+    fg_n = len(fg_docs)
+    from collections import Counter
+    fg = Counter(t for d in fg_docs for t in set(analyze_text(d.text)))
+    bg = Counter(t for d in docs for t in set(analyze_text(d.text)))
+    cand = [
+        (round((fg[t] / fg_n) / (bg[t] / n), 6), t, fg[t], bg[t])
+        for t in fg
+        if 2 <= bg[t] <= int(0.9 * n) and len(t) >= 4
+    ]
+    want = sorted(cand, key=lambda x: (-x[0], x[1]))[:5]
+    got = [(r.score, r.term, r.foreground, r.background) for r in rows]
+    assert got == want
+
+
+def test_significant_terms_validation(idx):
+    with pytest.raises(ValueError, match="unknown field"):
+        run_stream_expr(idx, 'significantTerms(tx, q="*:*", field="nope")')
+    with pytest.raises(ValueError, match="missing params"):
+        run_stream_expr(idx, 'significantTerms(tx, q="*:*")')
+
+
+def test_timeseries_buckets_match_dataframe(idx):
+    df = run_stream_expr(
+        idx, 'timeseries(tx, q="*:*", field="turn_idx", start=0, end=6, '
+             'gap=2, count(*), avg(dl))'
+    )
+    got = {(r.turn_idx): (r["count(*)"], round(r["avg(dl)"], 6))
+           for r in df.collect()}
+    want = {
+        float(b): (n, round(a, 6))
+        for b, n, a in (
+            idx.docs()
+            .filter("turn_idx >= 0 AND turn_idx < 6")
+            .groupBy((F.floor(F.col("turn_idx") / 2) * 2).alias("b"))
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("a"))
+            .collect()
+        )
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="gap"):
+        run_stream_expr(idx, 'timeseries(tx, q="*:*", field="turn_idx", '
+                             'start=5, end=1, gap=1, count(*))')
+
+
+# ------------------------------------------------------------------- /sql
+
+
+def test_solr_sql_runs_over_live_docs(idx):
+    from solr_semantic_importer_spark.query.stream_expr import solr_sql
+
+    rows = solr_sql(
+        idx,
+        "SELECT role, count(*) AS n FROM collection GROUP BY role ORDER BY role",
+    ).collect()
+    want = sorted(
+        (r.role, r.n)
+        for r in idx.docs().groupBy("role").agg(F.count("*").alias("n")).collect()
+    )
+    assert [(r.role, r.n) for r in rows] == want
