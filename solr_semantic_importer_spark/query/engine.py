@@ -2980,6 +2980,59 @@ class BM25Index:
             int(row["after"] or 0),
         )
 
+    # -- dense-vector KNN ({!knn} qparser, Solr 9) ------------------------------
+
+    def knn(
+        self,
+        field: str,
+        query_vec: list[float],
+        top_k: int = 10,
+        fq: str | list[str] | None = None,
+    ) -> DataFrame:
+        """Solr 9 ``{!knn f=field topK=N}[v,...]`` semantics: the topK live
+        docs by cosine similarity of a stored ``array<float>`` column
+        (DenseVectorField's default similarity), fq applied as a
+        PRE-filter (Solr 9.1 default: filters restrict the candidate set
+        before the vector search, they don't post-trim the topK).
+
+        Exact brute force in ONE codegen pass over the (filtered) doc
+        scan + TakeOrderedAndProject — results are exact where Solr's
+        HNSW graph is approximate, so top-k parity holds by construction.
+        The scale path for 10^9-vector corpora is the partitioned ANN
+        family (`operators/similarity.py` multi-probe LSH / IVF,
+        `operators/hnsw.py`) — this method is the rank-oracle the /select
+        facade serves, cost one scan of the fq-filtered live set.
+        """
+        from ..operators.similarity import cosine_sim
+
+        f = self.docs().schema
+        if field not in f.names:
+            raise ValueError(f"knn: unknown field {field!r}")
+        dt = f[field].dataType
+        import pyspark.sql.types as _T
+
+        if not (isinstance(dt, _T.ArrayType)
+                and isinstance(dt.elementType, (_T.FloatType, _T.DoubleType))):
+            raise ValueError(
+                f"knn: field {field!r} is {dt.simpleString()}, expected "
+                "array<float> (DenseVectorField analog)"
+            )
+        if not query_vec:
+            raise ValueError("knn: empty query vector")
+        if top_k <= 0:
+            raise ValueError(f"knn: topK must be positive, got {top_k}")
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        base = self._anti_dead(self._apply_fq(self.docs(), fq))
+        return (
+            base.filter(F.col(field).isNotNull())
+            .select(
+                "doc_id",
+                F.round(cosine_sim(F.col(field), q), 6).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(top_k)
+        )
+
     # -- phrase queries (positional index) -------------------------------------
 
     _PHRASE_Q_RE = re.compile(r'^\s*"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?\s*$')

@@ -126,6 +126,7 @@ stored fetch); only the ≤``rows`` result page is ever collected.
 from __future__ import annotations
 
 import heapq
+import json
 import re
 import time
 from typing import Any, Iterator
@@ -423,6 +424,9 @@ def solr_select(
     bj = _BJ_Q_RE.match(str(params.get("q", "")).strip())
     if bj is not None:
         return _block_join_select(idx, params, t0, bj)
+    knn_m = _KNN_Q_RE.match(str(params.get("q", "")).strip())
+    if knn_m is not None:
+        return _knn_select(idx, params, t0, knn_m)
     q = str(params.get("q", "*:*"))
     op = str(params.get("q.op", "OR")).upper()
     mm = params.get("mm")
@@ -1344,6 +1348,89 @@ def _spellcheck_section(
 
 
 _BJ_Q_RE = re.compile(r"^\{!(?P<kind>parent|child)(?P<lp>[^}]*)\}(?P<inner>.+)$")
+_KNN_Q_RE = re.compile(r"^\{!knn(?P<lp>[^}]*)\}\s*(?P<vec>\[[^\]]*\])\s*$")
+
+# the component surface the knn path serves; any other component param
+# present on a {!knn} request fails loud (facets/hl/etc over a vector
+# DocSet are not implemented — the caller finds out, never silently no-op)
+_KNN_ALLOWED = {"q", "fq", "start", "rows", "fl", "sort", "wt", "indent",
+                "omitHeader", "echoParams", "minExactCount"}
+
+
+def _knn_select(idx, params: dict, t0: float, m) -> dict:
+    """Solr 9 dense-vector KNN on /select: ``q={!knn f=F topK=N}[v,...]``.
+
+    fq pre-filters the candidate set (Solr 9.1 default), topK defaults to
+    10 (Solr's default), start/rows page WITHIN the topK result (Solr:
+    the knn query produces topK docs; paging past them yields nothing),
+    numFound = the docs the vector query produced. Scores are cosine
+    similarities (DenseVectorField default), returned only when fl asks
+    for score — the main path's convention."""
+    extra = set(params) - _KNN_ALLOWED
+    if extra:
+        raise ValueError(
+            f"{{!knn}} does not support components: {sorted(extra)}"
+        )
+    sort = " ".join(str(params.get("sort", "score desc")).split())
+    if sort != "score desc":
+        raise ValueError("{!knn} supports only the relevance sort "
+                         "(sort='score desc')")
+    lps = dict(
+        kv.split("=", 1) for kv in str(m.group("lp")).split() if "=" in kv
+    )
+    bad = set(lps) - {"f", "topK"}
+    if bad:
+        raise ValueError(f"unsupported {{!knn}} local params: {sorted(bad)}")
+    if "f" not in lps:
+        raise ValueError("{!knn} requires f=<vector field>")
+    try:
+        vec = json.loads(m.group("vec"))
+        vec = [float(x) for x in vec]
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            f"invalid {{!knn}} query vector {m.group('vec')!r}"
+        ) from e
+    top_k = int(lps.get("topK", 10))
+    fq = _as_list(params.get("fq")) or None
+    start = int(params.get("start", 0))
+    rows = int(params.get("rows", 10))
+    fl = params.get("fl")
+    fl = [f.strip() for f in fl.split(",")] if isinstance(fl, str) else fl
+    want_score = fl is not None and "score" in fl
+    norm_fl = [f for f in fl if f != "score"] if fl is not None else None
+    if norm_fl is not None:
+        unknown_fl = [f for f in norm_fl if f not in idx.docs().columns]
+        if unknown_fl:
+            raise ValueError(f"{{!knn}} fl: unknown fields {unknown_fl}")
+
+    hits = idx.knn(lps["f"], vec, top_k, fq=fq).collect()  # <= topK rows
+    page = hits[start:start + rows]
+    if page:
+        out = idx._from_doclist(
+            [{"doc_id": r["doc_id"], "score": r["score"]} for r in page],
+            with_stored=True, order_key="round6", fl=norm_fl,
+        )
+        docs = []
+        for r in out.collect():
+            d = r.asDict()
+            if not want_score:
+                d.pop("score", None)
+            docs.append(d)
+    else:
+        docs = []
+    return {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int((time.monotonic() - t0) * 1000),
+            "params": {k: params[k] for k in sorted(params, key=str)},
+        },
+        "response": {
+            "numFound": len(hits),
+            "start": start,
+            "numFoundExact": True,
+            "docs": docs,
+        },
+    }
 _BJ_LP_RE = re.compile(r"""(\w[\w.]*)=("[^"]*"|'[^']*'|[^\s}]+)""")
 
 
