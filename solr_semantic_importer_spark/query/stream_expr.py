@@ -42,6 +42,10 @@ loud on anything else — the facade contract):
   left tuples whose key does/doesn't appear in right (semi / anti join)
 - ``having(stream, <boolean evaluator>)`` — ``eq/gt/gteq/lt/lteq(field,
   value)`` plus ``and(...)/or(...)/not(...)``
+- ``facet(collection, q=, buckets=, [fq=], [bucketSorts="count(*) desc"],
+  [bucketSizeLimit=10], ...metrics)`` — grouped metrics over the exact
+  match set (the /stream twin of facet.field + stats): one partial-agg
+  shuffle, ``bucketSizeLimit`` rows out per the requested sort
 - ``significantTerms(collection, q=, field=, [limit=20], [minDocFreq=5],
   [maxDocFreq=0.3], [minTermLength=4])`` — terms over-represented in the
   match set vs the corpus. Freq bounds >= 1 are absolute document
@@ -204,7 +208,7 @@ class TupleStream:
 _METRICS = {"sum", "avg", "min", "max", "count"}
 
 
-def _metric_col(c: Call) -> Column:
+def _metric(c: Call) -> tuple[Column, str]:
     if c.name not in _METRICS or len(c.args) != 1 or c.params:
         raise ValueError(f"unsupported metric {c.name}({c.args})")
     (fld,) = c.args
@@ -212,10 +216,14 @@ def _metric_col(c: Call) -> Column:
     if c.name == "count":
         if fld != "*":
             raise ValueError("count takes '*' (Solr streaming count(*))")
-        return F.count("*").alias("count(*)")
+        return F.count("*").alias("count(*)"), "count(*)"
     if not isinstance(fld, str):
         raise ValueError(f"{c.name}() takes a field name")
-    return getattr(F, c.name)(fld).alias(label)
+    return getattr(F, c.name)(fld).alias(label), label
+
+
+def _metric_col(c: Call) -> Column:
+    return _metric(c)[0]
 
 
 def _parse_by(spec: str) -> tuple[tuple[str, str], ...]:
@@ -326,6 +334,33 @@ def _eval(c: Call, idx: BM25Index) -> TupleStream:
         if "rows" in c.params:
             df = df.limit(int(c.params["rows"]))
         return TupleStream(df, _parse_by(sort))
+
+    if c.name == "facet":
+        if len(c.args) < 2:
+            raise ValueError("facet(collection, metrics...) needs at least "
+                             "one metric")
+        _require_params(c, {"q", "buckets"},
+                        {"fq", "bucketSorts", "bucketSizeLimit"})
+        buckets = [b.strip() for b in str(c.params["buckets"]).split(",")
+                   if b.strip()]
+        pairs = [_metric(a) for a in c.args[1:] if isinstance(a, Call)]
+        if len(pairs) != len(c.args) - 1 or not pairs:
+            raise ValueError("facet(): every positional arg after the "
+                             "collection must be a metric")
+        metrics = [p[0] for p in pairs]
+        limit = int(c.params.get("bucketSizeLimit", 10))
+        sort_spec = _parse_by(c.params.get("bucketSorts", "count(*) desc"))
+        names = {p[1] for p in pairs}
+        for f, _ in sort_spec:
+            if f not in names and f not in buckets:
+                raise ValueError(
+                    f"facet(): bucketSorts field {f!r} is neither a bucket "
+                    f"nor a requested metric"
+                )
+        agged = _match_base(idx, c).groupBy(*buckets).agg(*metrics)
+        cols = [F.col(f"`{f}`").desc() if d == "desc" else F.col(f"`{f}`").asc()
+                for f, d in sort_spec]
+        return TupleStream(agged.orderBy(*cols).limit(limit), sort_spec)
 
     if c.name == "significantTerms":
         if len(c.args) != 1:

@@ -297,3 +297,23 @@ def test_solr_sql_runs_over_live_docs(idx):
         for r in idx.docs().groupBy("role").agg(F.count("*").alias("n")).collect()
     )
     assert [(r.role, r.n) for r in rows] == want
+
+
+def test_facet_stream_source(idx):
+    df = run_stream_expr(
+        idx, 'facet(tx, q="*:*", buckets="role", '
+             'bucketSorts="count(*) desc", bucketSizeLimit=2, '
+             'count(*), avg(turn_idx))'
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    want = (
+        idx.docs().groupBy("role")
+        .agg(F.count("*").alias("n"), F.avg("turn_idx").alias("a"))
+        .orderBy(F.col("n").desc()).limit(2).collect()
+    )
+    assert [(r.role, r["count(*)"], round(r["avg(turn_idx)"], 6)) for r in rows] \
+        == [(r.role, r.n, round(r.a, 6)) for r in want]
+    with pytest.raises(ValueError, match="neither a bucket nor"):
+        run_stream_expr(idx, 'facet(tx, q="*:*", buckets="role", '
+                             'bucketSorts="sum(dl) desc", count(*))')
