@@ -1839,6 +1839,113 @@ class BM25Index:
             with_stored, order_key, fl,
         )
 
+    def search_ltr(
+        self,
+        query: str,
+        model,
+        k: int = 10,
+        rerank_docs: int = 200,
+        efi: dict | None = None,
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+        offset: int = 0,
+        with_stored: bool = False,
+        order_key: str = "round6",
+        fl: list[str] | None = None,
+        return_features: bool = False,
+    ):
+        """Solr LTR rerank (``rq={!ltr model=M reRankDocs=N efi.k=v}``):
+        rescore the main query's top ``rerank_docs`` with ``model``
+        (functions/ltr.py — LinearModel / MultipleAdditiveTrees), REPLACING
+        their scores (upstream LTRRescorer semantics; docs past the window
+        keep their BM25 score and rank below the rescored window, the
+        rescorer's window-then-tail page rule shared with
+        :meth:`search_reranked`).
+
+        Feature extraction cost is O(window): fieldValue features are one
+        isin-pruned stored fetch of exactly the referenced columns;
+        each solrQuery feature is one pruned postings pass cut to the
+        window ids before collect; originalScore/value are free. Model
+        evaluation is numpy over (window x features).
+
+        ``return_features``: also return {doc_id: "name=v,name2=v2"} for
+        the page docs — the ``fl=[features]`` transformer's wire format.
+        """
+        import numpy as np
+
+        from ..functions.ltr import resolve_efi
+
+        efi = {k_[4:] if k_.startswith("efi.") else k_: v
+               for k_, v in (efi or {}).items()}
+        need = offset + k
+        window = self.search(
+            query, k=max(int(rerank_docs), need), op=op, fq=fq, mm=mm,
+            order_key=order_key,
+        ).collect()
+        win = window[: int(rerank_docs)]
+        tail = window[int(rerank_docs):]
+        ids = [int(r["doc_id"]) for r in win]
+        X: dict[str, np.ndarray] = {}
+        feat_fields = [f.param for f in model.features if f.kind == "fieldValue"]
+        fvals: dict[int, dict] = {}
+        if ids and feat_fields:
+            fetched = (
+                self.docs()
+                .select("doc_id", *dict.fromkeys(feat_fields))
+                .filter(F.col("doc_id").isin(ids))
+                .collect()
+            )
+            fvals = {int(r["doc_id"]): r.asDict() for r in fetched}
+        for f in model.features:
+            if f.kind == "originalScore":
+                X[f.name] = np.array([float(r["score"]) for r in win])
+            elif f.kind == "fieldValue":
+                X[f.name] = np.array([
+                    float(fvals.get(d, {}).get(f.param) or 0.0) for d in ids
+                ])
+            elif f.kind == "solrQuery":
+                qs = resolve_efi(str(f.param), efi)
+                side = {}
+                if ids:
+                    side = {
+                        int(r["doc_id"]): float(r["score"])
+                        for r in self.score_matches(qs, fq=fq)
+                        .filter(F.col("doc_id").isin(ids))
+                        .collect()
+                    }
+                X[f.name] = np.array([side.get(d, 0.0) for d in ids])
+            else:  # value
+                v = f.param
+                if isinstance(v, str):
+                    v = float(resolve_efi(v, efi))
+                X[f.name] = np.full(len(ids), float(v))
+        new = model.score(X) if ids else np.array([])
+        rescored = sorted(
+            zip(ids, (float(s) for s in new)),
+            key=(lambda t: (-int(round(t[1] * 1000)), t[0]))
+            if order_key == "milli"
+            else (lambda t: (-round(t[1], 6), t[0])),
+        )
+        page = rescored + [(int(r["doc_id"]), float(r["score"])) for r in tail]
+        page = page[offset:need]
+        out = self._from_doclist(
+            [{"doc_id": d, "score": s} for d, s in page],
+            with_stored, order_key, fl,
+        )
+        if not return_features:
+            return out
+        page_ids = {d for d, _ in page}
+        pos = {d: i for i, d in enumerate(ids)}
+        fmap = {
+            d: ",".join(
+                f"{f.name}={X[f.name][pos[d]]:g}" for f in model.features
+            )
+            for d in page_ids
+            if d in pos
+        }
+        return out, fmap
+
     def search_grouped_func(
         self,
         query: str,

@@ -454,11 +454,15 @@ def solr_select(
     renames: dict[str, str] = {}
     func_fl: dict[str, str] = {}  # alias -> function query (Solr fl=f:func())
     want_explain = False  # fl=[explain] doc transformer
+    want_features = False  # fl=[features] (LTR feature-vector transformer)
     if fl:
         norm = []
         for f in fl:
             if f == "[explain]":
                 want_explain = True
+                continue
+            if f == "[features]":
+                want_features = True
                 continue
             if ":" in f:
                 alias, src = f.split(":", 1)
@@ -472,7 +476,7 @@ def solr_select(
                 continue
             else:
                 norm.append(f)
-        if (func_fl or want_explain) and not [
+        if (func_fl or want_explain or want_features) and not [
             f for f in norm if f != "score"
         ]:
             norm.append("doc_id")  # pseudo-fields (+score) only: key by id
@@ -592,10 +596,46 @@ def solr_select(
 
     next_cursor: str | None = None
     rq = params.get("rq")
-    if rq is not None:
+    feat_map: dict | None = None
+    if rq is not None and re.match(r"^\{!ltr[\s}]", str(rq).strip()):
+        m = re.match(r"^\{!ltr\s+([^}]*)\}\s*$", str(rq).strip())
+        if m is None:
+            raise ValueError(f"cannot parse rq: {rq!r} (use {{!ltr ...}})")
+        lp = dict(_BJ_LP_RE.findall(m.group(1)))
+        bad = {p for p in lp if p not in ("model", "reRankDocs")
+               and not p.startswith("efi.")}
+        if bad or "model" not in lp:
+            raise ValueError(
+                f"{{!ltr}} needs model= (+ reRankDocs/efi.*), got {sorted(lp)}"
+            )
+        if (match_all or sort != "score desc" or cursor is not None
+                or bf or bq or boost or elevate or exclude):
+            raise ValueError(
+                "rq={!ltr} requires a scored q with the relevance sort "
+                "(no cursor/boost/elevation)"
+            )
+        store = getattr(idx, "ltr_models", {})
+        mname = lp["model"].strip("'\"")
+        if mname not in store:
+            raise ValueError(
+                f"unknown LTR model {mname!r} (registered: {sorted(store)}; "
+                "use functions.ltr.register_ltr_model)"
+            )
+        efi = {p: str(v).strip("'\"") for p, v in lp.items()
+               if p.startswith("efi.")}
+        df, feat_map = idx.search_ltr(
+            q, store[mname], k=rows,
+            rerank_docs=int(lp.get("reRankDocs", 200)),
+            efi=efi, op=op, fq=fq, mm=mm, offset=start,
+            with_stored=True, fl=fetch_fl, return_features=True,
+        )
+        rows_out = [r.asDict() for r in df.collect()]
+    elif rq is not None:
         m = re.match(r"^\{!rerank\s+([^}]*)\}\s*$", str(rq).strip())
         if m is None:
-            raise ValueError(f"cannot parse rq: {rq!r} (use {{!rerank ...}})")
+            raise ValueError(
+                f"cannot parse rq: {rq!r} (use {{!rerank ...}} or {{!ltr ...}})"
+            )
         lp = dict(_BJ_LP_RE.findall(m.group(1)))
         bad = set(lp) - {"reRankQuery", "reRankDocs", "reRankWeight"}
         if bad or "reRankQuery" not in lp:
@@ -748,6 +788,10 @@ def solr_select(
             for r in page.collect()
         ]
 
+    if want_features and feat_map is None:
+        raise ValueError("fl=[features] requires rq={!ltr ...} (the LTR "
+                         "feature-vector transformer)")
+
     expl: dict[int, str] = {}
     if want_explain and rows_out:
         # fl=[explain] doc transformer: the per-term BM25 breakdown for
@@ -796,6 +840,8 @@ def solr_select(
                 d[alias] = fv.get(alias)
         if want_explain:
             d["[explain]"] = expl.get(d.get("doc_id"), "")
+        if want_features:
+            d["[features]"] = feat_map.get(d.get("doc_id"), "")
         docs.append(d)
 
     resp: dict[str, Any] = {
