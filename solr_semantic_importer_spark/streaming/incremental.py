@@ -155,9 +155,13 @@ def append_batch(
             )
         analyzed = a.persist()
         docs = analyzed.drop("tfmap")
+        # partitionBy(segment_id): the SAME hive layout index.build writes
+        # -- a flat file here next to build_index's segment_id=N/ subdirs
+        # would collide with partition discovery (COLUMN_ALREADY_EXISTS)
+        # and silently hide the appended docs from every reader
         docs.write.mode("overwrite").option(
             "compression", INDEX_PARQUET_CODEC
-        ).parquet(_stage("docs"))
+        ).partitionBy("segment_id").parquet(_stage("docs"))
         if cfg.store_positions:
             pairs = analyzed.select(
                 "doc_id", "segment_id", "dl",
@@ -230,6 +234,13 @@ def append_batch(
 
 def _next_doc_id(man: Manifest) -> int:
     nxt = 0
+    # a batch-built index carries the cursor in its batch steps; an index
+    # created by index.build.build_index assigned ids 0..n_docs-1 and
+    # recorded n_docs in finalize -- appends onto it must start there, not
+    # at 0 (duplicate doc_ids would silently corrupt every doc-id join)
+    fin = man.steps.get("finalize")
+    if fin is not None and fin.status == "committed":
+        nxt = int(fin.metrics.get("n_docs", 0))
     for name, s in man.steps.items():
         if name.startswith("batch-") and s.status == "committed":
             nxt = max(nxt, int(s.metrics.get("next_doc_id", 0)))
