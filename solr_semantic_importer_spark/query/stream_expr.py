@@ -64,6 +64,23 @@ loud on anything else — the facade contract):
   Solr's date-math gap strings — ``+1DAY`` — are not parsed; pass epoch
   seconds).
 
+- ``update(destCollection, stream, [batchSize=N])`` — index the stream's
+  tuples into another collection (``run_stream_expr``'s ``collections``
+  registry names it; fail loud when absent). The whole stream lands as
+  ONE exactly-once staged batch through
+  ``streaming.incremental.append_batch`` — Solr's ``batchSize`` is a
+  transport detail of its tuple iterator, not a semantics knob, so it is
+  accepted and recorded but the append is atomic (documented deviation:
+  all-or-nothing where Solr can land a prefix). Emits one tuple
+  ``{"totalIndexed": n, "batchNumber": id}``, Solr's result shape.
+  Append-only (no overwrite-by-key): route keyed replaces through
+  ``query.update_api.solr_update``.
+
+``search(collection, ...)`` also resolves ``collection`` through the
+registry when one is passed — a cross-collection join
+(``innerJoin(search(a, ...), search(b, ...), on=...)``) then reads two
+real indexes.
+
 :func:`solr_sql` is the /sql handler analog: Solr's Parallel SQL
 translates SQL onto these same tuple streams; this engine hands the SQL
 to Spark SQL over the LIVE (tombstone-aware) doc set instead — the
@@ -316,11 +333,26 @@ def _bool_evaluator(c: Any) -> Column:
     }[c.name]
 
 
-def _eval(c: Call, idx: BM25Index) -> TupleStream:
+def _resolve(name, idx: BM25Index, colls) -> BM25Index:
+    """A source's positional collection name -> an index: the registry
+    entry when one is passed (unknown names fail loud there), else the
+    bound index (single-collection mode ignores the name, like the
+    pre-registry behavior)."""
+    if colls is None:
+        return idx
+    if not isinstance(name, str) or name not in colls:
+        raise ValueError(
+            f"unknown collection {name!r} (registered: {sorted(colls)})"
+        )
+    return colls[name]
+
+
+def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
     if c.name == "search":
         if len(c.args) != 1:
             raise ValueError("search(collection, ...) takes one positional arg")
         _require_params(c, {"q"}, {"fq", "fl", "sort", "rows", "qt"})
+        idx = _resolve(c.args[0], idx, colls)
         qt = c.params.get("qt", "/export")
         if qt not in ("/export", "/select"):
             raise ValueError(f"search(): unsupported qt {qt!r}")
@@ -341,6 +373,7 @@ def _eval(c: Call, idx: BM25Index) -> TupleStream:
                              "one metric")
         _require_params(c, {"q", "buckets"},
                         {"fq", "bucketSorts", "bucketSizeLimit"})
+        idx = _resolve(c.args[0], idx, colls)
         buckets = [b.strip() for b in str(c.params["buckets"]).split(",")
                    if b.strip()]
         pairs = [_metric(a) for a in c.args[1:] if isinstance(a, Call)]
@@ -369,19 +402,20 @@ def _eval(c: Call, idx: BM25Index) -> TupleStream:
         _require_params(c, {"q", "field"},
                         {"fq", "limit", "minDocFreq", "maxDocFreq",
                          "minTermLength"})
-        return _significant_terms(idx, c)
+        return _significant_terms(_resolve(c.args[0], idx, colls), c)
 
     if c.name == "timeseries":
         if len(c.args) < 2:
             raise ValueError("timeseries(collection, metrics...) needs "
                              "at least one metric")
         _require_params(c, {"q", "field", "start", "end", "gap"}, {"fq"})
-        return _timeseries(idx, c)
+        return _timeseries(_resolve(c.args[0], idx, colls), c)
 
     if c.name == "stats":
         if len(c.args) < 2:
             raise ValueError("stats(collection, metrics...) needs metrics")
         _require_params(c, set(), {"q", "fq"})
+        idx = _resolve(c.args[0], idx, colls)
         p = {"q": c.params.get("q", "*:*")}
         if "fq" in c.params:
             p["fq"] = c.params["fq"]
@@ -389,10 +423,24 @@ def _eval(c: Call, idx: BM25Index) -> TupleStream:
         metrics = [_metric_col(a) for a in c.args[1:]]
         return TupleStream(df.agg(*metrics), ())
 
+    if c.name == "update":
+        _require_params(c, set(), {"batchSize"})
+        if len(c.args) != 2 or not isinstance(c.args[1], Call):
+            raise ValueError("update(destCollection, stream, [batchSize=N])")
+        if colls is None or not isinstance(c.args[0], str) \
+                or c.args[0] not in colls:
+            raise ValueError(
+                f"update(): unknown destination collection {c.args[0]!r} "
+                f"(registered: {sorted(colls) if colls else []})"
+            )
+        dest = colls[c.args[0]]
+        src = _eval(c.args[1], idx, colls)
+        return _update_sink(dest, src)
+
     # every other function decorates a stream given as the first arg
     if not c.args or not isinstance(c.args[0], Call):
         raise ValueError(f"{c.name}(): first argument must be a stream")
-    s = _eval(c.args[0], idx)
+    s = _eval(c.args[0], idx, colls)
 
     if c.name == "select":
         _require_params(c, set())
@@ -465,12 +513,12 @@ def _eval(c: Call, idx: BM25Index) -> TupleStream:
             right_call = c.params["hashed"]
             if not isinstance(right_call, Call):
                 raise ValueError("hashJoin(): hashed= must be a stream")
-            r = _eval(right_call, idx)
+            r = _eval(right_call, idx, colls)
         else:
             _require_params(c, {"on"})
             if len(c.args) != 2 or not isinstance(c.args[1], Call):
                 raise ValueError(f"{c.name}(left, right, on=..)")
-            r = _eval(c.args[1], idx)
+            r = _eval(c.args[1], idx, colls)
 
         if c.name == "merge":
             spec = _parse_by(c.params["on"])
@@ -616,8 +664,47 @@ def solr_sql(idx: BM25Index, sql: str, collection: str = "collection") -> DataFr
     return idx.spark.sql(sql)
 
 
-def run_stream_expr(idx: BM25Index, expr: str) -> DataFrame:
+def _update_sink(dest: BM25Index, src: TupleStream) -> TupleStream:
+    """Land a stream in ``dest`` as one exactly-once staged batch (see the
+    module docstring's update() entry)."""
+    from ..plans.manifest import Manifest, read_manifest_data
+    from ..streaming.incremental import append_batch
+
+    data_dir = dest.data_dir
+    live = (read_manifest_data(data_dir) or {}).get("build_id", "update")
+    cfg = dest._config_from_manifest(live)
+    expected = [c0 for c0 in dest.docs().columns
+                if c0 not in ("doc_id", "dl", "segment_id", "tfmap")]
+    missing = [c0 for c0 in expected if c0 not in src.df.columns]
+    if missing:
+        raise ValueError(
+            f"update(): stream is missing destination fields {missing}"
+        )
+    batch = src.df.select(*expected)
+    man = Manifest(data_dir, cfg.build_id)
+    nxt = 0
+    for name, st in man.steps.items():
+        if name.startswith("batch-") and st.status == "committed":
+            nxt = max(nxt, int(name.split("-", 1)[1]) + 1)
+    if not append_batch(batch, data_dir, cfg, batch_id=nxt):
+        raise RuntimeError(f"update(): batch id {nxt} already committed")
+    n = int(Manifest(data_dir, cfg.build_id)
+            .steps[f"batch-{nxt}"].rows)
+    out = dest.spark.createDataFrame(
+        [(n, nxt)], "totalIndexed long, batchNumber long"
+    )
+    return TupleStream(out, ())
+
+
+def run_stream_expr(
+    idx: BM25Index, expr: str, collections: dict[str, BM25Index] | None = None
+) -> DataFrame:
     """Parse + evaluate a streaming expression against the index. Returns
     the composed (lazy) DataFrame — the /stream response body is one
-    ``toLocalIterator()`` away, a parquet export one ``write`` away."""
-    return _eval(parse_stream_expr(expr), idx).df
+    ``toLocalIterator()`` away, a parquet export one ``write`` away.
+
+    ``collections``: name -> BM25Index registry; source functions resolve
+    their positional collection arg through it (and ``update()`` requires
+    it for the destination). Without a registry the bound ``idx`` serves
+    every name — the single-collection mode."""
+    return _eval(parse_stream_expr(expr), idx, collections).df

@@ -317,3 +317,53 @@ def test_facet_stream_source(idx):
     with pytest.raises(ValueError, match="neither a bucket nor"):
         run_stream_expr(idx, 'facet(tx, q="*:*", buckets="role", '
                              'bucketSorts="sum(dl) desc", count(*))')
+
+
+# --------------------------------------------------- collections + update()
+
+
+def test_update_sink_and_cross_collection(spark, idx, tmp_path_factory):
+    # destination: a second real index
+    df2 = generate_transcripts(spark, n_convs=5, turns_per_conv=4, seed=99)
+    d2 = str(tmp_path_factory.mktemp("sxdest"))
+    build_index(spark, df2, d2, BuildConfig(build_id="sxdest", **CFG))
+    dest = BM25Index(spark, d2)
+    n0 = dest.docs().count()
+
+    colls = {"src": idx, "dest": dest}
+    out = run_stream_expr(
+        idx,
+        'update(dest, search(src, q="*:*", fq="role:tool", '
+        'fl="conv_id,turn_idx,role,text,tool,ts", sort="doc_id asc"))',
+        collections=colls,
+    ).collect()
+    n_tool = idx.docs().filter("role = 'tool'").count()
+    assert out[0].totalIndexed == n_tool and out[0].batchNumber == 0
+    dest2 = BM25Index(spark, d2)
+    assert dest2.docs().count() == n0 + n_tool
+    # appended ids continued past the build range (no collisions)
+    assert dest2.docs().groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    # cross-collection source resolution; a registry handle is a
+    # point-in-time SEARCHER (Solr semantics: new docs appear on reopen)
+    stale = run_stream_expr(
+        idx, 'stats(dest, q="*:*", count(*))', collections=colls
+    ).collect()
+    assert stale[0]["count(*)"] == n0
+    got = run_stream_expr(
+        idx, 'stats(dest, q="*:*", count(*))',
+        collections={**colls, "dest": dest2},
+    ).collect()
+    assert got[0]["count(*)"] == n0 + n_tool
+
+    # fail loud: unknown names / missing registry / missing fields
+    with pytest.raises(ValueError, match="unknown collection"):
+        run_stream_expr(idx, 'stats(nope, q="*:*", count(*))',
+                        collections=colls)
+    with pytest.raises(ValueError, match="unknown destination"):
+        run_stream_expr(idx, 'update(dest, search(src, q="*:*", '
+                             'sort="doc_id asc"))')
+    with pytest.raises(ValueError, match="missing destination fields"):
+        run_stream_expr(
+            idx, 'update(dest, select(search(src, q="*:*", '
+                 'sort="doc_id asc"), "conv_id"))', collections=colls)
