@@ -298,6 +298,39 @@ def main() -> None:
         ),
     ]
 
+    from solr_semantic_importer_spark.functions.text_metrics import (
+        token_count_ws,
+    )
+    from solr_semantic_importer_spark.operators.packing import stream_pack
+    from solr_semantic_importer_spark.query.stream_expr import run_stream_expr
+
+    sections.append((
+        "Streaming expression: rollup(search(...)) (the /stream pipeline)",
+        "What to check: the WHOLE expression compiles into ONE Catalyst\n"
+        "plan — the search() source keeps the pruned postings scan\n"
+        "(PushedFilters on term, bucket partition filters) and the rollup\n"
+        "is a partial-agg HashAggregate pair around one Exchange; no\n"
+        "tuple-iterator materialization between stream functions.",
+        run_stream_expr(
+            idx,
+            'rollup(search(tx, q="table merge", sort="role asc"), '
+            'over="role", count(*), avg(dl))',
+        ),
+    ))
+    sections.append((
+        "Sequence packing: stream_pack two-pass prefix sum",
+        "What to check: NO partition-less Window (the single-task trap —\n"
+        "`Window.orderBy` with no partitionBy would collapse the corpus\n"
+        "into one task). The window runs partitioned by `_pid` (bounded\n"
+        "per range partition) and the exclusive offsets arrive via a\n"
+        "BroadcastHashJoin of a <= n_partitions-row side.",
+        stream_pack(
+            docs.select(F.col("doc_id").alias("id"), "text"),
+            token_col=token_count_ws("text"), order_col="id",
+            budget=2048, parts=8,
+        ),
+    ))
+
     lines = [
         "# PLANS.md — physical-plan audit of the headline operators",
         "",
