@@ -210,6 +210,24 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
     idx.search_many(batch_qs, k=10).collect()
     batch_sec = time.monotonic() - t1
 
+    # vector side (reported-only, outside the headline total so r1-r3
+    # artifacts stay comparable): exact cosine top-k over the sf dir's
+    # embeddings table — the {!knn} qparser's plan (one codegen scan +
+    # TakeOrderedAndProject)
+    knn_sec = None
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        from solr_semantic_importer_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        emb = spark.read.parquet(emb_path)
+        qv = [float(x) for x in emb.select("embedding").first()[0]]
+        cosine_topk(emb, qv, k=10).collect()  # warm the scan
+        t1 = time.monotonic()
+        cosine_topk(emb, qv, k=10).collect()
+        knn_sec = round(time.monotonic() - t1, 3)
+
     canary_samples.append(_canary())  # back-of-run sample (min wins)
 
     post = man.steps.get("postings")
@@ -230,6 +248,7 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         "queries_warm": q_warm,
         "batch_queries_sec": round(batch_sec, 3),
         "batch_per_query_sec": round(batch_sec / len(batch_qs), 3),
+        "knn_exact_topk_sec": knn_sec,
     }
     spark.stop()
     shutil.rmtree(src_dir, ignore_errors=True)
@@ -365,6 +384,7 @@ def main() -> None:
                     "batch_per_query_sec": r["batch_per_query_sec"],
                     "query_p50_sec": r["query_p50_sec"],
                     "query_p95_sec": r["query_p95_sec"],
+                    "knn_exact_topk_sec": r["knn_exact_topk_sec"],
                 },
             }
         )
