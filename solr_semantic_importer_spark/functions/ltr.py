@@ -61,6 +61,8 @@ __all__ = [
     "LinearModel",
     "TreesModel",
     "register_ltr_model",
+    "model_from_json",
+    "model_to_json",
 ]
 
 
@@ -211,6 +213,179 @@ def register_ltr_model(idx, model) -> None:
     if not hasattr(idx, "ltr_models"):
         idx.ltr_models = {}
     idx.ltr_models[model.name] = model
+
+
+# -- model-store JSON interop ------------------------------------------------
+# the upstream LTR contrib stores features and models as JSON documents
+# (PUT /schema/feature-store, /schema/model-store — public wire format).
+# These translators accept/emit that format so an existing Solr LTR model
+# file loads here unchanged.
+
+_FEATURE_CLASSES = {
+    "org.apache.solr.ltr.feature.OriginalScoreFeature": "originalScore",
+    "org.apache.solr.ltr.feature.FieldValueFeature": "fieldValue",
+    "org.apache.solr.ltr.feature.SolrFeature": "solrQuery",
+    "org.apache.solr.ltr.feature.ValueFeature": "value",
+}
+_FEATURE_CLASS_OF = {v: k for k, v in _FEATURE_CLASSES.items()}
+_MODEL_CLASSES = {
+    "org.apache.solr.ltr.model.LinearModel": "linear",
+    "org.apache.solr.ltr.model.MultipleAdditiveTreesModel": "trees",
+}
+_NORM_CLASSES = {
+    "org.apache.solr.ltr.norm.MinMaxNormalizer": "minmax",
+    "org.apache.solr.ltr.norm.StandardNormalizer": "standard",
+}
+_NORM_CLASS_OF = {v: k for k, v in _NORM_CLASSES.items()}
+
+
+def _feature_from_json(f: Mapping) -> Feature:
+    cls = f.get("class")
+    if cls not in _FEATURE_CLASSES:
+        raise ValueError(f"ltr: unsupported feature class {cls!r}")
+    kind = _FEATURE_CLASSES[cls]
+    p = f.get("params") or {}
+    if kind == "originalScore":
+        return original_score(f["name"])
+    if kind == "fieldValue":
+        return field_value(f["name"], str(p["field"]))
+    if kind == "solrQuery":
+        if "q" not in p:
+            raise ValueError(
+                f"ltr: SolrFeature {f['name']!r} needs params.q "
+                "(fq-only SolrFeatures are not supported)"
+            )
+        return solr_query(f["name"], str(p["q"]))
+    return value(f["name"], p["value"])
+
+
+def _norm_from_json(n: Mapping | None):
+    if n is None:
+        return None
+    cls = n.get("class")
+    if cls not in _NORM_CLASSES:
+        raise ValueError(f"ltr: unsupported normalizer class {cls!r}")
+    p = n.get("params") or {}
+    if _NORM_CLASSES[cls] == "minmax":
+        return ("minmax", float(p["min"]), float(p["max"]))
+    return ("standard", float(p["avg"]), float(p["std"]))
+
+
+def _tree_from_json(node: Mapping) -> dict:
+    if "value" in node:
+        return {"value": float(node["value"])}
+    return {
+        "feature": node["feature"],
+        "threshold": float(node["threshold"]),
+        "left": _tree_from_json(node["left"]),
+        "right": _tree_from_json(node["right"]),
+    }
+
+
+def model_from_json(
+    model: Mapping | str, feature_store: list | str | None = None
+):
+    """Build a model from the upstream model-store JSON (and, when the
+    model's feature list carries only names, the matching feature-store
+    JSON). Accepts dicts or JSON strings."""
+    import json as _json
+
+    if isinstance(model, str):
+        model = _json.loads(model)
+    if isinstance(feature_store, str):
+        feature_store = _json.loads(feature_store)
+    store = {f["name"]: f for f in (feature_store or [])}
+
+    cls = model.get("class")
+    if cls not in _MODEL_CLASSES:
+        raise ValueError(f"ltr: unsupported model class {cls!r}")
+    feats, norms = [], {}
+    for f in model.get("features", []):
+        spec = f if "class" in f else store.get(f["name"])
+        if spec is None:
+            raise ValueError(
+                f"ltr: model references feature {f['name']!r} absent from "
+                "the feature store"
+            )
+        feats.append(_feature_from_json(spec))
+        n = _norm_from_json(f.get("norm"))
+        if n is not None:
+            norms[f["name"]] = n
+    params = model.get("params") or {}
+    if _MODEL_CLASSES[cls] == "linear":
+        return LinearModel(
+            name=model["name"], features=tuple(feats),
+            weights={k: float(v) for k, v in params["weights"].items()},
+            norms=norms,
+        )
+    trees = tuple(
+        {"weight": float(t["weight"]), "root": _tree_from_json(t["root"])}
+        for t in params["trees"]
+    )
+    return TreesModel(name=model["name"], features=tuple(feats),
+                      trees=trees, norms=norms)
+
+
+def _feature_to_json(f: Feature) -> dict:
+    p: dict = {}
+    if f.kind == "fieldValue":
+        p = {"field": f.param}
+    elif f.kind == "solrQuery":
+        p = {"q": f.param}
+    elif f.kind == "value":
+        p = {"value": f.param}
+    return {"name": f.name, "class": _FEATURE_CLASS_OF[f.kind], "params": p}
+
+
+def _norm_to_json(n) -> dict:
+    if n[0] == "minmax":
+        return {"class": _NORM_CLASS_OF["minmax"],
+                "params": {"min": str(n[1]), "max": str(n[2])}}
+    return {"class": _NORM_CLASS_OF["standard"],
+            "params": {"avg": str(n[1]), "std": str(n[2])}}
+
+
+def _tree_to_json(node: Mapping) -> dict:
+    if "value" in node:
+        return {"value": str(node["value"])}
+    return {
+        "feature": node["feature"], "threshold": str(node["threshold"]),
+        "left": _tree_to_json(node["left"]),
+        "right": _tree_to_json(node["right"]),
+    }
+
+
+def model_to_json(model) -> tuple[dict, list]:
+    """(model-store JSON, feature-store JSON) for a model — the documents
+    the upstream PUT endpoints accept."""
+    fstore = [_feature_to_json(f) for f in model.features]
+    mfeats = []
+    for f in model.features:
+        e: dict = {"name": f.name}
+        n = model.norms.get(f.name)
+        if n is not None:
+            e["norm"] = _norm_to_json(n)
+        mfeats.append(e)
+    if isinstance(model, LinearModel):
+        return {
+            "class": _MODEL_CLASS_OF_LINEAR,
+            "name": model.name,
+            "features": mfeats,
+            "params": {"weights": dict(model.weights)},
+        }, fstore
+    return {
+        "class": _MODEL_CLASS_OF_TREES,
+        "name": model.name,
+        "features": mfeats,
+        "params": {"trees": [
+            {"weight": str(t["weight"]), "root": _tree_to_json(t["root"])}
+            for t in model.trees
+        ]},
+    }, fstore
+
+
+_MODEL_CLASS_OF_LINEAR = "org.apache.solr.ltr.model.LinearModel"
+_MODEL_CLASS_OF_TREES = "org.apache.solr.ltr.model.MultipleAdditiveTreesModel"
 
 
 def resolve_efi(template: str, efi: Mapping[str, str]) -> str:

@@ -203,3 +203,61 @@ def test_model_validation():
                     norms={"a": ("standard", 1.0, 2.0)})
     out = m.score({"a": np.array([3.0])})
     assert out.tolist() == [2.0 * (3.0 - 1.0) / 2.0]
+
+
+def test_model_store_json_roundtrip_and_upstream_format(idx, linear):
+    from solr_semantic_importer_spark.functions.ltr import (
+        model_from_json,
+        model_to_json,
+    )
+
+    # roundtrip: our model -> the upstream wire JSON -> back, same scores
+    mjson, fstore = model_to_json(linear)
+    assert mjson["class"] == "org.apache.solr.ltr.model.LinearModel"
+    assert {f["class"] for f in fstore} == {
+        "org.apache.solr.ltr.feature.OriginalScoreFeature",
+        "org.apache.solr.ltr.feature.FieldValueFeature",
+        "org.apache.solr.ltr.feature.SolrFeature",
+        "org.apache.solr.ltr.feature.ValueFeature",
+    }
+    back = model_from_json(mjson, fstore)
+    X = {"orig": np.array([1.0, 2.0]), "turn": np.array([5.0, 0.0]),
+         "boostq": np.array([0.3, 0.0]), "bias": np.array([0.5, 0.5])}
+    assert back.score(X).tolist() == linear.score(X).tolist()
+
+    # an upstream-authored document loads directly (the ref-guide example
+    # shape: model features by name + norms, separate feature store)
+    fstore2 = [
+        {"name": "orig",
+         "class": "org.apache.solr.ltr.feature.OriginalScoreFeature",
+         "params": {}},
+        {"name": "t",
+         "class": "org.apache.solr.ltr.feature.FieldValueFeature",
+         "params": {"field": "turn_idx"}},
+    ]
+    mjson2 = {
+        "class": "org.apache.solr.ltr.model.MultipleAdditiveTreesModel",
+        "name": "mat2",
+        "features": [
+            {"name": "orig"},
+            {"name": "t",
+             "norm": {"class": "org.apache.solr.ltr.norm.MinMaxNormalizer",
+                      "params": {"min": "0", "max": "10"}}},
+        ],
+        "params": {"trees": [{"weight": "2", "root": {
+            "feature": "t", "threshold": "0.5",
+            "left": {"value": "1"}, "right": {"value": "3"}}}]},
+    }
+    m2 = model_from_json(mjson2, fstore2)
+    out = m2.score({"orig": np.array([1.0]), "t": np.array([9.0])})
+    assert out.tolist() == [6.0]  # 9/10 > 0.5 -> right leaf 3 * weight 2
+    # and it runs through the engine end to end
+    got = idx.search_ltr("error in tool", m2, k=3, rerank_docs=10).collect()
+    assert len(got) == 3
+
+    with pytest.raises(ValueError, match="unsupported model class"):
+        model_from_json({"class": "x", "name": "m", "features": []})
+    with pytest.raises(ValueError, match="absent from"):
+        model_from_json({"class": mjson["class"], "name": "m",
+                         "features": [{"name": "ghost"}],
+                         "params": {"weights": {}}})
