@@ -194,6 +194,31 @@ HIGHLIGHT_TOKEN_PATTERNS = {
     "text_en": _ALNUM_TOKEN,
 }
 
+# per-chain STAGE metadata for the /analysis/field handler: the same
+# callables the chain's normalizer composes, kept separately so the
+# handler can show the token stream AFTER EACH STAGE (Solr's analysis
+# screen). Chains whose analysis is not a linear token->token pipeline
+# (WDG splitting, CJK/ja/th bigrams) have no entry and the handler fails
+# loud for them.
+CHAIN_STAGES: dict[str, dict] = {
+    "text_general": {
+        "token_re": TOKEN_RE, "token_transform": None,
+        "stop": frozenset(), "post_stop_transform": None, "stem": None,
+    },
+}
+
+
+def _register_text_en_stages() -> None:
+    from .stemmer import stem_en
+
+    CHAIN_STAGES["text_en"] = {
+        "token_re": TOKEN_RE, "token_transform": None,
+        "stop": EN_STOPWORDS, "post_stop_transform": None, "stem": stem_en,
+    }
+
+
+_register_text_en_stages()
+
 # text_en_splitting / text_splitting (T6 WordDelimiterGraph chains) register
 # themselves here; the bottom import is cycle-safe because word_delimiter
 # only needs EN_STOPWORDS, which is already bound above.
@@ -260,6 +285,11 @@ def register_analysis_chain(
     POSITION_ANALYZERS[name] = positions_of
     TOKEN_NORMALIZERS[name] = norm
     HIGHLIGHT_TOKEN_PATTERNS[name] = highlight_pattern or _ALNUM_TOKEN
+    CHAIN_STAGES[name] = {
+        "token_re": tre, "token_transform": token_transform,
+        "stop": stop, "post_stop_transform": post_stop_transform,
+        "stem": stem_fn,
+    }
 
 
 QUERY_ANALYZERS["text_en_splitting"] = analyze_text_en_splitting
