@@ -406,6 +406,7 @@ def solr_select(
     if unknown:
         raise ValueError(f"unsupported /select params: {sorted(unknown)}")
     _validate_edismax(params)
+    params = _rewrite_knn_fq(idx, params)
 
     t0 = time.monotonic()
     if _truthy(params.get("group", False)):
@@ -1401,6 +1402,52 @@ _KNN_Q_RE = re.compile(r"^\{!knn(?P<lp>[^}]*)\}\s*(?P<vec>\[[^\]]*\])\s*$")
 # DocSet are not implemented — the caller finds out, never silently no-op)
 _KNN_ALLOWED = {"q", "fq", "start", "rows", "fl", "sort", "wt", "indent",
                 "omitHeader", "echoParams", "minExactCount"}
+
+
+def _rewrite_knn_fq(idx, params: dict) -> dict:
+    """Hybrid retrieval: an ``fq={!knn f=F topK=N}[v,...]`` entry filters
+    the main query's DocSet to the vector query's topK docs (Solr 9: a
+    knn clause anywhere but ``q`` acts as a filter over the whole index —
+    the standard lexical+vector hybrid request). The entry is rewritten
+    to a ``doc_id IN (...)`` filter (<= topK ids, computed once here), so
+    every downstream path — WAND kernels, filterCache, facets, grouping,
+    collapse — sees an ordinary cacheable filter."""
+    raw = params.get("fq")
+    if raw is None:
+        return params
+    fqs = raw if isinstance(raw, (list, tuple)) else [raw]
+    if not any(isinstance(f, str) and _KNN_Q_RE.match(f.strip()) for f in fqs):
+        return params
+    out = []
+    for f in fqs:
+        m = _KNN_Q_RE.match(f.strip()) if isinstance(f, str) else None
+        if m is None:
+            out.append(f)
+            continue
+        lps = dict(
+            kv.split("=", 1) for kv in str(m.group("lp")).split() if "=" in kv
+        )
+        bad = set(lps) - {"f", "topK"}
+        if bad or "f" not in lps:
+            raise ValueError(
+                f"fq {{!knn}}: needs f= (+ topK), got {sorted(lps)}"
+            )
+        try:
+            vec = [float(x) for x in json.loads(m.group("vec"))]
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"invalid fq {{!knn}} vector {m.group('vec')!r}"
+            ) from e
+        ids = [
+            int(r["doc_id"])
+            for r in idx.knn(lps["f"], vec, int(lps.get("topK", 10))).collect()
+        ]
+        out.append(
+            f"doc_id IN ({', '.join(map(str, ids))})" if ids else "doc_id < 0"
+        )
+    p2 = dict(params)
+    p2["fq"] = out if len(out) > 1 or isinstance(raw, (list, tuple)) else out[0]
+    return p2
 
 
 def _knn_select(idx, params: dict, t0: float, m) -> dict:

@@ -151,3 +151,36 @@ def test_knn_validation_fails_loud(corpus):
         solr_select(corpus, {
             "q": f"{{!knn f=embedding}}{QV}", "fl": "doc_id,nope",
         })
+
+
+def test_hybrid_fq_knn_filters_lexical_query(corpus):
+    # vector top-20 as a filter on a BM25 query: the hybrid request
+    resp = solr_select(corpus, {
+        "q": "error in tool",
+        "fq": f"{{!knn f=embedding topK=20}}{QV}",
+        "fl": "doc_id,score", "rows": 50,
+    })
+    knn_ids = {d for d, _ in _brute(corpus, QV, 20)}
+    docs = resp["response"]["docs"]
+    assert docs and all(d["doc_id"] in knn_ids for d in docs)
+    # equals the engine's own search restricted to those ids
+    want = corpus.search(
+        "error in tool", k=50,
+        fq=f"doc_id IN ({', '.join(map(str, sorted(knn_ids)))})",
+        use_cache=False,
+    ).collect()
+    assert [(d["doc_id"], round(d["score"], 6)) for d in docs] == [
+        (r.doc_id, round(r.score, 6)) for r in want
+    ]
+    # composes with other filters (list form) + facet over the hybrid set
+    resp2 = solr_select(corpus, {
+        "q": "error in tool",
+        "fq": [f"{{!knn f=embedding topK=20}}{QV}", "role:user"],
+        "rows": 50, "facet": "true", "facet.field": "role",
+    })
+    for d in resp2["response"]["docs"]:
+        assert d["doc_id"] in knn_ids and d["role"] == "user"
+    ff = resp2["facet_counts"]["facet_fields"]["role"]
+    assert dict(zip(ff[::2], ff[1::2])).keys() <= {"user"}
+    with pytest.raises(ValueError, match="needs f="):
+        solr_select(corpus, {"q": "*:*", "fq": f"{{!knn topK=3}}{QV}"})
