@@ -3285,7 +3285,15 @@ class BM25Index:
         clauses then carry FINAL occurs with ``op`` already applied
         (Lucene bakes q.op into occur flags at parse time), so callers
         evaluate them with boolean_matches(op='OR'). The same promotion
-        applies to prefix-syntax clauses when ``op='AND'`` is passed."""
+        applies to prefix-syntax clauses when ``op='AND'`` is passed.
+
+        PARENTHESIZED GROUPS (``(a OR b) AND c``, ``+(x y)^2``) route to
+        the recursive grouped parser (:meth:`_parse_grouped_q`); a group
+        becomes a ('group', subclauses, boost) spec evaluated as a nested
+        Lucene BooleanQuery (score = boost * sum of matching subclause
+        scores). Parens inside quoted phrases stay literal text."""
+        if ("(" in query or ")" in query) and self._has_unquoted_paren(query):
+            return self._parse_grouped_q(query, op)
         rw = self._rewrite_boolean_operators(query, op)
         if rw is not None:
             cl = self.parse_boolean_q(rw)
@@ -3359,6 +3367,261 @@ class BM25Index:
             clauses = [("MUST" if oc == "SHOULD" else oc, sp)
                        for oc, sp in clauses]
         return clauses
+
+    # -- parenthesized boolean groups (Lucene standard-parser grouping) ------
+
+    @staticmethod
+    def _has_unquoted_paren(query: str) -> bool:
+        """True when ``(`` or ``)`` appears outside a quoted phrase."""
+        in_q = False
+        for c in query:
+            if c == '"':
+                in_q = not in_q
+            elif c in "()" and not in_q:
+                return True
+        return False
+
+    _GROUP_CLOSE_RE = re.compile(r"\)(?:\^(\d+(?:\.\d+)?))?")
+    _RANGE_TOKEN_RE = re.compile(r"[+-]?[A-Za-z_][\w.]*:\[[^\]]*\]")
+    _PHRASE_TOKEN_RE = re.compile(
+        r'[+-]?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
+    )
+
+    @classmethod
+    def _tokenize_grouped(cls, query: str) -> list[tuple]:
+        """Paren-aware token stream for the grouped parser. Emits typed
+        tokens: ``('(', prefix)`` with prefix in ``{'', '+', '-'}``
+        (``+(``/``-(`` occur operators), ``(')', boost)`` (a ``)^B``
+        suffix binds to the group), and ``('tok', text)`` for everything
+        else -- quoted phrases (parens inside stay literal) and
+        ``field:[a TO b]`` ranges consumed whole, all other runs split at
+        whitespace and parens."""
+        out: list[tuple] = []
+        i, n = 0, len(query)
+        while i < n:
+            c = query[i]
+            if c.isspace():
+                i += 1
+                continue
+            if c in "+-" and i + 1 < n and query[i + 1] == "(":
+                out.append(("(", c))
+                i += 2
+                continue
+            if c == "(":
+                out.append(("(", ""))
+                i += 1
+                continue
+            if c == ")":
+                m = cls._GROUP_CLOSE_RE.match(query, i)
+                out.append((")", float(m.group(1) or 1.0)))
+                i = m.end()
+                continue
+            m = cls._PHRASE_TOKEN_RE.match(query, i)
+            if m is None:
+                m = cls._RANGE_TOKEN_RE.match(query, i)
+            if m is not None:
+                out.append(("tok", m.group(0)))
+                i = m.end()
+                continue
+            j = i
+            while j < n and not query[j].isspace() and query[j] not in "()":
+                j += 1
+            out.append(("tok", query[i:j]))
+            i = j
+        return out
+
+    def _atom_specs(self, tok: str) -> list[tuple]:
+        """Clause spec(s) for ONE prefix-stripped token -- the same cascade
+        the flat parser applies (phrase -> stored-field filter -> wildcard
+        -> fuzzy -> analyzed term(s), the last possibly several specs)."""
+        m = self._PHRASE_CLAUSE_RE.match(tok)
+        if m is not None:
+            return [("phrase", m.group("p"), int(m.group("slop") or 0),
+                     float(m.group("boost") or 1.0))]
+        fm = self._FIELD_CLAUSE_RE.match(tok)
+        if fm is not None and fm.group("f") in self._doc_columns():
+            return [("filter", tok)]
+        wm = self._WILDCARD_CLAUSE_RE.match(tok)
+        if wm is not None:
+            return [("wildcard", wm.group("p"), float(wm.group("b") or 1.0))]
+        zm = self._FUZZY_CLAUSE_RE.match(tok)
+        if zm is not None:
+            n = zm.group("n")
+            return [("fuzzy", zm.group("t"), 2 if n is None else int(n),
+                     float(zm.group("b") or 1.0))]
+        bm = self._BOOST_RE.search(tok)
+        b = float(bm.group(1)) if bm else 1.0
+        text = tok[: bm.start()] if bm else tok
+        return [("term", t, b) for t in self.analyze_query(text)]
+
+    @staticmethod
+    def _boost_spec(sp: tuple, boost: float) -> tuple:
+        """Multiply a clause spec's boost (single-clause group unwrap --
+        Lucene's BooleanQuery single-SHOULD rewrite). 'filter' specs carry
+        no boost field; callers keep those wrapped when boost != 1."""
+        kind = sp[0]
+        if kind == "term":
+            return ("term", sp[1], sp[2] * boost)
+        if kind == "phrase":
+            return ("phrase", sp[1], sp[2], sp[3] * boost)
+        if kind == "wildcard":
+            return ("wildcard", sp[1], sp[2] * boost)
+        if kind == "fuzzy":
+            return ("fuzzy", sp[1], sp[2], sp[3] * boost)
+        if kind == "group":
+            return ("group", sp[1], sp[2] * boost)
+        raise ValueError(f"unboostable clause kind: {kind!r}")
+
+    def _parse_grouped_q(self, query: str, op: str = "OR") -> list[tuple]:
+        """Recursive Lucene standard-parser grouping: ``(a OR b) AND c``,
+        ``+(x y)^2 -(p "q r")``. Each nesting level runs the SAME
+        addClause occur algorithm as the flat rewrite (q.op applies at
+        every level -- the parser's default operator is global), so the
+        returned clauses carry FINAL occurs; callers evaluate with
+        boolean_matches(op='OR'). A multi-clause group becomes a
+        ('group', subclauses, boost) spec -- a nested BooleanQuery scoring
+        boost * sum(matching subclause scores); a single-clause group
+        unwraps to its clause with boosts multiplied (Lucene's
+        single-SHOULD-clause rewrite) unless the clause is MUST_NOT
+        (``(-a)`` matches nothing in Lucene -- kept as a group) or an
+        unboostable filter under boost != 1. Unbalanced parens, empty
+        groups, field-scoped groups (``f:(a b)``), and dangling operators
+        raise like Lucene's ParseException."""
+        toks = self._tokenize_grouped(query)
+        clauses, i, _ = self._parse_bool_level(toks, 0, op, query)
+        if i != len(toks):
+            raise ValueError(f"unbalanced ')' in q: {query!r}")
+        if not clauses:
+            raise ValueError(f"empty boolean query: {query!r}")
+        return clauses
+
+    def _parse_bool_level(
+        self, toks: list[tuple], i: int, op: str, query: str
+    ) -> tuple[list[tuple], int, bool]:
+        """One nesting level: consume tokens until a ``)`` (returned
+        unconsumed position points AT the close for the caller to read its
+        boost) or end of stream. Returns (clauses, next_index, saw_atoms --
+        whether ANY clause token appeared, so a group whose every clause
+        analyzed away (``(the)``) drops like Lucene's null-query clause
+        while a syntactically empty ``()`` still raises)."""
+        clauses: list[list] = []  # [occur, spec], occur fixed up in place
+        seen_terms: dict[tuple[str, str], int] = {}
+        conj = 0  # 0 none, 1 AND, 2 OR
+        mods = 0  # 0 none, 1 required (+), 2 prohibited (-/NOT)
+        saw_atoms = False
+
+        def _fixups() -> None:
+            # retroactive fixups on the previous clause (addClause runs
+            # these BEFORE its null-query check, so analyzed-away clauses
+            # still apply them)
+            if clauses and conj == 1 and clauses[-1][0] != "MUST_NOT":
+                clauses[-1][0] = "MUST"
+            if (clauses and op == "AND" and conj == 2
+                    and clauses[-1][0] != "MUST_NOT"):
+                clauses[-1][0] = "SHOULD"
+
+        def _emit(specs: list[tuple]) -> None:
+            nonlocal conj, mods
+            _fixups()
+            prohibited = mods == 2
+            if op == "AND":
+                required = (not prohibited) and conj != 2
+            else:
+                required = mods == 1 or (conj == 1 and not prohibited)
+            occur = ("MUST_NOT" if prohibited
+                     else ("MUST" if required else "SHOULD"))
+            for sp in specs:
+                if sp[0] == "term":
+                    key = (occur, sp[1])
+                    if key in seen_terms:
+                        k = seen_terms[key]
+                        old = clauses[k][1]
+                        clauses[k][1] = ("term", sp[1], max(old[2], sp[2]))
+                        continue
+                    seen_terms[key] = len(clauses)
+                clauses.append([occur, sp])
+            conj = 0
+            mods = 0
+
+        n = len(toks)
+        while i < n:
+            kind, val = toks[i]
+            if kind == ")":
+                break
+            if kind == "(":
+                if val:
+                    if mods:
+                        raise ValueError(
+                            f"duplicate modifier before group in q: {query!r}"
+                        )
+                    mods = 1 if val == "+" else 2
+                sub, j, sub_atoms = self._parse_bool_level(
+                    toks, i + 1, op, query
+                )
+                if j >= n or toks[j][0] != ")":
+                    raise ValueError(f"unbalanced '(' in q: {query!r}")
+                boost = toks[j][1]
+                i = j + 1
+                saw_atoms = saw_atoms or sub_atoms
+                if not sub:
+                    if not sub_atoms:
+                        raise ValueError(f"empty group '()' in q: {query!r}")
+                    # every clause analyzed away (stopwords): Lucene drops
+                    # the null group from the parent query
+                    _fixups()
+                    conj = 0
+                    mods = 0
+                    continue
+                if len(sub) == 1 and sub[0][0] != "MUST_NOT" and not (
+                        sub[0][1][0] == "filter" and boost != 1.0):
+                    # single-clause rewrite: unwrap, multiply boosts
+                    sp = sub[0][1]
+                    _emit([sp if sp[0] == "filter"
+                           else self._boost_spec(sp, boost)])
+                else:
+                    _emit([("group", [tuple(c) for c in sub], boost)])
+                continue
+            # plain token
+            i += 1
+            if val in ("AND", "&&", "OR", "||"):
+                if not clauses or conj:
+                    raise ValueError(
+                        f"misplaced boolean operator {val!r} in q: {query!r}"
+                    )
+                conj = 1 if val in ("AND", "&&") else 2
+                continue
+            if val == "NOT":
+                if mods:
+                    raise ValueError(
+                        f"duplicate modifier before clause in q: {query!r}"
+                    )
+                mods = 2
+                continue
+            if val[:1] in "+-" and len(val) > 1:
+                if mods:
+                    raise ValueError(
+                        f"duplicate modifier before clause in q: {query!r}"
+                    )
+                mods = 1 if val[0] == "+" else 2
+                val = val[1:]
+            if val.endswith(":") and i < n and toks[i][0] == "(":
+                raise ValueError(
+                    f"field-scoped groups are unsupported in q: {query!r} "
+                    f"(expand {val}(a b) to {val}a {val}b)"
+                )
+            saw_atoms = True
+            specs = self._atom_specs(val)
+            if not specs:
+                # clause analyzed away (pure stopword): Lucene drops it,
+                # but its operators must not dangle onto the next clause
+                _fixups()
+                conj = 0
+                mods = 0
+                continue
+            _emit(specs)
+        if conj or mods:
+            raise ValueError(f"dangling boolean operator in q: {query!r}")
+        return [tuple(c) for c in clauses], i, saw_atoms
 
     def _doc_columns(self) -> frozenset:
         """Stored docs-table column names (cached; one schema read)."""
@@ -3471,7 +3734,25 @@ class BM25Index:
         Plan: one exhaustive pruned decode per occur-group's term set +
         the phrase kernels, tagged MUST=1/SHOULD=0, one groupBy(doc_id)
         computing (score, must_hits, should_hits); MUST_NOT ids union into
-        one anti-join. Tombstones/fq once on the result."""
+        one anti-join. Tombstones/fq once on the result. ('group', sub,
+        boost) specs evaluate recursively as nested BooleanQueries (raw --
+        tombstones/fq still apply exactly once, at the top)."""
+        out = self._boolean_matches_raw(clauses, op=op, mm=mm, top=True)
+        return self._apply_fq(self._anti_dead(out), fq)
+
+    def _boolean_matches_raw(
+        self,
+        clauses: list[tuple],
+        op: str = "OR",
+        mm: int | str | None = None,
+        top: bool = True,
+    ) -> DataFrame:
+        """:meth:`boolean_matches` without the final tombstone/fq wrap --
+        the recursion body for nested ('group', ...) clauses. ``top=False``
+        disables Solr's pure-negative ``*:* -clauses`` rewrite (a NESTED
+        boolean of only MUST_NOT clauses matches nothing, like Lucene) and
+        is always called with mm=None (minimum-should-match is a top-level
+        parameter; nested booleans keep Lucene's default)."""
         if op == "AND":
             clauses = [
                 ("MUST" if oc == "SHOULD" else oc, sp) for oc, sp in clauses
@@ -3483,9 +3764,9 @@ class BM25Index:
 
         if not musts and not shoulds:
             # only prohibited clauses: Solr's top-level `*:* -clauses`
-            # rewrite (handled below); anything else with zero positive
-            # clauses matches nothing
-            if not nots:
+            # rewrite (handled below, top level only); anything else with
+            # zero positive clauses matches nothing
+            if not nots or not top:
                 return empty
             need_should = 0
         else:
@@ -3532,6 +3813,15 @@ class BM25Index:
                 return self._filter_clause_ids(sp[1]).select(
                     "doc_id", F.lit(1.0).alias("score")
                 )
+            if kind == "group":
+                _, sub, boost = sp
+                f = self._boolean_matches_raw(sub, op="OR", top=False)
+                if boost != 1.0:
+                    f = f.select(
+                        "doc_id",
+                        (F.col("score") * F.lit(boost)).alias("score"),
+                    )
+                return f
             if kind == "wildcard":
                 _, pattern, boost = sp
                 if pattern == "*":
@@ -3610,8 +3900,11 @@ class BM25Index:
             out = agg.filter(
                 (F.col("mh") == n_musts) & (F.col("sh") >= need_should)
             ).select("doc_id", "score")
-        elif nots:
+        elif nots and not musts and not shoulds:
             # only prohibited clauses: Solr's top-level `*:* -clauses`
+            # (an OOV/unmatchable POSITIVE clause must NOT degrade to
+            # match-all: a SHOULD TermQuery on an absent term still counts
+            # toward minShouldMatch and matches nothing)
             out = self.docs().select(
                 "doc_id", F.lit(1.0).alias("score")
             )
@@ -3639,7 +3932,7 @@ class BM25Index:
             if not_ids is not None:
                 out = out.join(not_ids.distinct(), "doc_id", "left_anti")
 
-        return self._apply_fq(self._anti_dead(out), fq)
+        return out
 
     def parse_mixed_q(
         self, query: str
@@ -3695,13 +3988,19 @@ class BM25Index:
         if cl is None:
             return self.analyze_query(query)
         out: list[str] = []
-        for occur, sp in cl:
-            if occur == "MUST_NOT" or sp[0] == "filter":
-                continue  # filter clauses carry no highlightable text
-            if sp[0] == "term":
-                out.append(sp[1])
-            else:
-                out.extend(self.analyze_query(sp[1]))
+
+        def _walk(clauses: list[tuple]) -> None:
+            for occur, sp in clauses:
+                if occur == "MUST_NOT" or sp[0] == "filter":
+                    continue  # filter clauses carry no highlightable text
+                if sp[0] == "term":
+                    out.append(sp[1])
+                elif sp[0] == "group":
+                    _walk(sp[1])
+                else:
+                    out.extend(self.analyze_query(sp[1]))
+
+        _walk(cl)
         return list(dict.fromkeys(out))
 
     def mixed_matches(

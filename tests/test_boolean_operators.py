@@ -87,7 +87,9 @@ def test_select_and_components_see_keywords(corpus):
 
 def test_malformed_operator_queries_raise(corpus):
     idx = corpus
-    for bad in ("AND x", "x AND", "x AND OR y", "NOT", "(a AND b)",
-                "NOT NOT x"):
+    # "(a AND b)" is VALID since grouped-boolean support landed
+    # (test_boolean_groups.py); unbalanced/empty parens still raise
+    for bad in ("AND x", "x AND", "x AND OR y", "NOT", "(a AND b",
+                "a AND b)", "()", "NOT NOT x"):
         with pytest.raises(ValueError):
             idx.search(bad, k=1)
