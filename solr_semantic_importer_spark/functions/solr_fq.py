@@ -322,6 +322,15 @@ class _Parser:
 
     def value(self, field: str):
         k, v = self.take()
+        if k == "lpar":
+            # field-scoped value group `field:(a OR b -c)` (Lucene: the
+            # field becomes the local default field inside the parens);
+            # occur/AND/OR semantics match the top-level grammar
+            node = self.field_or_level(field)
+            if self.peek() != "rpar":
+                raise _FqSyntaxError(f"unbalanced ( in {field}:(...)")
+            self.take()
+            return node
         if k == "quoted":
             return _Leaf(field, "eq", _unescape(v[1:-1]))
         if k == "lbrack":
@@ -343,6 +352,61 @@ class _Parser:
                 return _Leaf(field, "like", like)
             return _Leaf(field, "eq", _unescape(v))
         raise _FqSyntaxError(f"bad value for field {field}")
+
+    def field_or_level(self, field: str):
+        """or_level with every bare value bound to ``field`` -- the body
+        of a ``field:(...)`` value group. Same occur gathering as the
+        top level; nested parens allowed."""
+        b = _Bool()
+        first = True
+        while True:
+            k = self.peek()
+            if k is None or k == "rpar":
+                break
+            if k == "or":
+                if first:
+                    raise _FqSyntaxError(f"{field}:(...) starts with OR")
+                self.take()
+            occur, node = self.field_and_level(field)
+            getattr(b, occur).append(node)
+            first = False
+        if not (b.must or b.should or b.must_not):
+            raise _FqSyntaxError(f"empty value group {field}:()")
+        if len(b.should) == 1 and not b.must and not b.must_not:
+            return b.should[0]
+        if len(b.must) == 1 and not b.should and not b.must_not:
+            return b.must[0]
+        return b
+
+    def field_and_level(self, field: str) -> tuple[str, object]:
+        occur, node = self.field_unary(field)
+        while self.peek() == "and":
+            self.take()
+            occ2, right = self.field_unary(field)
+            b = _Bool()
+            for o, n in ((occur, node), (occ2, right)):
+                getattr(b, "must" if o == "should" else o).append(n)
+            occur, node = "must", b
+        return occur, node
+
+    def field_unary(self, field: str) -> tuple[str, object]:
+        k = self.peek()
+        if k == "plus":
+            self.take()
+            _, node = self.field_unary(field)
+            return "must", node
+        if k in ("minus", "not"):
+            self.take()
+            _, node = self.field_unary(field)
+            return "must_not", node
+        if k == "lpar":
+            self.take()
+            node = self.field_or_level(field)
+            if self.peek() != "rpar":
+                raise _FqSyntaxError(f"unbalanced ( in {field}:(...)")
+            self.take()
+            return "should", node
+        return "should", self.value(field)
 
     def range_endpoint(self) -> str | None:
         k, v = self.take()

@@ -3605,10 +3605,24 @@ class BM25Index:
                 mods = 1 if val[0] == "+" else 2
                 val = val[1:]
             if val.endswith(":") and i < n and toks[i][0] == "(":
-                raise ValueError(
-                    f"field-scoped groups are unsupported in q: {query!r} "
-                    f"(expand {val}(a b) to {val}a {val}b)"
-                )
+                # field-scoped value group `field:(a OR b)` -- for stored
+                # docs columns, delegate to the fq grammar (which parses
+                # the same syntax) as a ConstantScore filter clause, the
+                # same contract as flat `field:value` clauses
+                fname = val[:-1]
+                if fname not in self._doc_columns():
+                    raise ValueError(
+                        f"field-scoped group on unknown field {fname!r} "
+                        f"in q: {query!r} (not a stored docs column)"
+                    )
+                body, i = self._reconstruct_group(toks, i, query)
+                gb = toks[i - 1][1]  # close token's boost
+                spec = ("filter", fname + ":" + body)
+                if gb != 1.0:
+                    spec = ("group", [("SHOULD", spec)], gb)
+                _emit([spec])
+                saw_atoms = True
+                continue
             saw_atoms = True
             specs = self._atom_specs(val)
             if not specs:
@@ -3622,6 +3636,35 @@ class BM25Index:
         if conj or mods:
             raise ValueError(f"dangling boolean operator in q: {query!r}")
         return [tuple(c) for c in clauses], i, saw_atoms
+
+    @staticmethod
+    def _reconstruct_group(
+        toks: list[tuple], i: int, query: str
+    ) -> tuple[str, int]:
+        """Re-render one parenthesized token run (``toks[i]`` must be the
+        open paren) back to source text -- used to hand a ``field:(...)``
+        value group to the fq grammar verbatim. Returns (text,
+        index_after_close)."""
+        if toks[i][0] != "(":
+            raise ValueError(f"expected '(' in q: {query!r}")
+        parts: list[str] = []
+        depth = 0
+        n = len(toks)
+        while i < n:
+            kind, val = toks[i]
+            i += 1
+            if kind == "(":
+                parts.append((val or "") + "(")
+                depth += 1
+            elif kind == ")":
+                parts.append(")")
+                depth -= 1
+                if depth == 0:
+                    return " ".join(parts).replace("( ", "(").replace(
+                        " )", ")"), i
+            else:
+                parts.append(val)
+        raise ValueError(f"unbalanced '(' in q: {query!r}")
 
     def _doc_columns(self) -> frozenset:
         """Stored docs-table column names (cached; one schema read)."""

@@ -232,3 +232,29 @@ def test_group_highlight_surface_terms(corpus):
     assert "error" in terms and "tool" in terms
     assert "run" in terms and "test" in terms
     assert "call" not in terms  # prohibited clauses never highlight
+
+
+def test_field_scoped_value_group_in_q(corpus):
+    _, idx = corpus
+    # role:(user assistant) = ConstantScore filter over the value group
+    got = _scores(idx, "role:(user assistant) error")
+    s_err = _scores(idx, "error")
+    in_roles = {
+        r["doc_id"]
+        for r in idx.docs().filter("role IN ('user','assistant')")
+        .select("doc_id").collect()
+    }
+    want = {d: s_err.get(d, 0.0) + (1.0 if d in in_roles else 0.0)
+            for d in set(s_err) | in_roles}
+    assert set(got) == set(want)
+    for d, v in want.items():
+        assert abs(got[d] - v) < 1e-9
+    # boosted MUST form: +role:(...)^2 contributes a constant 2.0
+    got2 = _scores(idx, "+role:(user assistant)^2 error")
+    want2 = {d: s_err.get(d, 0.0) + 2.0 for d in in_roles}
+    assert set(got2) == set(want2)
+    for d, v in want2.items():
+        assert abs(got2[d] - v) < 1e-9
+    # unknown field still fails loud
+    with pytest.raises(ValueError):
+        idx.search("nosuchfield:(a b) error", k=1)

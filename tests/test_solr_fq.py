@@ -177,3 +177,56 @@ def test_negative_range_endpoints():
     # untyped fields still emit numerically for numeric-looking endpoints
     assert parse_fq("score:[-1.5 TO 2.5]", None) == \
         "(score >= -1.5 AND score <= 2.5)"
+
+
+def test_field_value_groups_translate():
+    # Solr/Lucene field-scoped value groups: the field is the local
+    # default field inside the parens
+    assert parse_fq("role:(user OR assistant)", TYPES) == \
+        "(((role = 'user') OR (role = 'assistant')))"
+    assert parse_fq("role:(user assistant)", TYPES) == \
+        parse_fq("role:(user OR assistant)", TYPES)
+    assert parse_fq("role:(user AND -tool)", TYPES) == \
+        "((role = 'user') AND (((role = 'tool')) IS NOT TRUE))"
+    assert parse_fq("turn_idx:([0 TO 3] OR [7 TO *])", TYPES) == \
+        "(((turn_idx >= 0 AND turn_idx <= 3) OR (turn_idx >= 7)))"
+    # wildcards, quoting, presence, and nesting all work inside the group
+    assert parse_fq('role:(assis* "tool output")', TYPES) == \
+        "(((role LIKE 'assis%') OR (role = 'tool output')))"
+    assert parse_fq("role:(* -tool)", TYPES) == \
+        "(((role IS NOT NULL)) AND (((role = 'tool')) IS NOT TRUE))"
+    assert parse_fq("role:((user) OR (assistant))", TYPES) == \
+        parse_fq("role:(user OR assistant)", TYPES)
+    for bad in ["role:()", "role:(OR x)", "role:(x", "role:(x AND)"]:
+        with pytest.raises(ValueError):
+            parse_fq(bad, TYPES)
+
+
+def test_engine_field_group_fq_equals_expanded(corpus):
+    _, idx = corpus
+    a = [(r["doc_id"], round(r["score"], 6))
+         for r in idx.search("error in tool", k=20,
+                             fq="role:(user OR assistant)").collect()]
+    b = [(r["doc_id"], round(r["score"], 6))
+         for r in idx.search("error in tool", k=20,
+                             fq="role:user OR role:assistant").collect()]
+    assert a == b and a
+
+
+def test_q_field_group_is_constant_score_filter(corpus):
+    _, idx = corpus
+    got = {r["doc_id"]: r["score"]
+           for r in idx.score_matches("role:(user assistant) error").collect()}
+    s_err = {r["doc_id"]: r["score"]
+             for r in idx.score_matches("error").collect()}
+    in_roles = {
+        r["doc_id"]
+        for r in idx.docs().filter("role IN ('user','assistant')")
+        .select("doc_id").collect()
+    }
+    want = {}
+    for d in set(s_err) | in_roles:
+        want[d] = s_err.get(d, 0.0) + (1.0 if d in in_roles else 0.0)
+    assert set(got) == set(want)
+    for d, v in want.items():
+        assert abs(got[d] - v) < 1e-9
