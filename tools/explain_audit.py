@@ -201,6 +201,21 @@ def main() -> None:
             idx.search('merge "table hash"', k=10, use_cache=False),
         ),
         (
+            "Grouped boolean query ((a OR b) AND c, session-4 r4)",
+            "What to check: the nested group is ONE recursive\n"
+            "boolean-matches subplan — its own pruned postings decode +\n"
+            "`HashAggregate` on doc_id — unioned with the outer clauses'\n"
+            "frames into the parent's single groupBy(doc_id); every\n"
+            "aggregation keys on doc_id, so AQE/Exchange reuse keeps the\n"
+            "recursion to one shuffle per nesting LEVEL (not per clause),\n"
+            "tombstones/fq apply once at the top, and\n"
+            "`TakeOrderedAndProject` caps the result. Scale note: nesting\n"
+            "depth is query-bounded (human-written queries nest 1-2\n"
+            "levels), so the plan grows with the query, never the corpus.",
+            idx.search("(merge OR window) AND table", k=10,
+                       use_cache=False),
+        ),
+        (
             "Facet with bucket params (in-plan limit, late r4)",
             "What to check: matched-ids decode -> join to docs ->\n"
             "`HashAggregate` on the facet field with partial aggregation,\n"
