@@ -258,3 +258,50 @@ def test_field_scoped_value_group_in_q(corpus):
     # unknown field still fails loud
     with pytest.raises(ValueError):
         idx.search("nosuchfield:(a b) error", k=1)
+
+
+def test_group_query_matches_independent_oracle(corpus):
+    """Fully independent check: the grouped query's match set + scores
+    recomputed from BM25Oracle (pure-python tf/df/idf over the same doc
+    ids), with the boolean tree evaluated by hand -- no engine scores on
+    the expected side."""
+    from solr_semantic_importer_spark.index.docids import assign_doc_ids_window
+    from solr_semantic_importer_spark.oracle.bm25_ref import BM25Oracle
+
+    df, idx = corpus
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in assign_doc_ids_window(df).select("doc_id", "text").collect()
+    ]
+    orc = BM25Oracle(docs)
+
+    def has(t):
+        return {d for d, c in orc.tfs.items() if t in c}
+
+    # (error OR tool) AND call
+    match = (has("error") | has("tool")) & has("call")
+    want = {d: orc.score_doc(d, ["error", "tool", "call"]) for d in match}
+    got = _scores(idx, "(error OR tool) AND call")
+    assert set(got) == set(want)
+    for d, v in want.items():
+        assert abs(got[d] - v) < 1e-6
+
+    # call -(error tool)
+    match = has("call") - (has("error") | has("tool"))
+    want = {d: orc.score_doc(d, ["call"]) for d in match}
+    got = _scores(idx, "call -(error tool)")
+    assert set(got) == set(want)
+    for d, v in want.items():
+        assert abs(got[d] - v) < 1e-6
+
+    # (error tool)^2 call -- boost scales only the group's contribution
+    match = has("error") | has("tool") | has("call")
+    want = {
+        d: 2.0 * orc.score_doc(d, ["error", "tool"])
+        + orc.score_doc(d, ["call"])
+        for d in match
+    }
+    got = _scores(idx, "(error tool)^2 call")
+    assert set(got) == set(want)
+    for d, v in want.items():
+        assert abs(got[d] - v) < 1e-6
