@@ -115,6 +115,8 @@ def _apply_norm(n, x: np.ndarray) -> np.ndarray:
 
 def _validate_features(features) -> tuple[Feature, ...]:
     feats = tuple(features)
+    if not feats:
+        raise ValueError("ltr model needs at least one feature")
     names = [f.name for f in feats]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate feature names in {names}")

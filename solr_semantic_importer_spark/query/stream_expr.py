@@ -420,7 +420,10 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
         if "fq" in c.params:
             p["fq"] = c.params["fq"]
         df = solr_export(idx, p)
-        metrics = [_metric_col(a) for a in c.args[1:]]
+        metrics = [_metric_col(a) for a in c.args[1:] if isinstance(a, Call)]
+        if len(metrics) != len(c.args) - 1:
+            raise ValueError("stats(): every positional arg after the "
+                             "collection must be a metric")
         return TupleStream(df.agg(*metrics), ())
 
     if c.name == "update":
@@ -457,10 +460,18 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
             cols.append(F.col(src).alias(alias) if alias else F.col(src))
             if alias:
                 renames[src] = alias
-        sort = tuple(
-            (renames.get(f, f), d) for f, d in s.sort
-        )
-        return TupleStream(s.df.select(*cols), sort)
+        # sortedness survives the projection only for the key prefix that
+        # is still present (a dropped sort key breaks the ordered-stream
+        # contract from that position on)
+        kept = {(renames.get(src, src)) for src in
+                (a.strip().split()[0] for a in c.args[1:])}
+        sort_list: list[tuple[str, str]] = []
+        for f, d in s.sort:
+            f2 = renames.get(f, f)
+            if f2 not in kept:
+                break
+            sort_list.append((f2, d))
+        return TupleStream(s.df.select(*cols), tuple(sort_list))
 
     if c.name == "sort":
         _require_params(c, {"by"})

@@ -367,3 +367,29 @@ def test_update_sink_and_cross_collection(spark, idx, tmp_path_factory):
         run_stream_expr(
             idx, 'update(dest, select(search(src, q="*:*", '
                  'sort="doc_id asc"), "conv_id"))', collections=colls)
+
+
+def test_select_drops_sort_metadata_of_dropped_keys(idx):
+    from solr_semantic_importer_spark.query.stream_expr import (
+        parse_stream_expr, _eval,
+    )
+    # stream sorted by (role, doc_id); projecting away role breaks the
+    # ordered-stream contract from position 0 -- unique(over=doc_id) on
+    # the projection must therefore fail loud
+    s = _eval(parse_stream_expr(
+        'select(search(tx, q="error", sort="role asc, doc_id asc"), '
+        '"doc_id", "score")'
+    ), idx)
+    assert s.sort == ()
+    # the surviving PREFIX keeps its metadata (with rename applied)
+    s2 = _eval(parse_stream_expr(
+        'select(search(tx, q="error", sort="role asc, doc_id asc"), '
+        '"role as r", "score")'
+    ), idx)
+    assert s2.sort == (("r", "asc"),)
+
+
+def test_stats_rejects_non_metric_args(idx):
+    from solr_semantic_importer_spark.query.stream_expr import run_stream_expr
+    with pytest.raises(ValueError, match="must be a metric"):
+        run_stream_expr(idx, 'stats(tx, q="error", dl)')
