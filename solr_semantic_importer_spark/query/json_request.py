@@ -12,10 +12,11 @@ style can run against the PySpark engine:
     * ``{"edismax": {"query": "...", [pf/pf2/pf3/ps/ps2/ps3/mm/bq/bf...]}}``
       (extra keys become the matching request params, defType=edismax)
     * ``{"bool": {"must": [...], "should": [...], "must_not": [...]}}``
-      where each clause is a single term or a quoted phrase (composed into
-      Lucene occur-prefix syntax ``+must should -must_not`` — exactly the
-      BooleanQuery the string form parses to). Nested sub-objects fail
-      loud rather than approximating Lucene's nested-boolean scoring.
+      where each clause is a single term, a quoted phrase, or a NESTED
+      ``{"bool": ...}`` object (composed into Lucene occur-prefix syntax
+      ``+must should -must_not``, nested bools as parenthesized groups
+      ``+(x y)`` — exactly the BooleanQuery the string form parses to
+      since grouped-boolean support landed).
 - ``filter``  → ``fq`` (string or list; APPENDS to any fq in ``params`` —
   filters are multi-valued in Solr, all are ANDed)
 - ``fields``  → ``fl`` (string or list)
@@ -53,11 +54,22 @@ _PHRASE_CLAUSE_RE = re.compile(r'^"[^"]+"(~\d+)?(\^\d+(\.\d+)?)?$')
 
 
 def _dsl_clause(c: Any, where: str) -> str:
-    """One ``bool`` DSL clause -> its occur-composable string form."""
+    """One ``bool`` DSL clause -> its occur-composable string form. A
+    nested ``{"bool": ...}`` object composes to a parenthesized group
+    (the engine's grouped-boolean parser evaluates it as a nested
+    BooleanQuery)."""
+    if isinstance(c, dict):
+        if set(c) == {"bool"}:
+            return "(" + _bool_dsl(c["bool"]) + ")"
+        raise ValueError(
+            f"json body: bool.{where} clause object must be "
+            f"{{'bool': ...}}, got keys {sorted(c)}"
+        )
     if not isinstance(c, str):
         raise ValueError(
             f"json body: bool.{where} clause must be a string "
-            f"(term or quoted phrase), got {type(c).__name__}"
+            f"(term or quoted phrase) or a nested {{'bool': ...}}, "
+            f"got {type(c).__name__}"
         )
     c = c.strip()
     if _TERM_CLAUSE_RE.match(c) or _PHRASE_CLAUSE_RE.match(c):
@@ -67,6 +79,23 @@ def _dsl_clause(c: Any, where: str) -> str:
         "(single term or quoted phrase only; nested boolean/field syntax "
         "must be sent as a string query)"
     )
+
+
+def _bool_dsl(spec: Any) -> str:
+    """A ``bool`` DSL object -> the occur-prefix query string."""
+    if not isinstance(spec, dict):
+        raise ValueError("json body: 'bool' takes an object")
+    bad = set(spec) - {"must", "should", "must_not"}
+    if bad:
+        raise ValueError(f"json body: unsupported bool keys {sorted(bad)}")
+    parts: list[str] = []
+    for occ, prefix in (("must", "+"), ("should", ""), ("must_not", "-")):
+        cl = spec.get(occ, [])
+        cl = [cl] if isinstance(cl, (str, dict)) else cl
+        parts.extend(prefix + _dsl_clause(c, occ) for c in cl)
+    if not parts:
+        raise ValueError("json body: empty bool query")
+    return " ".join(parts)
 
 
 def _query_dsl(q: Any) -> tuple[str, dict[str, Any]]:
@@ -80,19 +109,7 @@ def _query_dsl(q: Any) -> tuple[str, dict[str, Any]]:
         )
     (kind, spec), = q.items()
     if kind == "bool":
-        if not isinstance(spec, dict):
-            raise ValueError("json body: 'bool' takes an object")
-        bad = set(spec) - {"must", "should", "must_not"}
-        if bad:
-            raise ValueError(f"json body: unsupported bool keys {sorted(bad)}")
-        parts: list[str] = []
-        for occ, prefix in (("must", "+"), ("should", ""), ("must_not", "-")):
-            cl = spec.get(occ, [])
-            cl = [cl] if isinstance(cl, str) else cl
-            parts.extend(prefix + _dsl_clause(c, occ) for c in cl)
-        if not parts:
-            raise ValueError("json body: empty bool query")
-        return " ".join(parts), {}
+        return _bool_dsl(spec), {}
     if kind in ("lucene", "edismax"):
         if not isinstance(spec, dict) or "query" not in spec:
             raise ValueError(f"json body: {{'{kind}': ...}} needs a 'query'")

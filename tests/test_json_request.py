@@ -118,7 +118,9 @@ def test_bool_dsl_composes_occur_prefixes():
 def test_bool_dsl_rejects_nested_and_multiword():
     with pytest.raises(ValueError, match="unsupported bool"):
         json_body_to_params({"query": {"bool": {"must": ["two words"]}}})
-    with pytest.raises(ValueError, match="must be a string"):
+    # non-bool clause objects fail loud (nested {"bool": ...} is VALID
+    # since grouped-boolean support landed)
+    with pytest.raises(ValueError, match="clause object must be"):
         json_body_to_params({"query": {"bool": {"must": [{"lucene": {}}]}}})
     with pytest.raises(ValueError, match="empty bool"):
         json_body_to_params({"query": {"bool": {}}})
@@ -173,3 +175,35 @@ def test_end_to_end_facet(idx):
 def test_merged_params_still_fail_loud_on_unknown(idx):
     with pytest.raises(ValueError, match="unsupported /select params"):
         solr_select_json(idx, {"query": "*:*", "params": {"shards": "x"}})
+
+
+def test_nested_bool_dsl_composes_groups():
+    from solr_semantic_importer_spark.query.json_request import (
+        json_body_to_params,
+    )
+    p = json_body_to_params({
+        "query": {"bool": {
+            "must": [{"bool": {"should": ["error", "tool"]}}, "call"],
+            "must_not": {"bool": {"must": ["run", "test"]}},
+        }}
+    })
+    assert p["q"] == "+(error tool) +call -(+run +test)"
+    # non-bool clause objects still fail loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bool"):
+        json_body_to_params(
+            {"query": {"bool": {"must": [{"term": "x"}]}}}
+        )
+
+
+def test_nested_bool_dsl_end_to_end(idx):
+    from solr_semantic_importer_spark.query.json_request import solr_select_json
+    r = solr_select_json(idx, {
+        "query": {"bool": {
+            "must": [{"bool": {"should": ["error", "tool"]}}, "call"],
+        }},
+        "limit": 5, "fields": "doc_id,score",
+    })
+    want = {r0["doc_id"]: r0["score"]
+            for r0 in idx.score_matches("+(error tool) +call").collect()}
+    assert r["response"]["numFound"] == len(want) > 0
