@@ -64,6 +64,24 @@ loud on anything else — the facade contract):
   Solr's date-math gap strings — ``+1DAY`` — are not parsed; pass epoch
   seconds).
 
+- ``fetch(collection, stream, on="tupleField=collField", fl="a,b")`` —
+  enrich tuples with stored fields from the collection: ONE left join
+  (tuple side broadcast by AQE, collection scan pruned to key+fl);
+  unmatched tuples pass through unenriched, like Solr. ``batchSize`` is
+  Solr's tuple-iterator page size — accepted, irrelevant to one join.
+- ``random(collection, q=, [fq=], [rows=10], [fl=], [seed=])`` —
+  pseudo-random docs from the match set. Deterministic md5(doc_id:seed)
+  order (layout-independent, the sampling-operator convention);
+  documented deviation: Solr draws a fresh seed per request, here
+  ``seed`` defaults to "0" for reproducibility.
+- ``cartesianProduct(stream, fieldName, [productSort=])`` — one tuple
+  per value of a multivalued field (explode); the field must be an
+  array column.
+- ``reduce(stream, by=, group(sort=, n=))`` — one tuple per ``by``
+  value carrying the group's top-n tuples per the group sort, as
+  ``group`` = array<struct> of the full input tuples (Solr's
+  GroupOperation emits the same data as a list of tuple maps).
+  Requires the stream sorted by ``by``, like Solr.
 - ``update(destCollection, stream, [batchSize=N])`` — index the stream's
   tuples into another collection (``run_stream_expr``'s ``collections``
   registry names it; fail loud when absent). The whole stream lands as
@@ -440,10 +458,139 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
         src = _eval(c.args[1], idx, colls)
         return _update_sink(dest, src)
 
+    if c.name == "fetch":
+        # fetch(collection, stream, on="tupleField=collField", fl="a,b")
+        _require_params(c, {"on", "fl"}, {"batchSize"})  # batchSize is a
+        # Solr transport knob (tuple-iterator page size); one join here
+        if len(c.args) != 2 or not isinstance(c.args[1], Call):
+            raise ValueError("fetch(collection, stream, on=.., fl=..)")
+        fidx = _resolve(c.args[0], idx, colls)
+        s = _eval(c.args[1], idx, colls)
+        pairs = _on_pairs(c.params["on"])
+        if len(pairs) != 1:
+            raise ValueError("fetch(): on= takes exactly one key mapping")
+        (tkey, dkey), = pairs
+        fl = [f.strip() for f in str(c.params["fl"]).split(",") if f.strip()]
+        live = fidx._anti_dead(fidx.docs())
+        unknown = [f for f in fl + [dkey] if f not in live.columns]
+        if unknown:
+            raise ValueError(f"fetch(): unknown collection fields {unknown}")
+        clash = [f for f in fl if f in s.df.columns and f != tkey]
+        if clash:
+            raise ValueError(
+                f"fetch(): fl fields {clash} already exist in the stream — "
+                f"alias them away with select() first"
+            )
+        # the side key gets a unique name BEFORE the join: when the stream
+        # itself derives from this collection (a self-join lineage), column
+        # references by name/expr-id are ambiguous and can silently bind to
+        # the left side — a renamed attribute cannot
+        side = live.select(F.col(dkey).alias("__fetch_key"), *fl)
+        # tuples left-join the collection: unmatched tuples pass through
+        # unenriched (Solr's behavior). The tuple side is the small one —
+        # AQE broadcasts it; the collection scan reads only dkey+fl columns.
+        joined = (
+            s.df.join(side, F.col(tkey) == F.col("__fetch_key"), "left")
+            .drop("__fetch_key")
+        )
+        if s.sort:
+            joined = joined.orderBy(*_sort_cols(s.sort))
+        return TupleStream(joined, s.sort)
+
+    if c.name == "random":
+        # random(collection, q=.., [fq=], [rows=10], [fl=], [seed=])
+        _require_params(c, {"q"}, {"fq", "rows", "fl", "seed"})
+        if len(c.args) != 1:
+            raise ValueError("random(collection, ...) takes one positional arg")
+        ridx = _resolve(c.args[0], idx, colls)
+        rows = int(c.params.get("rows", 10))
+        seed = str(c.params.get("seed", "0"))  # documented deviation: Solr
+        # draws a fresh seed per request; a fixed default keeps runs
+        # reproducible (pass seed= to vary)
+        base = _match_base(ridx, c)
+        # layout-independent pseudo-random order (same convention as
+        # operators/sampling.py): md5 over the doc key + seed
+        rnd = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                F.lit(seed)))
+        df = base.orderBy(rnd.asc(), F.col("doc_id").asc()).limit(rows)
+        if "fl" in c.params:
+            cols = [f.strip() for f in str(c.params["fl"]).split(",")
+                    if f.strip()]
+            unknown = [f for f in cols if f not in df.columns]
+            if unknown:
+                raise ValueError(
+                    f"random(): unknown fl fields {unknown} (stored fields "
+                    f"only — random tuples carry no score)"
+                )
+            df = df.select(*cols)
+        return TupleStream(df, ())
+
     # every other function decorates a stream given as the first arg
     if not c.args or not isinstance(c.args[0], Call):
         raise ValueError(f"{c.name}(): first argument must be a stream")
     s = _eval(c.args[0], idx, colls)
+
+    if c.name == "cartesianProduct":
+        # cartesianProduct(stream, fieldName, [productSort="f asc"])
+        _require_params(c, set(), {"productSort"})
+        if len(c.args) != 2 or isinstance(c.args[1], Call):
+            raise ValueError("cartesianProduct(stream, fieldName)")
+        fld = str(c.args[1]).strip()
+        if fld not in s.df.columns:
+            raise ValueError(f"cartesianProduct(): unknown field {fld!r}")
+        if not s.df.schema[fld].dataType.typeName().startswith("array"):
+            raise ValueError(
+                f"cartesianProduct(): field {fld!r} is not multivalued"
+            )
+        df = s.df.withColumn(fld, F.explode(fld))
+        # the stream's sort survives for keys other than the exploded one;
+        # productSort orders the emitted tuples within/after it
+        sort = tuple(x for x in s.sort if x[0] != fld)
+        if "productSort" in c.params:
+            extra = _parse_by(c.params["productSort"])
+            sort = sort + tuple(x for x in extra if x not in sort)
+        if sort:
+            df = df.orderBy(*_sort_cols(sort))
+        return TupleStream(df, sort)
+
+    if c.name == "reduce":
+        # reduce(stream, by="f", group(sort="g desc", n=5)) — one tuple per
+        # by-value carrying the group's top-n tuples. Solr emits the group
+        # head's fields plus a "group" list of tuple maps; here the output
+        # is the by-fields plus `group` = array<struct> of the FULL input
+        # tuples, top-n per the group sort (same information, columnar
+        # shape). Requires the stream sorted by `by` (Solr's contract).
+        _require_params(c, {"by"})
+        if len(c.args) != 2 or not isinstance(c.args[1], Call) \
+                or c.args[1].name != "group":
+            raise ValueError('reduce(stream, by=.., group(sort=.., n=..))')
+        g = c.args[1]
+        _require_params(g, {"sort", "n"})
+        if g.args:
+            raise ValueError("group(): takes only sort= and n=")
+        by = [x.strip() for x in str(c.params["by"]).split(",") if x.strip()]
+        _require_sorted_by(s, by, "reduce()")
+        gsort = _parse_by(g.params["sort"])
+        n = int(g.params["n"])
+        if n <= 0:
+            raise ValueError("group(): n must be >= 1")
+        others = [f for f in s.df.columns if f not in by]
+        w = Window.partitionBy(*by).orderBy(*_sort_cols(gsort))
+        ranked = s.df.withColumn("__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") <= n)
+        # collect (rn, tuple) and sort by rn: order-correct under any
+        # group-sort direction/type without encoding tricks
+        packed = F.struct(F.col("__rn").alias("rn"),
+                          F.struct(*[F.col(f) for f in others]).alias("t"))
+        df = (
+            ranked.groupBy(*by)
+            .agg(F.array_sort(F.collect_list(packed)).alias("__g"))
+            .withColumn("group", F.transform("__g", lambda x: x["t"]))
+            .drop("__g")
+            .orderBy(*_sort_cols(tuple((f, d) for f, d in s.sort
+                                       if f in by)))
+        )
+        return TupleStream(df, tuple(x for x in s.sort if x[0] in by))
 
     if c.name == "select":
         _require_params(c, set())

@@ -1,0 +1,153 @@
+"""Session-4 stream functions: fetch / random / cartesianProduct / reduce.
+
+Each vs a DataFrame-built expectation plus fail-loud validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+from solr_semantic_importer_spark.query.engine import BM25Index
+from solr_semantic_importer_spark.query.stream_expr import run_stream_expr
+from solr_semantic_importer_spark.sources.transcripts import generate_transcripts
+
+CFG = dict(segment_size=100, block_size=16, n_term_buckets=4,
+           hot_df_threshold=50, hot_salts=4)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    df = generate_transcripts(spark, n_convs=40, turns_per_conv=6, seed=7)
+    d = str(tmp_path_factory.mktemp("sx4"))
+    build_index(spark, df, d, BuildConfig(build_id="sx4", **CFG))
+    return BM25Index(spark, d)
+
+
+# ------------------------------------------------------------------ fetch
+
+
+def test_fetch_enriches_tuples(idx):
+    df = run_stream_expr(
+        idx, 'fetch(tx, search(tx, q="error tool", fl="doc_id,score", '
+             'sort="score desc", rows=5), on="doc_id=doc_id", fl="role,conv_id")'
+    )
+    rows = df.collect()
+    # list equality: a duplicated key column from self-join lineage must
+    # not survive the fetch
+    assert df.columns == ["doc_id", "score", "role", "conv_id"]
+    stored = {r["doc_id"]: (r["role"], r["conv_id"])
+              for r in idx.docs().collect()}
+    for r in rows:
+        assert (r["role"], r["conv_id"]) == stored[r["doc_id"]]
+    # the stream's sort survives the join
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True) and len(rows) == 5
+
+
+def test_fetch_validation(idx):
+    with pytest.raises(ValueError, match="unknown collection fields"):
+        run_stream_expr(
+            idx, 'fetch(tx, search(tx, q="error", fl="doc_id", '
+                 'sort="score desc"), on="doc_id=doc_id", fl="nope")'
+        )
+    with pytest.raises(ValueError, match="already exist in the stream"):
+        run_stream_expr(
+            idx, 'fetch(tx, search(tx, q="error", fl="doc_id,role", '
+                 'sort="score desc"), on="doc_id=doc_id", fl="role")'
+        )
+    with pytest.raises(ValueError, match="exactly one key"):
+        run_stream_expr(
+            idx, 'fetch(tx, search(tx, q="error", fl="doc_id", '
+                 'sort="score desc"), on="doc_id=doc_id, conv_id=conv_id", '
+                 'fl="role")'
+        )
+
+
+# ----------------------------------------------------------------- random
+
+
+def test_random_deterministic_and_seeded(idx):
+    e = 'random(tx, q="*:*", fq="role:user", rows=7, fl="doc_id,role")'
+    a = [r["doc_id"] for r in run_stream_expr(idx, e).collect()]
+    b = [r["doc_id"] for r in run_stream_expr(idx, e).collect()]
+    assert a == b and len(a) == 7              # deterministic
+    c = [r["doc_id"] for r in run_stream_expr(
+        idx, e.replace("rows=7", "rows=7, seed=9")).collect()]
+    assert set(a) != set(c)                    # seed changes the draw
+    roles = {r["role"] for r in run_stream_expr(idx, e).collect()}
+    assert roles == {"user"}                   # fq applies
+    # membership: every drawn doc is in the match set
+    user_ids = {r["doc_id"] for r in
+                idx.docs().filter("role = 'user'").collect()}
+    assert set(a) <= user_ids
+
+
+# ------------------------------------------------------- cartesianProduct
+
+
+def test_cartesian_product_explodes(spark, idx, monkeypatch):
+    # build a stream with a multivalued column via select over rollup is
+    # awkward; drive the evaluator through search + a synthetic array by
+    # using reduce() (whose group column is an array) downstream instead:
+    expr = (
+        'cartesianProduct(reduce(search(tx, q="*:*", fl="conv_id,doc_id", '
+        'sort="conv_id asc"), by="conv_id", group(sort="doc_id asc", n=3)), '
+        'group, productSort="conv_id asc")'
+    )
+    df = run_stream_expr(idx, expr)
+    # each conv contributes min(3, turns) rows, group is now a struct
+    per = df.groupBy("conv_id").count().collect()
+    assert all(r["count"] == 3 for r in per)
+    assert df.schema["group"].dataType.typeName() == "struct"
+
+
+def test_cartesian_product_validation(idx):
+    with pytest.raises(ValueError, match="not multivalued"):
+        run_stream_expr(
+            idx, 'cartesianProduct(search(tx, q="error", fl="doc_id", '
+                 'sort="score desc"), doc_id)'
+        )
+    with pytest.raises(ValueError, match="unknown field"):
+        run_stream_expr(
+            idx, 'cartesianProduct(search(tx, q="error", fl="doc_id", '
+                 'sort="score desc"), nope)'
+        )
+
+
+# ----------------------------------------------------------------- reduce
+
+
+def test_reduce_groups_topn(idx):
+    df = run_stream_expr(
+        idx, 'reduce(search(tx, q="*:*", fl="conv_id,doc_id,turn_idx", '
+             'sort="conv_id asc"), by="conv_id", '
+             'group(sort="turn_idx desc", n=2))'
+    )
+    rows = df.collect()
+    convs = [r["conv_id"] for r in rows]
+    assert convs == sorted(convs) and len(rows) == 40
+    # expectation built straight from the docs table
+    want = {
+        r["conv_id"]: [x["turn_idx"] for x in r["g"]]
+        for r in idx.docs().groupBy("conv_id").agg(
+            F.slice(F.sort_array(F.collect_list(
+                F.struct("turn_idx", "doc_id")), asc=False), 1, 2).alias("g")
+        ).collect()
+    }
+    for r in rows:
+        assert [t["turn_idx"] for t in r["group"]] == want[r["conv_id"]]
+        assert set(r["group"][0].asDict()) == {"doc_id", "turn_idx"}
+
+
+def test_reduce_requires_sorted_by(idx):
+    with pytest.raises(ValueError, match="must be sorted by"):
+        run_stream_expr(
+            idx, 'reduce(search(tx, q="*:*", fl="conv_id,doc_id", '
+                 'sort="doc_id asc"), by="conv_id", '
+                 'group(sort="doc_id asc", n=2))'
+        )
+    with pytest.raises(ValueError, match="n must be"):
+        run_stream_expr(
+            idx, 'reduce(search(tx, q="*:*", fl="conv_id,doc_id", '
+                 'sort="conv_id asc"), by="conv_id", '
+                 'group(sort="doc_id asc", n=0))'
+        )
