@@ -34,6 +34,8 @@ is part of the training-data operator family the engine adds on top.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,8 +114,16 @@ def c4_keep_doc_col(
         & ~raw_low.contains("{")
     )
     for w in blocklist:
-        keep = keep & ~raw_low.rlike("\\b" + w.lower() + "\\b")
+        keep = keep & ~raw_low.rlike(_word_pattern(w))
     return keep
+
+
+def _word_pattern(w: str) -> str:
+    """A blocklist entry is a literal word, never a pattern — escape it,
+    and spell the boundaries as character classes: ``\\b`` fails at
+    non-word-char edges (``c++``) and RE2 (the DuckDB twin) has no
+    lookaround."""
+    return f"(^|[^0-9a-z_]){re.escape(w.lower())}([^0-9a-z_]|$)"
 
 
 # --- Gopher ------------------------------------------------------------------
@@ -275,7 +285,9 @@ def c4_keep_doc_sql(
         f"NOT contains({raw}, '{{')",
     ]
     parts += [
-        f"NOT regexp_matches({raw}, '\\b{w.lower()}\\b')" for w in blocklist
+        "NOT regexp_matches({}, '{}')".format(
+            raw, _word_pattern(w).replace("'", "''"))
+        for w in blocklist
     ]
     return "(" + " AND ".join(parts) + ")"
 

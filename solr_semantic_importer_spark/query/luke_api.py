@@ -130,11 +130,14 @@ def solr_luke(idx: BM25Index, params: dict[str, Any] | None = None) -> dict:
             "stored": True,
         }
         if f == "text":
-            info["distinct"] = idx.dictionary().count()
+            # per-batch appends write dictionary df INCREMENTS (one row
+            # per term per batch; streaming/incremental.py) — aggregate,
+            # never read rows as terms
+            d = idx.dictionary().groupBy("term").agg(F.sum("df").alias("df"))
+            info["distinct"] = d.count()
             if num_terms:
                 top = (
-                    idx.dictionary()
-                    .orderBy(F.col("df").desc(), F.col("term").asc())
+                    d.orderBy(F.col("df").desc(), F.col("term").asc())
                     .limit(num_terms)
                     .collect()
                 )

@@ -471,11 +471,16 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
             raise ValueError("fetch(): on= takes exactly one key mapping")
         (tkey, dkey), = pairs
         fl = [f.strip() for f in str(c.params["fl"]).split(",") if f.strip()]
+        if tkey not in s.df.columns:
+            raise ValueError(
+                f"fetch(): tuple key {tkey!r} is not in the stream "
+                f"(columns: {s.df.columns})"
+            )
         live = fidx._anti_dead(fidx.docs())
         unknown = [f for f in fl + [dkey] if f not in live.columns]
         if unknown:
             raise ValueError(f"fetch(): unknown collection fields {unknown}")
-        clash = [f for f in fl if f in s.df.columns and f != tkey]
+        clash = [f for f in fl if f in s.df.columns]
         if clash:
             raise ValueError(
                 f"fetch(): fl fields {clash} already exist in the stream — "
@@ -575,6 +580,11 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
         if n <= 0:
             raise ValueError("group(): n must be >= 1")
         others = [f for f in s.df.columns if f not in by]
+        if not others:
+            raise ValueError(
+                "reduce(): the stream carries only the by= fields — "
+                "there is nothing to group"
+            )
         w = Window.partitionBy(*by).orderBy(*_sort_cols(gsort))
         ranked = s.df.withColumn("__rn", F.row_number().over(w)) \
             .filter(F.col("__rn") <= n)

@@ -83,6 +83,32 @@ def test_deletes_reflected(spark, tmp_path_factory):
     assert r["index"]["maxDoc"] == 40 and r["index"]["hasDeletions"]
 
 
+def test_appended_index_aggregates_dictionary(spark, tmp_path_factory):
+    # per-batch appends write dictionary df INCREMENTS (one row per term
+    # per batch) — distinct/topTerms must aggregate, not read rows
+    from pyspark.sql import functions as F2
+    from solr_semantic_importer_spark.streaming.incremental import append_batch
+    df = generate_transcripts(spark, n_convs=8, turns_per_conv=4, seed=5)
+    d = str(tmp_path_factory.mktemp("luke3"))
+    build_index(spark, df, d, BuildConfig(build_id="lk3", **CFG))
+    more = generate_transcripts(spark, n_convs=6, turns_per_conv=4, seed=6) \
+        .withColumn("conv_id", F2.concat(F2.lit("b"), F2.col("conv_id")))
+    append_batch(more, d, BuildConfig(build_id="lk3", **CFG), batch_id=1)
+    idx = BM25Index(spark, d)
+    r = solr_luke(idx, {"fl": "text", "numTerms": 3})
+    d_rows = idx.dictionary().count()
+    n_terms = idx.dictionary().select("term").distinct().count()
+    assert n_terms < d_rows  # increments really are present
+    assert r["fields"]["text"]["distinct"] == n_terms
+    want = [
+        (x["term"], x["df"]) for x in
+        idx.dictionary().groupBy("term").agg(F2.sum("df").alias("df"))
+        .orderBy(F2.col("df").desc(), F2.col("term").asc()).limit(3).collect()
+    ]
+    flat = r["fields"]["text"]["topTerms"]
+    assert list(zip(flat[::2], flat[1::2])) == want
+
+
 def test_fail_loud(idx):
     with pytest.raises(ValueError, match="unsupported /admin/luke"):
         solr_luke(idx, {"id": "7"})

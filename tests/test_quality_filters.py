@@ -124,6 +124,27 @@ def test_c4_clean_and_keep_vs_bruteforce(crafted):
     assert not keep[2] and not keep[3] and not keep[4] and not keep[6]
 
 
+def test_c4_blocklist_metachar_word(spark):
+    # a blocklist entry is a literal word: regex metachars must not break
+    # the pattern or over-match
+    df = spark.createDataFrame(
+        [(0, "They wrote c++ for a living there.\n" * 5),
+         (1, "They wrote crust for a living there.\n" * 5)],
+        "doc_id int, text string")
+    rep = QF.quality_report(df, "text", c4_blocklist=("c++",))
+    keep = {r["doc_id"]: r["c4_keep"] for r in rep.collect()}
+    assert not keep[0] and keep[1]
+    # DuckDB twin agrees
+    import duckdb
+    con = duckdb.connect()
+    clean = QF.c4_clean_lines_sql("text")
+    got = con.execute(
+        f"SELECT {QF.c4_keep_doc_sql('text', clean, blocklist=('c++',))} "
+        f"FROM (SELECT ? AS text)",
+        ["They wrote c++ for a living there.\n" * 5]).fetchone()[0]
+    assert got is False
+
+
 def test_c4_blocklist(crafted):
     rep = QF.quality_report(crafted, "text", c4_blocklist=("question",))
     keep = {r["doc_id"]: r["c4_keep"] for r in rep.collect()}

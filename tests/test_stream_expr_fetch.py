@@ -60,6 +60,17 @@ def test_fetch_validation(idx):
                  'sort="score desc"), on="doc_id=doc_id, conv_id=conv_id", '
                  'fl="role")'
         )
+    with pytest.raises(ValueError, match="not in the stream"):
+        run_stream_expr(
+            idx, 'fetch(tx, search(tx, q="error", fl="doc_id", '
+                 'sort="score desc"), on="conv_id=conv_id", fl="role")'
+        )
+    # fl repeating the key would duplicate the column — fail loud
+    with pytest.raises(ValueError, match="already exist in the stream"):
+        run_stream_expr(
+            idx, 'fetch(tx, search(tx, q="error", fl="doc_id", '
+                 'sort="score desc"), on="doc_id=doc_id", fl="doc_id,role")'
+        )
 
 
 # ----------------------------------------------------------------- random
@@ -150,4 +161,10 @@ def test_reduce_requires_sorted_by(idx):
             idx, 'reduce(search(tx, q="*:*", fl="conv_id,doc_id", '
                  'sort="conv_id asc"), by="conv_id", '
                  'group(sort="doc_id asc", n=0))'
+        )
+    with pytest.raises(ValueError, match="only the by= fields"):
+        run_stream_expr(
+            idx, 'reduce(select(search(tx, q="*:*", fl="conv_id,doc_id", '
+                 'sort="conv_id asc"), conv_id), by="conv_id", '
+                 'group(sort="conv_id asc", n=2))'
         )
