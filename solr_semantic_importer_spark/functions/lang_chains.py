@@ -188,12 +188,88 @@ def portuguese_minimal_stem(s: str) -> str:
     return s[:-1]
 
 
+# --- Arabic / Persian normalization (managed-schema.xml:568-579, 700-712) ---
+#
+# Lucene's ArabicNormalizationFilter / PersianNormalizationFilter /
+# ArabicStemmer are published per-character algorithms (Larkey et al.'s
+# light stemming); re-implemented here from the public spec. The schema's
+# Persian ``<charFilter name="persian"/>`` replaces ZWNJ (U+200C) with a
+# space BEFORE tokenization — under this engine's regex tokenizer that is
+# a structural no-op: ZWNJ is a format char, not a letter, so ``[^\W_]+``
+# already splits token runs at it (golden-tested).
+
+# tatweel + fathatan..sukun (escapes: combining marks are invisible and
+# editor-hostile as raw source)
+_AR_DIACRITICS = dict.fromkeys(
+    [0x0640] + list(range(0x064B, 0x0653))
+)
+_AR_MAP = str.maketrans({
+    "آ": "ا", "أ": "ا", "إ": "ا",  # alef forms
+    "ى": "ي",  # dotless yeh -> yeh
+    "ة": "ه",  # teh marbuta -> heh
+})
+
+
+def arabic_normalize(s: str) -> str:
+    """Lucene ArabicNormalizer: strip tatweel + harakat, fold hamza-alef
+    forms to bare alef, dotless yeh -> yeh, teh marbuta -> heh."""
+    return s.translate(_AR_DIACRITICS).translate(_AR_MAP)
+
+
+_FA_MAP = str.maketrans({
+    "ي": "ی", "ے": "ی",  # arabic yeh / yeh barree
+    "ك": "ک",                       # kaf -> keheh
+    "ۀ": "ه", "ہ": "ه",  # heh+yeh / heh goal -> heh
+    "ٔ": None,                 # combining hamza above
+})
+
+
+def persian_normalize(s: str) -> str:
+    """Lucene PersianNormalizer: fold yeh/kaf/heh variants, drop hamza."""
+    return s.translate(_FA_MAP)
+
+
+_AR_PREFIXES = ("وال", "بال",
+                "كال", "فال",
+                "ال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+
+
+def arabic_stem(s: str) -> str:
+    """Lucene ArabicStemmer (Larkey light stemming): remove ONE leading
+    article/conjunction prefix (waw needs length >= 4, others need
+    length >= len+2), then strip EVERY matching suffix in list order
+    (each needs remaining length >= len+2)."""
+    for p in _AR_PREFIXES:
+        need = 4 if len(p) == 1 else len(p) + 2
+        if s.startswith(p) and len(s) >= need:
+            s = s[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if s.endswith(suf) and len(s) >= len(suf) + 2:
+            s = s[: -len(suf)]
+    return s
+
+
+def _persian_chain_transform(s: str) -> str:
+    # schema order (text_fa): lowercase -> arabicNormalization ->
+    # persianNormalization -> stop; runs as token_transform (pre-stop)
+    return persian_normalize(arabic_normalize(s))
+
+
 STEMMERS = {
     "fr": french_minimal_stem,
     "de": german_minimal_stem,
     "pt": portuguese_minimal_stem,
+    # text_ar (managed-schema.xml:577): arabicStem AFTER normalization
+    "ar": arabic_stem,
 }
-POST_STOP_TRANSFORMS = {"de": german_normalize}
+# text_ar: stop runs BEFORE arabicNormalization in the schema -> post-stop
+POST_STOP_TRANSFORMS = {"de": german_normalize, "ar": arabic_normalize}
+# text_fa: normalization runs BEFORE stop in the schema -> token transform
+TOKEN_TRANSFORMS = {"fa": _persian_chain_transform}
 
 # Unsegmented-script languages whose Lucene chains need a dictionary /
 # algorithmic segmenter (text_ja = kuromoji, managed-schema.xml:838;
@@ -634,10 +710,15 @@ def register_language_chains(
         contr = os.path.join(lang_dir, f"contractions_{code}.txt")
         if os.path.exists(contr):
             stops.update(parse_wordlist_file(contr))
+        if code in TOKEN_TRANSFORMS:
+            # the chain stops AFTER the token transform (text_fa's schema
+            # order) — compare normalized tokens against a normalized set
+            stops = {TOKEN_TRANSFORMS[code](w) for w in stops}
         register_analysis_chain(
             prefix + code,
             stop_set=stops,
             stem_fn=STEMMERS.get(code),
+            token_transform=TOKEN_TRANSFORMS.get(code),
             post_stop_transform=POST_STOP_TRANSFORMS.get(code),
             token_re=_UNI_RE,
             highlight_pattern=UNICODE_TOKEN_PATTERN,

@@ -317,3 +317,90 @@ def test_text_th_end_to_end_index(spark, tmp_path_factory):
     assert [r["doc_id"] for r in idx.search("แมว", k=5).collect()] == [1]
     # a pure-stopword query analyzes to nothing -> zero hits
     assert idx.search("ที่", k=5).collect() == []
+
+
+# --- Arabic / Persian normalization (session-4 r4) ---------------------------
+
+
+def test_arabic_normalizer_golden():
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        arabic_normalize,
+    )
+    # hamza-alef forms fold to bare alef, diacritics and tatweel drop
+    assert arabic_normalize("أُمّـة") == "امه"
+    assert arabic_normalize("إلى") == "الي"
+    assert arabic_normalize("آمن") == "امن"
+    assert arabic_normalize("مكتبة") == "مكتبه"
+    assert arabic_normalize("kitab") == "kitab"  # non-Arabic untouched
+
+
+def test_arabic_stemmer_golden():
+    from solr_semantic_importer_spark.functions.lang_chains import arabic_stem
+    assert arabic_stem("الكتاب") == "كتاب"      # al- article
+    assert arabic_stem("والكتاب") == "كتاب"     # wal-
+    assert arabic_stem("كتابها") == "كتاب"      # -ha
+    assert arabic_stem("مسلمون") == "مسلم"      # -un plural
+    # ONE prefix only; too-short words keep their prefix
+    assert arabic_stem("لل") == "لل"
+    assert arabic_stem("وب") == "وب"
+
+
+def test_persian_normalizer_golden():
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        persian_normalize,
+    )
+    assert persian_normalize("كتابي") == "کتابی"   # kaf + arabic yeh fold
+    assert persian_normalize("ۀ") == "ه"
+
+
+def test_fa_chain_zwnj_and_normalization():
+    # the schema's persian charFilter (ZWNJ -> space) is a structural
+    # no-op under the regex tokenizer: ZWNJ already splits token runs
+    register_language_chains(REF_LANG, languages=["fa"], prefix="t4_",
+                             overwrite=True)
+    terms = QUERY_ANALYZERS["t4_fa"]("می‌خواهم کتابي")
+    assert "کتابی" in terms          # arabic yeh normalized to farsi yeh
+    assert all("‌" not in t for t in terms)
+    # stopword matching happens on NORMALIZED forms
+    stop_raw = "که"  # a Persian stopword from the shipped file
+    assert QUERY_ANALYZERS["t4_fa"](stop_raw) == []
+
+
+def test_ar_chain_end_to_end():
+    register_language_chains(REF_LANG, languages=["ar"], prefix="t4_",
+                             overwrite=True)
+    an = QUERY_ANALYZERS["t4_ar"]
+    # article-prefixed and suffixed forms conflate with the bare stem
+    assert an("الكتاب") == an("كتاب") != []
+    # normalization applies before stemming: teh marbuta form conflates
+    assert an("مكتبة")[0].endswith("ه") or an("مكتبة") == an("مكتبه")
+
+
+def test_text_fa_end_to_end_index(spark, tmp_path_factory):
+    from solr_semantic_importer_spark.index.build import BuildConfig, build_index
+    from solr_semantic_importer_spark.query.engine import BM25Index
+
+    register_language_chains(REF_LANG, languages=["fa"])
+    rows = [
+        # doc 0 writes with ARABIC yeh/kaf (كتابي); doc 1 with Farsi forms
+        ("c0", 0, "user", "این كتابي بزرگ است", None),
+        ("c0", 1, "assistant", "کتابی کوچک", None),
+        ("c0", 2, "user", "می‌خواهم بروم", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.current_timestamp())
+    idx_dir = str(tmp_path_factory.mktemp("fa"))
+    build_index(
+        spark, df, idx_dir,
+        BuildConfig(build_id="fa", analyzer="text_fa", segment_size=64,
+                    n_term_buckets=4, hot_df_threshold=100),
+    )
+    idx = BM25Index(spark, idx_dir)
+    # the Farsi-spelled query matches the Arabic-spelled document: both
+    # normalize to the same term (yeh/kaf folding)
+    hits = [r["doc_id"] for r in idx.search("کتابی", k=5).collect()]
+    assert len(hits) == 2
+    # ZWNJ splits the compound: its halves are searchable terms
+    assert idx.search("خواهم", k=5).collect() != []
