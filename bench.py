@@ -228,6 +228,28 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         cosine_topk(emb, qv, k=10).collect()
         knn_sec = round(time.monotonic() - t1, 3)
 
+    # training-pipeline side (reported-only): the C4+Gopher quality report
+    # over the sf dir's documents table — one codegen projection, so this
+    # measures raw map-side text throughput
+    qf_sec = qf_docs_per_sec = None
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        from solr_semantic_importer_spark.operators.quality_filters import (
+            quality_report,
+        )
+
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(docs_path)
+        n_qdocs = docs.count()  # warms the scan
+        t1 = time.monotonic()
+        quality_report(docs, "text").agg(
+            F.sum(F.col("c4_keep").cast("int")),
+            F.sum(F.col("gopher_keep").cast("int")),
+        ).collect()
+        qf_sec = round(time.monotonic() - t1, 3)
+        qf_docs_per_sec = round(n_qdocs / qf_sec, 1) if qf_sec else None
+
     canary_samples.append(_canary())  # back-of-run sample (min wins)
 
     post = man.steps.get("postings")
@@ -249,6 +271,8 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         "batch_queries_sec": round(batch_sec, 3),
         "batch_per_query_sec": round(batch_sec / len(batch_qs), 3),
         "knn_exact_topk_sec": knn_sec,
+        "quality_filter_sec": qf_sec,
+        "quality_filter_docs_per_sec": qf_docs_per_sec,
     }
     spark.stop()
     shutil.rmtree(src_dir, ignore_errors=True)
@@ -385,6 +409,8 @@ def main() -> None:
                     "query_p50_sec": r["query_p50_sec"],
                     "query_p95_sec": r["query_p95_sec"],
                     "knn_exact_topk_sec": r["knn_exact_topk_sec"],
+                    "quality_filter_sec": r["quality_filter_sec"],
+                    "quality_filter_docs_per_sec": r["quality_filter_docs_per_sec"],
                 },
             }
         )
