@@ -42,10 +42,11 @@ domain (never a job per bucket):
   default mincount 0). A range facet may also nest UNDER a terms facet
   (one groupBy over (parent, bucket), parents x n_buckets rows out).
 
-Top-level facet nodes take ``domain: {excludeTags | filter | query}``
-(multi-select faceting, domain narrowing, domain replacement -- see
-``_node_base``). Unsupported spec keys (refine/overrequest/join/graph
-domains...) raise ValueError -- the facade's fail-loud contract. Response shape matches
+Top-level facet nodes take ``domain: {excludeTags | filter | query |
+join}`` (multi-select faceting, domain narrowing, domain replacement,
+same-collection join mapping -- see ``_node_base``). Unsupported spec
+keys (refine/overrequest/graph domains...) raise ValueError -- the
+facade's fail-loud contract. Response shape matches
 Solr: ``{"count": N, "<name>": {"buckets": [{"val", "count", ...stats,
 ...subfacets}], "missing"?, "allBuckets"?}, "<stat>": value}``.
 """
@@ -444,14 +445,23 @@ def _node_base(idx, q, fq, op, mm, spec, tagged_fq, default_base):
       request filters, which query discards -- combining them is a
       contradiction we fail loud on).
 
-    Unknown domain keys (join/graph/blockParent...) fail loud."""
+    - ``join: {from: F, to: T}`` -- MAP the domain through a
+      same-collection join (Solr domain.join): the node's domain becomes
+      every live doc whose T value appears among the F values of the
+      current domain. Applied after excludeTags/query, before filter
+      (Solr's documented order: filter narrows the JOINED domain).
+      Distributed shape mirrors the {!join} qparser: distinct F keys
+      (shuffle sized by the domain, never the corpus) -> LEFT SEMI join
+      on T, AQE-broadcastable when the key set is small.
+
+    Unknown domain keys (graph/blockParent...) fail loud."""
     dom = spec.get("domain")
     if dom is None:
         return default_base
-    bad = set(dom) - {"excludeTags", "filter", "query"}
+    bad = set(dom) - {"excludeTags", "filter", "query", "join"}
     if bad:
         raise ValueError(
-            f"json.facet domain supports excludeTags/filter/query, "
+            f"json.facet domain supports excludeTags/filter/query/join, "
             f"got {sorted(bad)}"
         )
 
@@ -476,6 +486,28 @@ def _node_base(idx, q, fq, op, mm, spec, tagged_fq, default_base):
         base = idx._facet_base(q, kept or None, op, mm)
     else:
         base = default_base
+    if "join" in dom:
+        j = dom["join"]
+        if not isinstance(j, dict) or set(j) != {"from", "to"}:
+            raise ValueError(
+                "json.facet domain.join takes exactly {from: F, to: T}"
+            )
+        live = idx._anti_dead(idx.docs())
+        missing = [c for c in (j["from"], j["to"]) if c not in live.columns]
+        if missing:
+            raise ValueError(
+                f"json.facet domain.join: unknown fields {missing}"
+            )
+        from pyspark.sql import functions as F
+        # renamed key: base and live share lineage (same docs relation),
+        # a by-name reference would bind ambiguously in the self-join
+        keys = (
+            base.select(F.col(j["from"]).alias("__join_key"))
+            .where(F.col("__join_key").isNotNull()).distinct()
+        )
+        base = live.join(
+            keys, F.col(j["to"]) == F.col("__join_key"), "semi"
+        )
     if "filter" in dom:
         for f in _as_list(dom["filter"]):
             base = idx._apply_fq(base, f)

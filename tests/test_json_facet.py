@@ -392,3 +392,55 @@ def test_domain_filter_and_query(corpus):
     users = [r for r in alive if r["role"] == "user"]
     assert got["rcount"]["count"] == \
         sum(1 for r in users if r["turn_idx"] >= 3)
+
+
+def test_domain_join(corpus):
+    idx = corpus
+    # map the "error" match set to EVERY turn of its conversations
+    # (from=conv_id, to=conv_id), then facet roles over that domain
+    got = json_facet(idx, "error", {
+        "roles": {"type": "terms", "field": "role", "limit": 10,
+                  "domain": {"join": {"from": "conv_id", "to": "conv_id"}}},
+    })
+    convs = {r["conv_id"] for r in _rows(idx, "error")}
+    dom = [r.asDict() for r in idx.docs().collect()
+           if r["conv_id"] in convs]
+    want = {}
+    for r in dom:
+        want[r["role"]] = want.get(r["role"], 0) + 1
+    buckets = {b["val"]: b["count"] for b in got["roles"]["buckets"]}
+    assert buckets == want
+    assert len(dom) > len(_rows(idx, "error"))  # the join really expanded
+
+
+def test_domain_join_then_filter(corpus):
+    idx = corpus
+    # Solr order: filter narrows the JOINED domain
+    got = json_facet(idx, "error", {
+        "users": {"type": "query", "q": "*:*",
+                  "domain": {"join": {"from": "conv_id", "to": "conv_id"},
+                             "filter": "role:user"}},
+    })
+    convs = {r["conv_id"] for r in _rows(idx, "error")}
+    want = sum(1 for r in idx.docs().collect()
+               if r["conv_id"] in convs and r["role"] == "user")
+    assert got["users"]["count"] == want
+
+
+def test_domain_join_fail_loud(corpus):
+    idx = corpus
+    with pytest.raises(ValueError, match="exactly .from: F, to: T."):
+        json_facet(idx, "error", {
+            "x": {"type": "terms", "field": "role",
+                  "domain": {"join": {"from": "conv_id"}}},
+        })
+    with pytest.raises(ValueError, match="unknown fields"):
+        json_facet(idx, "error", {
+            "x": {"type": "terms", "field": "role",
+                  "domain": {"join": {"from": "nope", "to": "conv_id"}}},
+        })
+    with pytest.raises(ValueError, match="graph"):
+        json_facet(idx, "error", {
+            "x": {"type": "terms", "field": "role",
+                  "domain": {"graph": {"from": "a", "to": "b"}}},
+        })
