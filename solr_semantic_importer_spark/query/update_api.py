@@ -229,6 +229,11 @@ def solr_update(
             items = payload if isinstance(payload, list) else [payload]
             for it in items:
                 if isinstance(it, dict) and "query" in it:
+                    if "id" in it:
+                        raise ValueError(
+                            "/update delete: a command takes query OR id, "
+                            "not both"
+                        )
                     counts["deletes"] += idx.delete_by_query(str(it["query"]))
                     continue
                 did = it.get("id") if isinstance(it, dict) else it

@@ -65,3 +65,27 @@ def test_empty_and_none_text():
     st = _stages(resp, "text_en")
     assert all(toks == [] for toks in st.values())
     assert solr_analyze_field("text_en", None)
+
+
+def test_analysis_field_arabic_persian_stages():
+    # the ar/fa chains register token/post-stop transforms — the stage
+    # table must exist and agree with the composed analyzer (the handler
+    # asserts the invariant internally)
+    from solr_semantic_importer_spark.functions.lang_chains import (
+        register_language_chains,
+    )
+    from solr_semantic_importer_spark.query.analysis_api import (
+        solr_analyze_field,
+    )
+    register_language_chains(
+        "/root/reference/src/main/resources/default-base-config/lang",
+        languages=["ar", "fa"], prefix="aa_", overwrite=True)
+    r = solr_analyze_field("aa_ar", "والكتاب الكبير")
+    names = [n for n, _ in r["analysis"]["field_types"]["aa_ar"]["index"]]
+    assert names == ["tokenizer(lowercase)", "stop",
+                     "post_stop_transform", "stem"]
+    final = r["analysis"]["field_types"]["aa_ar"]["index"][-1][1]
+    assert any(t["text"] == "كتاب" for t in final)  # wal- stripped
+    r2 = solr_analyze_field("aa_fa", "كتابي")
+    stages = dict(r2["analysis"]["field_types"]["aa_fa"]["index"])
+    assert stages["token_transform"][0]["text"] == "کتابی"

@@ -148,6 +148,12 @@ def test_validation_fails_loud(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="unsupported keys"):
         solr_update(spark, d, cfg,
                     {"add": {"doc": _doc("c", 0, "t"), "boost": 2.0}})
+    # a delete command takes query OR id, never both (the id would
+    # otherwise be silently dropped)
+    with pytest.raises(ValueError, match="query OR id"):
+        solr_update(spark, d, cfg,
+                    {"delete": {"query": "role = 'user'", "id": "x"}},
+                    unique_key="conv_id")
 
 
 def test_optimize_merges_runs(spark, tmp_path_factory):
