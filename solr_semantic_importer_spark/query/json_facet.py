@@ -454,16 +454,31 @@ def _node_base(idx, q, fq, op, mm, spec, tagged_fq, default_base):
       (shuffle sized by the domain, never the corpus) -> LEFT SEMI join
       on T, AQE-broadcastable when the key set is small.
 
-    Unknown domain keys (graph/blockParent...) fail loud."""
+    - ``graph: {from: F, to: T, maxDepth?: N, returnRoot?: bool}`` --
+      the TRANSITIVE closure of the join step (Solr domain.graph /
+      {!graph} semantics: breadth-first edge walk): hop k+1 adds every
+      live doc whose T value appears among the frontier's F values.
+      ``maxDepth`` bounds the hops (-1 = until fixpoint, the Solr
+      default); ``returnRoot`` keeps the starting domain in the result
+      (default true, like Solr). Each round shuffles only the NEW key
+      set (visited keys are anti-joined away, so cyclic graphs
+      converge); frontiers are localCheckpoint-ed per round -- the same
+      flat-lineage discipline as connected components, without which an
+      iterative plan grows exponentially. One final semi join
+      materializes the reached ids against the live docs.
+
+    Unknown domain keys (blockParent/blockChildren...) fail loud."""
     dom = spec.get("domain")
     if dom is None:
         return default_base
-    bad = set(dom) - {"excludeTags", "filter", "query", "join"}
+    bad = set(dom) - {"excludeTags", "filter", "query", "join", "graph"}
     if bad:
         raise ValueError(
-            f"json.facet domain supports excludeTags/filter/query/join, "
-            f"got {sorted(bad)}"
+            f"json.facet domain supports excludeTags/filter/query/join/"
+            f"graph, got {sorted(bad)}"
         )
+    if "join" in dom and "graph" in dom:
+        raise ValueError("json.facet domain: join and graph are exclusive")
 
     def _as_list(v):
         return list(v) if isinstance(v, (list, tuple)) else [v]
@@ -508,10 +523,78 @@ def _node_base(idx, q, fq, op, mm, spec, tagged_fq, default_base):
         base = live.join(
             keys, F.col(j["to"]) == F.col("__join_key"), "semi"
         )
+    if "graph" in dom:
+        base = _graph_domain(idx, base, dom["graph"])
     if "filter" in dom:
         for f in _as_list(dom["filter"]):
             base = idx._apply_fq(base, f)
     return base
+
+
+_GRAPH_MAX_ROUNDS = 1000  # runaway backstop, far above any real depth
+
+
+def _graph_domain(idx, base, g):
+    """See ``_node_base``: breadth-first closure of the join step."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(g, dict):
+        raise ValueError("json.facet domain.graph takes an object")
+    g = dict(g)
+    try:
+        frm, to = g.pop("from"), g.pop("to")
+    except KeyError:
+        raise ValueError("json.facet domain.graph needs from= and to=")
+    max_depth = int(g.pop("maxDepth", -1))
+    return_root = bool(g.pop("returnRoot", True))
+    if g:
+        raise ValueError(
+            f"json.facet domain.graph: unsupported keys {sorted(g)} "
+            f"(traversalFilter is not implemented)"
+        )
+    live = idx._anti_dead(idx.docs())
+    missing = [c for c in (frm, to) if c not in live.columns]
+    if missing:
+        raise ValueError(f"json.facet domain.graph: unknown fields {missing}")
+
+    frontier = base
+    visited_keys = None   # __gk frames, accumulated
+    reached_ids = None    # doc_id frames, accumulated
+    depth = 0
+    while max_depth < 0 or depth < max_depth:
+        if depth >= _GRAPH_MAX_ROUNDS:
+            raise RuntimeError(
+                f"json.facet domain.graph did not converge within "
+                f"{_GRAPH_MAX_ROUNDS} hops"
+            )
+        keys = (
+            frontier.select(F.col(frm).alias("__gk"))
+            .where(F.col("__gk").isNotNull()).distinct()
+        )
+        if visited_keys is not None:
+            keys = keys.join(visited_keys, "__gk", "anti")
+        keys = keys.localCheckpoint()  # flat lineage per round
+        if keys.count() == 0:
+            break
+        visited_keys = (
+            keys if visited_keys is None
+            else visited_keys.unionByName(keys).localCheckpoint()
+        )
+        frontier = live.join(keys, F.col(to) == F.col("__gk"), "semi")
+        ids = frontier.select("doc_id")
+        reached_ids = (
+            ids if reached_ids is None else reached_ids.unionByName(ids)
+        )
+        depth += 1
+
+    root_ids = base.select("doc_id")
+    if reached_ids is None:
+        all_ids = root_ids if return_root else root_ids.limit(0)
+    else:
+        all_ids = (
+            reached_ids.unionByName(root_ids) if return_root else reached_ids
+        )
+    return live.join(all_ids.distinct(), "doc_id", "semi")
 
 
 def json_facet(

@@ -444,3 +444,88 @@ def test_domain_join_fail_loud(corpus):
             "x": {"type": "terms", "field": "role",
                   "domain": {"graph": {"from": "a", "to": "b"}}},
         })
+
+
+@pytest.fixture(scope="module")
+def graph_idx(spark, tmp_path_factory):
+    # chain edges: doc i points FORWARD via from_f = n(i+1), to_f = n(i)
+    # (the graph step adds docs whose to_f is among the frontier's from_f
+    # values, so the walk proceeds doc 0 -> 1 -> 2 -> ...)
+    from pyspark.sql import functions as F
+    df = generate_transcripts(spark, n_convs=6, turns_per_conv=4, seed=11)
+    df = df.withColumn(
+        "nid", F.crc32(F.concat("conv_id", F.lit(":"),
+                                F.col("turn_idx").cast("string")))
+    )
+    # one global chain by (conv_id, turn_idx) order
+    from pyspark.sql.window import Window
+    w = Window.orderBy("conv_id", "turn_idx")
+    df = df.withColumn("pos", F.row_number().over(w) - 1)
+    df = df.withColumn("from_f", F.concat(F.lit("n"), (F.col("pos") + 1)))
+    df = df.withColumn("to_f", F.concat(F.lit("n"), F.col("pos"))).drop(
+        "nid", "pos")
+    idx_dir = str(tmp_path_factory.mktemp("jfg"))
+    build_index(spark, df, idx_dir, BuildConfig(build_id="jfg", **CFG))
+    return BM25Index(spark, idx_dir)
+
+
+def test_domain_graph_bounded_and_closure(graph_idx):
+    idx = graph_idx
+    pos = {r["doc_id"]: int(r["to_f"][1:])
+           for r in idx.docs().select("doc_id", "to_f").collect()}
+    root_fq = "to_f = 'n0'"  # the chain head
+    # maxDepth=2: head + two hops
+    got = json_facet(idx, "*:*", {
+        "n": {"type": "query", "q": "*:*",
+              "domain": {"graph": {"from": "from_f", "to": "to_f",
+                                   "maxDepth": 2}}},
+    }, fq=root_fq)
+    assert got["n"]["count"] == 3
+    # unbounded: the whole chain
+    got = json_facet(idx, "*:*", {
+        "n": {"type": "query", "q": "*:*",
+              "domain": {"graph": {"from": "from_f", "to": "to_f"}}},
+    }, fq=root_fq)
+    assert got["n"]["count"] == len(pos)
+    # returnRoot=false drops the head
+    got = json_facet(idx, "*:*", {
+        "n": {"type": "query", "q": "*:*",
+              "domain": {"graph": {"from": "from_f", "to": "to_f",
+                                   "maxDepth": 1, "returnRoot": False}}},
+    }, fq=root_fq)
+    assert got["n"]["count"] == 1
+
+
+def test_domain_graph_cycle_converges(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+    # a 3-cycle: n0 -> n1 -> n2 -> n0
+    df = generate_transcripts(spark, n_convs=1, turns_per_conv=3, seed=2)
+    df = df.withColumn("from_f", F.concat(
+        F.lit("n"), ((F.col("turn_idx") + 1) % 3)))
+    df = df.withColumn("to_f", F.concat(F.lit("n"), F.col("turn_idx")))
+    d = str(tmp_path_factory.mktemp("jfc"))
+    build_index(spark, df, d, BuildConfig(build_id="jfc", **CFG))
+    idx = BM25Index(spark, d)
+    got = json_facet(idx, "*:*", {
+        "n": {"type": "query", "q": "*:*",
+              "domain": {"graph": {"from": "from_f", "to": "to_f"}}},
+    }, fq="to_f = 'n0'")
+    assert got["n"]["count"] == 3  # fixpoint, no infinite loop
+
+
+def test_domain_graph_fail_loud(graph_idx):
+    idx = graph_idx
+    with pytest.raises(ValueError, match="needs from= and to="):
+        json_facet(idx, "*:*", {
+            "n": {"type": "query", "q": "*:*",
+                  "domain": {"graph": {"from": "from_f"}}}})
+    with pytest.raises(ValueError, match="traversalFilter"):
+        json_facet(idx, "*:*", {
+            "n": {"type": "query", "q": "*:*",
+                  "domain": {"graph": {"from": "from_f", "to": "to_f",
+                                       "traversalFilter": "x"}}}})
+    with pytest.raises(ValueError, match="exclusive"):
+        json_facet(idx, "*:*", {
+            "n": {"type": "query", "q": "*:*",
+                  "domain": {"join": {"from": "from_f", "to": "to_f"},
+                             "graph": {"from": "from_f", "to": "to_f"}}}})
