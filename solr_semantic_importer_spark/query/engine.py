@@ -4379,11 +4379,17 @@ class BM25Index:
             from ..functions.geo import geo_fq_to_sql
 
             expr = geo_fq_to_sql(fq, dict(self.docs().dtypes))
-        elif fq.lstrip().startswith("{!join"):
-            # JoinQParserPlugin: the DocSet is a semi-join, not a boolean
+        elif fq.lstrip().startswith(("{!join", "{!graph")):
+            # JoinQParserPlugin / GraphQueryParser: the DocSet is a
+            # semi-join (or its breadth-first closure), not a boolean
             # over the scan -- its own branch with the same cache tail
+            docset = (
+                self._join_fq_docset(fq)
+                if fq.lstrip().startswith("{!join")
+                else self._graph_fq_docset(fq)
+            )
             allowed = (
-                self._join_fq_docset(fq).select("doc_id")
+                docset.select("doc_id")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             n_allowed = allowed.count()
@@ -4479,6 +4485,51 @@ class BM25Index:
         return self.docs().join(
             keys, F.col(f_to) == F.col("__join_key"), "left_semi"
         )
+
+    _GRAPH_RE = re.compile(r"^\{!graph\s+([^}]*)\}(.*)$", re.S)
+
+    def _graph_fq_docset(self, fq: str) -> DataFrame:
+        """Solr GraphQueryParser (``fq={!graph from=F to=T [maxDepth=N]
+        [returnRoot=true|false]}rootQuery``): every doc reachable from the
+        root query's match set by the breadth-first edge walk — hop k+1
+        adds docs whose T value appears among the frontier's F values.
+        The traversal itself is :func:`..query.json_facet._graph_domain`
+        (domain.graph and this qparser are the same machinery in Solr
+        too); each round shuffles only the NEW key set, frontiers are
+        localCheckpoint-ed, and the DocSet is filter-cached under the
+        original fq string like any filter."""
+        from .json_facet import _graph_domain
+
+        m = self._GRAPH_RE.match(fq.strip())
+        if m is None:
+            raise ValueError(f"cannot parse graph qparser: {fq!r}")
+        lps = dict(p.partition("=")[::2] for p in m.group(1).split())
+        extra = set(lps) - {"from", "to", "maxDepth", "returnRoot"}
+        if extra or not {"from", "to"} <= set(lps):
+            raise ValueError(
+                "{!graph} requires from= and to= (optional maxDepth=, "
+                f"returnRoot=), got {sorted(lps)}"
+            )
+        inner = m.group(2).strip()
+        if not inner:
+            raise ValueError("{!graph}: empty root query")
+        if inner == "*:*":
+            root = self._anti_dead(self.docs())
+        else:
+            root = self.docs().join(
+                self._matched_ids(inner), "doc_id", "left_semi"
+            )
+        spec = {"from": lps["from"], "to": lps["to"]}
+        if "maxDepth" in lps:
+            spec["maxDepth"] = int(lps["maxDepth"])
+        if "returnRoot" in lps:
+            if lps["returnRoot"] not in ("true", "false"):
+                raise ValueError(
+                    f"{{!graph}}: returnRoot must be true|false, got "
+                    f"{lps['returnRoot']!r}"
+                )
+            spec["returnRoot"] = lps["returnRoot"] == "true"
+        return _graph_domain(self, root, spec)
 
     @staticmethod
     def _norm_fq(fq):

@@ -99,3 +99,54 @@ def test_join_fail_loud(corpus):
     ]:
         with pytest.raises(ValueError, match=msg):
             solr_select(corpus, {"q": "*:*", "fq": fq, "rows": 0})
+
+
+# --- {!graph} qparser (session-4 r4) ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def graph_idx(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    df = generate_transcripts(spark, n_convs=5, turns_per_conv=4, seed=13)
+    w = Window.orderBy("conv_id", "turn_idx")
+    df = df.withColumn("pos", F.row_number().over(w) - 1)
+    # forward chain: doc i reaches doc i+1 (from_f = n(i+1), to_f = n(i))
+    df = df.withColumn("from_f", F.concat(F.lit("n"), (F.col("pos") + 1)))
+    df = df.withColumn("to_f", F.concat(F.lit("n"), F.col("pos"))).drop("pos")
+    d = str(tmp_path_factory.mktemp("gq"))
+    build_index(spark, df, d, BuildConfig(build_id="gq", **CFG))
+    return BM25Index(spark, d)
+
+
+def test_graph_fq_bounded_walk(graph_idx):
+    idx = graph_idx
+    pos = {r["doc_id"]: int(r["to_f"][1:])
+           for r in idx.docs().select("doc_id", "to_f").collect()}
+    fq = "{!graph from=from_f to=to_f maxDepth=3}to_f:n0"
+    got = {r["doc_id"] for r in idx.match_all(k=100, fq=fq).collect()}
+    assert {pos[d] for d in got} == {0, 1, 2, 3}
+    # unbounded closure reaches the whole chain; scored q composes
+    fq_all = "{!graph from=from_f to=to_f}to_f:n0"
+    n = idx.count_matches("*:*", fq=fq_all)
+    assert n == len(pos)
+    scored = idx.search("error tool call", k=5, fq=fq_all)
+    assert scored.count() >= 0  # fq composes with WAND scoring
+    # returnRoot=false drops the head
+    fq_nr = "{!graph from=from_f to=to_f maxDepth=1 returnRoot=false}to_f:n0"
+    got = {pos[r["doc_id"]] for r in idx.match_all(k=100, fq=fq_nr).collect()}
+    assert got == {1}
+
+
+def test_graph_fq_fail_loud(graph_idx):
+    idx = graph_idx
+    with pytest.raises(ValueError, match="requires from= and to="):
+        idx.match_all(k=5, fq="{!graph from=from_f}to_f:n0").collect()
+    with pytest.raises(ValueError, match="returnRoot must be"):
+        idx.match_all(
+            k=5, fq="{!graph from=from_f to=to_f returnRoot=maybe}to_f:n0"
+        ).collect()
+    with pytest.raises(ValueError, match="empty root"):
+        idx.match_all(k=5, fq="{!graph from=from_f to=to_f}").collect()
+    with pytest.raises(ValueError, match="unknown fields"):
+        idx.match_all(k=5, fq="{!graph from=nope to=to_f}to_f:n0").collect()
