@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..plans.manifest import _latest_version
 from .engine import BM25Index
 
-__all__ = ["solr_luke"]
+__all__ = ["solr_luke", "solr_segments"]
 
 # engine-internal doc columns never reported as user fields
 _INTERNAL = ("dl", "segment_id")
@@ -148,3 +148,41 @@ def solr_luke(idx: BM25Index, params: dict[str, Any] | None = None) -> dict:
         fields[f] = info
     resp["fields"] = fields
     return resp
+
+
+def solr_segments(idx: BM25Index) -> dict:
+    """Solr's ``/admin/segments`` analog: per-segment doc/delete counts.
+
+    ONE aggregation job over the docs scan (grouped by the partition
+    column, so at 10^12 docs the shuffle carries n_segments rows), plus
+    one tombstone-side join when deletes exist. ``sizeInBytes``/
+    per-segment file sizes are storage-layer facts the manifest owns;
+    the engine-level answer is row counts (documented deviation).
+    """
+    docs = idx.docs().groupBy("segment_id").agg(
+        F.count("*").alias("docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    dead = idx._tombstones_df()
+    if dead is not None:
+        per_seg_dead = (
+            idx.docs().select("doc_id", "segment_id")
+            .join(dead, "doc_id", "left_semi")
+            .groupBy("segment_id").agg(F.count("*").alias("delCount"))
+        )
+        docs = docs.join(per_seg_dead, "segment_id", "left")
+    rows = docs.orderBy("segment_id").collect()
+    return {
+        "responseHeader": {"status": 0},
+        "segments": {
+            str(r["segment_id"]): {
+                "name": str(r["segment_id"]),
+                "docCount": int(r["docs"]),
+                "delCount": int(r["delCount"] or 0) if dead is not None else 0,
+                "minDoc": int(r["min_doc"]),
+                "maxDoc": int(r["max_doc"]),
+            }
+            for r in rows
+        },
+    }

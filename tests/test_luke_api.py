@@ -116,3 +116,24 @@ def test_fail_loud(idx):
         solr_luke(idx, {"fl": "nope"})
     with pytest.raises(ValueError, match="show"):
         solr_luke(idx, {"show": "doc"})
+
+
+def test_segments_handler(spark, tmp_path_factory):
+    from solr_semantic_importer_spark.query.luke_api import solr_segments
+    df = generate_transcripts(spark, n_convs=12, turns_per_conv=4, seed=7)
+    d = str(tmp_path_factory.mktemp("seg"))
+    build_index(spark, df, d, BuildConfig(build_id="sg", **CFG))
+    idx = BM25Index(spark, d)
+    r = solr_segments(idx)
+    segs = r["segments"]
+    assert sum(s["docCount"] for s in segs.values()) == 48
+    assert all(s["delCount"] == 0 for s in segs.values())
+    # per-segment doc-id ranges are disjoint and ordered
+    ranges = sorted((s["minDoc"], s["maxDoc"]) for s in segs.values())
+    for (a, b), (c, e) in zip(ranges, ranges[1:]):
+        assert b < c
+    idx.delete_by_query("role = 'tool'")
+    idx2 = BM25Index(spark, d)
+    r2 = solr_segments(idx2)
+    assert sum(s["delCount"] for s in r2["segments"].values()) \
+        == idx2._n_tombstoned() > 0
