@@ -82,6 +82,14 @@ loud on anything else — the facade contract):
   ``group`` = array<struct> of the full input tuples (Solr's
   GroupOperation emits the same data as a list of tuple maps).
   Requires the stream sorted by ``by``, like Solr.
+- ``nodes(collection, stream|nodes(...), walk="src->dest",
+  gather="field", [scatter="branches,leaves"], [count(*)...])`` — the
+  graph-traversal expression: ONE breadth-first hop per wrap (nest for
+  multi-hop, like Solr): incoming src-field values matched against the
+  collection's dest field, matched docs' gather values emitted as node
+  tuples (``node``/``collection``/``field``/``level``; per-node metrics
+  from the matched docs). scatter=branches adds the root values at
+  level 0 (default leaves-only).
 - ``update(destCollection, stream, [batchSize=N])`` — index the stream's
   tuples into another collection (``run_stream_expr``'s ``collections``
   registry names it; fail loud when absent). The whole stream lands as
@@ -501,6 +509,82 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
         if s.sort:
             joined = joined.orderBy(*_sort_cols(s.sort))
         return TupleStream(joined, s.sort)
+
+    if c.name == "nodes":
+        # nodes(collection, stream|nodes(...), walk="src->dest",
+        #       gather="field", [scatter="branches,leaves"], [count(*)])
+        # — Solr's breadth-first graph expression ("Graph Traversal").
+        # One hop per nodes() wrap, exactly like Solr: the incoming
+        # tuples' src-field values are matched against the collection's
+        # dest field; the matched docs' gather-field values become the
+        # emitted node tuples (node/collection/field/level). Nesting
+        # nodes() walks further (walk="node->..."). Distributed shape =
+        # the {!graph} hop: distinct src keys (shuffle sized by the
+        # stream), one semi/inner join against the docs scan, gather
+        # distinct — never the corpus on the wire.
+        _require_params(c, {"walk", "gather"}, {"scatter"})
+        if len(c.args) < 2 or not isinstance(c.args[1], Call):
+            raise ValueError("nodes(collection, stream, walk=.., gather=..)")
+        nidx = _resolve(c.args[0], idx, colls)
+        s = _eval(c.args[1], idx, colls)
+        metrics = [_metric(a) for a in c.args[2:] if isinstance(a, Call)]
+        if len(metrics) != len(c.args) - 2:
+            raise ValueError(
+                "nodes(): positional args after the stream must be metrics"
+            )
+        walk = str(c.params["walk"])
+        src, arrow, dest = walk.partition("->")
+        src, dest = src.strip(), dest.strip()
+        if not arrow or not src or not dest:
+            raise ValueError(f"nodes(): walk must be 'src->dest', got {walk!r}")
+        gather = str(c.params["gather"]).strip()
+        scatter = {x.strip() for x in
+                   str(c.params.get("scatter", "leaves")).split(",") if x.strip()}
+        bad_sc = scatter - {"branches", "leaves"}
+        if bad_sc:
+            raise ValueError(f"nodes(): scatter takes branches/leaves, "
+                             f"got {sorted(bad_sc)}")
+        if src not in s.df.columns:
+            raise ValueError(
+                f"nodes(): walk src {src!r} is not in the stream "
+                f"(columns: {s.df.columns})"
+            )
+        live = nidx._anti_dead(nidx.docs())
+        unknown = [f for f in (dest, gather) if f not in live.columns]
+        if unknown:
+            raise ValueError(f"nodes(): unknown collection fields {unknown}")
+        keys = (
+            s.df.select(F.col(src).alias("__walk_key"))
+            .where(F.col("__walk_key").isNotNull()).distinct()
+        )
+        hop = live.join(keys, F.col(dest) == F.col("__walk_key"), "semi")
+        node_col = F.col(gather).cast("string")
+        gathered = hop.where(node_col.isNotNull())
+        if metrics:
+            leaves = gathered.groupBy(node_col.alias("node")) \
+                .agg(*[m[0] for m in metrics])
+        else:
+            leaves = gathered.select(node_col.alias("node")).distinct()
+        leaves = (
+            leaves
+            .withColumn("collection", F.lit(str(c.args[0])))
+            .withColumn("field", F.lit(gather))
+            .withColumn("level", F.lit(1))
+        )
+        out = leaves
+        if "branches" in scatter:
+            roots = (
+                s.df.select(F.col(src).cast("string").alias("node"))
+                .where(F.col("node").isNotNull()).distinct()
+                .withColumn("collection", F.lit(str(c.args[0])))
+                .withColumn("field", F.lit(src))
+                .withColumn("level", F.lit(0))
+            )
+            out = roots.unionByName(out, allowMissingColumns=True)
+        if "leaves" not in scatter:
+            out = out.where(F.col("level") == 0)
+        out = out.orderBy(F.col("level").asc(), F.col("node").asc())
+        return TupleStream(out, (("level", "asc"), ("node", "asc")))
 
     if c.name == "random":
         # random(collection, q=.., [fq=], [rows=10], [fl=], [seed=])

@@ -168,3 +168,69 @@ def test_reduce_requires_sorted_by(idx):
                  'sort="conv_id asc"), conv_id), by="conv_id", '
                  'group(sort="conv_id asc", n=2))'
         )
+
+
+# ----------------------------------------------------------------- nodes
+
+
+@pytest.fixture(scope="module")
+def chain_idx(spark, tmp_path_factory):
+    from pyspark.sql.window import Window
+    df = generate_transcripts(spark, n_convs=5, turns_per_conv=4, seed=17)
+    w = Window.orderBy("conv_id", "turn_idx")
+    df = df.withColumn("pos", F.row_number().over(w) - 1)
+    df = df.withColumn("from_f", F.concat(F.lit("n"), (F.col("pos") + 1)))
+    df = df.withColumn("to_f", F.concat(F.lit("n"), F.col("pos"))).drop("pos")
+    d = str(tmp_path_factory.mktemp("nod"))
+    build_index(spark, df, d, BuildConfig(build_id="nod", **CFG))
+    return BM25Index(spark, d)
+
+
+def test_nodes_one_hop(chain_idx):
+    idx = chain_idx
+    # roots: the doc at chain position 0 (from_f = n1); one hop gathers
+    # the from_f of the doc whose to_f = n1, i.e. n2
+    df = run_stream_expr(
+        idx, 'nodes(tx, search(tx, q="to_f:n0", fl="doc_id,from_f", '
+             'sort="doc_id asc"), walk="from_f->to_f", gather="from_f", '
+             'count(*))'
+    )
+    rows = df.collect()
+    assert [(r["node"], r["level"], r["count(*)"]) for r in rows] \
+        == [("n2", 1, 1)]
+    assert rows[0]["field"] == "from_f" and rows[0]["collection"] == "tx"
+
+
+def test_nodes_nested_two_hops_and_scatter(chain_idx):
+    idx = chain_idx
+    two = run_stream_expr(
+        idx, 'nodes(tx, nodes(tx, search(tx, q="to_f:n0", fl="from_f", '
+             'sort="from_f asc"), walk="from_f->to_f", gather="from_f"), '
+             'walk="node->to_f", gather="from_f", scatter="branches,leaves")'
+    )
+    rows = {(r["node"], r["level"]) for r in two.collect()}
+    assert rows == {("n2", 0), ("n3", 1)}  # branch root + next hop
+    only_roots = run_stream_expr(
+        idx, 'nodes(tx, search(tx, q="to_f:n0", fl="from_f", '
+             'sort="from_f asc"), walk="from_f->to_f", gather="from_f", '
+             'scatter="branches")'
+    )
+    assert [(r["node"], r["level"]) for r in only_roots.collect()] \
+        == [("n1", 0)]
+
+
+def test_nodes_fail_loud(chain_idx):
+    idx = chain_idx
+    base = 'search(tx, q="to_f:n0", fl="from_f", sort="from_f asc")'
+    with pytest.raises(ValueError, match="walk must be"):
+        run_stream_expr(idx, f'nodes(tx, {base}, walk="from_f", '
+                             f'gather="from_f")')
+    with pytest.raises(ValueError, match="not in the stream"):
+        run_stream_expr(idx, f'nodes(tx, {base}, walk="nope->to_f", '
+                             f'gather="from_f")')
+    with pytest.raises(ValueError, match="unknown collection fields"):
+        run_stream_expr(idx, f'nodes(tx, {base}, walk="from_f->nope", '
+                             f'gather="from_f")')
+    with pytest.raises(ValueError, match="scatter takes"):
+        run_stream_expr(idx, f'nodes(tx, {base}, walk="from_f->to_f", '
+                             f'gather="from_f", scatter="roots")')
