@@ -1771,6 +1771,151 @@ class BM25Index:
             lst.sort(key=lambda r: (-round(r["score"], 6), r["doc_id"]))
         return groups, counts
 
+    def collapse_heads(
+        self,
+        query: str,
+        field: str,
+        head_by: tuple | None = None,
+        null_policy: str = "ignore",
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """Solr CollapsingQParserPlugin head selection (``fq={!collapse
+        field=F min=|max=|sort=|nullPolicy=}``): ONE row per collapsed
+        group -- (group_value, doc_id, score) -- where the head is the
+        group member chosen by ``head_by``:
+
+        - ``None``: highest (round6 score, lowest doc_id) -- Solr's
+          default relevance selector.
+        - ``('min'|'max', field_or_func)``: smallest/largest value of a
+          numeric field (or function query); group members with a null
+          criterion never win the slot (an all-null group falls back to
+          its lowest doc_id), ties break to the lowest doc_id.
+        - ``('sort', [(key, 'asc'|'desc'), ...])``: top doc per group
+          under the sort spec ('score' = the round6 relevance key,
+          function queries compile through :meth:`function_expr`); nulls
+          sort last, final tie-break doc_id asc.
+
+        ``null_policy`` is Solr's: 'ignore' drops null-``field`` docs
+        from the result set, 'expand' passes each through as its own
+        head, 'collapse' folds them into ONE null group (Spark groupBy /
+        window partitioning already treats the null key as a single
+        group, so that path is the plain grouped plan).
+
+        Scale shape: the relevance and plain-field min/max selectors are
+        ONE partial-agg shuffle (``groupBy(field).agg(max(struct(...)))``
+        -- map-side combine, groups-not-matches cross the wire). The
+        sort/function selectors need every member's computed key side by
+        side, so they pay one window shuffle of the match set -- the same
+        cost Solr's collapse pays collecting the full DocSet. The score
+        source is :meth:`score_matches` (field-selected heads still
+        report their own relevance score, Solr's contract); ``*:*``
+        short-circuits to the live fq'd scan with score 1.0."""
+        from pyspark.sql.window import Window
+
+        from ..functions.function_query import looks_like_function
+
+        if null_policy not in ("ignore", "expand", "collapse"):
+            raise ValueError(
+                f"nullPolicy must be ignore|expand|collapse, got {null_policy!r}"
+            )
+        mode = head_by[0] if head_by else "score"
+        if mode not in ("score", "min", "max", "sort"):
+            raise ValueError(f"collapse head_by mode {mode!r} unsupported")
+
+        if query.strip() == "*:*":
+            base = (
+                self._anti_dead(self._apply_fq(self.docs(), fq))
+                .select("doc_id")
+                .withColumn("score", F.lit(1.0))
+            )
+        else:
+            base = self.score_matches(query, op=op, fq=fq, mm=mm)
+
+        # columns the selector reads; function keys compile to SQL over the
+        # docs frame, so join the full row and let Catalyst prune to what
+        # the expression actually references
+        skey = F.round(F.col("score"), 6)
+
+        def _key_col(name: str):
+            if name == "score":
+                return skey
+            if looks_like_function(name):
+                return F.expr(self.function_expr(name)[0])
+            if name not in self.docs().columns:
+                raise ValueError(f"collapse criterion references unknown "
+                                 f"field {name!r}")
+            return F.col(name)
+
+        need: list[str] = [field]
+        keys = ([head_by[1]] if mode in ("min", "max")
+                else [f for f, _ in head_by[1]] if mode == "sort" else [])
+        any_func = any(looks_like_function(k) for k in keys)
+        for k in keys:
+            if k == "score" or looks_like_function(k):
+                continue
+            if k not in self.docs().columns:
+                raise ValueError(
+                    f"collapse criterion references unknown field {k!r}"
+                )
+            if k not in need:
+                need.append(k)
+        side = self.docs() if any_func else self.docs().select("doc_id", *need)
+        joined = base.join(side, "doc_id")
+
+        nulls = None
+        grp = joined
+        if null_policy == "ignore":
+            grp = joined.filter(F.col(field).isNotNull())
+        elif null_policy == "expand":
+            nulls = joined.filter(F.col(field).isNull()).select(
+                F.col(field).alias("group_value"), "doc_id", "score"
+            )
+            grp = joined.filter(F.col(field).isNotNull())
+
+        func_minmax = mode in ("min", "max") and looks_like_function(head_by[1])
+        if mode == "sort" or func_minmax:
+            spec = (head_by[1] if mode == "sort" else
+                    [(head_by[1], "asc" if mode == "min" else "desc")])
+            cols = []
+            for f_, d_ in spec:
+                c = _key_col(f_)
+                cols.append(c.desc_nulls_last() if d_ == "desc"
+                            else c.asc_nulls_last())
+            w = Window.partitionBy(field).orderBy(*cols, F.col("doc_id").asc())
+            heads = (
+                grp.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select(F.col(field).alias("group_value"), "doc_id", "score")
+            )
+        else:
+            if mode == "score":
+                k = skey
+            else:
+                x = _key_col(head_by[1]).cast("double")
+                k = F.coalesce(x if mode == "max" else -x,
+                               F.lit(float("-inf")))
+            pick = F.max(
+                F.struct(
+                    k.alias("k"),
+                    (-F.col("doc_id")).alias("nd"),
+                    F.col("score").alias("s"),
+                )
+            ).alias("h")
+            heads = (
+                grp.groupBy(field)
+                .agg(pick)
+                .select(
+                    F.col(field).alias("group_value"),
+                    (-F.col("h.nd")).cast("long").alias("doc_id"),
+                    F.col("h.s").alias("score"),
+                )
+            )
+        if nulls is not None:
+            heads = heads.unionByName(nulls)
+        return heads
+
     def search_reranked(
         self,
         query: str,

@@ -1534,23 +1534,50 @@ def _collapse_select(
     idx: BM25Index, params: dict[str, Any], t0: float,
     collapse_fq: str, fqs: list,
 ) -> dict[str, Any]:
-    """Solr collapse qparser (``fq={!collapse field=F}``) + ExpandComponent
-    (``expand=true``): the result set collapses to each group's best doc
-    by relevance (rides the grouped segment kernels -- groups x 1 rows per
-    segment, never the full match set); numFound = the number of groups.
-    ``expand=true`` adds the ``expanded`` section: per page-group, the top
-    ``expand.rows`` (default 5) OTHER members. nullPolicy=ignore (Solr's
-    default -- null-field docs drop); other local params (min/max/sort/
-    hint) and other components fail loud."""
+    """Solr collapse qparser (``fq={!collapse field=F min=|max=|sort=|
+    nullPolicy=}``) + ExpandComponent (``expand=true``): the result set
+    collapses to one doc per group -- the group's best by relevance
+    (default), or by ``min=``/``max=`` of a numeric field or function, or
+    the top doc under a ``sort=`` spec -- and the page is ordered by each
+    head's own relevance score (Solr: the collapsed doc keeps its score
+    and the main sort applies). numFound = the number of groups.
+    ``nullPolicy``: ignore (default, null-field docs drop) / expand
+    (null docs pass through as themselves) / collapse (one null group).
+    ``hint=top_fc`` is accepted and ignored (a Lucene FieldCache
+    performance hint -- no semantic effect). ``expand=true`` adds the
+    ``expanded`` section: per page-group, the top ``expand.rows``
+    (default 5) OTHER members by relevance (Solr's default expand.sort).
+
+    The default relevance+ignore path rides the grouped segment kernels
+    (groups x 1 rows per segment, never the full match set); the min/max/
+    sort/nullPolicy paths ride :meth:`BM25Index.collapse_heads` (plain
+    min/max = one partial-agg shuffle; sort/function = one window over
+    the match set). Other components fail loud."""
     lp = dict(_BJ_LP_RE.findall(_COLLAPSE_RE.match(collapse_fq).group(1)))
     lp = {k: v.strip("'\"") for k, v in lp.items()}
-    bad = set(lp) - {"field", "nullPolicy"}
+    bad = set(lp) - {"field", "nullPolicy", "min", "max", "sort", "hint"}
     if bad or "field" not in lp:
         raise ValueError(
-            f"{{!collapse}} supports field= (+ nullPolicy=ignore), got {lp!r}"
+            f"{{!collapse}} supports field=/min=/max=/sort=/nullPolicy=/"
+            f"hint=, got {lp!r}"
         )
-    if lp.get("nullPolicy", "ignore") != "ignore":
-        raise ValueError("{!collapse} supports nullPolicy=ignore only")
+    if sum(k in lp for k in ("min", "max", "sort")) > 1:
+        raise ValueError("{!collapse} takes at most one of min=/max=/sort=")
+    if lp.get("hint", "top_fc") != "top_fc":
+        raise ValueError("{!collapse} hint= supports top_fc only")
+    null_policy = lp.get("nullPolicy", "ignore")
+    if null_policy not in ("ignore", "expand", "collapse"):
+        raise ValueError(
+            f"{{!collapse}} nullPolicy must be ignore|expand|collapse, "
+            f"got {null_policy!r}"
+        )
+    head_by = None
+    if "min" in lp:
+        head_by = ("min", lp["min"])
+    elif "max" in lp:
+        head_by = ("max", lp["max"])
+    elif "sort" in lp:
+        head_by = ("sort", _parse_sort(lp["sort"]))
     field = lp["field"]
     for p in ("cursorMark", "minExactCount", "sort", "bf", "bq", "boost",
               "json.facet", "group", "elevateIds", "excludeIds", "rq",
@@ -1574,7 +1601,19 @@ def _collapse_select(
         [f for f in fl if f != "score"]
 
     match_all = q.strip() == "*:*"
-    if match_all:
+    if head_by is not None or null_policy != "ignore":
+        heads_df = idx.collapse_heads(
+            q, field, head_by=head_by, null_policy=null_policy,
+            op=op, fq=fq, mm=mm,
+        )
+        num_found = heads_df.count()
+        key = F.round(F.col("score"), 6)
+        ordered = heads_df.orderBy(key.desc(), F.col("doc_id").asc())
+        page = ordered.offset(start).limit(rows) if start else \
+            ordered.limit(rows)
+        head_rows = [(r["group_value"], r["doc_id"], r["score"])
+                     for r in page.collect()]
+    elif match_all:
         live = idx._anti_dead(idx._apply_fq(idx.docs(), fq)).filter(
             F.col(field).isNotNull()
         )
@@ -1630,11 +1669,17 @@ def _collapse_select(
 
     if _truthy(params.get("expand", False)):
         per_group = int(params.get("expand.rows", 5))
-        gvals = [g for g, _, _ in head_rows]
+        # a null group key has no entry in Solr's expanded section (the
+        # section is keyed by field value): nullPolicy=expand heads and
+        # the nullPolicy=collapse null group are page docs, never expanded
+        gvals = [g for g, _, _ in head_rows if g is not None]
         if match_all:
             # expand over the live set: other members by doc_id order
             from pyspark.sql.window import Window
 
+            live = idx._anti_dead(idx._apply_fq(idx.docs(), fq)).filter(
+                F.col(field).isNotNull()
+            )
             others = live.filter(
                 F.col(field).isin(gvals) & ~F.col("doc_id").isin(order)
             )

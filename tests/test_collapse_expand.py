@@ -115,9 +115,9 @@ def test_collapse_match_all(corpus):
 
 def test_collapse_fail_loud(corpus):
     idx = corpus
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):  # unknown local param
         solr_select(idx, {"q": "error",
-                          "fq": "{!collapse field=conv_id max=dl}"})
+                          "fq": "{!collapse field=conv_id size=400}"})
     with pytest.raises(ValueError):
         solr_select(idx, {"q": "error", "fq": "{!collapse field=conv_id}",
                           "facet": "true", "facet.field": "role"})
