@@ -3232,6 +3232,115 @@ class BM25Index:
             int(row["after"] or 0),
         )
 
+    HEATMAP_MAX_CELLS = 100_000  # Solr HeatmapFacetCounter.maxRows guard
+
+    def facet_heatmap(
+        self,
+        query: str,
+        sfield: str,
+        grid_level: int | None = None,
+        dist_err: float | None = None,
+        geom: tuple[float, float, float, float] | None = None,
+        fq: str | list[str] | None = None,
+        op: str = "OR",
+        mm: int | str | None = None,
+    ) -> dict:
+        """Solr ``facet.heatmap`` (HeatmapFacetCounter over the spatial
+        RPT grid): 2D grid counts of the main query's exact DocSet over a
+        lat/lon point field -- the Admin-UI / clustering heatmap shape.
+
+        Spatial field convention matches :mod:`..functions.geo` (the
+        configset's PointType dimension subfields,
+        default-base-config/managed-schema.xml:521-536): ``sfield`` F maps
+        to doc columns ``F_lat`` / ``F_lon``.
+
+        Grid model: at ``grid_level`` g the world (lon [-180,180], lat
+        [-90,90]) divides into 2^g x 2^g equal cells (the quad-tree level-g
+        leaves Solr's RPT heatmap counts). ``dist_err`` (degrees) picks the
+        smallest level whose cell height <= dist_err (Solr derives the
+        level from distErr the same way through the prefix tree).
+        ``geom`` = (minLon, minLat, maxLon, maxLat) bounding box, snapped
+        OUTWARD to cell boundaries exactly like Solr snaps the heatmap
+        region to the grid; default = the whole world.
+
+        Response dict carries Solr's keys: gridLevel, columns, rows,
+        minX/maxX/minY/maxY (the SNAPPED box) and ``counts_ints2D`` --
+        rows ordered north->south, each a list of ints, with all-zero rows
+        emitted as ``None`` (Solr emits JSON null to keep sparse payloads
+        small).
+
+        Plan shape: exact DocSet -> one codegen projection to (row, col)
+        -> ONE groupBy count whose result is bounded by rows*columns
+        (capped at HEATMAP_MAX_CELLS like Solr's maxCells guard), never by
+        corpus size -- the only driver-side materialization is the grid."""
+        lat_c, lon_c = f"{sfield}_lat", f"{sfield}_lon"
+        cols = set(self.docs().columns)
+        if lat_c not in cols or lon_c not in cols:
+            raise ValueError(
+                f"facet.heatmap: unknown spatial field {sfield!r} "
+                f"(needs doc columns {lat_c}/{lon_c})"
+            )
+        if grid_level is None:
+            if dist_err is None or dist_err <= 0:
+                raise ValueError(
+                    "facet.heatmap needs facet.heatmap.gridLevel or a "
+                    "positive facet.heatmap.distErr (degrees)"
+                )
+            grid_level = 1
+            while 180.0 / (1 << grid_level) > dist_err and grid_level < 26:
+                grid_level += 1
+        g = int(grid_level)
+        if not (1 <= g <= 26):
+            raise ValueError(f"facet.heatmap.gridLevel out of range: {g}")
+        w = 360.0 / (1 << g)
+        h = 180.0 / (1 << g)
+        min_x, min_y, max_x, max_y = geom if geom else (-180.0, -90.0, 180.0, 90.0)
+        if not (max_x > min_x and max_y > min_y):
+            raise ValueError(f"facet.heatmap.geom is empty: {geom}")
+        # snap outward to grid-cell boundaries (Solr expands the heatmap
+        # region to whole cells of the chosen level)
+        sx0 = -180.0 + math.floor((min_x + 180.0) / w) * w
+        sx1 = -180.0 + math.ceil((max_x + 180.0) / w) * w
+        sy0 = -90.0 + math.floor((min_y + 90.0) / h) * h
+        sy1 = -90.0 + math.ceil((max_y + 90.0) / h) * h
+        columns = int(round((sx1 - sx0) / w))
+        rows = int(round((sy1 - sy0) / h))
+        if rows * columns > self.HEATMAP_MAX_CELLS:
+            raise ValueError(
+                f"facet.heatmap: {rows}x{columns} cells exceeds "
+                f"{self.HEATMAP_MAX_CELLS} (raise gridLevel coarser or "
+                f"shrink geom)"
+            )
+        lat = F.col(lat_c).cast("double")
+        lon = F.col(lon_c).cast("double")
+        base = self._facet_base(query, fq, op, mm).filter(
+            (lon >= sx0) & (lon < sx1) & (lat >= sy0) & (lat < sy1)
+        )
+        # row 0 = the NORTHMOST band (Solr renders counts_ints2D top-down)
+        cell = base.select(
+            F.floor((F.lit(sy1) - lat) / h).cast("int").alias("ry"),
+            F.floor((lon - sx0) / w).cast("int").alias("cx"),
+        )
+        counts = (
+            cell.groupBy("ry", "cx").agg(F.count("*").alias("c")).collect()
+        )
+        grid: list[list[int] | None] = [None] * rows
+        for r in counts:
+            ry, cx = int(r["ry"]), int(r["cx"])
+            if grid[ry] is None:
+                grid[ry] = [0] * columns
+            grid[ry][cx] = int(r["c"])
+        return {
+            "gridLevel": g,
+            "columns": columns,
+            "rows": rows,
+            "minX": sx0,
+            "maxX": sx1,
+            "minY": sy0,
+            "maxY": sy1,
+            "counts_ints2D": grid,
+        }
+
     # -- dense-vector KNN ({!knn} qparser, Solr 9) ------------------------------
 
     def knn(

@@ -160,7 +160,9 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "group.main",
              "stats", "stats.field",
              "mlt", "mlt.fl", "mlt.count", "mlt.mintf", "mlt.mindf",
-             "mlt.maxqt", "mlt.boost", "mlt.interestingTerms"}
+             "mlt.maxqt", "mlt.boost", "mlt.interestingTerms",
+             "facet.heatmap", "facet.heatmap.geom", "facet.heatmap.gridLevel",
+             "facet.heatmap.distErr", "facet.heatmap.format"}
 
 # facet.range.{start,end,gap} and the facet.field bucket params
 # (limit/offset/mincount/sort/prefix/missing), globally or per-field
@@ -212,6 +214,28 @@ def _as_list(v) -> list:
 
 def _truthy(v) -> bool:
     return str(v).lower() in ("true", "on", "1")
+
+
+_HEATMAP_GEOM_RE = re.compile(
+    r'^\[\s*"?\s*(-?[\d.]+)\s+(-?[\d.]+)\s*"?\s+TO\s+'
+    r'"?\s*(-?[\d.]+)\s+(-?[\d.]+)\s*"?\s*\]$'
+)
+
+
+def _parse_heatmap_geom(v) -> tuple[float, float, float, float] | None:
+    """Solr facet.heatmap.geom syntax: ``["minX minY" TO "maxX maxY"]``
+    (X = longitude first, per Solr's spatial rectangle grammar). Returns
+    (minLon, minLat, maxLon, maxLat) or None for the world default."""
+    if v is None:
+        return None
+    m = _HEATMAP_GEOM_RE.match(str(v).strip())
+    if m is None:
+        raise ValueError(
+            f'facet.heatmap.geom: expected ["minX minY" TO "maxX maxY"], '
+            f"got {v!r}"
+        )
+    return (float(m.group(1)), float(m.group(2)),
+            float(m.group(3)), float(m.group(4)))
 
 
 def _num(v: float):
@@ -1035,6 +1059,26 @@ def solr_select(
                     fr[field][key] = vals[key]
         if fr:
             resp["facet_counts"]["facet_ranges"] = fr
+
+        fh: dict[str, dict] = {}
+        for hfield in _as_list(params.get("facet.heatmap")):
+            fmt = str(params.get("facet.heatmap.format", "ints2D"))
+            if fmt != "ints2D":
+                raise ValueError(
+                    f"facet.heatmap.format={fmt!r}: this engine renders "
+                    f"ints2D only (png is a Solr-UI rendering concern)"
+                )
+            gl = params.get("facet.heatmap.gridLevel")
+            de = params.get("facet.heatmap.distErr")
+            fh[str(hfield)] = idx.facet_heatmap(
+                q_main, str(hfield),
+                grid_level=int(gl) if gl is not None else None,
+                dist_err=float(de) if de is not None else None,
+                geom=_parse_heatmap_geom(params.get("facet.heatmap.geom")),
+                fq=fq, op=op, mm=mm,
+            )
+        if fh:
+            resp["facet_counts"]["facet_heatmaps"] = fh
 
     jf = params.get("json.facet")
     if jf:
