@@ -114,6 +114,12 @@ class BuildConfig:
     # Lucene stop-gap position semantics). Recorded in the manifest so the
     # query side always analyzes with the same chain.
     analyzer: str = "text_general"
+    # which transcript column the index analyzes. Per-field indexes (Lucene
+    # keys every term by (field, text); edismax qf scores each field with
+    # its OWN df/dl/avgdl) are built as one index per field over the same
+    # doc-id assignment -- see query/multifield.py. All columns are still
+    # STORED; text_col only selects the analyzed stream.
+    text_col: str = "text"
     # keep the uncompressed (doc, term, tf[, positions]) intermediate after
     # the postings commit. Default False: it roughly doubles the on-disk
     # index footprint and every later step can be recomputed
@@ -317,7 +323,9 @@ def build_index(
                     analyzer = make_multi_field_analyzer(cfg.position_increment_gap)
                     tfmap_col = analyzer(*[F.col(c) for c in cfg.copy_fields])
                 else:
-                    tfmap_col = make_positions_udf(cfg.analyzer)(F.col("text"))
+                    tfmap_col = make_positions_udf(cfg.analyzer)(
+                        F.col(cfg.text_col)
+                    )
                 a = a.withColumn("tfmap", tfmap_col).withColumn(
                     "dl",
                     F.coalesce(
@@ -333,7 +341,7 @@ def build_index(
                 text_col = (
                     F.concat_ws(" ", *[F.col(c) for c in cfg.copy_fields])
                     if cfg.copy_fields
-                    else F.col("text")
+                    else F.col(cfg.text_col)
                 )
                 a = a.withColumn(
                     "tfmap", term_freqs_udf(text_col)
@@ -541,7 +549,8 @@ def build_index(
                store_positions=cfg.store_positions,
                copy_fields=list(cfg.copy_fields) if cfg.copy_fields else None,
                position_increment_gap=cfg.position_increment_gap,
-               hot_df_threshold=cfg.hot_df_threshold, hot_salts=cfg.hot_salts)
+               hot_df_threshold=cfg.hot_df_threshold, hot_salts=cfg.hot_salts,
+               text_col=cfg.text_col)
     # A4: ring-buffer history of build summaries (IndexingTracker analog)
     BuildHistory(index_dir).record(
         cfg.build_id,

@@ -2849,6 +2849,7 @@ class BM25Index:
                 fin.get("position_increment_gap", d.position_increment_gap)
             ),
             analyzer=fin.get("analyzer", d.analyzer),
+            text_col=fin.get("text_col", d.text_col),
         )
 
     def release(self) -> None:

@@ -162,7 +162,7 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "mlt", "mlt.fl", "mlt.count", "mlt.mintf", "mlt.mindf",
              "mlt.maxqt", "mlt.boost", "mlt.interestingTerms",
              "facet.heatmap", "facet.heatmap.geom", "facet.heatmap.gridLevel",
-             "facet.heatmap.distErr", "facet.heatmap.format"}
+             "facet.heatmap.distErr", "facet.heatmap.format", "qf", "tie"}
 
 # facet.range.{start,end,gap} and the facet.field bucket params
 # (limit/offset/mincount/sort/prefix/missing), globally or per-field
@@ -318,10 +318,12 @@ def _validate_edismax(params: dict) -> None:
     dt = str(params.get("defType", "lucene"))
     if dt not in ("lucene", "edismax"):
         raise ValueError(f"unsupported defType: {dt!r}")
-    present = [p for p in ("pf", "pf2", "pf3", "ps", "ps2", "ps3")
-               if p in params]
+    present = [p for p in ("pf", "pf2", "pf3", "ps", "ps2", "ps3",
+                           "qf", "tie") if p in params]
     if present and dt != "edismax":
         raise ValueError(f"{present} require defType=edismax")
+    if "tie" in params and "qf" not in params:
+        raise ValueError("tie requires qf (the DisMax field list)")
     for sp, pp in (("ps", "pf"), ("ps2", "pf2"), ("ps3", "pf3")):
         if sp in params and pp not in params:
             raise ValueError(f"{sp} requires {pp}")
@@ -407,6 +409,79 @@ def _apply_edismax(
     return q + " " + " ".join(phrases), []
 
 
+# qf dispatch: params the multi-field DisMax path implements. Anything
+# else in the request raises (the facade's fail-loud contract -- a facet
+# or cursorMark silently dropped would misreport the response).
+_QF_ALLOWED = {"q", "qf", "tie", "q.op", "mm", "fq", "start", "rows", "fl",
+               "sort", "defType", "wt", "indent", "omitHeader", "echoParams",
+               "useParams"}
+
+
+def _qf_select(idx, params: dict[str, Any], t0: float) -> dict[str, Any]:
+    """``qf=`` requests: edismax DisMax over a per-field index family
+    (:class:`.multifield.MultiFieldIndex`). Single-field handles fail loud
+    -- their only indexed field is the ``_text_`` catch-all, so a qf list
+    has no per-field postings to score."""
+    from .multifield import MultiFieldIndex
+
+    if not isinstance(idx, MultiFieldIndex):
+        raise ValueError(
+            "qf requires a multi-field index family (build with "
+            "build_multi_field_index); this handle indexes only the "
+            "_text_ catch-all"
+        )
+    extra = sorted(set(params) - _QF_ALLOWED)
+    if extra:
+        raise ValueError(
+            f"params not supported with qf (multi-field DisMax path): {extra}"
+        )
+    sort = " ".join(str(params.get("sort", "score desc")).split())
+    if sort != "score desc":
+        raise ValueError("qf supports only the relevance sort (score desc)")
+    q = str(params.get("q", "*:*"))
+    if q.strip() == "*:*":
+        raise ValueError("qf needs a term query (use the plain path for *:*)")
+    op = str(params.get("q.op", "OR")).upper()
+    mm = params.get("mm")
+    tie = float(params.get("tie", 0.0))
+    fq = _as_list(params.get("fq")) or None
+    start = int(params.get("start", 0))
+    rows = int(params.get("rows", 10))
+    fl = params.get("fl")
+    fl = [f.strip() for f in str(fl).split(",")] if isinstance(fl, str) else fl
+    if fl:
+        bad = [f for f in fl if f != "score"
+               and (":" in f or f.startswith("[") or looks_like_function(f))]
+        if bad:
+            raise ValueError(f"qf fl supports plain stored fields: {bad}")
+    want_score = bool(fl) and "score" in fl
+    fetch_fl = None if (not fl or "*" in fl) else (
+        [f for f in fl if f != "score"] or None)
+    qf, kw = params["qf"], dict(tie=tie, op=op, mm=mm, fq=fq)
+    num_found = idx.count_matches(q, qf, **kw)
+    df = idx.search(q, qf, k=rows, offset=start, with_stored=True,
+                    fl=fetch_fl, **kw)
+    docs = []
+    for r in df.collect():
+        d = r.asDict()
+        if not want_score:
+            d.pop("score", None)  # Solr: score only when fl asks for it
+        docs.append(d)
+    return {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int((time.monotonic() - t0) * 1000),
+            "params": {k: params[k] for k in sorted(params, key=str)},
+        },
+        "response": {
+            "numFound": num_found,
+            "start": start,
+            "numFoundExact": True,
+            "docs": docs,
+        },
+    }
+
+
 def solr_select(
     idx: BM25Index, params: dict[str, Any], *,
     known_num_found: int | None = None,
@@ -430,9 +505,10 @@ def solr_select(
     if unknown:
         raise ValueError(f"unsupported /select params: {sorted(unknown)}")
     _validate_edismax(params)
-    params = _rewrite_knn_fq(idx, params)
-
     t0 = time.monotonic()
+    if "qf" in params:
+        return _qf_select(idx, params, t0)
+    params = _rewrite_knn_fq(idx, params)
     if _truthy(params.get("group", False)):
         return _grouped_select(idx, params, t0)
     all_fq = _as_list(params.get("fq"))
