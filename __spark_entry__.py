@@ -111,6 +111,32 @@ def _index_for_splitting(spark: SparkSession, sf_dir: str) -> BM25Index:
     return _INDEX_CACHE[key]
 
 
+def _index_for_multifield(spark: SparkSession, sf_dir: str):
+    """Per-field index family over (text, tool) for the edismax qf DisMax
+    entry (query/multifield.py) -- each field keeps its own df/dl/avgdl."""
+    from solr_semantic_importer_spark.query.multifield import (
+        build_multi_field_index,
+    )
+
+    key = f"{sf_dir}#mf"
+    if key not in _INDEX_CACHE:
+        h = hashlib.md5(f"{sf_dir}:{ENTRY_BUILD_ID}:mf".encode()).hexdigest()[:10]
+        base = os.path.join(tempfile.gettempdir(), f"ssi_entry_mf_{h}")
+        t = transcripts_from_documents(spark, sf_dir)
+        cfg = BuildConfig(
+            segment_size=256,
+            block_size=64,
+            n_term_buckets=8,
+            hot_df_threshold=150,
+            hot_salts=4,
+            build_id=ENTRY_BUILD_ID + "-mf",
+        )
+        _INDEX_CACHE[key] = build_multi_field_index(
+            spark, t, base, fields=("text", "tool"), config=cfg
+        )
+    return _INDEX_CACHE[key]
+
+
 _MERGE_CONVS = 48  # first 48 conversations = 480 turns (non-empty at sf0.001)
 
 
@@ -655,11 +681,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_phrase_fq"] = bm25_phrase_fq
 
-    def bm25_facet_role(spark, sf_dir):
-        idx = _index_for(spark, sf_dir)
-        return idx.facet("table scan", "role")
+    # (r4 gate rotation: bm25_facet_role out -- json_facet_role's terms
+    # facet counts the same field over the same "table scan" DocSet under
+    # its oracle, and idx.facet is pytest-covered in test_facet_params.py
+    # -- freeing a slot for the edismax qf multi-field DisMax entry)
+    def dismax_qf(spark, sf_dir):
+        # edismax qf/tie over a per-field (text, tool) index family:
+        # per-field df/dl/avgdl, clause re-analyzed per field, clause boost
+        # on the multi-term "tool_3" clause (splits to tool+3), tie=0.3
+        m = _index_for_multifield(spark, sf_dir)
+        res = m.search(
+            "tool_3^2 error table", qf={"text": 1.0, "tool": 2.0},
+            tie=0.3, k=10, order_key="milli",
+        )
+        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
 
-    q["bm25_facet_role"] = bm25_facet_role
+    q["dismax_qf"] = dismax_qf
 
     # ---- I5 delete-by-query: tombstoned index, frozen-stats scoring ----
     def bm25_after_delete(spark, sf_dir):
@@ -1176,7 +1213,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_synonyms"] = OSQL.bm25_topk_sql("gb gib gigabyte gigabytes table", k=10)
 
     o["bm25_phrase_fq"] = OSQL.bm25_phrase_sql("table hash", k=10, fq="role = 'user'")
-    o["bm25_facet_role"] = OSQL.facet_on_results_sql("table scan", "role")
+    o["dismax_qf"] = OSQL.dismax_topk_sql(
+        "tool_3^2 error table", {"text": 1.0, "tool": 2.0}, tie=0.3, k=10
+    )
     o["terms_prefix"] = OSQL.terms_prefix_sql("s", limit=15)
     o["stats_numeric"] = OSQL.stats_field_sql("table scan", "turn_idx")
     o["mlt_topk"] = OSQL.mlt_topk_sql(

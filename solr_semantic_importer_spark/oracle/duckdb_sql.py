@@ -622,3 +622,83 @@ def geo_filter_sql(query: str, lat: float, lon: float, d_km: float) -> str:
     FROM matched m JOIN loc USING (doc_id)
     WHERE {hav} <= {d_km!r}
     """
+
+
+def dismax_topk_sql(
+    query: str, qf: dict[str, float], tie: float = 0.0, k: int = 10
+) -> str:
+    """edismax qf multi-field DisMax oracle (query/multifield.py). Each qf
+    field gets its OWN first-principles tf/df/dl/avgdl CTEs over that
+    column's tokens (text_general SQL tokenizer; NULL fields tokenize to
+    the empty list, so n/avgdl stay index-wide -- the engine's convention);
+    per (clause, field, doc) the clause's terms sum a BM25 partial weighted
+    by qf_boost x clause_boost x idf_field, then per clause the fields
+    combine as max + tie * (sum - max) and clauses sum per doc (the
+    ExtendedDismaxQParser score formula)."""
+    import re as _re
+
+    from ..functions.analysis import QUERY_ANALYZERS
+
+    an = QUERY_ANALYZERS["text_general"]
+    clauses: list[tuple[int, float, list[str]]] = []
+    for ci, tok in enumerate(query.split()):
+        m = _re.search(r"\^(\d+(?:\.\d+)?)$", tok)
+        cb = float(m.group(1)) if m else 1.0
+        terms = an(tok[: m.start()] if m else tok)
+        if len(set(terms)) != len(terms):
+            # the engine weights each analyzed occurrence; this oracle's
+            # posting join counts a term once -- keep gate clauses distinct
+            raise ValueError(f"clause {tok!r} repeats an analyzed term")
+        clauses.append((ci, cb, terms))
+    parts, sels = [], []
+    for f, fb in qf.items():
+        parts.append(f"""
+    docs_{f} AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce({f}, '')), '[a-z0-9]+') AS toks
+      FROM ids),
+    lens_{f} AS (SELECT doc_id, len(toks) AS dl FROM docs_{f}),
+    tfc_{f} AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs_{f})
+      GROUP BY doc_id, term),
+    dft_{f} AS (SELECT term, count(*)::DOUBLE AS df FROM tfc_{f} GROUP BY term),
+    st_{f} AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl
+               FROM lens_{f})""")
+        for ci, cb, terms in clauses:
+            if not terms:
+                continue
+            tl = ", ".join(f"'{t}'" for t in terms)
+            sels.append(f"""
+      SELECT {ci} AS clause, tfc.doc_id,
+             sum( {fb!r} * {cb!r}
+                  * ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+                  * tfc.tf * ({K1} + 1)
+                  / (tfc.tf + {K1} * (1 - {B} + {B} * lens.dl / st.avgdl))
+                ) AS s
+      FROM tfc_{f} tfc
+      JOIN dft_{f} dft USING (term)
+      JOIN lens_{f} lens ON lens.doc_id = tfc.doc_id
+      CROSS JOIN st_{f} st
+      WHERE tfc.term IN ({tl})
+      GROUP BY tfc.doc_id""")
+    union = "\n      UNION ALL\n".join(sels)
+    return f"""
+    WITH t AS ({transcripts_duckdb_cte()}),
+    ids AS (
+      SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+             conv_id, turn_idx, role, text, tool, ts
+      FROM t
+    ),
+    {",".join(parts)},
+    fs AS ({union}),
+    pc AS (
+      SELECT clause, doc_id,
+             max(s) + {tie!r} * (sum(s) - max(s)) AS ds
+      FROM fs GROUP BY clause, doc_id),
+    scored AS (SELECT doc_id, sum(ds) AS score FROM pc GROUP BY doc_id)
+    SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_milli
+    FROM scored
+    ORDER BY score_milli DESC, doc_id ASC
+    LIMIT {k}
+    """

@@ -319,6 +319,14 @@ class MultiFieldIndex:
         u = frames[0]
         for fr in frames[1:]:
             u = u.unionByName(fr)
+        # ONE shuffle for the whole combine: doc_id is a subset of every
+        # grouping key below ((clause,fld,doc) -> (clause,doc) -> (doc)),
+        # so hash-partitioning the kernel output by doc_id satisfies all
+        # three ClusteredDistributions and Catalyst inserts no further
+        # Exchange (plan-asserted in tests/test_multifield_qf.py). Map-side
+        # combine loses nothing: kernel rows arrive partitioned by TERM
+        # bucket, so same-doc rows never share an input partition.
+        u = u.repartition(F.col("doc_id"))
         if multi_term:
             # a clause analyzed to >1 term in some field (splitting chains,
             # stemmer fan-out): that field's clause score is the SUM over

@@ -274,3 +274,26 @@ def test_stored_fields_and_offset(midx):
     page2 = _got(midx, "tool error", qf={"text": 1.0, "tool": 1.0},
                  k=3, offset=3)
     assert [d for d, _ in page2] == [r["doc_id"] for r in rows[3:6]]
+
+
+def test_one_exchange_combine_plan(spark, tmp_path_factory):
+    """The DisMax combine is ONE shuffle: kernel output repartitioned by
+    doc_id satisfies every downstream grouping ((clause,fld,doc) ->
+    (clause,doc) -> (doc)), so Catalyst inserts no further Exchange.
+    Fresh (tombstone-free) family: deletes add an anti-join whose
+    tiny-side exchanges would muddy the count."""
+    from solr_semantic_importer_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    df = generate_transcripts(spark, n_convs=10, turns_per_conv=3, seed=11)
+    base = str(tmp_path_factory.mktemp("mfplan"))
+    m = build_multi_field_index(
+        spark, df, base, fields=("text", "tool"),
+        config=BuildConfig(build_id="mfplan", **CFG),
+    )
+    scored = m.score_matches(
+        "tool_3^2 error table", qf={"text": 1.0, "tool": 2.0}, tie=0.3
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
