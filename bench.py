@@ -250,6 +250,38 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         qf_sec = round(time.monotonic() - t1, 3)
         qf_docs_per_sec = round(n_qdocs / qf_sec, 1) if qf_sec else None
 
+    # edismax qf DisMax (reported-only, outside the headline): per-field
+    # family over (text, tool). The text side REUSES the index built above
+    # (same corpus, same config -- build_multi_field_index would produce
+    # an identical one), so only the tiny tool-field index is built here,
+    # after every timed section. Skipped in scaling legs (SSI_BENCH_DISMAX=0).
+    dismax_sec = None
+    if os.environ.get("SSI_BENCH_DISMAX", "1") != "0":
+        import dataclasses
+        import json as _json
+
+        from solr_semantic_importer_spark.query.multifield import (
+            MultiFieldIndex,
+        )
+
+        mf_dir = tempfile.mkdtemp(prefix="ssi_bench_mf_")
+        os.symlink(idx_dir, os.path.join(mf_dir, "field=text"))
+        tool_cfg = dataclasses.replace(
+            cfg, text_col="tool", build_id=f"bench-tool-{cores}"
+        )
+        build_index(spark, src, os.path.join(mf_dir, "field=tool"), tool_cfg)
+        with open(os.path.join(mf_dir, "fields.json"), "w") as fh:
+            _json.dump({"fields": ["text", "tool"],
+                        "analyzers": {"text": cfg.analyzer,
+                                      "tool": cfg.analyzer}}, fh)
+        mf = MultiFieldIndex(spark, mf_dir)
+        dm = dict(qf={"text": 1.0, "tool": 2.0}, tie=0.3, k=10)
+        mf.search("tool_3^2 error table", **dm).collect()  # warm
+        t1 = time.monotonic()
+        mf.search("tool_3^2 error table", **dm).collect()
+        dismax_sec = round(time.monotonic() - t1, 3)
+        shutil.rmtree(mf_dir, ignore_errors=True)
+
     canary_samples.append(_canary())  # back-of-run sample (min wins)
 
     post = man.steps.get("postings")
@@ -271,6 +303,7 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         "batch_queries_sec": round(batch_sec, 3),
         "batch_per_query_sec": round(batch_sec / len(batch_qs), 3),
         "knn_exact_topk_sec": knn_sec,
+        "dismax_qf_sec": dismax_sec,
         "quality_filter_sec": qf_sec,
         "quality_filter_docs_per_sec": qf_docs_per_sec,
     }
@@ -312,8 +345,9 @@ def main() -> None:
                     env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
                          "SSI_BENCH_AMPLIFY": str(amp),
                          # scaling legs already repeat whole subprocesses
-                         # (best-of-reps); one build per leg
-                         "SSI_BENCH_BUILD_REPS": "1"},
+                         # (best-of-reps); one build per leg, no dismax side
+                         "SSI_BENCH_BUILD_REPS": "1",
+                         "SSI_BENCH_DISMAX": "0"},
                 )
                 line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
@@ -409,6 +443,7 @@ def main() -> None:
                     "query_p50_sec": r["query_p50_sec"],
                     "query_p95_sec": r["query_p95_sec"],
                     "knn_exact_topk_sec": r["knn_exact_topk_sec"],
+                    "dismax_qf_sec": r["dismax_qf_sec"],
                     "quality_filter_sec": r["quality_filter_sec"],
                     "quality_filter_docs_per_sec": r["quality_filter_docs_per_sec"],
                 },
