@@ -219,12 +219,105 @@ class MultiFieldIndex:
         with_stored: bool = False,
         fl: list[str] | None = None,
         order_key: str = "round6",
+        pf: str | dict[str, float] | None = None,
+        ps: int = 0,
+        pf2: str | dict[str, float] | None = None,
+        ps2: int | None = None,
+        pf3: str | dict[str, float] | None = None,
+        ps3: int | None = None,
     ) -> DataFrame:
         """Top-k edismax DisMax over the qf fields: the canonical
-        (round6 score desc, doc_id asc) cut of :meth:`score_matches`."""
+        (round6 score desc, doc_id asc) cut of :meth:`score_matches`,
+        plus the edismax phrase boosts (``pf``/``pf2``/``pf3`` with
+        ``ps``/``ps2``/``ps3`` slop) when requested -- see
+        :meth:`phrase_boosts`. Boosts ADD score to docs already in the
+        main match set and never change the DocSet (Lucene's optional
+        phrase clauses can only match docs whose terms already match),
+        so ``count_matches`` is pf-independent by construction."""
         scored = self.score_matches(query, qf, tie=tie, op=op, mm=mm, fq=fq)
+        boosts = self.phrase_boosts(
+            query, pf=pf, ps=ps, pf2=pf2, ps2=ps2, pf3=pf3, ps3=ps3)
+        if boosts is not None:
+            # left join on doc_id: the main side is already hash-partitioned
+            # by doc_id (score_matches' single combine shuffle), so only the
+            # small phrase-boost relation shuffles here
+            scored = (
+                scored.join(boosts, "doc_id", "left")
+                .withColumn(
+                    "score",
+                    F.col("score") + F.coalesce(F.col("boost"), F.lit(0.0)),
+                )
+                .drop("boost")
+            )
         return self.primary._finish(
             scored, k, offset, with_stored, order_key, fl)
+
+    def phrase_boosts(
+        self,
+        query: str,
+        pf: str | dict[str, float] | None = None,
+        ps: int = 0,
+        pf2: str | dict[str, float] | None = None,
+        ps2: int | None = None,
+        pf3: str | dict[str, float] | None = None,
+        ps3: int | None = None,
+    ) -> DataFrame | None:
+        """The edismax phrase-boost relation ``(doc_id, boost)`` or None
+        when no pf param is given / the query has <2 words. Semantics per
+        ExtendedDismaxQParser: the clause TEXTS of ``q`` (``^`` clause
+        boosts stripped -- Lucene builds the phrases from the bare user
+        words) form one whole-query phrase per ``pf`` field, consecutive
+        bigrams per ``pf2`` field, trigrams per ``pf3`` field; each phrase
+        scores as that FIELD's BM25 phrase query (the field's own analysis
+        chain re-tokenizes the window -- :meth:`BM25Index.phrase_matches`)
+        times the pf entry's ``^boost``; a doc's boost is the sum over all
+        matching windows x fields. ``ps`` slops the pf phrase; ps2/ps3
+        default to ps (Solr). Positions are required on the pf fields'
+        indexes (store_positions=True, the build default).
+
+        Plan shape: each (field, window) is one pruned positional-postings
+        scan + Arrow phrase kernel -- the same cost class as a user phrase
+        query -- unioned and partially aggregated on doc_id; window count
+        is O(words), independent of corpus size."""
+        if pf is None and pf2 is None and pf3 is None:
+            return None
+        words = []
+        for tok in query.split():
+            m = BM25Index._BOOST_RE.search(tok)
+            text = tok[: m.start()] if m else tok
+            if text:
+                words.append(text)
+        frames: list[DataFrame] = []
+        for spec, slop, n in (
+            (pf, int(ps), len(words)),
+            (pf2, int(ps if ps2 is None else ps2), 2),
+            (pf3, int(ps if ps3 is None else ps3), 3),
+        ):
+            if spec is None or len(words) < max(n, 2):
+                continue
+            fmap = parse_qf(spec)
+            unknown = set(fmap) - set(self.fields)
+            if unknown:
+                raise ValueError(
+                    f"pf fields not in this index family: {sorted(unknown)} "
+                    f"(built: {self.fields})"
+                )
+            for f, fboost in fmap.items():
+                eng = self.engines[f]
+                for i in range(len(words) - n + 1):
+                    ph = " ".join(words[i:i + n])
+                    frames.append(
+                        eng.phrase_matches(ph, slop=slop).select(
+                            "doc_id",
+                            (F.col("score") * float(fboost)).alias("boost"),
+                        )
+                    )
+        if not frames:
+            return None
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionByName(fr)
+        return u.groupBy("doc_id").agg(F.sum("boost").alias("boost"))
 
     def count_matches(
         self,

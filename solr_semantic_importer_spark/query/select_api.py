@@ -414,7 +414,7 @@ def _apply_edismax(
 # or cursorMark silently dropped would misreport the response).
 _QF_ALLOWED = {"q", "qf", "tie", "q.op", "mm", "fq", "start", "rows", "fl",
                "sort", "defType", "wt", "indent", "omitHeader", "echoParams",
-               "useParams"}
+               "useParams", "pf", "pf2", "pf3", "ps", "ps2", "ps3"}
 
 
 def _qf_select(idx, params: dict[str, Any], t0: float) -> dict[str, Any]:
@@ -458,9 +458,16 @@ def _qf_select(idx, params: dict[str, Any], t0: float) -> dict[str, Any]:
     fetch_fl = None if (not fl or "*" in fl) else (
         [f for f in fl if f != "score"] or None)
     qf, kw = params["qf"], dict(tie=tie, op=op, mm=mm, fq=fq)
+    # pf phrase boosts rerank within the main match set (search side only;
+    # numFound is pf-independent -- Lucene's optional phrase clauses can't
+    # match a doc the main query misses)
+    pf_kw = {p: params[p] for p in ("pf", "pf2", "pf3") if p in params}
+    for sp in ("ps", "ps2", "ps3"):
+        if sp in params:
+            pf_kw[sp] = int(params[sp])
     num_found = idx.count_matches(q, qf, **kw)
     df = idx.search(q, qf, k=rows, offset=start, with_stored=True,
-                    fl=fetch_fl, **kw)
+                    fl=fetch_fl, **kw, **pf_kw)
     docs = []
     for r in df.collect():
         d = r.asDict()
