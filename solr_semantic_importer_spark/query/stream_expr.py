@@ -101,6 +101,16 @@ loud on anything else — the facade contract):
   ``{"totalIndexed": n, "batchNumber": id}``, Solr's result shape.
   Append-only (no overwrite-by-key): route keyed replaces through
   ``query.update_api.solr_update``.
+- ``topic(checkpointCollection, collection, id=, q=, [fl=],
+  [initialCheckpoint=])`` — checkpointed pub/sub: the docs matching
+  ``q`` that arrived since the topic's last committed checkpoint, doc_id
+  ascending. Standalone evaluation polls AND commits at eval time
+  (stream-open semantics); the at-least-once pipeline form —
+  ``daemon(id=, terminate=, update(dest, topic(...)))`` with the
+  checkpoint committed only after the update batch lands — is the eager
+  runner :func:`..streaming.topics.run_daemon` (``daemon()`` here fails
+  loud pointing at it). See ``streaming/topics.py`` for the checkpoint
+  protocol (conditional-put versioned JSON, doc-id high-water mark).
 
 ``search(collection, ...)`` also resolves ``collection`` through the
 registry when one is passed — a cross-collection join
@@ -614,6 +624,38 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
             df = df.select(*cols)
         return TupleStream(df, ())
 
+    if c.name == "topic":
+        # standalone topic(): poll + commit AT EVAL TIME -- stream-open
+        # checkpoint semantics (Solr's TopicStream persists checkpoints on
+        # open/close, not per-tuple ack). For the at-least-once pipeline
+        # shape -- daemon(update(dest, topic(...))) with the checkpoint
+        # committed only after the batch lands -- use
+        # streaming.topics.run_daemon.
+        from ..streaming.topics import TopicStream
+
+        _require_params(c, {"id", "q"}, {"fl", "initialCheckpoint"})
+        if len(c.args) != 2:
+            raise ValueError("topic(checkpointCollection, collection, ...)")
+        fl = c.params.get("fl")
+        ts = TopicStream(
+            _resolve(c.args[1], idx, colls),
+            _resolve(c.args[0], idx, colls),
+            str(c.params["id"]), str(c.params["q"]),
+            fl=[f.strip() for f in str(fl).split(",")] if fl else None,
+            initial_checkpoint=int(c.params.get("initialCheckpoint", 0)),
+        )
+        # materialize the window BEFORE committing so the returned frame
+        # is the committed window, not a live re-read past the checkpoint
+        win = ts.poll().localCheckpoint(eager=True)
+        ts.commit()
+        return TupleStream(win, (("doc_id", "asc"),))
+
+    if c.name == "daemon":
+        raise ValueError(
+            "daemon() is an eager runner, not a lazy stream: use "
+            "solr_semantic_importer_spark.streaming.topics.run_daemon"
+        )
+
     # every other function decorates a stream given as the first arg
     if not c.args or not isinstance(c.args[0], Call):
         raise ValueError(f"{c.name}(): first argument must be a stream")
@@ -916,9 +958,30 @@ def solr_sql(idx: BM25Index, sql: str, collection: str = "collection") -> DataFr
     return idx.spark.sql(sql)
 
 
-def _update_sink(dest: BM25Index, src: TupleStream) -> TupleStream:
+def next_batch_id(dest: BM25Index) -> int:
+    """The next free ``batch-<id>`` slot in ``dest``'s manifest. Loads the
+    manifest under its LIVE build_id -- a mismatched id sees an empty step
+    table (Manifest treats it as a fresh build) and would hand out slot 0
+    forever."""
+    from ..plans.manifest import Manifest, read_manifest_data
+
+    live = (read_manifest_data(dest.data_dir) or {}).get("build_id", "update")
+    man = Manifest(dest.data_dir, live)
+    nxt = 0
+    for name, st in man.steps.items():
+        if name.startswith("batch-") and st.status == "committed":
+            nxt = max(nxt, int(name.split("-", 1)[1]) + 1)
+    return nxt
+
+
+def _update_sink(
+    dest: BM25Index, src: TupleStream, batch_id: int | None = None
+) -> TupleStream:
     """Land a stream in ``dest`` as one exactly-once staged batch (see the
-    module docstring's update() entry)."""
+    module docstring's update() entry). ``batch_id``: normally the next
+    free slot; an explicit id (the daemon's two-phase replay protocol --
+    streaming/topics.py) makes a re-send of an already-committed batch a
+    NO-OP that reports the landed row count instead of an error."""
     from ..plans.manifest import Manifest, read_manifest_data
     from ..streaming.incremental import append_batch
 
@@ -933,12 +996,9 @@ def _update_sink(dest: BM25Index, src: TupleStream) -> TupleStream:
             f"update(): stream is missing destination fields {missing}"
         )
     batch = src.df.select(*expected)
-    man = Manifest(data_dir, cfg.build_id)
-    nxt = 0
-    for name, st in man.steps.items():
-        if name.startswith("batch-") and st.status == "committed":
-            nxt = max(nxt, int(name.split("-", 1)[1]) + 1)
-    if not append_batch(batch, data_dir, cfg, batch_id=nxt):
+    explicit = batch_id is not None
+    nxt = int(batch_id) if explicit else next_batch_id(dest)
+    if not append_batch(batch, data_dir, cfg, batch_id=nxt) and not explicit:
         raise RuntimeError(f"update(): batch id {nxt} already committed")
     n = int(Manifest(data_dir, cfg.build_id)
             .steps[f"batch-{nxt}"].rows)

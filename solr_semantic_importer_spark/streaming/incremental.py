@@ -50,7 +50,7 @@ from ..index.build import (
 )
 from ..index.docids import SORT_KEYS, assign_doc_ids
 from ..functions.analysis import make_positions_udf, term_freqs_udf
-from ..plans.manifest import Manifest, dir_bytes
+from ..plans.manifest import Manifest, dir_bytes, read_manifest_data
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
 _BATCH_RELATIONS = ("docs", "corpus_stats", "dictionary", "postings")
@@ -111,6 +111,17 @@ def append_batch(
             "build multi-field indexes with index.build.build_index"
         )
     os.makedirs(index_dir, exist_ok=True)
+    live = read_manifest_data(index_dir)
+    if live is not None and live.get("steps") \
+            and live.get("build_id") != cfg.build_id:
+        # manifest steps are keyed by build_id: a mismatched id would see
+        # an EMPTY step table, restart doc ids at 0 and silently corrupt
+        # every doc-id join -- fail loud instead
+        raise ValueError(
+            f"append_batch onto an index whose live build_id is "
+            f"{live.get('build_id')!r} requires cfg.build_id to match "
+            f"(got {cfg.build_id!r})"
+        )
     man = Manifest(index_dir, cfg.build_id)
     step = f"batch-{batch_id}"
     if man.is_committed(step):

@@ -206,7 +206,7 @@ def test_merge_unions_sorted_streams(idx):
 
 def test_unsupported_surface_fails_loud(idx):
     for bad, msg in [
-        ('daemon(search(tx, q="a", sort="doc_id asc"))', "unsupported stream function"),
+        ('daemon(search(tx, q="a", sort="doc_id asc"))', "run_daemon"),
         ('search(tx, q="a", shards="x")', "unsupported params"),
         ('search(tx)', "missing params"),
         ('rollup(search(tx, q="a", sort="doc_id asc"), over="role")',
