@@ -90,6 +90,12 @@ loud on anything else — the facade contract):
   tuples (``node``/``collection``/``field``/``level``; per-node metrics
   from the matched docs). scatter=branches adds the root values at
   level 0 (default leaves-only).
+- ``shortestPath(collection, from=, to=, edge="srcField=dstField",
+  maxDepth=, [fq=], [threads=], [partitionSize=])`` — breadth-first
+  shortest paths: every minimal-length node sequence from ``from`` to
+  ``to`` following docs srcField→dstField, as ``{"path": [nodes...]}``
+  tuples (empty stream when none within maxDepth). One distributed
+  edge join per hop, visited-set anti-join, lineage cut per hop.
 - ``update(destCollection, stream, [batchSize=N])`` — index the stream's
   tuples into another collection (``run_stream_expr``'s ``collections``
   registry names it; fail loud when absent). The whole stream lands as
@@ -595,6 +601,81 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
             out = out.where(F.col("level") == 0)
         out = out.orderBy(F.col("level").asc(), F.col("node").asc())
         return TupleStream(out, (("level", "asc"), ("node", "asc")))
+
+    if c.name == "shortestPath":
+        # shortestPath(collection, from=, to=, edge="srcField=dstField",
+        #              maxDepth=, [fq=], [threads=], [partitionSize=]) --
+        # Solr's breadth-first shortest-path expression: walk docs whose
+        # srcField matches the current node, stepping to their dstField
+        # values; emit EVERY path of the minimal length from `from` to
+        # `to` as {"path": [nodes...]}, empty when none within maxDepth.
+        # threads/partitionSize are Solr's traversal transport knobs --
+        # accepted, irrelevant here (each hop is ONE distributed join).
+        # Scale shape: per hop, frontier |paths| x distinct-edge join +
+        # anti-join against the visited set, lineage cut per hop
+        # (localCheckpoint) exactly like json.facet's domain.graph; the
+        # corpus never ships, only the frontier and the matched edges.
+        _require_params(c, {"from", "to", "edge", "maxDepth"},
+                        {"fq", "threads", "partitionSize"})
+        if len(c.args) != 1:
+            raise ValueError("shortestPath(collection, from=, to=, edge=)")
+        nidx = _resolve(c.args[0], idx, colls)
+        edge = str(c.params["edge"])
+        sfld, eq, dfld = (x.strip() for x in edge.partition("="))
+        if not eq or not sfld or not dfld:
+            raise ValueError(
+                f"shortestPath(): edge must be 'srcField=dstField', "
+                f"got {edge!r}"
+            )
+        live = nidx._anti_dead(nidx.docs())
+        unknown = [f for f in (sfld, dfld) if f not in live.columns]
+        if unknown:
+            raise ValueError(
+                f"shortestPath(): unknown edge fields {unknown}"
+            )
+        if "fq" in c.params:
+            live = nidx._apply_fq(live, c.params["fq"])
+        frm, dst = str(c.params["from"]), str(c.params["to"])
+        max_depth = int(c.params["maxDepth"])
+        if max_depth < 1:
+            raise ValueError("shortestPath(): maxDepth must be >= 1")
+        spark = nidx.spark
+        path_t = "path array<string>"
+        if frm == dst:  # zero-hop path
+            return TupleStream(
+                spark.createDataFrame([([frm],)], path_t), ())
+        edges = (
+            live.select(F.col(sfld).cast("string").alias("_sp_src"),
+                        F.col(dfld).cast("string").alias("_sp_dst"))
+            .dropna().distinct()
+        )
+        frontier = spark.createDataFrame(
+            [(frm, [frm])], f"node string, {path_t}")
+        visited = spark.createDataFrame([(frm,)], "node string")
+        found = None
+        for _depth in range(max_depth):
+            nxt = (
+                frontier.join(edges, F.col("node") == F.col("_sp_src"))
+                .select(F.col("_sp_dst").alias("node"),
+                        F.concat("path", F.array("_sp_dst")).alias("path"))
+                .join(visited, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            hits = nxt.filter(F.col("node") == dst)
+            if hits.take(1):
+                found = hits
+                break
+            new_nodes = nxt.select("node").distinct() \
+                .localCheckpoint(eager=True)
+            if not new_nodes.take(1):
+                break  # graph exhausted: no path exists
+            visited = visited.unionByName(new_nodes) \
+                .localCheckpoint(eager=True)
+            frontier = nxt
+        df = (spark.createDataFrame([], path_t) if found is None
+              else found.select("path").distinct()
+              .orderBy(F.concat_ws("\x1f", "path")))
+        return TupleStream(df, ())
 
     if c.name == "random":
         # random(collection, q=.., [fq=], [rows=10], [fl=], [seed=])
