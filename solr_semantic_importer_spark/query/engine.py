@@ -233,6 +233,10 @@ class BM25Index:
         # rows, complete?). complete=True means the query has fewer matches
         # than the fetched window, so ANY page is answerable from the entry.
         self._result_cache: OrderedDict[tuple, tuple[list, bool]] = OrderedDict()
+        # cross-core registry (the Solr container's core list): name ->
+        # BM25Index, consulted by {!join fromIndex=name}. Callers register
+        # handles explicitly -- there is no global state.
+        self.collections: dict[str, "BM25Index"] = {}
 
     def warm(self, queries: list[str] | None = None) -> float:
         """Searcher warming -- the Solr firstSearcher/newSearcher listener
@@ -4690,11 +4694,16 @@ class BM25Index:
     _JOIN_RE = re.compile(r"^\{!join\s+([^}]*)\}(.*)$", re.S)
 
     def _join_fq_docset(self, fq: str) -> DataFrame:
-        """Solr JoinQParserPlugin (``fq={!join from=F to=T}innerQuery``):
-        keep docs whose T value appears among the F values of the inner
-        query's match set (same-collection join -- Solr's join qparser is
-        per-core too). The inner query is parsed like any ``q`` (terms,
-        phrases, boolean occur, ``field:value`` filter clauses, ``*:*``).
+        """Solr JoinQParserPlugin (``fq={!join from=F to=T
+        [fromIndex=core]}innerQuery``): keep docs whose T value appears
+        among the F values of the inner query's match set. Default is the
+        same-collection join; ``fromIndex`` runs the inner query against
+        another registered core (``self.collections[name]``), Solr's
+        cross-core join -- only the distinct key set crosses indexes, and
+        like Solr the cached DocSet does not watch the FROM core for
+        changes (Solr invalidates on the to-side searcher reopen only).
+        The inner query is parsed like any ``q`` (terms, phrases, boolean
+        occur, ``field:value`` filter clauses, ``*:*``).
 
         Distributed shape: inner DocSet -> distinct F keys (one shuffle
         sized by the inner match count, never the corpus) -> LEFT SEMI join
@@ -4710,27 +4719,40 @@ class BM25Index:
         if m is None:
             raise ValueError(f"cannot parse join qparser: {fq!r}")
         lps = dict(p.partition("=")[::2] for p in m.group(1).split())
-        extra = set(lps) - {"from", "to", "score"}
+        extra = set(lps) - {"from", "to", "score", "fromIndex"}
         if extra or not {"from", "to"} <= set(lps):
             raise ValueError(
-                "{!join} requires from= and to= (optional score=none), "
-                f"got {sorted(lps)}"
+                "{!join} requires from= and to= (optional score=none, "
+                f"fromIndex=core), got {sorted(lps)}"
             )
         if lps.get("score", "none") != "none":
             raise ValueError("{!join} supports only score=none")
-        types = dict(self.docs().dtypes)
+        # cross-core join (Solr's fromIndex local param): the inner query
+        # and the from-field read run against the NAMED core; only the
+        # distinct key set crosses indexes -- same one-shuffle shape
+        src = self
+        if "fromIndex" in lps:
+            name = lps["fromIndex"]
+            src = self.collections.get(name)
+            if src is None:
+                raise ValueError(
+                    f"{{!join}}: fromIndex {name!r} is not registered on "
+                    f"this handle (known: {sorted(self.collections)}) -- "
+                    f"assign idx.collections[{name!r}] = <BM25Index>"
+                )
         f_from, f_to = lps["from"], lps["to"]
-        for f in (f_from, f_to):
-            if f not in types:
-                raise ValueError(f"{{!join}}: unknown field {f!r}")
+        if f_from not in dict(src.docs().dtypes):
+            raise ValueError(f"{{!join}}: unknown field {f_from!r}")
+        if f_to not in dict(self.docs().dtypes):
+            raise ValueError(f"{{!join}}: unknown field {f_to!r}")
         inner = m.group(2).strip()
         if not inner:
             raise ValueError("{!join}: empty inner query")
         if inner == "*:*":
-            inner_docs = self._anti_dead(self.docs())
+            inner_docs = src._anti_dead(src.docs())
         else:
-            inner_docs = self.docs().join(
-                self._matched_ids(inner), "doc_id", "left_semi"
+            inner_docs = src.docs().join(
+                src._matched_ids(inner), "doc_id", "left_semi"
             )
         keys = (
             inner_docs.select(F.col(f_from).alias("__join_key"))

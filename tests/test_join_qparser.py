@@ -150,3 +150,51 @@ def test_graph_fq_fail_loud(graph_idx):
         idx.match_all(k=5, fq="{!graph from=from_f to=to_f}").collect()
     with pytest.raises(ValueError, match="unknown fields"):
         idx.match_all(k=5, fq="{!graph from=nope to=to_f}to_f:n0").collect()
+
+
+# --- {!join fromIndex=} cross-core join (session-5 r4) ------------------------
+
+
+@pytest.fixture(scope="module")
+def other(spark, tmp_path_factory, corpus):
+    """A second core sharing the conv_id keyspace: a subset of the same
+    generator output, so some conv_ids exist on both sides."""
+    df = generate_transcripts(spark, n_convs=25, turns_per_conv=5, seed=37)
+    df = df.filter("turn_idx = 0 AND role = 'user'")
+    d = str(tmp_path_factory.mktemp("joinx"))
+    build_index(spark, df, d, BuildConfig(build_id="joinx", **CFG))
+    return BM25Index(spark, d)
+
+
+def test_join_from_index(corpus, other, rows):
+    corpus.collections["other"] = other
+    other_rows = other.docs().select("conv_id", "text").collect()
+    term = next(t for r in other_rows
+                for t in analyze_text(r["text"] or "")
+                if t.startswith("topic"))
+    convs = {r["conv_id"] for r in other_rows
+             if term in analyze_text(r["text"] or "")}
+    want = sorted(r["doc_id"] for r in rows if r["conv_id"] in convs)
+    fq = f"{{!join from=conv_id to=conv_id fromIndex=other}}{term}"
+    resp = solr_select(corpus, {"q": "*:*", "fq": fq, "rows": 0})
+    assert want and resp["response"]["numFound"] == len(want)
+    got = corpus.match_all(k=len(want) + 5, fq=fq)
+    assert sorted(r["doc_id"] for r in got.collect()) == want
+    # inner *:* over the other core: every conv present there
+    all_convs = {r["conv_id"] for r in other_rows}
+    want_all = sum(1 for r in rows if r["conv_id"] in all_convs)
+    fq2 = "{!join from=conv_id to=conv_id fromIndex=other}*:*"
+    resp2 = solr_select(corpus, {"q": "*:*", "fq": fq2, "rows": 0})
+    assert resp2["response"]["numFound"] == want_all
+    # from-field validated against the FROM core, to-field against self
+    with pytest.raises(ValueError, match="unknown field"):
+        solr_select(corpus, {"q": "*:*", "rows": 0,
+                             "fq": "{!join from=nope to=conv_id "
+                                   "fromIndex=other}*:*"})
+
+
+def test_join_from_index_unregistered(corpus):
+    with pytest.raises(ValueError, match="not registered"):
+        solr_select(corpus, {"q": "*:*", "rows": 0,
+                             "fq": "{!join from=conv_id to=conv_id "
+                                   "fromIndex=missing}*:*"})
