@@ -115,8 +115,11 @@ components its solrconfig enables):
   rerank cost, the reRankDocs contract)
 - ``cursorMark`` (Solr deep paging) — ``*`` starts a cursor; the response
   carries ``nextCursorMark``; an unchanged mark means exhaustion. Requires
-  ``start=0`` and the canonical sort (Solr requires the uniqueKey
-  tiebreaker). :func:`select_cursor_pages` is the bulk-export loop
+  ``start=0``; serves the canonical sort (score-keyed token) AND plain
+  stored-field sorts, scored or match-all (field-value keyset token —
+  the predicate filters before the top-k, so every page is O(page), no
+  offset re-rank; function/mixed-score sorts fail loud).
+  :func:`select_cursor_pages` is the bulk-export loop
 
 The facade is the DRIVER-SIDE rim of the engine: every listed param maps
 onto the distributed paths (WAND kernels, filter cache, docid-pushdown
@@ -125,6 +128,8 @@ stored fetch); only the ≤``rows`` result page is ever collected.
 
 from __future__ import annotations
 
+import base64
+import datetime
 import heapq
 import json
 import re
@@ -134,7 +139,12 @@ from typing import Any, Iterator
 from pyspark.sql import functions as F
 
 from ..functions.function_query import looks_like_function
-from .engine import BM25Index, decode_cursor_mark, encode_cursor_mark
+from .engine import (
+    BM25Index,
+    CURSOR_START,
+    decode_cursor_mark,
+    encode_cursor_mark,
+)
 
 __all__ = ["solr_select", "select_pages", "select_cursor_pages",
            "solr_export", "solr_get", "solr_suggest"]
@@ -304,6 +314,100 @@ def _sort_fields(sort_spec: list[tuple[str, str]], idx) -> list[str]:
         elif f not in ("score", "doc_id"):
             need.append(f)
     return list(dict.fromkeys(need))
+
+
+# --- field-sort cursorMark (Solr CursorMarkParams over arbitrary sorts) ------
+#
+# Solr cursors work with ANY sort ending in the uniqueKey tiebreaker: the
+# token embeds the last row's SORT VALUES, and the next page filters
+# "after (values, doc_id)" under the sort order -- keyset pagination, never
+# an offset re-rank. The engine's canonical cursor (engine.py) covers the
+# relevance sort; these helpers cover plain stored-field sorts (functions
+# and mixed score sorts fail loud -- their values are not stored, so a
+# stateless token cannot restate them).
+
+
+def encode_field_cursor(values: list, doc_id: int, sort: str) -> str:
+    """Token = {v: [sort values], d: doc_id, k: normalized sort} -- the
+    sort travels with the token so a page requested under a DIFFERENT sort
+    fails loud instead of silently mis-paging (Solr couples cursorMark to
+    the sort the same way)."""
+    def enc(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return {"t": "ts", "v": v.isoformat(sep=" ")}
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        raise ValueError(
+            f"cursorMark requires atomic sort values, got {type(v).__name__}"
+        )
+    payload = json.dumps({"v": [enc(v) for v in values],
+                          "d": int(doc_id), "k": sort})
+    return base64.urlsafe_b64encode(payload.encode()).decode()
+
+
+def decode_field_cursor(
+    token: str | None, sort: str
+) -> tuple[list, int] | None:
+    """'*'/None -> first page; otherwise (values, doc_id). Values come
+    back JSON-typed (timestamps as strings) -- the predicate builder casts
+    them to the column type, so lossless round-trip."""
+    if token is None or token == CURSOR_START:
+        return None
+    try:
+        p = json.loads(base64.urlsafe_b64decode(token.encode()).decode())
+        vals, d, k = list(p["v"]), int(p["d"]), str(p["k"])
+    except (ValueError, TypeError, KeyError) as e:
+        raise ValueError(f"unable to parse cursorMark: {token!r}") from e
+    if k != sort:
+        raise ValueError(
+            f"cursorMark was created for sort {k!r}; this request sorts "
+            f"{sort!r}"
+        )
+    return [v["v"] if isinstance(v, dict) else v for v in vals], d
+
+
+def _field_cursor_predicate(df, sort_spec, values, doc_id):
+    """Keyset predicate 'row sorts strictly after (values, doc_id)' under
+    ``sort_spec`` + doc_id tiebreak, with Spark/Solr null placement
+    (asc = nulls first, desc = nulls last): the lexicographic OR-chain
+    (k1 after v1) OR (k1 = v1 AND k2 after v2) OR ... OR (all = AND
+    doc_id > d). One codegen'd boolean over the scan -- no state, no
+    offset."""
+    if len(values) != len(sort_spec):
+        raise ValueError(
+            f"cursorMark carries {len(values)} sort values for "
+            f"{len(sort_spec)} sort fields"
+        )
+
+    def typed(fld, v):
+        return F.lit(v).cast(df.schema[fld].dataType)
+
+    pred = None
+    eq_chain = F.lit(True)
+    for (fld, d), v in zip(sort_spec, values):
+        c = df[fld]
+        if d == "asc":  # nulls first: everything non-null is after null
+            after = c.isNotNull() if v is None else (c > typed(fld, v))
+        else:  # nulls last: null is after every value; nothing after null
+            after = F.lit(False) if v is None else (
+                c.isNull() | (c < typed(fld, v)))
+        pred = (eq_chain & after) if pred is None else (
+            pred | (eq_chain & after))
+        eq_chain = eq_chain & (
+            c.isNull() if v is None else c.eqNullSafe(typed(fld, v)))
+    return pred | (eq_chain & (df["doc_id"] > int(doc_id)))
+
+
+def _field_cursor_ok(sort_spec, idx) -> bool:
+    """A sort a field cursor can serve: plain atomic stored columns."""
+    types = dict(idx.docs().dtypes)
+    for f, _ in sort_spec:
+        if f == "score" or looks_like_function(f):
+            return False
+        t = types.get(f)
+        if t is None or t.startswith(("array", "struct", "map")):
+            return False
+    return True
 
 
 _PF_FIELD_RE = re.compile(r"^([A-Za-z_]\w*)(?:\^(\d+(?:\.\d+)?))?$")
@@ -657,13 +761,18 @@ def solr_select(
             )
     if cursor is not None:
         # Solr CursorMarkParams contract: cursors start at start=0 and the
-        # sort must end in the uniqueKey tiebreaker -- both canonical sorts
-        # here ('score desc' -> (round6, doc_id), match-all -> doc_id) do.
+        # sort must end in the uniqueKey tiebreaker (doc_id, appended
+        # implicitly on every path here). Served sorts: the canonical
+        # relevance/doc-id sorts (engine.py score-keyed token) and plain
+        # stored-field sorts (field-value keyset token); function sorts
+        # and mixed score sorts have no stored values to restate.
         if start != 0:
             raise ValueError("cursorMark requires start=0 (Solr CursorMarkParams)")
-        if sort not in ("score desc", "doc_id asc"):
+        if sort not in ("score desc", "doc_id asc") and not (
+                sort_spec is not None and _field_cursor_ok(sort_spec, idx)):
             raise ValueError(
-                f"cursorMark requires the canonical sort, got {sort!r}"
+                f"cursorMark requires the canonical sort or a plain "
+                f"stored-field sort, got {sort!r}"
             )
     num_found: int
     num_found_exact = True
@@ -784,7 +893,8 @@ def solr_select(
         )
         rows_out = [r.asDict() for r in df.collect()]
     elif match_all:
-        if cursor is not None:
+        sort_need: list[str] = []
+        if cursor is not None and sort in ("score desc", "doc_id asc"):
             after = decode_cursor_mark(cursor)
             page = idx.match_all(
                 k=rows, fq=fq, after_doc=after[1] if after else None
@@ -794,12 +904,21 @@ def solr_select(
         else:
             # field sort (possibly multi-field, Solr comma syntax) over the
             # live filtered scan (TakeOrderedAndProject: the orderBy+limit
-            # never materializes a full sort)
+            # never materializes a full sort). A cursor page restates the
+            # keyset predicate instead of paying offset re-ranks.
             live = idx._anti_dead(idx._apply_fq(idx.docs(), fq))
+            if cursor is not None:
+                sort_need = _sort_fields(sort_spec, idx)
+                fafter = decode_field_cursor(cursor, sort)
+                if fafter is not None:
+                    live = live.filter(_field_cursor_predicate(
+                        live, sort_spec, *fafter))
             ordered = live.orderBy(
                 *_sort_cols(live, sort_spec, idx), "doc_id"
-            ).select("doc_id", F.lit(1.0).alias("score"))
-            page = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
+            ).select("doc_id", F.lit(1.0).alias("score"), *sort_need)
+            page = (ordered.limit(rows) if cursor is not None
+                    else ordered.offset(start).limit(rows) if start
+                    else ordered.limit(rows))
         # the page is <= rows rows: take its order driver-side, then fetch
         # stored fields by doc_id (docid-pushdown scan) and re-order to it
         page_rows = page.collect()
@@ -815,9 +934,15 @@ def solr_select(
             {**fetched.get(i, {"doc_id": i}), "score": scores[i]} for i in order
         ]
         if cursor is not None:
-            next_cursor = (
-                encode_cursor_mark(1.0, int(order[-1])) if order else cursor
-            )
+            if not order:
+                next_cursor = cursor  # exhausted: Solr's unchanged-mark stop
+            elif sort in ("score desc", "doc_id asc"):
+                next_cursor = encode_cursor_mark(1.0, int(order[-1]))
+            else:
+                last = page_rows[-1]
+                next_cursor = encode_field_cursor(
+                    [last[f] for f in (f0 for f0, _ in sort_spec)],
+                    int(order[-1]), sort)
     elif sort == "score desc":
         if cursor is not None:
             page_rows, next_cursor = idx.search_cursor(
@@ -888,13 +1013,32 @@ def solr_select(
             else list(dict.fromkeys(fetch_fl + need))
         )
         joined = matched.join(idx._stored_side(side_fl), "doc_id")
+        if cursor is not None:
+            # keyset page over the scored match set: the cursor predicate
+            # filters BEFORE the TakeOrderedAndProject, so each page emits
+            # `rows` rows -- never an offset prefix re-rank
+            fafter = decode_field_cursor(cursor, sort)
+            if fafter is not None:
+                joined = joined.filter(_field_cursor_predicate(
+                    joined, sort_spec, *fafter))
         ordered = joined.orderBy(*_sort_cols(joined, sort_spec, idx), "doc_id")
-        page = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
+        page = (ordered.limit(rows) if cursor is not None
+                else ordered.offset(start).limit(rows) if start
+                else ordered.limit(rows))
         keep = None if fetch_fl is None else set(fetch_fl) | {"doc_id", "score"}
+        raw_rows = [r.asDict() for r in page.collect()]
         rows_out = [
-            {k: v for k, v in r.asDict().items() if keep is None or k in keep}
-            for r in page.collect()
+            {k: v for k, v in r.items() if keep is None or k in keep}
+            for r in raw_rows
         ]
+        if cursor is not None:
+            if not raw_rows:
+                next_cursor = cursor  # exhausted: Solr's unchanged-mark stop
+            else:
+                last = raw_rows[-1]
+                next_cursor = encode_field_cursor(
+                    [last[f] for f, _ in sort_spec],
+                    int(last["doc_id"]), sort)
 
     if want_features and feat_map is None:
         raise ValueError("fl=[features] requires rq={!ltr ...} (the LTR "

@@ -164,5 +164,8 @@ def test_select_cursor_validation(corpus):
     _, idx = corpus
     with pytest.raises(ValueError, match="start=0"):
         solr_select(idx, {"q": "error", "cursorMark": "*", "start": 5})
+    # ts desc is now a served field-sort cursor (test_cursor_field_sort);
+    # function sorts still have no stored values for a stateless token
     with pytest.raises(ValueError, match="canonical sort"):
-        solr_select(idx, {"q": "error", "cursorMark": "*", "sort": "ts desc"})
+        solr_select(idx, {"q": "error", "cursorMark": "*",
+                          "sort": "sum(turn_idx,1) desc"})
