@@ -333,8 +333,10 @@ def encode_field_cursor(values: list, doc_id: int, sort: str) -> str:
     fails loud instead of silently mis-paging (Solr couples cursorMark to
     the sort the same way)."""
     def enc(v):
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime):
             return {"t": "ts", "v": v.isoformat(sep=" ")}
+        if isinstance(v, datetime.date):  # date.isoformat takes no sep
+            return {"t": "ts", "v": v.isoformat()}
         if v is None or isinstance(v, (bool, int, float, str)):
             return v
         raise ValueError(
@@ -699,9 +701,11 @@ def solr_select(
     else:
         fetch_fl = [f for f in (fl or []) if f != "score"] or None
     sort = " ".join(str(params.get("sort", "score desc")).split())
-    sort_spec = (
-        None if sort in ("score desc", "doc_id asc") else _parse_sort(sort)
-    )
+    # sort_spec is None only for the relevance sort; 'doc_id asc' keeps a
+    # spec so the SCORED dispatch (which special-cases only 'score desc')
+    # can serve it through the field-sort branch (match-all still takes
+    # its dedicated doc-id path below)
+    sort_spec = None if sort == "score desc" else _parse_sort(sort)
 
     match_all = q.strip() == "*:*"
     mec = params.get("minExactCount")

@@ -305,6 +305,16 @@ def _sort_cols(spec) -> list[Column]:
     return [F.col(f).desc() if d == "desc" else F.col(f).asc() for f, d in spec]
 
 
+def _contains_call(node, name: str) -> bool:
+    """True when the expression tree under ``node`` contains a call to
+    ``name`` (any depth)."""
+    if not isinstance(node, Call):
+        return False
+    if node.name == name:
+        return True
+    return any(_contains_call(a, name) for a in node.args)
+
+
 def _require_params(c: Call, required: set, optional: set = frozenset()):
     missing = required - set(c.params)
     if missing:
@@ -479,6 +489,18 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
                 f"(registered: {sorted(colls) if colls else []})"
             )
         dest = colls[c.args[0]]
+        if _contains_call(c.args[1], "topic"):
+            # lazy topic() commits its checkpoint at eval time, BEFORE the
+            # append job runs -- an append failure would silently lose the
+            # window (at-most-once). The topic->update pipeline belongs to
+            # run_daemon, whose two-phase checkpoint commits AFTER the
+            # batch lands (exactly-once).
+            raise ValueError(
+                "update() over a topic() source must run through "
+                "streaming.topics.run_daemon (daemon(update(dest, "
+                "topic(...)))) -- the lazy path would commit the topic "
+                "checkpoint before the append lands"
+            )
         src = _eval(c.args[1], idx, colls)
         return _update_sink(dest, src)
 
@@ -641,14 +663,18 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
             raise ValueError("shortestPath(): maxDepth must be >= 1")
         spark = nidx.spark
         path_t = "path array<string>"
-        if frm == dst:  # zero-hop path
-            return TupleStream(
-                spark.createDataFrame([([frm],)], path_t), ())
         edges = (
             live.select(F.col(sfld).cast("string").alias("_sp_src"),
                         F.col(dfld).cast("string").alias("_sp_dst"))
             .dropna().distinct()
         )
+        if frm == dst:
+            # zero-hop path -- but only for a node the (fq-filtered)
+            # graph actually contains; never fabricate a ghost node
+            known = edges.filter((F.col("_sp_src") == frm)
+                                 | (F.col("_sp_dst") == frm))
+            rows0 = [([frm],)] if known.take(1) else []
+            return TupleStream(spark.createDataFrame(rows0, path_t), ())
         frontier = spark.createDataFrame(
             [(frm, [frm])], f"node string, {path_t}")
         visited = spark.createDataFrame([(frm,)], "node string")
@@ -1040,19 +1066,11 @@ def solr_sql(idx: BM25Index, sql: str, collection: str = "collection") -> DataFr
 
 
 def next_batch_id(dest: BM25Index) -> int:
-    """The next free ``batch-<id>`` slot in ``dest``'s manifest. Loads the
-    manifest under its LIVE build_id -- a mismatched id sees an empty step
-    table (Manifest treats it as a fresh build) and would hand out slot 0
-    forever."""
-    from ..plans.manifest import Manifest, read_manifest_data
+    """The next free ``batch-<id>`` slot in ``dest``'s manifest (the
+    shared helper lives in streaming/incremental.py)."""
+    from ..streaming.incremental import next_batch_id as _next
 
-    live = (read_manifest_data(dest.data_dir) or {}).get("build_id", "update")
-    man = Manifest(dest.data_dir, live)
-    nxt = 0
-    for name, st in man.steps.items():
-        if name.startswith("batch-") and st.status == "committed":
-            nxt = max(nxt, int(name.split("-", 1)[1]) + 1)
-    return nxt
+    return _next(dest.data_dir)
 
 
 def _update_sink(

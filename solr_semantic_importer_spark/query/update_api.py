@@ -127,10 +127,8 @@ def solr_update(
     unique_key: str | None = None,
 ) -> dict[str, Any]:
     """Execute one /update request. See module docstring for semantics."""
-    from ..plans.manifest import Manifest
-    from ..streaming.incremental import append_batch
-
     from ..plans.manifest import read_manifest_data
+    from ..streaming.incremental import append_batch
 
     live = (read_manifest_data(index_dir) or {}).get("build_id")
     if live is not None and live != cfg.build_id:
@@ -187,11 +185,9 @@ def solr_update(
             [tuple(d[c] for c in expected) for d in docs],
             idx0.docs().select(*expected).schema,
         )
-        man = Manifest(index_dir, cfg.build_id)
-        nxt = 0
-        for name, s in man.steps.items():
-            if name.startswith("batch-") and s.status == "committed":
-                nxt = max(nxt, int(name.split("-", 1)[1]) + 1)
+        from ..streaming.incremental import next_batch_id
+
+        nxt = next_batch_id(index_dir)
         if not append_batch(batch, index_dir, cfg, batch_id=nxt):
             raise RuntimeError(f"/update: batch id {nxt} already committed")
         counts["adds"] += len(docs)

@@ -92,6 +92,20 @@ def _publish_staged(staging: str, target: str, tag: str) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def next_batch_id(index_dir: str) -> int:
+    """The next free ``batch-<id>`` slot in the manifest at ``index_dir``.
+    Loads it under its LIVE build_id -- a mismatched id sees an empty step
+    table (Manifest treats it as a fresh build) and would hand out slot 0
+    forever."""
+    live = (read_manifest_data(index_dir) or {}).get("build_id", "update")
+    man = Manifest(index_dir, live)
+    nxt = 0
+    for name, st in man.steps.items():
+        if name.startswith("batch-") and st.status == "committed":
+            nxt = max(nxt, int(name.split("-", 1)[1]) + 1)
+    return nxt
+
+
 def append_batch(
     batch_df: DataFrame, index_dir: str, cfg: BuildConfig, batch_id: int
 ) -> bool:
@@ -112,6 +126,15 @@ def append_batch(
         )
     os.makedirs(index_dir, exist_ok=True)
     live = read_manifest_data(index_dir)
+    if live is not None and live.get("generation"):
+        # generation-pointer root (post-compaction): appending HERE would
+        # flush a manifest without the pointer, silently un-publishing the
+        # compaction and re-rooting readers onto stale relations
+        raise ValueError(
+            f"{index_dir!r} is a generation pointer "
+            f"({live['generation']!r}): append into the generation "
+            f"subdirectory (BM25Index.data_dir), not the root"
+        )
     if live is not None and live.get("steps") \
             and live.get("build_id") != cfg.build_id:
         # manifest steps are keyed by build_id: a mismatched id would see

@@ -71,8 +71,12 @@ class TopicStream:
         self.idx = idx
         self.q = str(q)
         self.fl = list(fl) if fl else None
+        # anchor checkpoints at the collection ROOT, not data_dir: a
+        # compaction re-roots data_dir to <root>/gen-N/, which would
+        # orphan every topic checkpoint (and generation GC would delete
+        # them) -- the root survives compactions
         self.ckpt_dir = os.path.join(
-            checkpoint_idx.data_dir, "topics", str(topic_id))
+            checkpoint_idx.index_dir, "topics", str(topic_id))
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.initial = int(initial_checkpoint)
         self._pending_hi: int | None = None
@@ -106,8 +110,10 @@ class TopicStream:
             matches = self.idx.score_matches(self.q).select("doc_id")
         win = matches.filter(
             (F.col("doc_id") >= int(ck)) & (F.col("doc_id") < int(hi)))
+        # default projection = the STORED fields; dl/segment_id/tfmap are
+        # internal index state and never belong in a /stream tuple
         cols = [c for c in (self.fl or self.idx.docs().columns)
-                if c not in ("doc_id", "tfmap")]
+                if c not in ("doc_id", "tfmap", "dl", "segment_id")]
         bad = [c for c in cols if c not in self.idx.docs().columns]
         if bad:
             raise ValueError(f"topic fl fields not stored: {bad}")

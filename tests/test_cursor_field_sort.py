@@ -122,3 +122,18 @@ def test_field_cursor_fail_loud(corpus):
     with pytest.raises(ValueError, match="unable to parse"):
         solr_select(idx, {"q": "*:*", "sort": "tool asc", "rows": 5,
                           "cursorMark": "@@@notb64@@@"})
+
+
+def test_scored_doc_id_sort_and_cursor(corpus):
+    """Review fix: a scored q with sort='doc_id asc' dispatches through
+    the field-sort branch (sort_spec no longer None) instead of crashing,
+    and its cursor walk is a doc-id keyset."""
+    idx, rows = corpus
+    match = sorted(r["doc_id"]
+                   for r in idx.score_matches("error call").collect())
+    resp = solr_select(idx, {"q": "error call", "sort": "doc_id asc",
+                             "rows": 7})
+    assert [d["doc_id"] for d in resp["response"]["docs"]] == match[:7]
+    ids, _ = _walk(idx, {"q": "error call", "sort": "doc_id asc",
+                         "cursorMark": "*"}, 7)
+    assert ids == match

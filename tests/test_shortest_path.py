@@ -117,3 +117,14 @@ def test_shortest_path_respects_tombstones(spark, tmp_path_factory):
     # kill the a->b edge doc: only the c route remains
     idx.delete_by_query("conv_id = 'c0000'")
     assert _run(idx, "a", "e", 6) == [["a", "c", "d", "e"]]
+
+
+def test_zero_hop_requires_known_node(spark, tmp_path_factory):
+    """Review fix: from==to never fabricates a path through a node the
+    (fq-filtered) graph does not contain."""
+    idx = _graph_index(spark, tmp_path_factory, "spz", DIAMOND)
+    assert _run(idx, "ghost", "ghost", 3) == []
+    assert _run(idx, "a", "a", 3) == [["a"]]
+    # fq that removes every a-edge removes the zero-hop witness too
+    got = _run(idx, "a", "a", 3, extra=', fq="conv_id:c0002"')
+    assert got == []

@@ -180,3 +180,43 @@ def test_update_sink_explicit_batch_id_is_idempotent(spark,
     assert r1["totalIndexed"] == r2["totalIndexed"] == 6
     assert r1["batchNumber"] == r2["batchNumber"] == bid
     assert BM25Index(spark, dd).docs().count() == n0 + 6
+
+
+def test_topic_tuples_hide_internal_columns(spark, tmp_path_factory):
+    """Review fix: default topic projection = stored fields only."""
+    d = _build(spark, tmp_path_factory, "thc", 6, seed=61)
+    idx = BM25Index(spark, d)
+    row = TopicStream(idx, idx, "th", "error").poll().first()
+    cols = set(row.asDict())
+    assert "dl" not in cols and "segment_id" not in cols
+    assert {"doc_id", "conv_id", "text", "role"} <= cols
+
+
+def test_lazy_update_over_topic_fails_loud(spark, tmp_path_factory):
+    """Review fix: the lazy update(topic()) composition would commit the
+    checkpoint before the append lands -- routed to run_daemon instead."""
+    d = _build(spark, tmp_path_factory, "tlz", 4, seed=62)
+    idx = BM25Index(spark, d)
+    with pytest.raises(ValueError, match="run_daemon"):
+        run_stream_expr(
+            idx, 'update(dest, topic(ck, src, id="t", q="error"))',
+            collections={"dest": idx, "ck": idx, "src": idx})
+
+
+def test_append_batch_refuses_generation_pointer_root(spark,
+                                                      tmp_path_factory):
+    """Review fix: appending at a compacted index ROOT would un-publish
+    the generation pointer -- fail loud, append into data_dir instead."""
+    d = _build(spark, tmp_path_factory, "tgen", 6, seed=63)
+    idx = BM25Index(spark, d)
+    idx.compact()
+    idx2 = BM25Index(spark, d)
+    assert idx2.data_dir != d  # re-rooted onto the generation subdir
+    live = read_manifest_data(idx2.data_dir)["build_id"]
+    cfg = idx2._config_from_manifest(live)
+    batch = generate_transcripts(spark, n_convs=1, turns_per_conv=2,
+                                 seed=64).select(*STORED)
+    with pytest.raises(ValueError, match="generation pointer"):
+        append_batch(batch, d, cfg, batch_id=0)
+    # the data_dir append path still works
+    assert append_batch(batch, idx2.data_dir, cfg, batch_id=0)
