@@ -90,6 +90,12 @@ loud on anything else — the facade contract):
   tuples (``node``/``collection``/``field``/``level``; per-node metrics
   from the matched docs). scatter=branches adds the root values at
   level 0 (default leaves-only).
+- ``scoreNodes(collection, nodes(..., count(*)))`` — graph-node tf-idf:
+  adds ``docFreq`` (docs carrying the node value in its gather field),
+  ``numDocs`` and ``nodeScore = count(*) × log((numDocs+1)/(docFreq+1))``
+  to every node tuple; raw counts travel with the tuples (Solr's exact
+  smoothing is an implementation detail — documented deviation, the
+  significantTerms convention).
 - ``shortestPath(collection, from=, to=, edge="srcField=dstField",
   maxDepth=, [fq=], [threads=], [partitionSize=])`` — breadth-first
   shortest paths: every minimal-length node sequence from ``from`` to
@@ -730,6 +736,69 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
                 )
             df = df.select(*cols)
         return TupleStream(df, ())
+
+    if c.name == "scoreNodes":
+        # scoreNodes(collection, nodes(...)) -- Solr's graph-node scorer:
+        # each node tuple gains docFreq (docs carrying the node value in
+        # its gather field), numDocs, and nodeScore = count(*) x
+        # log((numDocs + 1) / (docFreq + 1)) -- tf-idf shape per the Solr
+        # ref guide ("scoreNodes ... using tf-idf"; rare nodes outrank
+        # ubiquitous ones). Solr's exact smoothing constants are an
+        # implementation detail, so like significantTerms the RAW
+        # docFreq/numDocs travel with every tuple for re-ranking under any
+        # convention (documented deviation).
+        # Plan: distinct (field, node) pairs from the (small) node stream
+        # broadcast against ONE live docs scan per gather field ->
+        # per-node doc counts; numDocs is the live count, no extra job.
+        if len(c.args) != 2 or not isinstance(c.args[1], Call):
+            raise ValueError("scoreNodes(collection, nodes(...))")
+        _require_params(c, set(), set())
+        nidx = _resolve(c.args[0], idx, colls)
+        s = _eval(c.args[1], idx, colls)
+        needed = {"node", "field", "count(*)"}
+        missing = needed - set(s.df.columns)
+        if missing:
+            raise ValueError(
+                f"scoreNodes(): stream lacks {sorted(missing)} -- wrap a "
+                f"nodes(...) expression carrying count(*)"
+            )
+        live = nidx._anti_dead(nidx.docs())
+        n_docs = live.count()
+        # node streams are small by the gather contract: resolve the
+        # gather fields driver-side, one df job per distinct field
+        fields = [r["field"] for r in s.df.select("field").distinct()
+                  .collect()]
+        unknown = [f for f in fields if f not in live.columns]
+        if unknown:
+            raise ValueError(
+                f"scoreNodes(): node fields not in the collection: "
+                f"{unknown}"
+            )
+        df = s.df
+        freqs = None
+        for f in fields:
+            part = (
+                live.select(F.col(f).cast("string").alias("node"))
+                .where(F.col("node").isNotNull())
+                .join(F.broadcast(
+                    df.filter(F.col("field") == f)
+                    .select("node").distinct()), "node")
+                .groupBy("node").agg(F.count("*").alias("docFreq"))
+                .withColumn("field", F.lit(f))
+            )
+            freqs = part if freqs is None else freqs.unionByName(part)
+        out = df.join(F.broadcast(freqs), ["node", "field"], "left")
+        out = (
+            out.withColumn("docFreq", F.coalesce("docFreq", F.lit(0)))
+            .withColumn("numDocs", F.lit(int(n_docs)))
+            .withColumn(
+                "nodeScore",
+                F.col("count(*)") * F.log(
+                    (F.lit(float(n_docs) + 1.0))
+                    / (F.col("docFreq") + F.lit(1.0))),
+            )
+        )
+        return TupleStream(out, ())
 
     if c.name == "topic":
         # standalone topic(): poll + commit AT EVAL TIME -- stream-open

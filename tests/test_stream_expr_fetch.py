@@ -234,3 +234,38 @@ def test_nodes_fail_loud(chain_idx):
     with pytest.raises(ValueError, match="scatter takes"):
         run_stream_expr(idx, f'nodes(tx, {base}, walk="from_f->to_f", '
                              f'gather="from_f", scatter="roots")')
+
+
+# ------------------------------------------------------------- scoreNodes
+
+
+def test_score_nodes_tfidf(chain_idx):
+    """scoreNodes over a nodes() hop: docFreq = docs carrying the node
+    value in the gather field, nodeScore = count x log((N+1)/(df+1)),
+    brute-forced from the collected corpus."""
+    import math
+
+    idx = chain_idx
+    df = run_stream_expr(
+        idx, 'scoreNodes(tx, nodes(tx, search(tx, q="to_f:n0", '
+             'fl="doc_id,from_f", sort="doc_id asc"), '
+             'walk="from_f->to_f", gather="from_f", count(*)))'
+    )
+    rows = {r["node"]: r for r in df.collect()}
+    docs = idx.docs().collect()
+    n = len(docs)
+    for node, r in rows.items():
+        want_df = sum(1 for d in docs if d["from_f"] == node)
+        assert r["docFreq"] == want_df and r["numDocs"] == n
+        want = r["count(*)"] * math.log((n + 1) / (want_df + 1))
+        assert r["nodeScore"] == pytest.approx(want)
+    assert rows  # the n0 hop gathers n2
+
+
+def test_score_nodes_validation(chain_idx):
+    with pytest.raises(ValueError, match="lacks"):
+        run_stream_expr(
+            chain_idx, 'scoreNodes(tx, search(tx, q="*:*", fl="doc_id", '
+                       'sort="doc_id asc"))')
+    with pytest.raises(ValueError, match="scoreNodes\\(collection"):
+        run_stream_expr(chain_idx, 'scoreNodes(tx)')
