@@ -90,6 +90,12 @@ loud on anything else — the facade contract):
   tuples (``node``/``collection``/``field``/``level``; per-node metrics
   from the matched docs). scatter=branches adds the root values at
   level 0 (default leaves-only).
+- ``list(s1, s2, ...)`` / ``plist(...)`` — stream concatenation in
+  argument order (plist = Solr's parallel-open variant, same output;
+  Spark runs the union's branches concurrently regardless). Fields a
+  branch lacks null-fill; the result advertises NO sort (a block-wise
+  concatenation is not globally ordered). ``echo("text")`` — one
+  ``{"echo": text}`` tuple.
 - ``scoreNodes(collection, nodes(..., count(*)))`` — graph-node tf-idf:
   adds ``docFreq`` (docs carrying the node value in its gather field),
   ``numDocs`` and ``nodeScore = count(*) × log((numDocs+1)/(docFreq+1))``
@@ -736,6 +742,42 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
                 )
             df = df.select(*cols)
         return TupleStream(df, ())
+
+    if c.name in ("list", "plist"):
+        # list(s1, s2, ...) / plist(...) -- concatenate streams in
+        # argument order (plist is Solr's parallel-open variant: same
+        # output contract, and Spark schedules the union's branches
+        # concurrently anyway). Tuples missing a field another stream
+        # carries emit it as null (Solr tuples simply lack the key --
+        # closest relational shape, documented).
+        if not c.args or not all(isinstance(a, Call) for a in c.args):
+            raise ValueError(f"{c.name}(stream, stream, ...)")
+        _require_params(c, set(), {"zkHost"})
+        parts = [_eval(a, idx, colls) for a in c.args]
+        dfs = [p.df.withColumn("__list_ord", F.lit(i)) for i, p in
+               enumerate(parts)]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d, allowMissingColumns=True)
+        # argument order is the stream order (list contract). Within one
+        # stream: when every branch declares the SAME sort, it is
+        # re-asserted after the union; otherwise intra-stream order is
+        # unspecified (Solr's list gives per-stream iteration order --
+        # a relational union cannot, documented).
+        common = parts[0].sort if all(
+            p.sort == parts[0].sort and p.sort for p in parts) else ()
+        u = u.orderBy("__list_ord", *_sort_cols(common)).drop("__list_ord")
+        # NOT globally sorted by `common` (stream-1 block then stream-2
+        # block): advertise no sort so unique/merge/innerJoin fail loud
+        return TupleStream(u, ())
+
+    if c.name == "echo":
+        # echo("text") -- one tuple {"echo": text} (Solr's sanity probe)
+        if len(c.args) != 1 or isinstance(c.args[0], Call):
+            raise ValueError('echo("text")')
+        return TupleStream(
+            idx.spark.createDataFrame([(str(c.args[0]),)], "echo string"),
+            ())
 
     if c.name == "scoreNodes":
         # scoreNodes(collection, nodes(...)) -- Solr's graph-node scorer:

@@ -269,3 +269,42 @@ def test_score_nodes_validation(chain_idx):
                        'sort="doc_id asc"))')
     with pytest.raises(ValueError, match="scoreNodes\\(collection"):
         run_stream_expr(chain_idx, 'scoreNodes(tx)')
+
+
+# ------------------------------------------------------- list/plist/echo
+
+
+def test_list_concatenates_streams(idx):
+    df = run_stream_expr(
+        idx, 'list(search(tx, q="error", fl="doc_id,role", '
+             'sort="doc_id asc", rows=3), '
+             'search(tx, q="tool", fl="doc_id,conv_id", '
+             'sort="doc_id asc", rows=2))'
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    # stream order: first stream's 3 rows lead; shared sort re-asserted
+    a = [r["doc_id"] for r in rows[:3]]
+    assert a == sorted(a)
+    # missing fields null-fill across the union
+    assert rows[0]["conv_id"] is None and rows[3]["role"] is None
+    # plist: same output contract
+    p = run_stream_expr(
+        idx, 'plist(search(tx, q="error", fl="doc_id", '
+             'sort="doc_id asc", rows=3), '
+             'search(tx, q="tool", fl="doc_id", '
+             'sort="doc_id asc", rows=2))'
+    ).collect()
+    assert [r["doc_id"] for r in p[:3]] == a
+
+
+def test_echo_and_list_validation(idx):
+    rows = run_stream_expr(idx, 'echo("hello world")').collect()
+    assert [r.asDict() for r in rows] == [{"echo": "hello world"}]
+    with pytest.raises(ValueError, match="list\\(stream"):
+        run_stream_expr(idx, 'list(tx)')
+    # list output advertises no sort: unique() over it fails loud
+    with pytest.raises(ValueError, match="must be sorted"):
+        run_stream_expr(
+            idx, 'unique(list(search(tx, q="error", fl="doc_id", '
+                 'sort="doc_id asc", rows=2)), over="doc_id")')
