@@ -695,6 +695,29 @@ def json_facet(
                         b[sn] = _py(r[sn])
                 buckets.append(b)
             out[name] = {"buckets": buckets}
+        elif t == "heatmap":
+            # {type: heatmap, field, [gridLevel | distErr], [geom]} --
+            # the json.facet twin of classic facet.heatmap: same RPT grid
+            # counts over the main query's exact DocSet
+            # (engine.facet_heatmap), same response keys. Domain
+            # modifiers are classic-heatmap-unsupported too: fail loud.
+            from .select_api import _parse_heatmap_geom
+
+            bad = set(s) - {"type", "field", "gridLevel", "distErr", "geom"}
+            if bad:
+                raise ValueError(
+                    f"unsupported heatmap facet keys: {sorted(bad)}")
+            if "field" not in s:
+                raise ValueError("heatmap facet needs field")
+            out[name] = idx.facet_heatmap(
+                q,
+                s["field"],
+                grid_level=(int(s["gridLevel"])
+                            if "gridLevel" in s else None),
+                dist_err=(float(s["distErr"]) if "distErr" in s else None),
+                geom=_parse_heatmap_geom(s.get("geom")),
+                fq=fq, op=op, mm=mm,
+            )
         else:
             raise ValueError(
                 f"unsupported json.facet type {t!r} for {name!r} "

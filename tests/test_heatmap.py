@@ -127,3 +127,29 @@ def test_geom_parse():
         (-10.0, -5.0, 10.5, 20.0)
     with pytest.raises(ValueError, match="facet.heatmap.geom"):
         _parse_heatmap_geom("POLYGON((1 2))")
+
+
+def test_json_facet_heatmap_matches_classic(corpus):
+    """json.facet {type: heatmap} = the classic facet.heatmap response
+    (same engine path), keyed inside the facets node."""
+    from solr_semantic_importer_spark.query.json_facet import json_facet
+
+    classic = corpus.facet_heatmap("error", "loc", grid_level=3)
+    got = json_facet(corpus, "error",
+                     {"hm": {"type": "heatmap", "field": "loc",
+                             "gridLevel": 3}})
+    assert got["hm"] == classic
+    # geom + distErr spellings parse like the classic params
+    g = json_facet(corpus, "error",
+                   {"hm": {"type": "heatmap", "field": "loc",
+                           "distErr": "22.5",
+                           "geom": '["-40 -20" TO "40 20"]'}})
+    want = corpus.facet_heatmap("error", "loc", dist_err=22.5,
+                                geom=(-40.0, -20.0, 40.0, 20.0))
+    assert g["hm"] == want
+    with pytest.raises(ValueError, match="unsupported heatmap facet keys"):
+        json_facet(corpus, "error",
+                   {"hm": {"type": "heatmap", "field": "loc",
+                           "domain": {"query": "*:*"}}})
+    with pytest.raises(ValueError, match="needs field"):
+        json_facet(corpus, "error", {"hm": {"type": "heatmap"}})
