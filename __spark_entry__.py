@@ -729,9 +729,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- Q2 match-all (q=*:*) ----
     def match_all_paged(spark, sf_dir):
+        # session-5 upgrade of this slot: the SAME match-all surface, now
+        # paged with the field-sort cursorMark (keyset tokens over
+        # `ts desc` + doc_id tiebreak) -- three cursor hops to page 3,
+        # i.e. rows 21-30 of the full ts-desc ordering. Exercises
+        # encode/decode_field_cursor + _field_cursor_predicate end to end
+        # under the gate; the offset-paging path stays pytest-covered.
+        from solr_semantic_importer_spark.query.select_api import solr_select
+
         idx = _index_for(spark, sf_dir)
-        res = idx.match_all(k=20, offset=10)
-        return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))
+        mark, docs = "*", []
+        for _ in range(3):
+            resp = solr_select(idx, {"q": "*:*", "sort": "ts desc",
+                                     "rows": 10, "cursorMark": mark})
+            docs = resp["response"]["docs"]
+            mark = resp["nextCursorMark"]
+        return spark.createDataFrame(
+            [(int(d["doc_id"]),) for d in docs], "doc_id bigint")
 
     q["match_all_paged"] = match_all_paged
 
@@ -1236,8 +1250,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["match_all_paged"] = f"""
         WITH t AS ({OSQL.transcripts_ids_cte()})
-        SELECT doc_id, CAST(1000 AS BIGINT) AS score_milli
-        FROM t ORDER BY doc_id LIMIT 20 OFFSET 10
+        SELECT doc_id
+        FROM t ORDER BY ts DESC, doc_id LIMIT 10 OFFSET 20
     """
     o["spell_suggest"] = f"""
         WITH {OSQL.bm25_base_ctes()}
