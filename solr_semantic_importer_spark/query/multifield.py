@@ -233,7 +233,23 @@ class MultiFieldIndex:
         :meth:`phrase_boosts`. Boosts ADD score to docs already in the
         main match set and never change the DocSet (Lucene's optional
         phrase clauses can only match docs whose terms already match),
-        so ``count_matches`` is pf-independent by construction."""
+        so ``count_matches`` is pf-independent by construction.
+
+        Physical dispatch: the unfiltered hot path (no fq, no per-field
+        tombstones, no phrase boosts) takes :meth:`wand_matches` -- zone
+        Block-Max WAND generalized to the DisMax combiner, per-segment
+        top-k candidates only, rank-identical to the exhaustive combine;
+        anything filtered/boosted takes the exhaustive
+        :meth:`score_matches` (those filters would otherwise have to
+        apply inside the pruning kernel before theta)."""
+        if (fq is None and k > 0
+                and all(p is None for p in (pf, pf2, pf3))
+                and not any(e._tombstones_df() is not None
+                            for e in self.engines.values())):
+            cand = self.wand_matches(query, qf, k=k + offset, tie=tie,
+                                     op=op, mm=mm)
+            return self.primary._finish(
+                cand, k, offset, with_stored, order_key, fl)
         scored = self.score_matches(query, qf, tie=tie, op=op, mm=mm, fq=fq)
         boosts = self.phrase_boosts(
             query, pf=pf, ps=ps, pf2=pf2, ps2=ps2, pf3=pf3, ps3=ps3)
@@ -251,6 +267,228 @@ class MultiFieldIndex:
             )
         return self.primary._finish(
             scored, k, offset, with_stored, order_key, fl)
+
+    def wand_matches(
+        self,
+        query: str,
+        qf: str | dict[str, float],
+        k: int,
+        tie: float = 0.0,
+        op: str = "OR",
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """Top-k DisMax candidates via Block-Max WAND generalized to the
+        DisMax combiner (PLANS.md "edismax qf DisMax": the per-clause zone
+        upper bound ``ub(clause) = max_f ub_f + tie * sum of the other
+        fields' ub_f`` is monotone in each field bound, so zone skipping
+        stays exact). Emits each segment's local top-k -- a doc's postings
+        for EVERY field live in its segment (the family shares the doc-id
+        assignment and segment_size), so per-doc DisMax scores are
+        complete inside one kernel call and the global top-k is a cut of
+        the per-segment candidates.
+
+        Scope: the pruned path serves the no-filter hot path -- callers
+        apply it only when fq is empty and no per-field tombstones exist
+        (both would have to filter INSIDE the kernel before theta, the
+        cogroup machinery the single-field engine has; here the exhaustive
+        path serves filtered queries). Rank-identity with the exhaustive
+        combine is pinned by tests/test_multifield_wand.py across
+        op/mm/tie/clause-boost shapes with the zone path forced."""
+        plan = self._plan(query, qf, float(tie), op, mm)
+        empty = self.spark.createDataFrame([], _SCORE_ROW)
+        if plan is None:
+            return empty
+        tmaps, _multi, n_live, mm_n = plan
+        sizes = {self.engines[f].segment_size for f in self.fields}
+        if len(sizes) != 1:
+            raise ValueError(
+                f"per-field segment sizes diverge ({sizes}): the family "
+                f"was not built by build_multi_field_index"
+            )
+        tie_f, kk = float(tie), max(int(k), 1)
+        k1, b = K1, B
+        avgdls = {fi: self.engines[f].avgdl
+                  for fi, f in enumerate(self.fields)}
+        # (fld, term) -> [(clause, weight)]
+        cw = {(fi, t): list(pairs)
+              for fi, f in enumerate(self.fields) if f in tmaps
+              for t, pairs in tmaps[f].items()}
+        need_n = n_live if op == "AND" else mm_n  # matched-clause floor
+        NF = len(self.fields)
+
+        cols = ["term", "segment_id", "count", "min_doc", "max_doc",
+                "max_tf", "min_dl", "doc_gaps", "tfs", "dls"]
+        frames = [
+            self.engines[f].postings_for(list(tmaps[f]))
+            .select(*cols).withColumn("fld", F.lit(fi))
+            for fi, f in enumerate(self.fields) if f in tmaps
+        ]
+        post = frames[0]
+        for fr in frames[1:]:
+            post = post.unionByName(fr)
+        cutoff = getattr(self, "exhaustive_cutoff", 1 << 15)
+
+        def combine(docs, vals, cls, flds):
+            """(clause,fld,doc) partials -> per-doc DisMax scores.
+            Packing budget: doc < 2^40, (clause*NF+fld) in the high bits
+            (same convention as the phrase kernel's 2^24 position pack)."""
+            key1 = ((cls.astype(np.uint64) * NF + flds.astype(np.uint64))
+                    << np.uint64(40)) | docs.astype(np.uint64)
+            u1, inv1 = np.unique(key1, return_inverse=True)
+            s1 = np.zeros(len(u1))
+            np.add.at(s1, inv1, vals)  # per-(clause,fld,doc) term sum
+            key2 = ((u1 >> np.uint64(40)) // np.uint64(NF)
+                    << np.uint64(40)) | (u1 & np.uint64((1 << 40) - 1))
+            u2, inv2 = np.unique(key2, return_inverse=True)
+            mx = np.full(len(u2), -np.inf)
+            sm = np.zeros(len(u2))
+            np.maximum.at(mx, inv2, s1)
+            np.add.at(sm, inv2, s1)
+            ds = mx + tie_f * (sm - mx)  # per-(clause,doc) DisMax
+            d2 = (u2 & np.uint64((1 << 40) - 1)).astype(np.int64)
+            u3, inv3 = np.unique(d2, return_inverse=True)
+            tot = np.zeros(len(u3))
+            np.add.at(tot, inv3, ds)
+            if need_n is not None:
+                nc = np.bincount(inv3, minlength=len(u3))
+                m = nc >= need_n
+                u3, tot = u3[m], tot[m]
+            return u3, tot
+
+        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            res_empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"})
+            rows = list(pdf.itertuples(index=False))
+            if not rows:
+                return res_empty
+
+            def decode(row):
+                gaps = varint_decode(row.doc_gaps, row.count)
+                docs = np.cumsum(gaps).astype(np.int64)
+                tf = varint_decode(row.tfs, row.count).astype(np.float64)
+                dl = varint_decode(row.dls, row.count).astype(np.float64)
+                ad = avgdls[row.fld]
+                base = tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * (dl / ad if ad else 1.0)))
+                return docs, base
+
+            def emit(parts):
+                # parts: list of (docs, w*base, clause, fld) arrays
+                docs = np.concatenate([p[0] for p in parts])
+                if not len(docs):
+                    return res_empty
+                vals = np.concatenate([p[1] for p in parts])
+                cls = np.concatenate([p[2] for p in parts])
+                flds = np.concatenate([p[3] for p in parts])
+                u, tot = combine(docs, vals, cls, flds)
+                if not len(u):
+                    return res_empty
+                order = np.lexsort((u, -np.round(tot, 6)))[:kk]
+                return pd.DataFrame({"doc_id": u[order],
+                                     "score": tot[order]})
+
+            def row_parts(i, zmask=None):
+                d, base = dec(i)
+                if zmask is not None:
+                    d, base = d[zmask(d)], base[zmask(d)]
+                out = []
+                for c, w in cw[(rows[i].fld, rows[i].term)]:
+                    out.append((d, w * base,
+                                np.full(len(d), c, np.int64),
+                                np.full(len(d), rows[i].fld, np.int64)))
+                return out
+
+            decoded: dict[int, tuple] = {}
+
+            def dec(i):
+                if i not in decoded:
+                    decoded[i] = decode(rows[i])
+                return decoded[i]
+
+            n_post = int(pdf["count"].sum())
+            if n_post <= cutoff:
+                parts = [p for i in range(len(rows)) for p in row_parts(i)]
+                return emit(parts)
+
+            # ---- zone-form Block-Max WAND over the DisMax combiner ------
+            lo = int(pdf["min_doc"].min())
+            hi = int(pdf["max_doc"].max())
+            n_zones = min(64, max(8, n_post // (1 << 13)))
+            span = max((hi - lo + 1 + n_zones - 1) // n_zones, 1)
+            nz = (hi - lo) // span + 1
+            bmin = pdf["min_doc"].to_numpy(np.int64)
+            bmax = pdf["max_doc"].to_numpy(np.int64)
+            bmt = pdf["max_tf"].to_numpy(np.float64)
+            bml = pdf["min_dl"].to_numpy(np.float64)
+            ads = np.array([avgdls[f] for f in pdf["fld"]], dtype=np.float64)
+            base_ub = bmt * (k1 + 1.0) / (
+                bmt + k1 * (1.0 - b + b * np.where(ads > 0, bml / ads, 1.0)))
+            # per (zone, (fld, term) slot) max base bound
+            slot_keys = list(dict.fromkeys(
+                (r.fld, r.term) for r in rows))
+            slot_of = {kft: i for i, kft in enumerate(slot_keys)}
+            srow = np.array([slot_of[(r.fld, r.term)] for r in rows])
+            z0 = (bmin - lo) // span
+            z1 = (bmax - lo) // span
+            zslot = np.zeros((nz, len(slot_keys)))
+            for i in range(len(rows)):
+                zslot[z0[i]:z1[i] + 1, srow[i]] = np.maximum(
+                    zslot[z0[i]:z1[i] + 1, srow[i]], base_ub[i])
+            # per zone: clause -> field -> sum over slot term bounds
+            all_clauses = sorted({c for ps in cw.values() for c, _ in ps})
+            cpos = {c: i for i, c in enumerate(all_clauses)}
+            # weight matrix W[(clause,fld) row, slot]: slot contributes
+            # w to field-score bound of that clause
+            ub_zone = np.zeros(nz)
+            cf = np.zeros((nz, len(all_clauses), NF))
+            for si, (fi, t) in enumerate(slot_keys):
+                for c, w in cw[(fi, t)]:
+                    cf[:, cpos[c], fi] += w * zslot[:, si]
+            mxf = cf.max(axis=2)
+            smf = cf.sum(axis=2)
+            ub_zone = (mxf + tie_f * (smf - mxf)).sum(axis=1)
+
+            zone_order = np.argsort(-ub_zone, kind="stable")
+            blocks_by_zone: list[list[int]] = [[] for _ in range(nz)]
+            for i in range(len(rows)):
+                for z in range(z0[i], z1[i] + 1):
+                    blocks_by_zone[z].append(i)
+            best_d = np.empty(0, np.int64)
+            best_s = np.empty(0, np.float64)
+            theta = -np.inf
+            for z in zone_order:
+                if ub_zone[z] < theta - 1e-6:  # desc order: rest skip too
+                    continue
+                zlo, zhi = lo + z * span, lo + (z + 1) * span - 1
+                parts = []
+                for i in blocks_by_zone[z]:
+                    parts.extend(row_parts(
+                        i, zmask=lambda d: (d >= zlo) & (d <= zhi)))
+                if not parts:
+                    continue
+                docs = np.concatenate([p[0] for p in parts])
+                if not len(docs):
+                    continue
+                vals = np.concatenate([p[1] for p in parts])
+                cls = np.concatenate([p[2] for p in parts])
+                flds = np.concatenate([p[3] for p in parts])
+                u, tot = combine(docs, vals, cls, flds)
+                if not len(u):
+                    continue
+                best_d = np.concatenate([best_d, u])
+                best_s = np.concatenate([best_s, tot])
+                if len(best_d) > kk:
+                    o = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
+                    best_d, best_s = best_d[o], best_s[o]
+                if len(best_d) >= kk:
+                    theta = float(np.round(best_s, 6).min())
+            if not len(best_d):
+                return res_empty
+            o = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
+            return pd.DataFrame({"doc_id": best_d[o], "score": best_s[o]})
+
+        return post.groupBy("segment_id").applyInPandas(
+            kernel, schema=_SCORE_ROW)
 
     def phrase_boosts(
         self,
@@ -332,23 +570,19 @@ class MultiFieldIndex:
         return self.score_matches(query, qf, tie=tie, op=op, mm=mm,
                                   fq=fq).count()
 
-    def score_matches(
+    def _plan(
         self,
         query: str,
         qf: str | dict[str, float],
-        tie: float = 0.0,
-        op: str = "OR",
-        mm: int | str | None = None,
-        fq: str | list[str] | None = None,
-    ) -> DataFrame:
-        """The full scored DisMax match set as (doc_id, score) -- fq and
-        tombstones applied, no ordering/limit (module docstring has the
-        score formula). op/mm apply to CLAUSES: a clause matches a doc
-        when any qf field matches it (Lucene's dismax clause is one
-        BooleanClause). A clause that analyzes to no in-dictionary term in
-        ANY field is unmatchable: it empties an AND query and still counts
-        toward mm's clause total (the single-field engine's OOV
-        convention)."""
+        tie: float,
+        op: str,
+        mm: int | str | None,
+    ):
+        """Shared query planning for the exhaustive and WAND paths:
+        returns ``(tmaps, multi_term, n_live, mm_n)`` or None when the
+        query provably matches nothing (OOV AND clause, no live clauses,
+        unreachable mm). ``tmaps[field][term] = [(clause_idx, weight)]``
+        with weight = qf_boost * clause_boost * idf_field(term)."""
         qfm = parse_qf(qf)
         unknown = set(qfm) - set(self.fields)
         if unknown:
@@ -358,7 +592,6 @@ class MultiFieldIndex:
             )
         if not (0.0 <= float(tie) <= 1.0):
             raise ValueError(f"tie must be in [0, 1], got {tie}")
-        tie = float(tie)
 
         # clauses: raw whitespace tokens with optional trailing ^boost --
         # analysis happens PER FIELD below (each field's own chain)
@@ -371,12 +604,9 @@ class MultiFieldIndex:
                 clauses.append((text, cb))
         n_clauses = len(clauses)
         mm_n = self.primary._norm_mm(mm, n_clauses) if op != "AND" else None
-        empty = self.spark.createDataFrame([], _SCORE_ROW)
         if not clauses:
-            return empty
+            return None
 
-        # per field: term -> [(clause_idx, weight)] with weight =
-        # qf_boost * clause_boost * idf_field(term)
         tmaps: dict[str, dict[str, list[tuple[int, float]]]] = {}
         multi_term = False
         clause_live = [False] * n_clauses
@@ -399,10 +629,35 @@ class MultiFieldIndex:
             if tmap:
                 tmaps[f] = tmap
         if op == "AND" and not all(clause_live):
-            return empty
+            return None
         n_live = sum(clause_live)
         if n_live == 0 or (mm_n is not None and mm_n > n_live):
+            return None
+        return tmaps, multi_term, n_live, mm_n
+
+    def score_matches(
+        self,
+        query: str,
+        qf: str | dict[str, float],
+        tie: float = 0.0,
+        op: str = "OR",
+        mm: int | str | None = None,
+        fq: str | list[str] | None = None,
+    ) -> DataFrame:
+        """The full scored DisMax match set as (doc_id, score) -- fq and
+        tombstones applied, no ordering/limit (module docstring has the
+        score formula). op/mm apply to CLAUSES: a clause matches a doc
+        when any qf field matches it (Lucene's dismax clause is one
+        BooleanClause). A clause that analyzes to no in-dictionary term in
+        ANY field is unmatchable: it empties an AND query and still counts
+        toward mm's clause total (the single-field engine's OOV
+        convention)."""
+        tie = float(tie)
+        empty = self.spark.createDataFrame([], _SCORE_ROW)
+        plan = self._plan(query, qf, tie, op, mm)
+        if plan is None:
             return empty
+        tmaps, multi_term, n_live, mm_n = plan
 
         frames = [
             _clause_partials(self.engines[f], tmaps[f], fld=fi)
