@@ -61,10 +61,21 @@ def _committed_batches(data: dict) -> set[int]:
     }
 
 
-def backup_index(index_dir: str, backup_dir: str) -> dict:
+def backup_index(
+    index_dir: str, backup_dir: str, base_backup: str | None = None
+) -> dict:
     """Snapshot ``index_dir``'s latest committed manifest version into
     ``backup_dir`` (must not already contain a backup). Returns
-    ``{"manifest_version", "files", "bytes"}``."""
+    ``{"manifest_version", "files", "bytes", "linked"}``.
+
+    ``base_backup``: a previous backup to take an INCREMENTAL snapshot
+    against (Solr 8.9+ incremental backups): a file whose relpath + size
+    match the base is hard-linked instead of copied -- correct because
+    every relation file is immutable once published (parquet part names
+    are write-unique; merges swap whole directories, they never rewrite a
+    file in place), so name+size identity is content identity. Cost is
+    O(delta files); on an object store this maps to the shared-repository
+    file reuse Solr's incremental backups do."""
     from ..index.merge import recover_interrupted_swap
 
     recover_interrupted_swap(index_dir)
@@ -75,12 +86,16 @@ def backup_index(index_dir: str, backup_dir: str) -> dict:
     if data.get("generation"):
         # generation-pointer manifest: the real index lives in the subdir
         return backup_index(
-            os.path.join(index_dir, data["generation"]), backup_dir)
+            os.path.join(index_dir, data["generation"]), backup_dir,
+            base_backup=base_backup)
     if os.path.exists(os.path.join(backup_dir, "_manifest.v1.json")):
         raise ValueError(f"{backup_dir!r} already holds a backup")
+    if base_backup is not None and not os.path.exists(
+            os.path.join(base_backup, "_manifest.v1.json")):
+        raise ValueError(f"base_backup {base_backup!r} is not a backup")
     committed = _committed_batches(data)
     os.makedirs(backup_dir, exist_ok=True)
-    n_files = n_bytes = 0
+    n_files = n_bytes = n_linked = 0
     for entry in sorted(os.listdir(index_dir)):
         src = os.path.join(index_dir, entry)
         if not os.path.isdir(src) or _SKIP_DIR_RE.search(entry):
@@ -94,14 +109,27 @@ def backup_index(index_dir: str, backup_dir: str) -> dict:
                 m = _BATCH_FILE_RE.match(f)
                 if m and int(m.group(1)) not in committed:
                     continue  # torn/in-flight batch: not part of version V
+                sp = os.path.join(root, f)
                 dst_dir = os.path.join(backup_dir, rel_root)
                 os.makedirs(dst_dir, exist_ok=True)
-                shutil.copy2(os.path.join(root, f), os.path.join(dst_dir, f))
+                dp = os.path.join(dst_dir, f)
+                bp = (os.path.join(base_backup, rel_root, f)
+                      if base_backup is not None else None)
+                if (bp is not None and os.path.exists(bp)
+                        and os.path.getsize(bp) == os.path.getsize(sp)):
+                    try:
+                        os.link(bp, dp)  # immutable file: share it
+                        n_linked += 1
+                        continue
+                    except OSError:
+                        pass  # cross-device: fall through to a copy
+                shutil.copy2(sp, dp)
                 n_files += 1
-                n_bytes += os.path.getsize(os.path.join(root, f))
+                n_bytes += os.path.getsize(sp)
     # V's data becomes the backup's version 1 (fresh lineage)
     _conditional_put(backup_dir, 0, data)
-    return {"manifest_version": ver, "files": n_files, "bytes": n_bytes}
+    return {"manifest_version": ver, "files": n_files, "bytes": n_bytes,
+            "linked": n_linked}
 
 
 def restore_index(backup_dir: str, dest_dir: str) -> str:

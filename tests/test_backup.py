@@ -110,3 +110,30 @@ def test_backup_restore_fail_loud(spark, tmp_path_factory):
         fh.write("x")
     with pytest.raises(ValueError, match="not empty"):
         restore_index(bdir, occupied)
+
+
+def test_incremental_backup_links_unchanged_files(spark, tmp_path_factory):
+    d, idx = _mk_index(spark, tmp_path_factory)
+    b1 = str(tmp_path_factory.mktemp("bki")) + "/full"
+    info1 = backup_index(d, b1)
+    assert info1["linked"] == 0 and info1["files"] > 0
+
+    # new arrivals on the live index, then an incremental snapshot
+    batch = generate_transcripts(
+        spark, n_convs=2, turns_per_conv=4, seed=45
+    ).withColumn("conv_id", F.concat(F.lit("z"), F.col("conv_id")))
+    append_batch(batch.select(*STORED), d,
+                 idx._config_from_manifest("bk"), batch_id=1)
+    live = BM25Index(spark, d)
+    at_b2 = _results(live)
+    b2 = str(tmp_path_factory.mktemp("bki2")) + "/incr"
+    info2 = backup_index(d, b2, base_backup=b1)
+    # the base's files are shared, only the delta is copied
+    assert info2["linked"] >= info1["files"] - 2  # stats rows may change
+    assert 0 < info2["files"] < info1["files"]
+    # the incremental backup is complete and pinned at its own time
+    assert _results(BM25Index(spark, b2)) == at_b2
+    # the base backup still reflects ITS time
+    assert BM25Index(spark, b1).docs().count() < live.docs().count()
+    with pytest.raises(ValueError, match="not a backup"):
+        backup_index(d, b2 + "x", base_backup=str(tmp_path_factory.mktemp("e")))
