@@ -6,7 +6,6 @@ import functools
 
 import pytest
 
-from solr_semantic_importer_spark.functions.analysis import analyze_text
 from solr_semantic_importer_spark.index.build import BuildConfig, build_index
 from solr_semantic_importer_spark.query.engine import BM25Index
 from solr_semantic_importer_spark.query.select_api import (

@@ -14,7 +14,6 @@ import pytest
 
 from solr_semantic_importer_spark.index.build import BuildConfig
 from solr_semantic_importer_spark.query.multifield import (
-    MultiFieldIndex,
     build_multi_field_index,
 )
 from solr_semantic_importer_spark.query.select_api import solr_select

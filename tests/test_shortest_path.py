@@ -2,7 +2,6 @@
 
 import datetime
 import random
-from collections import deque
 
 import pytest
 
