@@ -1140,6 +1140,30 @@ class BM25Index:
                 query, k=k, op=op, fq=fq, offset=offset, mm=mm,
                 with_stored=with_stored, order_key=order_key, fl=fl,
             )
+        scored = self._boosted_components(
+            query, bfs, boost, bq, op=op, fq=fq, mm=mm
+        ).select("doc_id", "score")
+        return self._finish(scored, k, offset, with_stored, order_key, fl)
+
+    def _boosted_components(
+        self,
+        query: str,
+        bfs: list[str],
+        boost: str | None,
+        bq: str | list[str] | None,
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> DataFrame:
+        """The boosted-score pipeline with every component kept as its own
+        column: ``__base`` (lexical BM25 / 1.0 for ``*:*``), ``__boost``
+        (multiplicative function value, when given), ``__bf0..`` (additive
+        function values), ``__bq0..`` (boost-query scores, 0.0 where the bq
+        misses), and ``score`` -- the total, folded from THESE columns in
+        the same order Lucene composes them (``base*boost + Σbf``, then
+        ``+bq`` sequentially), so the components sum to ``score``
+        bit-exactly. :meth:`search_boosted` drops the components;
+        :meth:`explain_boosted` reports them (debugQuery under boosts)."""
         if query.strip() == "*:*":
             base = self._anti_dead(
                 self._apply_fq(self.docs().select("doc_id"), self._norm_fq(fq))
@@ -1173,13 +1197,22 @@ class BM25Index:
             scored = scored.join(
                 self.term_tf_df(term, col), "doc_id", "left"
             ).withColumn(col, F.coalesce(F.col(col), F.lit(0)))
-        total = F.col("score")
+        scored = scored.withColumn("__base", F.col("score").cast("double"))
+        comps = ["__base"]
         if boost_expr is not None:
-            total = total * F.expr(boost_expr[0])
-        for sql, _, _ in exprs:
-            total = total + F.expr(sql)
+            scored = scored.withColumn(
+                "__boost", F.expr(boost_expr[0]).cast("double"))
+            comps.append("__boost")
+        for i, (sql, _, _) in enumerate(exprs):
+            scored = scored.withColumn(f"__bf{i}", F.expr(sql).cast("double"))
+            comps.append(f"__bf{i}")
+        total = F.col("__base")
+        if boost_expr is not None:
+            total = total * F.col("__boost")
+        for i in range(len(exprs)):
+            total = total + F.col(f"__bf{i}")
         scored = scored.select(
-            "doc_id", total.cast("double").alias("score")
+            "doc_id", *comps, total.cast("double").alias("score")
         )
         if bq:
             # Solr bq (boost query): each bq is a full query whose score
@@ -1187,19 +1220,67 @@ class BM25Index:
             # clause -- it boosts but never matches on its own). One scored
             # match set per bq, left-joined on doc_id; a doc outside the bq
             # set gains 0.
-            for bquery in ([bq] if isinstance(bq, str) else bq):
+            for j, bquery in enumerate([bq] if isinstance(bq, str) else bq):
                 side = self.score_matches(
                     bquery, fq=fq
-                ).withColumnRenamed("score", "__bq")
+                ).withColumnRenamed("score", "__s")
                 scored = (
                     scored.join(side, "doc_id", "left")
-                    .select(
-                        "doc_id",
-                        (F.col("score") + F.coalesce(F.col("__bq"), F.lit(0.0)))
-                        .alias("score"),
-                    )
+                    .withColumn(
+                        f"__bq{j}", F.coalesce(F.col("__s"), F.lit(0.0)))
+                    .drop("__s")
+                    .withColumn(
+                        "score", F.col("score") + F.col(f"__bq{j}"))
                 )
-        return self._finish(scored, k, offset, with_stored, order_key, fl)
+                comps.append(f"__bq{j}")
+        return scored.select("doc_id", *comps, "score")
+
+    def explain_boosted(
+        self,
+        query: str,
+        doc_ids: list[int],
+        bf: str | list[str] | None = None,
+        boost: str | None = None,
+        bq: str | list[str] | None = None,
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+    ) -> list[dict]:
+        """debugQuery breakdown for a boosted query: per requested doc, the
+        exact components of the reported score -- ``base`` (lexical BM25),
+        ``boost`` (multiplicative function value, when given), ``bf``
+        (additive function values, request order), ``bq`` (boost-query
+        score adds, request order), and ``score`` (the total). Values come
+        from the SAME Spark pipeline :meth:`search_boosted` ranks with
+        (:meth:`_boosted_components`), filtered to the page's ids, so
+        ``base*boost + Σbf + Σbq == score`` bit-exactly -- the breakdown
+        can never disagree with the response.
+
+        Cost: one boosted-scoring job cut to ``len(doc_ids)`` rows before
+        collect (the filter sits above per-doc-independent projections, so
+        Catalyst pushes it below the joins; only the page ships)."""
+        ids = [int(i) for i in doc_ids]
+        if not ids:
+            return []
+        bfs = [bf] if isinstance(bf, str) else list(bf or [])
+        rows = (
+            self._boosted_components(query, bfs, boost, bq,
+                                     op=op, fq=fq, mm=mm)
+            .filter(F.col("doc_id").isin(ids))
+            .collect()
+        )
+        nbq = len([bq] if isinstance(bq, str) else (bq or []))
+        out = []
+        for r in rows:
+            d = {"doc_id": int(r["doc_id"]), "score": r["score"],
+                 "base": r["__base"],
+                 "bf": [r[f"__bf{i}"] for i in range(len(bfs))],
+                 "bq": [r[f"__bq{j}"] for j in range(nbq)]}
+            if boost is not None:
+                d["boost"] = r["__boost"]
+            out.append(d)
+        out.sort(key=lambda d: ids.index(d["doc_id"]))
+        return out
 
     def mlt_terms(
         self,

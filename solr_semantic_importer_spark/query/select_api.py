@@ -595,6 +595,69 @@ def _qf_select(idx, params: dict[str, Any], t0: float) -> dict[str, Any]:
     }
 
 
+def _boosted_explain(idx, q: str, page_ids: list[int], *, bf, boost, bq,
+                     op: str, fq, mm) -> list[dict]:
+    """debugQuery/fl=[explain] under bf/bq/boost: each page doc's exact
+    score components (:meth:`BM25Index.explain_boosted` -- the ranking
+    pipeline itself, so ``base*boost + Σbf + Σbq == score`` bit-exactly),
+    plus the per-term lexical breakdown of ``base`` when q is a flat term
+    query. For ``*:*`` or phrase/boolean-structured q the base stays a
+    single exact leaf (``details`` None) -- the per-term kernels can't
+    decompose those, but the component values still sum to the response
+    score."""
+    comps = idx.explain_boosted(q, page_ids, bf=bf, boost=boost, bq=bq,
+                                op=op, fq=fq, mm=mm)
+    details: dict[int, list] | None = None
+    if q.strip() != "*:*":
+        try:
+            details = {}
+            for r in idx.explain(q, page_ids).collect():
+                details.setdefault(int(r["doc_id"]), []).append({
+                    "term": r["term"], "tf": r["tf"], "dl": r["dl"],
+                    "weight": r["weight"],
+                    "contribution": r["contribution"],
+                })
+        except ValueError:
+            details = None  # structured q: base stays a single exact leaf
+    for c in comps:
+        c["details"] = (
+            None if details is None
+            else sorted(details.get(c["doc_id"], []),
+                        key=lambda d: -d["contribution"])
+        )
+    return comps
+
+
+def _render_boosted_explain(c: dict, *, bf, boost, bq) -> str:
+    """Lucene-style text tree for one :func:`_boosted_explain` entry (the
+    fl=[explain] transformer's string form). Every displayed number is the
+    exact double the ranking computed; the top line's value is the doc's
+    reported score."""
+    bfs = [bf] if isinstance(bf, str) else list(bf or [])
+    bqs = [bq] if isinstance(bq, str) else list(bq or [])
+    base_lines = []
+    if c.get("details"):
+        base_lines.append(f"{c['base']} = main query, sum of:")
+        for d in c["details"]:
+            base_lines.append(
+                f"  {d['contribution']} = weight(_text_:{d['term']}) "
+                f"[tf={d['tf']}, dl={d['dl']}, weight={d['weight']}]")
+    else:
+        base_lines.append(f"{c['base']} = main query")
+    lines = [f"{c['score']} = sum of:"]
+    if "boost" in c:
+        lines.append(f"  {c['base'] * c['boost']} = product of:")
+        lines += ["    " + ln for ln in base_lines]
+        lines.append(f"    {c['boost']} = FunctionQuery({boost})")
+    else:
+        lines += ["  " + ln for ln in base_lines]
+    for v, src in zip(c["bf"], bfs):
+        lines.append(f"  {v} = FunctionQuery({src})")
+    for v, src in zip(c["bq"], bqs):
+        lines.append(f"  {v} = bq({src})")
+    return "\n".join(lines)
+
+
 def solr_select(
     idx: BM25Index, params: dict[str, Any], *,
     known_num_found: int | None = None,
@@ -747,13 +810,13 @@ def solr_select(
         if cursor is not None:
             raise ValueError("bf/bq/boost do not support cursorMark")
     if ((_truthy(params.get("debugQuery", False)) or want_explain)
-            and (bf or bq or boost or params.get("rq") is not None
-                 or q != q_main)):
-        # the explain kernels break down the LEXICAL BM25 score; under
-        # bf/bq/boost/rq/pf the reported score includes boost terms the
-        # breakdown would not sum to -- fail loud, never explain wrong
+            and (params.get("rq") is not None or q != q_main)):
+        # bf/bq/boost explains route through engine.explain_boosted (same
+        # pipeline as the ranking, components sum bit-exactly); rq rescores
+        # and pf-rewritten q embeds phrase clauses the per-term kernels
+        # can't decompose -- those still fail loud, never explain wrong
         raise ValueError(
-            "debugQuery/fl=[explain] do not compose with bf/bq/boost/rq/pf"
+            "debugQuery/fl=[explain] do not compose with rq or pf-in-q"
         )
     if elevate or exclude:
         if (match_all or sort != "score desc" or start != 0
@@ -1053,22 +1116,30 @@ def solr_select(
         # fl=[explain] doc transformer: the per-term BM25 breakdown for
         # the page's docs, formatted Lucene-style (sum of contributions =
         # the doc's score exactly). Structured/match-all q fail loud in
-        # idx.explain, matching debugQuery's contract.
-        if match_all:
+        # idx.explain, matching debugQuery's contract; under bf/bq/boost
+        # the breakdown nests the exact components instead.
+        page_ids = [x["doc_id"] for x in rows_out]
+        if bf or bq or boost:
+            for c in _boosted_explain(idx, q, page_ids, bf=bf, boost=boost,
+                                      bq=bq, op=op, fq=fq, mm=mm):
+                expl[c["doc_id"]] = _render_boosted_explain(
+                    c, bf=bf, boost=boost, bq=bq)
+        elif match_all:
             raise ValueError("fl=[explain] needs a scored q (not *:*)")
-        by_doc: dict[int, list] = {}
-        for r in idx.explain(q, [x["doc_id"] for x in rows_out]).collect():
-            by_doc.setdefault(r["doc_id"], []).append(r)
-        for i, terms_ in by_doc.items():
-            terms_.sort(key=lambda r: -r["contribution"])
-            total = sum(r["contribution"] for r in terms_)
-            lines = [f"{total} = sum of:"]
-            for r in terms_:
-                lines.append(
-                    f"  {r['contribution']} = weight(_text_:{r['term']}) "
-                    f"[tf={r['tf']}, dl={r['dl']}, weight={r['weight']}]"
-                )
-            expl[i] = "\n".join(lines)
+        else:
+            by_doc: dict[int, list] = {}
+            for r in idx.explain(q, page_ids).collect():
+                by_doc.setdefault(r["doc_id"], []).append(r)
+            for i, terms_ in by_doc.items():
+                terms_.sort(key=lambda r: -r["contribution"])
+                total = sum(r["contribution"] for r in terms_)
+                lines = [f"{total} = sum of:"]
+                for r in terms_:
+                    lines.append(
+                        f"  {r['contribution']} = weight(_text_:{r['term']}) "
+                        f"[tf={r['tf']}, dl={r['dl']}, weight={r['weight']}]"
+                    )
+                expl[i] = "\n".join(lines)
 
     fvals: dict[int, dict] = {}
     if func_fl and rows_out:
@@ -1464,29 +1535,46 @@ def solr_select(
             sf[field] = d
         resp["stats"] = {"stats_fields": sf}
 
-    if _truthy(params.get("debugQuery", False)) and not match_all:
+    if _truthy(params.get("debugQuery", False)) and (
+            not match_all or bf or bq or boost):
         # Solr debugQuery explain for the PAGE's docs: per-term BM25
         # breakdown (Solr renders a text tree; the structured form carries
-        # the same numbers -- tf, dl, idf-weight, contribution, total)
+        # the same numbers -- tf, dl, idf-weight, contribution, total).
+        # Boosted requests carry the exact components of the reported
+        # score (base/boost/bf/bq from the ranking pipeline itself) with
+        # the per-term lexical detail nested under `base` when q is a
+        # flat term query.
         page_ids = [int(d["doc_id"]) for d in docs]
-        exp_rows = (
-            idx.explain(q, page_ids).collect() if page_ids else []
-        )
         explain: dict[str, Any] = {}
-        for r in exp_rows:
-            e = explain.setdefault(
-                str(r["doc_id"]), {"score": 0.0, "details": []}
-            )
-            e["details"].append(
-                {
-                    "term": r["term"],
-                    "tf": r["tf"],
-                    "dl": r["dl"],
-                    "weight": r["weight"],
-                    "contribution": r["contribution"],
+        if bf or bq or boost:
+            for c in _boosted_explain(idx, q, page_ids, bf=bf, boost=boost,
+                                      bq=bq, op=op, fq=fq, mm=mm):
+                e: dict[str, Any] = {
+                    "score": c["score"],
+                    "components": {k: c[k] for k in
+                                   ("base", "boost", "bf", "bq") if k in c},
                 }
+                if c.get("details") is not None:
+                    e["details"] = c["details"]
+                explain[str(c["doc_id"])] = e
+        else:
+            exp_rows = (
+                idx.explain(q, page_ids).collect() if page_ids else []
             )
-            e["score"] += r["contribution"]
+            for r in exp_rows:
+                e = explain.setdefault(
+                    str(r["doc_id"]), {"score": 0.0, "details": []}
+                )
+                e["details"].append(
+                    {
+                        "term": r["term"],
+                        "tf": r["tf"],
+                        "dl": r["dl"],
+                        "weight": r["weight"],
+                        "contribution": r["contribution"],
+                    }
+                )
+                e["score"] += r["contribution"]
         resp["debug"] = {"explain": explain, "QParser": "LuceneQParser"}
 
     if _truthy(params.get("spellcheck", False)):

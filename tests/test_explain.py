@@ -92,16 +92,16 @@ def test_fl_explain_transformer(corpus):
         solr_select(idx, {"q": "*:*", "fl": "doc_id,[explain]"})
 
 
-def test_explain_rejects_boosted_queries(corpus):
-    """explain breaks down the lexical BM25 score only: under bf/bq/
-    boost/rq/pf the reported score includes boost terms the breakdown
-    would not sum to -- fail loud instead of explaining wrong."""
+def test_explain_rejects_rq_and_pf_in_q(corpus):
+    """bf/bq/boost explains route through the exact component breakdown
+    (tests/test_explain_boosted.py); rq rescores and a pf-rewritten q
+    embeds phrase clauses the per-term kernels can't decompose -- those
+    still fail loud instead of explaining wrong."""
     idx = corpus if not isinstance(corpus, tuple) else corpus[1]
     for extra in (
-        {"bq": "tool"},
-        {"bf": "recip(rord(doc_id),1,1000,1000)"},
+        {"rq": "{!rerank reRankQuery=$rqq}", "rqq": "tool"},
+        # pf under the default OR op appends phrase clauses to q itself
         {"defType": "edismax", "pf": "_text_"},
-        {"defType": "edismax", "pf": "_text_", "q.op": "AND"},
     ):
         with pytest.raises(ValueError, match="do not compose"):
             solr_select(idx, {
