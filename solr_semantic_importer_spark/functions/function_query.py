@@ -92,6 +92,10 @@ _FUNCTIONS: dict[str, tuple[int, int | None]] = {
     "termfreq": (2, 2), "docfreq": (2, 2), "totaltermfreq": (2, 2),
     "ttf": (2, 2), "idf": (2, 2), "sumtotaltermfreq": (1, 1),
     "maxdoc": (0, 0), "numdocs": (0, 0),
+    # ord/rord: the doc value's position in the field's sorted value
+    # dictionary (per-doc, resolved like termfreq -- see
+    # resolve_index_functions)
+    "ord": (1, 1), "rord": (1, 1),
     # scale(x, minTarget, maxTarget): needs a global min/max pass, resolved
     # by the engine (resolve_scale_functions) before SQL emission
     "scale": (3, 3),
@@ -101,7 +105,7 @@ _FUNCTIONS: dict[str, tuple[int, int | None]] = {
 # canonicalized to totaltermfreq at parse time.
 INDEX_FUNCTIONS = frozenset(
     ("termfreq", "docfreq", "totaltermfreq", "idf", "sumtotaltermfreq",
-     "maxdoc", "numdocs")
+     "maxdoc", "numdocs", "ord", "rord")
 )
 
 _NUMERIC_DTYPES = ("int", "bigint", "smallint", "tinyint", "float",
@@ -436,10 +440,20 @@ def resolve_index_functions(ast, resolver):
     the caller joins from the term's pruned postings (BM25Index.term_tf_df)
     -- at 10^12 turns that join ships one term's postings, not the corpus.
 
-    Returns ``(rewritten_ast, tf_cols)`` with tf_cols =
-    ``[(column_name, field, term), ...]`` in first-use order."""
+    ``ord``/``rord`` are per-doc too (the doc value's 1-based position in
+    the field's sorted value dictionary; Lucene OrdFieldSource /
+    ReverseOrdFieldSource over the top-level reader): each distinct
+    (field, reverse) becomes a synthetic column the caller fills by
+    joining the field's rank dictionary (BM25Index ord machinery) --
+    dictionary-sized, never a corpus shuffle.
+
+    Returns ``(rewritten_ast, tf_cols, ord_cols)`` with tf_cols =
+    ``[(column_name, field, term), ...]`` and ord_cols =
+    ``[(column_name, field, reverse), ...]``, each in first-use order."""
     tf_cols: list[tuple[str, str, str]] = []
+    ord_cols: list[tuple[str, str, bool]] = []
     seen: dict[tuple[str, str], str] = {}
+    seen_ord: dict[tuple[str, bool], str] = {}
 
     def walk(n):
         kind, *rest = n
@@ -462,13 +476,24 @@ def resolve_index_functions(ast, resolver):
                 tf_cols.append((col, key[0], key[1]))
                 resolver.index_function_value("termfreq", *key)  # validate
             return ("field", col)
+        if fname in ("ord", "rord"):
+            if args[0][0] != "field":
+                raise ValueError(f"{fname}() takes a plain field name")
+            okey = (args[0][1], fname == "rord")
+            col = seen_ord.get(okey)
+            if col is None:
+                digest = hashlib.md5(okey[0].encode()).hexdigest()[:10]
+                col = f"__{fname}_{digest}"
+                seen_ord[okey] = col
+                ord_cols.append((col, okey[0], okey[1]))
+            return ("field", col)
         if fname in INDEX_FUNCTIONS:
             field = args[0][1] if args else None
             term = args[1][1] if len(args) > 1 else None
             return ("num", float(resolver.index_function_value(fname, field, term)))
         return ("call", fname, [walk(a) for a in args])
 
-    return walk(ast), tf_cols
+    return walk(ast), tf_cols, ord_cols
 
 
 def resolve_scale_functions(ast, minmax_fn):

@@ -1045,23 +1045,29 @@ class BM25Index:
         expressions ride whole-stage codegen (``F.expr``), never Python.
         Index-backed CONSTANTS (docfreq/idf/ttf/sumtotaltermfreq/maxdoc/
         numdocs) fold to literals here, so they work in every function site
-        (sort, fl, frange, json.facet); per-doc ``termfreq`` needs a
-        postings join -- only bf=/boost= wires that (function_expr_indexed)."""
-        sql, fields, tf_cols = self.function_expr_indexed(func, dialect)
-        if tf_cols:
+        (sort, fl, frange, json.facet); per-doc ``termfreq``/``ord``/
+        ``rord`` need a join -- only bf=/boost= wires that
+        (function_expr_indexed)."""
+        sql, fields, tf_cols, ord_cols = self.function_expr_indexed(
+            func, dialect)
+        if tf_cols or ord_cols:
             raise ValueError(
-                "termfreq() is per-doc (needs a postings join) -- supported "
-                "in bf=/boost= (search_boosted), not in this function site"
+                "termfreq()/ord()/rord() are per-doc (need a postings or "
+                "dictionary-rank join) -- supported in bf=/boost= "
+                "(search_boosted), not in this function site"
             )
         return sql, fields
 
     def function_expr_indexed(
         self, func: str, dialect: str = "spark"
-    ) -> tuple[str, list[str], list[tuple[str, str, str]]]:
-        """function_expr + per-doc termfreq support: returns (sql, fields,
-        tf_cols) where each tf_col (column, field, term) must be left-joined
-        from ``term_tf_df(term, column)`` (missing -> 0) before evaluating
-        the expression."""
+    ) -> tuple[str, list[str], list[tuple[str, str, str]],
+               list[tuple[str, str, bool]]]:
+        """function_expr + per-doc termfreq/ord support: returns (sql,
+        fields, tf_cols, ord_cols). Each tf_col (column, field, term) must
+        be left-joined from ``term_tf_df(term, column)`` (missing -> 0);
+        each ord_col (column, field, reverse) must be filled from the
+        field's rank dictionary (:meth:`_ord_dict`) before evaluating the
+        expression."""
         from ..functions.function_query import (
             function_to_sql,
             parse_function_query,
@@ -1071,11 +1077,15 @@ class BM25Index:
 
         ast = parse_function_query(func)
         ast = resolve_scale_functions(ast, self._scale_minmax)
-        ast, tf_cols = resolve_index_functions(ast, self)
+        ast, tf_cols, ord_cols = resolve_index_functions(ast, self)
         types = dict(self.docs().dtypes)
+        for _, fld, _ in ord_cols:  # fail here, not in the joins' analyzer
+            if fld not in types:
+                raise ValueError(f"ord/rord: unknown field {fld!r}")
         types.update({c: "bigint" for c, _, _ in tf_cols})
+        types.update({c: "bigint" for c, _, _ in ord_cols})
         sql, fields = function_to_sql(ast, types, dialect)
-        return sql, fields, tf_cols
+        return sql, fields, tf_cols, ord_cols
 
     def _scale_minmax(self, inner_ast) -> tuple[float | None, float | None]:
         """scale()'s global (min, max) of the inner expression over ALL
@@ -1099,6 +1109,37 @@ class BM25Index:
                 None if row["mx"] is None else float(row["mx"]),
             )
         return self._scale_cache[sql]
+
+    def _ord_dict(self, field: str) -> tuple[DataFrame, int]:
+        """``ord()``/``rord()``'s rank dictionary: the field's DISTINCT
+        non-null values with 1-based positions in sorted order (Lucene
+        OrdFieldSource over the top-level reader -- our ords are global,
+        the deterministic reading of Lucene's per-reader ordinals; deleted
+        docs' values stay in the dictionary until a merge drops them, like
+        the terms dict). Returns (DataFrame[field, __ord_rank], n_terms).
+
+        Scale: the row_number window sorts the DICTIONARY, not the corpus
+        -- single-partition over distinct values only, the same
+        memory-resident-ords envelope Lucene itself needs per reader. One
+        distinct job + count per field per handle (cached)."""
+        if not hasattr(self, "_ord_cache"):
+            self._ord_cache: dict[str, tuple[DataFrame, int]] = {}
+        if field not in self._ord_cache:
+            from pyspark.sql.window import Window
+
+            if field not in dict(self.docs().dtypes):
+                raise ValueError(f"ord/rord: unknown field {field!r}")
+            d = (
+                self.docs().select(field)
+                .filter(F.col(field).isNotNull())
+                .distinct()
+                .withColumn(
+                    "__ord_rank",
+                    F.row_number().over(Window.orderBy(F.col(field).asc())),
+                )
+            )
+            self._ord_cache[field] = (d, d.count())
+        return self._ord_cache[field]
 
     def search_boosted(
         self,
@@ -1174,17 +1215,22 @@ class BM25Index:
         boost_expr = (
             self.function_expr_indexed(boost) if boost is not None else None
         )
+        all_exprs = exprs + ([boost_expr] if boost_expr else [])
         tf_cols = {
-            (col, term)
-            for _, _, tfs in exprs + ([boost_expr] if boost_expr else [])
-            for col, _, term in tfs
+            (col, term) for _, _, tfs, _ in all_exprs for col, _, term in tfs
+        }
+        ord_cols = {
+            (col, fld, rev)
+            for _, _, _, ords in all_exprs for col, fld, rev in ords
         }
         tf_names = {col for col, _ in tf_cols}
+        ord_names = {col for col, _, _ in ord_cols}
         need = sorted(
-            ({c for _, fields, _ in exprs for c in fields}
-             | set(boost_expr[1] if boost_expr else []))
-            - {"doc_id"} - tf_names  # doc_id is the join key; tf cols join
-        )                            # from postings, not the docs table
+            ({c for _, fields, _, _ in exprs for c in fields}
+             | set(boost_expr[1] if boost_expr else [])
+             | {fld for _, fld, _ in ord_cols})  # rank joins key on the
+            - {"doc_id"} - tf_names - ord_names  # doc's field value
+        )   # doc_id is the join key; tf/ord cols join from postings/dict
         scored = base
         if need:
             scored = scored.join(
@@ -1197,13 +1243,27 @@ class BM25Index:
             scored = scored.join(
                 self.term_tf_df(term, col), "doc_id", "left"
             ).withColumn(col, F.coalesce(F.col(col), F.lit(0)))
+        # ord()/rord(): join the field's sorted-value rank dictionary on
+        # the doc's field value (dictionary-sized side; the match set never
+        # reshuffles on more than its own rows). Missing value -> 0, rord
+        # = n_terms + 1 - ord (Lucene ReverseOrdFieldSource, 1-based).
+        for col, fld, rev in sorted(ord_cols):
+            rank_df, n_terms = self._ord_dict(fld)
+            tmp = col + "__r"
+            scored = scored.join(
+                rank_df.withColumnRenamed("__ord_rank", tmp), fld, "left"
+            )
+            val = (F.lit(int(n_terms) + 1) - F.col(tmp)) if rev else F.col(tmp)
+            scored = scored.withColumn(
+                col, F.coalesce(val, F.lit(0)).cast("long")
+            ).drop(tmp)
         scored = scored.withColumn("__base", F.col("score").cast("double"))
         comps = ["__base"]
         if boost_expr is not None:
             scored = scored.withColumn(
                 "__boost", F.expr(boost_expr[0]).cast("double"))
             comps.append("__boost")
-        for i, (sql, _, _) in enumerate(exprs):
+        for i, (sql, _, _, _) in enumerate(exprs):
             scored = scored.withColumn(f"__bf{i}", F.expr(sql).cast("double"))
             comps.append(f"__bf{i}")
         total = F.col("__base")
