@@ -467,18 +467,40 @@ def _node_base(idx, q, fq, op, mm, spec, tagged_fq, default_base):
       iterative plan grows exponentially. One final semi join
       materializes the reached ids against the live docs.
 
-    Unknown domain keys (blockParent/blockChildren...) fail loud."""
+    - ``blockChildren: "<parent filter>"`` / ``blockParent: "<parent
+      filter>"`` -- block-join domain mapping (Solr ToChildren/ToParent
+      domain changes). Block adaptation (same as the {!parent}/{!child}
+      qparsers, BM25Index.block_join_parent): the corpus is a flattened
+      block -- conv_id is the block key, turns are the children, parent
+      docs are virtual -- so the parent-filter string is accepted (it
+      names the parent set in a true nested index) but not interpreted.
+      blockChildren expands the domain to EVERY live turn of the
+      domain's blocks; blockParent collapses it to one block-head row
+      per block (the block's lowest live doc_id -- each matching block
+      counts once, field values read from the head turn). Shape: block
+      keys = a domain-sized distinct + one semi join; heads = one
+      partial-agg min per block key. Applied after excludeTags/query,
+      before filter, exclusive with join/graph (one domain transform
+      per node, like Solr).
+
+    Unknown domain keys (refine/overrequest...) fail loud."""
     dom = spec.get("domain")
     if dom is None:
         return default_base
-    bad = set(dom) - {"excludeTags", "filter", "query", "join", "graph"}
+    bad = set(dom) - {"excludeTags", "filter", "query", "join", "graph",
+                      "blockChildren", "blockParent"}
     if bad:
         raise ValueError(
             f"json.facet domain supports excludeTags/filter/query/join/"
-            f"graph, got {sorted(bad)}"
+            f"graph/blockChildren/blockParent, got {sorted(bad)}"
         )
-    if "join" in dom and "graph" in dom:
-        raise ValueError("json.facet domain: join and graph are exclusive")
+    transforms = [k for k in ("join", "graph", "blockChildren",
+                              "blockParent") if k in dom]
+    if len(transforms) > 1:
+        raise ValueError(
+            f"json.facet domain transforms (join/graph/blockChildren/"
+            f"blockParent) are exclusive, got {transforms}"
+        )
 
     def _as_list(v):
         return list(v) if isinstance(v, (list, tuple)) else [v]
@@ -525,6 +547,36 @@ def _node_base(idx, q, fq, op, mm, spec, tagged_fq, default_base):
         )
     if "graph" in dom:
         base = _graph_domain(idx, base, dom["graph"])
+    if "blockChildren" in dom or "blockParent" in dom:
+        key = "blockChildren" if "blockChildren" in dom else "blockParent"
+        if not isinstance(dom[key], str) or not dom[key].strip():
+            raise ValueError(
+                f"json.facet domain.{key} takes the parent-filter string"
+            )
+        from pyspark.sql import functions as F
+        live = idx._anti_dead(idx.docs())
+        # renamed key: base and live share lineage (see domain.join)
+        keys = (
+            base.select(F.col("conv_id").alias("__block_key"))
+            .where(F.col("__block_key").isNotNull()).distinct()
+        )
+        if key == "blockChildren":
+            base = live.join(
+                keys, F.col("conv_id") == F.col("__block_key"), "semi"
+            )
+        else:
+            heads = live.groupBy(
+                F.col("conv_id").alias("__h_conv")
+            ).agg(F.min("doc_id").alias("__h_doc"))
+            base = (
+                live.join(
+                    heads,
+                    (F.col("conv_id") == F.col("__h_conv"))
+                    & (F.col("doc_id") == F.col("__h_doc")),
+                    "semi",
+                )
+                .join(keys, F.col("conv_id") == F.col("__block_key"), "semi")
+            )
     if "filter" in dom:
         for f in _as_list(dom["filter"]):
             base = idx._apply_fq(base, f)
