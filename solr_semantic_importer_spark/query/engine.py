@@ -2075,6 +2075,7 @@ class BM25Index:
         with_stored: bool = False,
         order_key: str = "round6",
         fl: list[str] | None = None,
+        return_components: bool = False,
     ) -> DataFrame:
         """Lucene/Solr ReRankQParser (``rq={!rerank reRankQuery=..
         reRankDocs=N reRankWeight=W}``): run the main query, take its top
@@ -2124,10 +2125,29 @@ class BM25Index:
             rescored.sort(key=lambda t: (-round(t[1], 6), t[0]))
         page = (rescored + [(r["doc_id"], r["score"]) for r in tail])
         page = page[offset:need]
-        return self._from_doclist(
+        df = self._from_doclist(
             [{"doc_id": int(d), "score": float(s)} for d, s in page],
             with_stored, order_key, fl,
         )
+        if not return_components:
+            return df
+        # debugQuery support: the exact decomposition of each page doc's
+        # score -- base (main-query score) + rerank (W x reRankQuery
+        # score inside the window, 0.0 outside it or where the rerank
+        # query misses). Same driver-side arithmetic as the rescore above,
+        # so base + rerank == score bit-exactly.
+        winset = set(ids)
+        orig = {r["doc_id"]: float(r["score"]) for r in window}
+        comps = {
+            int(d): {
+                "base": orig[d],
+                "rerank": (float(rerank_weight) * rr[d]
+                           if d in winset and d in rr else 0.0),
+                "in_window": d in winset,
+            }
+            for d, _ in page
+        }
+        return df, comps
 
     def search_ltr(
         self,

@@ -607,18 +607,7 @@ def _boosted_explain(idx, q: str, page_ids: list[int], *, bf, boost, bq,
     score."""
     comps = idx.explain_boosted(q, page_ids, bf=bf, boost=boost, bq=bq,
                                 op=op, fq=fq, mm=mm)
-    details: dict[int, list] | None = None
-    if q.strip() != "*:*":
-        try:
-            details = {}
-            for r in idx.explain(q, page_ids).collect():
-                details.setdefault(int(r["doc_id"]), []).append({
-                    "term": r["term"], "tf": r["tf"], "dl": r["dl"],
-                    "weight": r["weight"],
-                    "contribution": r["contribution"],
-                })
-        except ValueError:
-            details = None  # structured q: base stays a single exact leaf
+    details = _lexical_details(idx, q, page_ids)
     for c in comps:
         c["details"] = (
             None if details is None
@@ -626,6 +615,70 @@ def _boosted_explain(idx, q: str, page_ids: list[int], *, bf, boost, bq,
                         key=lambda d: -d["contribution"])
         )
     return comps
+
+
+def _lexical_details(idx, q: str, page_ids: list[int]) -> dict | None:
+    """Per-term BM25 rows (idx.explain) for the page's docs, keyed by
+    doc_id -- or None when q has no per-term decomposition (``*:*`` or
+    phrase/boolean-structured)."""
+    if q.strip() == "*:*":
+        return None
+    try:
+        details: dict[int, list] = {}
+        for r in idx.explain(q, page_ids).collect():
+            details.setdefault(int(r["doc_id"]), []).append({
+                "term": r["term"], "tf": r["tf"], "dl": r["dl"],
+                "weight": r["weight"],
+                "contribution": r["contribution"],
+            })
+        return details
+    except ValueError:
+        return None  # structured q: base stays a single exact leaf
+
+
+def _rerank_explain(idx, q: str, page_ids: list[int],
+                    comps: dict[int, dict]) -> list[dict]:
+    """debugQuery entries under ``rq={!rerank}``: each page doc's exact
+    base/rerank decomposition (search_reranked's own driver arithmetic,
+    so ``base + rerank == score`` bit-exactly) plus the per-term lexical
+    breakdown of ``base`` when q is a flat term query."""
+    details = _lexical_details(idx, q, page_ids)
+    out = []
+    for did in page_ids:
+        c = comps[did]
+        out.append({
+            "doc_id": did,
+            "score": c["base"] + c["rerank"],
+            "base": c["base"],
+            "rerank": c["rerank"],
+            "in_window": c["in_window"],
+            "details": (
+                None if details is None
+                else sorted(details.get(did, []),
+                            key=lambda d: -d["contribution"])
+            ),
+        })
+    return out
+
+
+def _render_rerank_explain(c: dict, rqq: str, weight: float) -> str:
+    """Lucene-style text tree for one :func:`_rerank_explain` entry."""
+    lines = [f"{c['score']} = sum of:"]
+    if c.get("details"):
+        lines.append(f"  {c['base']} = main query, sum of:")
+        for d in c["details"]:
+            lines.append(
+                f"    {d['contribution']} = weight(_text_:{d['term']}) "
+                f"[tf={d['tf']}, dl={d['dl']}, weight={d['weight']}]")
+    else:
+        lines.append(f"  {c['base']} = main query")
+    if c["in_window"]:
+        lines.append(
+            f"  {c['rerank']} = reRankWeight {weight} x "
+            f"reRankQuery({rqq})")
+    else:
+        lines.append("  0.0 = outside reRankDocs window (not rescored)")
+    return "\n".join(lines)
 
 
 def _render_boosted_explain(c: dict, *, bf, boost, bq) -> str:
@@ -799,6 +852,7 @@ def solr_select(
             )
         bq = (bq or []) + pf_bq
     boost = params.get("boost")
+    rerank_ctx = None  # (components, rqq, weight) when {!rerank} explains
     if isinstance(boost, (list, tuple)):
         raise ValueError("boost: pass one function (multiple unsupported)")
     if bf or boost or bq:
@@ -810,13 +864,16 @@ def solr_select(
         if cursor is not None:
             raise ValueError("bf/bq/boost do not support cursorMark")
     if ((_truthy(params.get("debugQuery", False)) or want_explain)
-            and (params.get("rq") is not None or q != q_main)):
-        # bf/bq/boost explains route through engine.explain_boosted (same
-        # pipeline as the ranking, components sum bit-exactly); rq rescores
-        # and pf-rewritten q embeds phrase clauses the per-term kernels
-        # can't decompose -- those still fail loud, never explain wrong
+            and (q != q_main
+                 or str(params.get("rq") or "").strip().startswith("{!ltr"))):
+        # bf/bq/boost and {!rerank} explains route through the exact
+        # component breakdowns (engine.explain_boosted /
+        # search_reranked(return_components)); {!ltr} REPLACES scores
+        # with a model the per-feature breakdown doesn't cover yet, and
+        # pf-rewritten q embeds phrase clauses the per-term kernels can't
+        # decompose -- those still fail loud, never explain wrong
         raise ValueError(
-            "debugQuery/fl=[explain] do not compose with rq or pf-in-q"
+            "debugQuery/fl=[explain] do not compose with {!ltr} or pf-in-q"
         )
     if elevate or exclude:
         if (match_all or sort != "score desc" or start != 0
@@ -945,13 +1002,20 @@ def solr_select(
                 "reRankWeight must be >= 0 (negative weights break the "
                 "window-above-tail rescore invariant)"
             )
-        df = idx.search_reranked(
+        want_comps = _truthy(params.get("debugQuery", False)) or want_explain
+        res = idx.search_reranked(
             q, rqq, k=rows,
             rerank_docs=int(lp.get("reRankDocs", 200)),
             rerank_weight=w,
             op=op, fq=fq, mm=mm, offset=start,
             with_stored=True, fl=fetch_fl,
+            return_components=want_comps,
         )
+        if want_comps:
+            df, rr_comps = res
+            rerank_ctx = (rr_comps, rqq, w)
+        else:
+            df = res
         rows_out = [r.asDict() for r in df.collect()]
     elif (bf or boost or bq) and (match_all or sort == "score desc"):
         df = idx.search_boosted(
@@ -1119,7 +1183,11 @@ def solr_select(
         # idx.explain, matching debugQuery's contract; under bf/bq/boost
         # the breakdown nests the exact components instead.
         page_ids = [x["doc_id"] for x in rows_out]
-        if bf or bq or boost:
+        if rerank_ctx is not None:
+            rr_comps, rqq_s, w_ = rerank_ctx
+            for c in _rerank_explain(idx, q, page_ids, rr_comps):
+                expl[c["doc_id"]] = _render_rerank_explain(c, rqq_s, w_)
+        elif bf or bq or boost:
             for c in _boosted_explain(idx, q, page_ids, bf=bf, boost=boost,
                                       bq=bq, op=op, fq=fq, mm=mm):
                 expl[c["doc_id"]] = _render_boosted_explain(
@@ -1546,7 +1614,19 @@ def solr_select(
         # flat term query.
         page_ids = [int(d["doc_id"]) for d in docs]
         explain: dict[str, Any] = {}
-        if bf or bq or boost:
+        if rerank_ctx is not None:
+            rr_comps, _rqq_s, _w = rerank_ctx
+            for c in _rerank_explain(idx, q, page_ids, rr_comps):
+                e: dict[str, Any] = {
+                    "score": c["score"],
+                    "components": {"base": c["base"],
+                                   "rerank": c["rerank"]},
+                    "inRerankWindow": c["in_window"],
+                }
+                if c.get("details") is not None:
+                    e["details"] = c["details"]
+                explain[str(c["doc_id"])] = e
+        elif bf or bq or boost:
             for c in _boosted_explain(idx, q, page_ids, bf=bf, boost=boost,
                                       bq=bq, op=op, fq=fq, mm=mm):
                 e: dict[str, Any] = {

@@ -159,9 +159,43 @@ def test_pf_under_mm_explains_as_bq(corpus):
         assert v == e["score"]
 
 
-def test_rq_still_fails_loud(corpus):
+def test_rerank_components_sum_exactly(corpus):
     _, idx = corpus
-    with pytest.raises(ValueError, match="rq"):
+    resp = solr_select(idx, {
+        "q": "error", "rows": 5, "debugQuery": "true",
+        "fl": "doc_id,score",
+        "rq": "{!rerank reRankQuery=$rqq reRankDocs=3 reRankWeight=2.5}",
+        "rqq": "tool",
+    })
+    docs = resp["response"]["docs"]
+    assert docs
+    saw_window = saw_tail = False
+    for d in docs:
+        e = resp["debug"]["explain"][str(d["doc_id"])]
+        assert e["components"]["base"] + e["components"]["rerank"] \
+            == e["score"] == d["score"]
+        if e["inRerankWindow"]:
+            saw_window = True
+        else:
+            saw_tail = True
+            assert e["components"]["rerank"] == 0.0
+    assert saw_window and saw_tail  # reRankDocs=3 < rows=5 splits the page
+
+
+def test_rerank_fl_explain_text(corpus):
+    _, idx = corpus
+    resp = solr_select(idx, {
+        "q": "error", "rows": 3, "fl": "doc_id,score,[explain]",
+        "rq": "{!rerank reRankQuery=$rqq reRankDocs=10}", "rqq": "tool",
+    })
+    for d in resp["response"]["docs"]:
+        text = d["[explain]"]
+        assert text.startswith(f"{d['score']} = sum of:")
+        assert "reRankQuery(tool)" in text
+
+
+def test_ltr_rq_still_fails_loud(corpus):
+    _, idx = corpus
+    with pytest.raises(ValueError, match="do not compose"):
         solr_select(idx, {"q": "error", "debugQuery": "true",
-                          "rq": "{!rerank reRankQuery=$rqq}",
-                          "rqq": "tool"})
+                          "rq": "{!ltr model=m}"})
