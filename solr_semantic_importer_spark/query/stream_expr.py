@@ -102,6 +102,21 @@ loud on anything else — the facade contract):
   to every node tuple; raw counts travel with the tuples (Solr's exact
   smoothing is an implementation detail — documented deviation, the
   significantTerms convention).
+- ``tuple(name=value, ...)`` — ONE tuple of literals and/or embedded
+  stream results (embedded streams collect, capped at 10k rows each —
+  fail loud past the cap where Solr would grow driver memory).
+- ``let(name=stream, ..., expr)`` / ``get(name)`` — named stream
+  bindings with Solr's sequential scoping, resolved by AST substitution:
+  a binding IS a lazy plan, every get() reuse hands Catalyst the same
+  subtree (Solr caches the materialized tuple list instead — same
+  observable semantics).
+- ``parallel(collection, stream, workers=, sort=)`` — validated and
+  transparent: the Spark plan already executes on every executor, so
+  workers= is recorded but Catalyst/AQE own the parallelism; the sort=
+  merge contract is asserted on the result.
+- ``knnSearch(collection, id=, qf=, k=, [fq=, mintf=, mindf=, maxqt=])``
+  — text-similarity knn (MoreLikeThis-backed) through the normal top-k
+  path.
 - ``shortestPath(collection, from=, to=, edge="srcField=dstField",
   maxDepth=, [fq=], [threads=], [partitionSize=])`` — breadth-first
   shortest paths: every minimal-length node sequence from ``from`` to
@@ -874,6 +889,122 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
             "solr_semantic_importer_spark.streaming.topics.run_daemon"
         )
 
+    if c.name == "tuple":
+        # tuple(a="x", b=search(...)) -- ONE tuple whose values are
+        # literals or embedded stream results. Solr materializes embedded
+        # streams into the tuple, so we collect them -- bounded at
+        # _TUPLE_EMBED_CAP rows per embed (fail loud past it rather than
+        # OOM the driver; Solr pays the same memory unbounded).
+        if c.args or not c.params:
+            raise ValueError("tuple(name=value, ...) takes named params only")
+        from pyspark.sql import types as T
+
+        fields, data = [], {}
+        for name, v in c.params.items():
+            if isinstance(v, Call):
+                sub = _eval(v, idx, colls)
+                rows = sub.df.limit(_TUPLE_EMBED_CAP + 1).collect()
+                if len(rows) > _TUPLE_EMBED_CAP:
+                    raise ValueError(
+                        f"tuple(): embedded stream {name}= exceeds "
+                        f"{_TUPLE_EMBED_CAP} rows -- page it or aggregate "
+                        f"before embedding"
+                    )
+                fields.append(T.StructField(name, T.ArrayType(sub.df.schema)))
+                data[name] = rows
+            else:
+                fields.append(T.StructField(name, T.StringType()))
+                data[name] = str(v)
+        df = idx.spark.createDataFrame([data], T.StructType(fields))
+        return TupleStream(df, ())
+
+    if c.name == "let":
+        # let(a=stream, b=stream, expr) -- bind named streams; get(name)
+        # inside expr (or a LATER binding, Solr's sequential scoping)
+        # replays the binding. Spark-shaped: substitution at the AST
+        # level -- a binding IS a lazy plan, so every get() reuse hands
+        # Catalyst the same subtree; Solr instead caches the materialized
+        # tuple list driver-side (same observable semantics, no driver
+        # memory here).
+        if len(c.args) != 1 or not isinstance(c.args[0], Call) or not c.params:
+            raise ValueError("let(name=stream, ..., stream)")
+
+        def _subst(node, env):
+            if not isinstance(node, Call):
+                return node
+            if node.name == "get":
+                if (len(node.args) != 1 or node.params
+                        or node.args[0] not in env):
+                    raise ValueError(
+                        f"get(): unknown let binding {node.args!r} "
+                        f"(bound: {sorted(env)})"
+                    )
+                return env[node.args[0]]
+            return Call(node.name, [_subst(a, env) for a in node.args],
+                        {k2: _subst(v2, env)
+                         for k2, v2 in node.params.items()})
+
+        resolved: dict[str, Call] = {}
+        for name, v in c.params.items():
+            if not isinstance(v, Call):
+                raise ValueError(f"let(): {name}= must be a stream")
+            resolved[name] = _subst(v, dict(resolved))
+        return _eval(_subst(c.args[0], resolved), idx, colls)
+
+    if c.name == "get":
+        raise ValueError("get() is only valid inside let()")
+
+    if c.name == "parallel":
+        # parallel(collection, stream, workers=N, sort="f asc") -- Solr
+        # partitions the wrapped stream across N worker nodes and
+        # merge-sorts their outputs. The Spark plan is ALREADY executed
+        # by every executor (that is the point of declaring streams as
+        # DataFrames -- Catalyst/AQE pick the parallelism), so workers=
+        # is validated and recorded but does not re-partition anything;
+        # the sort= merge contract is asserted on the result, which is
+        # what downstream consumers depend on.
+        if len(c.args) != 2 or not isinstance(c.args[1], Call):
+            raise ValueError("parallel(collection, stream, workers=, sort=)")
+        _require_params(c, {"workers", "sort"}, set())
+        _resolve(c.args[0], idx, colls)  # validates the collection name
+        if int(c.params["workers"]) < 1:
+            raise ValueError("parallel(): workers must be >= 1")
+        spec = _parse_by(c.params["sort"])
+        inner = _eval(c.args[1], idx, colls)
+        for fld, _ in spec:
+            if fld not in inner.df.columns:
+                raise ValueError(
+                    f"parallel(): sort field {fld!r} not in the stream"
+                )
+        return TupleStream(inner.df.orderBy(*_sort_cols(spec)), spec)
+
+    if c.name == "knnSearch":
+        # knnSearch(collection, id=, qf=, k=) -- Solr's text-similarity
+        # knn stream source (MoreLikeThis-backed): the k docs most
+        # similar to doc `id` by re-analyzed term overlap, through the
+        # normal top-k path (engine.more_like_this). qf must name the
+        # analyzed text field (single-text-field engine); optional
+        # mintf/mindf/maxqt map to the MLT gates.
+        if len(c.args) != 1:
+            raise ValueError("knnSearch(collection, id=, qf=, k=)")
+        _require_params(c, {"id", "qf", "k"}, {"fq", "mintf", "mindf",
+                                               "maxqt"})
+        nidx = _resolve(c.args[0], idx, colls)
+        if str(c.params["qf"]) not in ("text", "_text_"):
+            raise ValueError(
+                "knnSearch(): qf must name the analyzed text field "
+                "('text' or '_text_' -- single-text-field engine)"
+            )
+        df = nidx.more_like_this(
+            int(c.params["id"]), k=int(c.params["k"]),
+            max_query_terms=int(c.params.get("maxqt", 25)),
+            min_tf=int(c.params.get("mintf", 2)),
+            min_df=int(c.params.get("mindf", 5)),
+            fq=c.params.get("fq"),
+        )
+        return TupleStream(df, (("score", "desc"), ("doc_id", "asc")))
+
+
     # every other function decorates a stream given as the first arg
     if not c.args or not isinstance(c.args[0], Call):
         raise ValueError(f"{c.name}(): first argument must be a stream")
@@ -1071,6 +1202,9 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
         return TupleStream(joined, sort)
 
     raise ValueError(f"unsupported stream function {c.name}()")
+
+
+_TUPLE_EMBED_CAP = 10_000  # rows per embedded stream in tuple()
 
 
 def _match_base(idx: BM25Index, c: Call) -> DataFrame:
