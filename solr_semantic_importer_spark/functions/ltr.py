@@ -156,6 +156,17 @@ class LinearModel:
             out = term if out is None else out + term
         return out
 
+    def explain(self, X: Mapping[str, np.ndarray]) -> list:
+        """Per-feature contribution arrays ``[(feature_name, terms)...]``
+        whose in-order sum reproduces :meth:`score` bit-exactly (same
+        fold, same operands) -- the debugQuery breakdown."""
+        return [
+            (f.name,
+             self.weights[f.name]
+             * _apply_norm(self.norms.get(f.name), X[f.name]))
+            for f in self.features
+        ]
+
 
 def _eval_tree(node: Mapping, X: Mapping[str, np.ndarray], n: int) -> np.ndarray:
     if "value" in node:
@@ -207,6 +218,20 @@ class TreesModel:
         for t in self.trees:
             out = out + float(t["weight"]) * _eval_tree(t["root"], Xn, n)
         return out
+
+    def explain(self, X: Mapping[str, np.ndarray]) -> list:
+        """Per-TREE contribution arrays ``[(label, weight*tree(X))...]``
+        whose in-order sum (from 0.0) reproduces :meth:`score`
+        bit-exactly -- Solr's MultipleAdditiveTrees explain is per-tree
+        too (a path-split attribution is not well-defined)."""
+        n = len(next(iter(X.values()))) if X else 0
+        Xn = {f.name: _apply_norm(self.norms.get(f.name), X[f.name])
+              for f in self.features}
+        return [
+            (f"tree[{i}] weight={float(t['weight']):g}",
+             float(t["weight"]) * _eval_tree(t["root"], Xn, n))
+            for i, t in enumerate(self.trees)
+        ]
 
 
 def register_ltr_model(idx, model) -> None:

@@ -2164,6 +2164,7 @@ class BM25Index:
         order_key: str = "round6",
         fl: list[str] | None = None,
         return_features: bool = False,
+        return_components: bool = False,
     ):
         """Solr LTR rerank (``rq={!ltr model=M reRankDocs=N efi.k=v}``):
         rescore the main query's top ``rerank_docs`` with ``model``
@@ -2243,7 +2244,7 @@ class BM25Index:
             [{"doc_id": d, "score": s} for d, s in page],
             with_stored, order_key, fl,
         )
-        if not return_features:
+        if not return_features and not return_components:
             return out
         page_ids = {d for d, _ in page}
         pos = {d: i for i, d in enumerate(ids)}
@@ -2254,7 +2255,29 @@ class BM25Index:
             for d in page_ids
             if d in pos
         }
-        return out, fmap
+        if not return_components:
+            return out, fmap
+        # debugQuery support: per page doc, the model's contribution
+        # breakdown (per-feature for LinearModel, per-tree for trees --
+        # model.explain, same fold as model.score so the contributions
+        # sum to the replaced score bit-exactly). Tail docs keep their
+        # original BM25 score (in_window False).
+        contribs = model.explain(X) if ids else []
+        orig = {int(r["doc_id"]): float(r["score"]) for r in window}
+        comps = {}
+        for d, _s in page:
+            if d in pos:
+                i = pos[d]
+                comps[d] = {
+                    "in_window": True,
+                    "base": orig[d],
+                    "model": [(lbl, float(arr[i])) for lbl, arr in contribs],
+                    "features": {f.name: float(X[f.name][i])
+                                 for f in model.features},
+                }
+            else:
+                comps[d] = {"in_window": False, "base": orig[d]}
+        return (out, fmap, comps) if return_features else (out, comps)
 
     def search_grouped_func(
         self,

@@ -661,6 +661,62 @@ def _rerank_explain(idx, q: str, page_ids: list[int],
     return out
 
 
+def _ltr_explain(idx, q: str, page_ids: list[int],
+                 comps: dict[int, dict]) -> list[dict]:
+    """debugQuery entries under ``rq={!ltr}``: window docs carry the
+    model's contribution breakdown (per-feature for LinearModel, per-tree
+    for trees; in-order sum == the REPLACED score bit-exactly -- LTR
+    rescoring replaces, it does not add) plus the raw feature vector;
+    tail docs keep their original BM25 score. The per-term lexical
+    breakdown of the original score rides along for flat term queries."""
+    details = _lexical_details(idx, q, page_ids)
+    out = []
+    for did in page_ids:
+        c = comps[did]
+        e = {
+            "doc_id": did,
+            "in_window": c["in_window"],
+            "base": c["base"],
+            "details": (
+                None if details is None
+                else sorted(details.get(did, []),
+                            key=lambda d: -d["contribution"])
+            ),
+        }
+        if c["in_window"]:
+            s = None
+            for _, v in c["model"]:
+                s = v if s is None else s + v
+            e["score"] = 0.0 if s is None else s
+            e["model"] = list(c["model"])
+            e["features"] = dict(c["features"])
+        else:
+            e["score"] = c["base"]
+        out.append(e)
+    return out
+
+
+def _render_ltr_explain(c: dict, model_name: str) -> str:
+    """Lucene-style text tree for one :func:`_ltr_explain` entry."""
+    if not c["in_window"]:
+        lines = [f"{c['score']} = original score "
+                 f"(outside reRankDocs window, model {model_name} "
+                 f"not applied)"]
+        if c.get("details"):
+            for d in c["details"]:
+                lines.append(
+                    f"  {d['contribution']} = weight(_text_:{d['term']}) "
+                    f"[tf={d['tf']}, dl={d['dl']}, weight={d['weight']}]")
+        return "\n".join(lines)
+    lines = [f"{c['score']} = LTRModel({model_name}), sum of:"]
+    for lbl, v in c["model"]:
+        lines.append(f"  {v} = {lbl}")
+    fv = ", ".join(f"{k}={v:g}" for k, v in c["features"].items())
+    lines.append(f"  features: {fv}")
+    lines.append(f"  (replaces original score {c['base']})")
+    return "\n".join(lines)
+
+
 def _render_rerank_explain(c: dict, rqq: str, weight: float) -> str:
     """Lucene-style text tree for one :func:`_rerank_explain` entry."""
     lines = [f"{c['score']} = sum of:"]
@@ -853,6 +909,7 @@ def solr_select(
         bq = (bq or []) + pf_bq
     boost = params.get("boost")
     rerank_ctx = None  # (components, rqq, weight) when {!rerank} explains
+    ltr_ctx = None     # (components, model name) when {!ltr} explains
     if isinstance(boost, (list, tuple)):
         raise ValueError("boost: pass one function (multiple unsupported)")
     if bf or boost or bq:
@@ -864,16 +921,14 @@ def solr_select(
         if cursor is not None:
             raise ValueError("bf/bq/boost do not support cursorMark")
     if ((_truthy(params.get("debugQuery", False)) or want_explain)
-            and (q != q_main
-                 or str(params.get("rq") or "").strip().startswith("{!ltr"))):
-        # bf/bq/boost and {!rerank} explains route through the exact
-        # component breakdowns (engine.explain_boosted /
-        # search_reranked(return_components)); {!ltr} REPLACES scores
-        # with a model the per-feature breakdown doesn't cover yet, and
-        # pf-rewritten q embeds phrase clauses the per-term kernels can't
-        # decompose -- those still fail loud, never explain wrong
+            and q != q_main):
+        # bf/bq/boost, {!rerank} and {!ltr} explains route through exact
+        # component breakdowns (engine.explain_boosted / the rerankers'
+        # return_components); a pf-rewritten q embeds phrase clauses the
+        # per-term kernels can't decompose -- that still fails loud,
+        # never explains wrong
         raise ValueError(
-            "debugQuery/fl=[explain] do not compose with {!ltr} or pf-in-q"
+            "debugQuery/fl=[explain] do not compose with pf-in-q"
         )
     if elevate or exclude:
         if (match_all or sort != "score desc" or start != 0
@@ -964,12 +1019,19 @@ def solr_select(
             )
         efi = {p: str(v).strip("'\"") for p, v in lp.items()
                if p.startswith("efi.")}
-        df, feat_map = idx.search_ltr(
+        want_comps = _truthy(params.get("debugQuery", False)) or want_explain
+        res = idx.search_ltr(
             q, store[mname], k=rows,
             rerank_docs=int(lp.get("reRankDocs", 200)),
             efi=efi, op=op, fq=fq, mm=mm, offset=start,
             with_stored=True, fl=fetch_fl, return_features=True,
+            return_components=want_comps,
         )
+        if want_comps:
+            df, feat_map, ltr_comps = res
+            ltr_ctx = (ltr_comps, mname)
+        else:
+            df, feat_map = res
         rows_out = [r.asDict() for r in df.collect()]
     elif rq is not None:
         m = re.match(r"^\{!rerank\s+([^}]*)\}\s*$", str(rq).strip())
@@ -1187,6 +1249,10 @@ def solr_select(
             rr_comps, rqq_s, w_ = rerank_ctx
             for c in _rerank_explain(idx, q, page_ids, rr_comps):
                 expl[c["doc_id"]] = _render_rerank_explain(c, rqq_s, w_)
+        elif ltr_ctx is not None:
+            l_comps, mname_ = ltr_ctx
+            for c in _ltr_explain(idx, q, page_ids, l_comps):
+                expl[c["doc_id"]] = _render_ltr_explain(c, mname_)
         elif bf or bq or boost:
             for c in _boosted_explain(idx, q, page_ids, bf=bf, boost=boost,
                                       bq=bq, op=op, fq=fq, mm=mm):
@@ -1614,7 +1680,21 @@ def solr_select(
         # flat term query.
         page_ids = [int(d["doc_id"]) for d in docs]
         explain: dict[str, Any] = {}
-        if rerank_ctx is not None:
+        if ltr_ctx is not None:
+            l_comps, mname_ = ltr_ctx
+            for c in _ltr_explain(idx, q, page_ids, l_comps):
+                e: dict[str, Any] = {
+                    "score": c["score"],
+                    "inRerankWindow": c["in_window"],
+                    "originalScore": c["base"],
+                }
+                if c["in_window"]:
+                    e["model"] = [[lbl, v] for lbl, v in c["model"]]
+                    e["features"] = c["features"]
+                if c.get("details") is not None:
+                    e["details"] = c["details"]
+                explain[str(c["doc_id"])] = e
+        elif rerank_ctx is not None:
             rr_comps, _rqq_s, _w = rerank_ctx
             for c in _rerank_explain(idx, q, page_ids, rr_comps):
                 e: dict[str, Any] = {

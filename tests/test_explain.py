@@ -92,15 +92,14 @@ def test_fl_explain_transformer(corpus):
         solr_select(idx, {"q": "*:*", "fl": "doc_id,[explain]"})
 
 
-def test_explain_rejects_ltr_and_pf_in_q(corpus):
-    """bf/bq/boost and {!rerank} explains route through exact component
-    breakdowns (tests/test_explain_boosted.py); {!ltr} replaces scores
-    with a model and a pf-rewritten q embeds phrase clauses the per-term
-    kernels can't decompose -- those still fail loud instead of
-    explaining wrong."""
+def test_explain_rejects_pf_in_q(corpus):
+    """bf/bq/boost, {!rerank} and {!ltr} explains route through exact
+    component breakdowns (tests/test_explain_boosted.py,
+    tests/test_explain_ltr.py); a pf-rewritten q embeds phrase clauses
+    the per-term kernels can't decompose -- that still fails loud
+    instead of explaining wrong."""
     idx = corpus if not isinstance(corpus, tuple) else corpus[1]
     for extra in (
-        {"rq": "{!ltr model=m}"},
         # pf under the default OR op appends phrase clauses to q itself
         {"defType": "edismax", "pf": "_text_"},
     ):

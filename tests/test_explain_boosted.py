@@ -194,8 +194,8 @@ def test_rerank_fl_explain_text(corpus):
         assert "reRankQuery(tool)" in text
 
 
-def test_ltr_rq_still_fails_loud(corpus):
+def test_pf_in_q_still_fails_loud(corpus):
     _, idx = corpus
     with pytest.raises(ValueError, match="do not compose"):
-        solr_select(idx, {"q": "error", "debugQuery": "true",
-                          "rq": "{!ltr model=m}"})
+        solr_select(idx, {"q": "error tool", "debugQuery": "true",
+                          "defType": "edismax", "pf": "_text_"})

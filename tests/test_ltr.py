@@ -173,9 +173,13 @@ def test_efi_and_validation_fail_loud(idx, linear):
     with pytest.raises(ValueError, match="relevance sort"):
         solr_select(idx, {"q": Q, "rq": "{!ltr model=lin}",
                           "sort": "turn_idx asc"})
-    with pytest.raises(ValueError, match="do not compose"):
-        solr_select(idx, {"q": Q, "rq": "{!ltr model=lin}",
-                          "debugQuery": "true"})
+    # debugQuery now composes with {!ltr}: the model breakdown sums to
+    # the replaced score (tests/test_explain_ltr.py has the full checks)
+    resp = solr_select(idx, {
+        "q": Q, "rq": "{!ltr model=lin reRankDocs=5 efi.userQuery='merge'}",
+        "debugQuery": "true", "fl": "doc_id,score", "rows": 3,
+    })
+    assert resp["debug"]["explain"]
 
 
 def test_model_validation():
