@@ -70,6 +70,29 @@ _SCORE_ROW = T.StructType(
     ]
 )
 
+# ord()/rord() dictionary cap: above this many distinct values a global
+# ordinal has no tractable single-task sort (and no useful ranking
+# semantics either -- the field is effectively unique). Lucene's ords hit
+# the same wall as an in-heap array; we fail loud instead (see _ord_dict).
+ORD_MAX_DICT = 50_000_000
+
+
+def _comp_rows_to_dicts(rows, bfs, bq, boost, ids: list[int]) -> list[dict]:
+    """Collected ``_boosted_components`` rows -> the explain dicts
+    (doc_id/score/base/bf/bq[/boost]), ordered like ``ids``."""
+    nbq = len([bq] if isinstance(bq, str) else (bq or []))
+    out = []
+    for r in rows:
+        d = {"doc_id": int(r["doc_id"]), "score": r["score"],
+             "base": r["__base"],
+             "bf": [r[f"__bf{i}"] for i in range(len(bfs))],
+             "bq": [r[f"__bq{j}"] for j in range(nbq)]}
+        if boost is not None:
+            d["boost"] = r["__boost"]
+        out.append(d)
+    out.sort(key=lambda d: ids.index(d["doc_id"]))
+    return out
+
 # Solr CursorMark deep paging (CursorMarkParams): '*' starts a cursor, every
 # response carries a nextCursorMark, and an UNCHANGED mark means the result
 # set is exhausted. start=N paging re-ranks the top N+rows on every page --
@@ -1120,8 +1143,14 @@ class BM25Index:
 
         Scale: the row_number window sorts the DICTIONARY, not the corpus
         -- single-partition over distinct values only, the same
-        memory-resident-ords envelope Lucene itself needs per reader. One
-        distinct job + count per field per handle (cached)."""
+        memory-resident-ords envelope Lucene itself needs per reader.
+        Cardinality is counted FIRST (a plain partial-agg job, no window)
+        and fails loud above ``ORD_MAX_DICT`` -- ord over a near-unique
+        field (doc ids, raw timestamps) would otherwise funnel the corpus
+        into one window task; Solr hits the same wall as an ords-array
+        OOM, we name it instead. The ranked dictionary is persisted on
+        the handle (filterCache discipline): repeated boosted queries and
+        their explain jobs reuse one build."""
         if not hasattr(self, "_ord_cache"):
             self._ord_cache: dict[str, tuple[DataFrame, int]] = {}
         if field not in self._ord_cache:
@@ -1129,16 +1158,24 @@ class BM25Index:
 
             if field not in dict(self.docs().dtypes):
                 raise ValueError(f"ord/rord: unknown field {field!r}")
-            d = (
+            vals = (
                 self.docs().select(field)
                 .filter(F.col(field).isNotNull())
                 .distinct()
-                .withColumn(
-                    "__ord_rank",
-                    F.row_number().over(Window.orderBy(F.col(field).asc())),
-                )
             )
-            self._ord_cache[field] = (d, d.count())
+            n = vals.count()
+            if n > ORD_MAX_DICT:
+                raise ValueError(
+                    f"ord/rord({field}): {n} distinct values exceeds "
+                    f"ORD_MAX_DICT ({ORD_MAX_DICT}) -- a near-unique field "
+                    f"has no tractable global ordinal (use the value "
+                    f"itself, e.g. ms()/recip(), instead of its rank)"
+                )
+            d = vals.withColumn(
+                "__ord_rank",
+                F.row_number().over(Window.orderBy(F.col(field).asc())),
+            ).persist()
+            self._ord_cache[field] = (d, n)
         return self._ord_cache[field]
 
     def search_boosted(
@@ -1313,8 +1350,14 @@ class BM25Index:
         score adds, request order), and ``score`` (the total). Values come
         from the SAME Spark pipeline :meth:`search_boosted` ranks with
         (:meth:`_boosted_components`), filtered to the page's ids, so
-        ``base*boost + Σbf + Σbq == score`` bit-exactly -- the breakdown
-        can never disagree with the response.
+        ``base*boost + Σbf + Σbq == score`` bit-exactly within this
+        result. Note this RE-RUNS the pipeline: equality with a
+        previously returned page relies on the committed index + fixed
+        plan being deterministic (it is in practice, but partial-agg
+        merge order is not contractually pinned) -- /select's debugQuery
+        path therefore uses :meth:`search_boosted_with_components`, which
+        reads page and breakdown from one persisted evaluation and is
+        exact by construction.
 
         Cost: one boosted-scoring job cut to ``len(doc_ids)`` rows before
         collect (the filter sits above per-doc-independent projections, so
@@ -1329,18 +1372,48 @@ class BM25Index:
             .filter(F.col("doc_id").isin(ids))
             .collect()
         )
-        nbq = len([bq] if isinstance(bq, str) else (bq or []))
-        out = []
-        for r in rows:
-            d = {"doc_id": int(r["doc_id"]), "score": r["score"],
-                 "base": r["__base"],
-                 "bf": [r[f"__bf{i}"] for i in range(len(bfs))],
-                 "bq": [r[f"__bq{j}"] for j in range(nbq)]}
-            if boost is not None:
-                d["boost"] = r["__boost"]
-            out.append(d)
-        out.sort(key=lambda d: ids.index(d["doc_id"]))
-        return out
+        return _comp_rows_to_dicts(rows, bfs, bq, boost, ids)
+
+    def search_boosted_with_components(
+        self,
+        query: str,
+        k: int = 10,
+        bf: str | list[str] | None = None,
+        boost: str | None = None,
+        bq: str | list[str] | None = None,
+        op: str = "OR",
+        fq: str | list[str] | None = None,
+        mm: int | str | None = None,
+        offset: int = 0,
+        fl: list[str] | None = None,
+    ) -> tuple[list[dict], list[dict]]:
+        """:meth:`search_boosted` + the page's exact component breakdown
+        from ONE evaluation: the components frame is persisted, then both
+        the top-k page and the per-doc components read it -- so even if a
+        RE-RUN of the distributed aggregation associated floats
+        differently (partial-agg merge order is plan-stable but not
+        contractually guaranteed), the breakdown the caller renders can
+        never disagree with the scores it returned. /select's debugQuery
+        path uses this; it also halves the work of a debug request (no
+        second scoring job). Returns ``(page_rows, components)``."""
+        bfs = [bf] if isinstance(bf, str) else list(bf or [])
+        comp = self._boosted_components(
+            query, bfs, boost, bq, op=op, fq=fq, mm=mm
+        ).persist()
+        try:
+            df = self._finish(
+                comp.select("doc_id", "score"), k, offset, True,
+                "round6", fl,
+            )
+            rows = [r.asDict() for r in df.collect()]
+            ids = [int(r["doc_id"]) for r in rows]
+            crows = (
+                comp.filter(F.col("doc_id").isin(ids)).collect()
+                if ids else []
+            )
+            return rows, _comp_rows_to_dicts(crows, bfs, bq, boost, ids)
+        finally:
+            comp.unpersist()
 
     def mlt_terms(
         self,

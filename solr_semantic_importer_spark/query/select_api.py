@@ -596,7 +596,7 @@ def _qf_select(idx, params: dict[str, Any], t0: float) -> dict[str, Any]:
 
 
 def _boosted_explain(idx, q: str, page_ids: list[int], *, bf, boost, bq,
-                     op: str, fq, mm) -> list[dict]:
+                     op: str, fq, mm, comps=None) -> list[dict]:
     """debugQuery/fl=[explain] under bf/bq/boost: each page doc's exact
     score components (:meth:`BM25Index.explain_boosted` -- the ranking
     pipeline itself, so ``base*boost + Σbf + Σbq == score`` bit-exactly),
@@ -605,8 +605,9 @@ def _boosted_explain(idx, q: str, page_ids: list[int], *, bf, boost, bq,
     single exact leaf (``details`` None) -- the per-term kernels can't
     decompose those, but the component values still sum to the response
     score."""
-    comps = idx.explain_boosted(q, page_ids, bf=bf, boost=boost, bq=bq,
-                                op=op, fq=fq, mm=mm)
+    if comps is None:
+        comps = idx.explain_boosted(q, page_ids, bf=bf, boost=boost,
+                                    bq=bq, op=op, fq=fq, mm=mm)
     details = _lexical_details(idx, q, page_ids)
     for c in comps:
         c["details"] = (
@@ -910,6 +911,25 @@ def solr_select(
     boost = params.get("boost")
     rerank_ctx = None  # (components, rqq, weight) when {!rerank} explains
     ltr_ctx = None     # (components, model name) when {!ltr} explains
+    boosted_ctx = None  # components when bf/bq/boost explains (one job)
+    _expl_entries: list = []  # memo shared by fl=[explain] and debugQuery
+
+    def _explain_entries(pids: list[int]) -> list[dict]:
+        """The page's explain entries, computed ONCE per request even
+        when debugQuery and fl=[explain] are both set (each entry costs
+        real Spark jobs: the component pipeline + the lexical kernel)."""
+        if not _expl_entries:
+            if rerank_ctx is not None:
+                _expl_entries.append(
+                    _rerank_explain(idx, q, pids, rerank_ctx[0]))
+            elif ltr_ctx is not None:
+                _expl_entries.append(_ltr_explain(idx, q, pids, ltr_ctx[0]))
+            else:
+                _expl_entries.append(_boosted_explain(
+                    idx, q, pids, bf=bf, boost=boost, bq=bq,
+                    op=op, fq=fq, mm=mm, comps=boosted_ctx))
+        return _expl_entries[0]
+
     if isinstance(boost, (list, tuple)):
         raise ValueError("boost: pass one function (multiple unsupported)")
     if bf or boost or bq:
@@ -1080,11 +1100,21 @@ def solr_select(
             df = res
         rows_out = [r.asDict() for r in df.collect()]
     elif (bf or boost or bq) and (match_all or sort == "score desc"):
-        df = idx.search_boosted(
-            q, k=rows, bf=bf, boost=boost, bq=bq, op=op, fq=fq, offset=start,
-            mm=mm, with_stored=True, fl=fetch_fl,
-        )
-        rows_out = [r.asDict() for r in df.collect()]
+        if _truthy(params.get("debugQuery", False)) or want_explain:
+            # one evaluation feeds BOTH the page and its breakdown: the
+            # components frame is persisted in-engine, so the explain can
+            # never disagree with the returned scores (and the debug
+            # request pays one scoring job, not two)
+            rows_out, boosted_ctx = idx.search_boosted_with_components(
+                q, k=rows, bf=bf, boost=boost, bq=bq, op=op, fq=fq,
+                mm=mm, offset=start, fl=fetch_fl,
+            )
+        else:
+            df = idx.search_boosted(
+                q, k=rows, bf=bf, boost=boost, bq=bq, op=op, fq=fq,
+                offset=start, mm=mm, with_stored=True, fl=fetch_fl,
+            )
+            rows_out = [r.asDict() for r in df.collect()]
     elif match_all:
         sort_need: list[str] = []
         if cursor is not None and sort in ("score desc", "doc_id asc"):
@@ -1246,16 +1276,14 @@ def solr_select(
         # the breakdown nests the exact components instead.
         page_ids = [x["doc_id"] for x in rows_out]
         if rerank_ctx is not None:
-            rr_comps, rqq_s, w_ = rerank_ctx
-            for c in _rerank_explain(idx, q, page_ids, rr_comps):
-                expl[c["doc_id"]] = _render_rerank_explain(c, rqq_s, w_)
+            for c in _explain_entries(page_ids):
+                expl[c["doc_id"]] = _render_rerank_explain(
+                    c, rerank_ctx[1], rerank_ctx[2])
         elif ltr_ctx is not None:
-            l_comps, mname_ = ltr_ctx
-            for c in _ltr_explain(idx, q, page_ids, l_comps):
-                expl[c["doc_id"]] = _render_ltr_explain(c, mname_)
+            for c in _explain_entries(page_ids):
+                expl[c["doc_id"]] = _render_ltr_explain(c, ltr_ctx[1])
         elif bf or bq or boost:
-            for c in _boosted_explain(idx, q, page_ids, bf=bf, boost=boost,
-                                      bq=bq, op=op, fq=fq, mm=mm):
+            for c in _explain_entries(page_ids):
                 expl[c["doc_id"]] = _render_boosted_explain(
                     c, bf=bf, boost=boost, bq=bq)
         elif match_all:
@@ -1681,8 +1709,7 @@ def solr_select(
         page_ids = [int(d["doc_id"]) for d in docs]
         explain: dict[str, Any] = {}
         if ltr_ctx is not None:
-            l_comps, mname_ = ltr_ctx
-            for c in _ltr_explain(idx, q, page_ids, l_comps):
+            for c in _explain_entries(page_ids):
                 e: dict[str, Any] = {
                     "score": c["score"],
                     "inRerankWindow": c["in_window"],
@@ -1695,8 +1722,7 @@ def solr_select(
                     e["details"] = c["details"]
                 explain[str(c["doc_id"])] = e
         elif rerank_ctx is not None:
-            rr_comps, _rqq_s, _w = rerank_ctx
-            for c in _rerank_explain(idx, q, page_ids, rr_comps):
+            for c in _explain_entries(page_ids):
                 e: dict[str, Any] = {
                     "score": c["score"],
                     "components": {"base": c["base"],
@@ -1707,8 +1733,7 @@ def solr_select(
                     e["details"] = c["details"]
                 explain[str(c["doc_id"])] = e
         elif bf or bq or boost:
-            for c in _boosted_explain(idx, q, page_ids, bf=bf, boost=boost,
-                                      bq=bq, op=op, fq=fq, mm=mm):
+            for c in _explain_entries(page_ids):
                 e: dict[str, Any] = {
                     "score": c["score"],
                     "components": {k: c[k] for k in

@@ -929,19 +929,35 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
         if len(c.args) != 1 or not isinstance(c.args[0], Call) or not c.params:
             raise ValueError("let(name=stream, ..., stream)")
 
-        def _subst(node, env):
+        def _subst(node, env, shadowed=frozenset()):
             if not isinstance(node, Call):
                 return node
             if node.name == "get":
                 if (len(node.args) != 1 or node.params
-                        or node.args[0] not in env):
+                        or not isinstance(node.args[0], str)):
+                    raise ValueError("get() takes one binding name")
+                nm = node.args[0]
+                if nm in shadowed:
+                    return node  # a nested let rebinds it: resolved there
+                if nm not in env:
                     raise ValueError(
                         f"get(): unknown let binding {node.args!r} "
                         f"(bound: {sorted(env)})"
                     )
-                return env[node.args[0]]
-            return Call(node.name, [_subst(a, env) for a in node.args],
-                        {k2: _subst(v2, env)
+                return env[nm]
+            if node.name == "let":
+                # nested let: names it rebinds SHADOW the outer ones
+                # everywhere inside it -- those get()s are left for the
+                # inner let's own (sequential) resolution; un-shadowed
+                # outer names still substitute
+                sh = shadowed | set(node.params)
+                return Call("let",
+                            [_subst(a, env, sh) for a in node.args],
+                            {k2: _subst(v2, env, sh)
+                             for k2, v2 in node.params.items()})
+            return Call(node.name,
+                        [_subst(a, env, shadowed) for a in node.args],
+                        {k2: _subst(v2, env, shadowed)
                          for k2, v2 in node.params.items()})
 
         resolved: dict[str, Call] = {}

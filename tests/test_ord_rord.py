@@ -108,6 +108,18 @@ def test_ord_fails_loud_outside_boost_sites(corpus):
         solr_select(idx, {"q": "error", "fq": "{!frange l=1}rord(role)"})
 
 
+def test_ord_cardinality_cap_fails_loud(corpus, monkeypatch):
+    # a near-unique field (doc_id-like) has no tractable global ordinal;
+    # the guard names the wall instead of funneling the corpus into one
+    # window task
+    import solr_semantic_importer_spark.query.engine as eng
+    _, idx = corpus
+    monkeypatch.setattr(eng, "ORD_MAX_DICT", 10)
+    idx._ord_cache = {}  # drop any rank dict cached by earlier tests
+    with pytest.raises(ValueError, match="ORD_MAX_DICT"):
+        idx.search_boosted("error", bf="ord(conv_id)").collect()
+
+
 def test_ord_arg_must_be_plain_field(corpus):
     _, idx = corpus
     with pytest.raises(ValueError, match="plain field"):

@@ -71,6 +71,25 @@ def test_let_sequential_scoping(idx):
     assert len(df.collect()) == 2
 
 
+def test_nested_let_shadowing(idx):
+    # inner let rebinds `a`: its expr must see the INNER stream (1 row),
+    # not the outer 10-row one
+    df = run_stream_expr(
+        idx, 'let(a=search(tx, q="error", fl="doc_id,score", '
+             'sort="score desc", rows=10), '
+             'let(a=echo("inner"), get(a)))'
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["echo"] == "inner"
+    # an un-shadowed outer name still substitutes inside the inner let
+    df2 = run_stream_expr(
+        idx, 'let(a=search(tx, q="error", fl="doc_id,score", '
+             'sort="score desc", rows=4), '
+             'let(b=echo("x"), top(get(a), n=2, sort="score desc")))'
+    )
+    assert len(df2.collect()) == 2
+
+
 def test_get_outside_let_fails(idx):
     with pytest.raises(ValueError, match="only valid inside let"):
         run_stream_expr(idx, 'get(a)')
