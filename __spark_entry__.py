@@ -325,11 +325,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the function-query and collapse surfaces)
     def func_boost_topk(spark, sf_dir):
         # Solr function boosting: score * recip(ms(ts),..) date-recency
-        # boost + additive bf -- search_boosted's exact full-match-set path
+        # boost + additive bf incl. ord(role) (session 6: the dictionary-
+        # rank ValueSource under the oracle) -- search_boosted's exact
+        # full-match-set path
         idx = _index_for(spark, sf_dir)
         res = idx.search_boosted(
             "table merge", k=10,
-            bf=["div(turn_idx,10)"], boost="recip(ms(ts),3.16e-11,1,1)",
+            bf=["div(turn_idx,10)", "ord(role)"],
+            boost="recip(ms(ts),3.16e-11,1,1)",
             order_key="milli",
         )
         return res.select("doc_id", _milli(F.col("score")).alias("score_milli"))

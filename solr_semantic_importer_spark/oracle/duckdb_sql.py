@@ -467,9 +467,12 @@ def _matched_terms(query: str) -> str:
 def boosted_topk_sql(query: str, k: int = 10) -> str:
     """search_boosted oracle: full BM25 OR score, then the SAME function
     composition the engine entry uses -- score * recip(ms(ts),3.16e-11,1,1)
-    + div(turn_idx,10) (BoostedQuery x date recency + additive bf).
-    epoch_ms == Spark unix_millis (both are UTC-instant millis of the same
-    parquet values)."""
+    + div(turn_idx,10) + ord(role) (BoostedQuery x date recency +
+    additive bfs; ord = the 1-based rank of the doc's role in the sorted
+    distinct-role dictionary, recomputed first-principles here --
+    engine side: query/engine.py _ord_dict). epoch_ms == Spark
+    unix_millis (both are UTC-instant millis of the same parquet
+    values)."""
     return f"""
     WITH {bm25_base_ctes()},
     scored AS (
@@ -484,11 +487,18 @@ def boosted_topk_sql(query: str, k: int = 10) -> str:
       WHERE tfc.term IN ({_matched_terms(query)})
       GROUP BY tfc.doc_id
     ),
+    rks AS (
+      SELECT role, CAST(row_number() OVER (ORDER BY role) AS DOUBLE) AS rk
+      FROM (SELECT DISTINCT role FROM ids WHERE role IS NOT NULL)
+    ),
     boosted AS (
       SELECT s.doc_id,
              s.score * (CAST(1 AS DOUBLE) / (3.16e-11 * epoch_ms(ids.ts) + 1))
-               + (CAST(ids.turn_idx AS DOUBLE) / 10) AS score
-      FROM scored s JOIN ids USING (doc_id)
+               + (CAST(ids.turn_idx AS DOUBLE) / 10)
+               + coalesce(rk.rk, 0) AS score
+      FROM scored s
+      JOIN ids USING (doc_id)
+      LEFT JOIN rks rk ON rk.role = ids.role
     )
     SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_milli
     FROM boosted
