@@ -595,6 +595,65 @@ def _qf_select(idx, params: dict[str, Any], t0: float) -> dict[str, Any]:
     }
 
 
+_CHILD_FL_RE = re.compile(r"^\[child(?:\s+([^\]]*))?\]$")
+
+
+def _parse_child_fl(opts: str | None) -> dict:
+    """``fl=[child limit=N childFilter=<fq>]`` options. Unknown options
+    fail loud (the facade contract). Solr's default limit is 10."""
+    out = {"limit": 10, "childFilter": None}
+    for part in (opts or "").split():
+        k, eq, v = part.partition("=")
+        if not eq or k not in ("limit", "childFilter"):
+            raise ValueError(
+                f"[child] supports limit=/childFilter=, got {part!r}"
+            )
+        out[k] = int(v) if k == "limit" else v.strip("'\"")
+    if out["limit"] < 1:
+        raise ValueError("[child] limit must be >= 1")
+    return out
+
+
+def _child_docs(idx, page_ids: list[int], opt: dict) -> dict[int, list]:
+    """The ``[child]`` transformer under the flattened-block adaptation
+    (conv_id = block key, turns = children, parents virtual -- the
+    {!parent}/{!child} qparser convention): each page doc's children are
+    the OTHER live turns of its block, turn order, capped at ``limit``;
+    ``childFilter`` narrows them with the Solr fq grammar.
+
+    Plan: the page side (<= rows ids) broadcasts against ONE live docs
+    scan keyed on conv_id; a per-page-doc row_number window bounds the
+    output at page x limit rows before collect -- block size never
+    reaches the driver."""
+    from pyspark.sql.window import Window
+
+    live = idx._anti_dead(idx.docs())
+    page = live.filter(F.col("doc_id").isin(page_ids)).select(
+        F.col("doc_id").alias("__pid"), F.col("conv_id").alias("__pconv")
+    )
+    kids = live.join(
+        F.broadcast(page),
+        (F.col("conv_id") == F.col("__pconv"))
+        & (F.col("doc_id") != F.col("__pid")),
+    )
+    if opt["childFilter"]:
+        kids = idx._apply_fq(kids, opt["childFilter"])
+    w = Window.partitionBy("__pid").orderBy("turn_idx", "doc_id")
+    kids = (
+        kids.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(opt["limit"]))
+        .drop("__rn", "__pconv")
+    )
+    out: dict[int, list] = {}
+    for r in kids.collect():
+        d = r.asDict()
+        pid = d.pop("__pid")
+        out.setdefault(int(pid), []).append(d)
+    for v in out.values():
+        v.sort(key=lambda d: (d.get("turn_idx"), d.get("doc_id")))
+    return out
+
+
 def _boosted_explain(idx, q: str, page_ids: list[int], *, bf, boost, bq,
                      op: str, fq, mm, comps=None) -> list[dict]:
     """debugQuery/fl=[explain] under bf/bq/boost: each page doc's exact
@@ -842,6 +901,7 @@ def solr_select(
     func_fl: dict[str, str] = {}  # alias -> function query (Solr fl=f:func())
     want_explain = False  # fl=[explain] doc transformer
     want_features = False  # fl=[features] (LTR feature-vector transformer)
+    child_opt = None      # fl=[child ...] (block-sibling transformer)
     if fl:
         norm = []
         for f in fl:
@@ -850,6 +910,10 @@ def solr_select(
                 continue
             if f == "[features]":
                 want_features = True
+                continue
+            cm = _CHILD_FL_RE.match(f)
+            if cm is not None:
+                child_opt = _parse_child_fl(cm.group(1))
                 continue
             if ":" in f:
                 alias, src = f.split(":", 1)
@@ -863,7 +927,8 @@ def solr_select(
                 continue
             else:
                 norm.append(f)
-        if (func_fl or want_explain or want_features) and not [
+        if (func_fl or want_explain or want_features
+                or child_opt is not None) and not [
             f for f in norm if f != "score"
         ]:
             norm.append("doc_id")  # pseudo-fields (+score) only: key by id
@@ -1303,6 +1368,11 @@ def solr_select(
                     )
                 expl[i] = "\n".join(lines)
 
+    child_map: dict[int, list] = {}
+    if child_opt is not None and rows_out:
+        child_map = _child_docs(
+            idx, [int(r["doc_id"]) for r in rows_out], child_opt)
+
     fvals: dict[int, dict] = {}
     if func_fl and rows_out:
         # fl function pseudo-fields: ONE isin-pruned job computes every
@@ -1331,6 +1401,8 @@ def solr_select(
             d["[explain]"] = expl.get(d.get("doc_id"), "")
         if want_features:
             d["[features]"] = feat_map.get(d.get("doc_id"), "")
+        if child_opt is not None:
+            d["_childDocuments_"] = child_map.get(d.get("doc_id"), [])
         docs.append(d)
 
     resp: dict[str, Any] = {
