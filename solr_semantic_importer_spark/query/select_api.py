@@ -172,7 +172,14 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
              "mlt", "mlt.fl", "mlt.count", "mlt.mintf", "mlt.mindf",
              "mlt.maxqt", "mlt.boost", "mlt.interestingTerms",
              "facet.heatmap", "facet.heatmap.geom", "facet.heatmap.gridLevel",
-             "facet.heatmap.distErr", "facet.heatmap.format", "qf", "tie"}
+             "facet.heatmap.distErr", "facet.heatmap.format", "qf", "tie",
+             # performance HINTS (public Solr params that steer its
+             # internal algorithm choice without changing result
+             # semantics): accepted and echoed, Catalyst owns the actual
+             # strategy. timeAllowed is best-effort in Solr -- always
+             # returning the complete result is a conforming superset.
+             "facet.method", "facet.threads", "facet.enum.cache.minDf",
+             "timeAllowed"}
 
 # facet.range.{start,end,gap} and the facet.field bucket params
 # (limit/offset/mincount/sort/prefix/missing), globally or per-field
@@ -270,6 +277,11 @@ def _split_sort(sort: str) -> list[str]:
     return parts
 
 
+# Solr's schema ships `random_*` as a dynamic RandomSortField: the seed
+# lives in the field name, so `sort=random_1234 asc` is a stable shuffle
+_RANDOM_SORT_RE = re.compile(r"random_\w+")
+
+
 def _parse_sort(sort: str) -> list[tuple[str, str]]:
     """Solr sort spec -> [(field-or-function, 'asc'|'desc'), ...].
     Multi-entry sorts are comma-separated, Solr's syntax; each entry is a
@@ -296,6 +308,13 @@ def _sort_cols(df, sort_spec: list[tuple[str, str]], idx=None) -> list:
     for f, d in sort_spec:
         if f == "score":
             c = F.round(F.col("score"), 6)
+        elif _RANDOM_SORT_RE.fullmatch(f):
+            # Solr RandomSortField (dynamic field random_*): a stable
+            # pseudo-random order keyed by the seed in the field name --
+            # same md5(doc_id:seed) convention as the random() stream
+            # source, deterministic across pages and executors
+            c = F.md5(F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.lit(f)))
         elif looks_like_function(f):
             c = F.expr(idx.function_expr(f)[0])
         else:
@@ -309,6 +328,8 @@ def _sort_fields(sort_spec: list[tuple[str, str]], idx) -> list[str]:
     fields their expression uses) -- drives the stored-side projection."""
     need: list[str] = []
     for f, _ in sort_spec:
+        if _RANDOM_SORT_RE.fullmatch(f):
+            continue  # keyed on doc_id, always present
         if looks_like_function(f):
             need.extend(idx.function_expr(f)[1])
         elif f not in ("score", "doc_id"):
@@ -849,6 +870,10 @@ def solr_select(
     }
     if unknown:
         raise ValueError(f"unsupported /select params: {sorted(unknown)}")
+    fm = params.get("facet.method")
+    if fm is not None and str(fm) not in ("enum", "fc", "fcs", "uif"):
+        raise ValueError(
+            f"facet.method must be enum|fc|fcs|uif, got {fm!r}")
     _validate_edismax(params)
     t0 = time.monotonic()
     if "qf" in params:
@@ -914,6 +939,16 @@ def solr_select(
             cm = _CHILD_FL_RE.match(f)
             if cm is not None:
                 child_opt = _parse_child_fl(cm.group(1))
+                continue
+            if "*" in f and f != "*" and not f.startswith("["):
+                # Solr fl field globs (fl=conv_*): expand against the
+                # stored schema; a glob matching nothing contributes no
+                # columns (Solr's behavior -- an empty expansion is a
+                # valid result, not an unsupported param)
+                import fnmatch
+
+                norm.extend(c for c in idx.docs().columns
+                            if fnmatch.fnmatchcase(c, f))
                 continue
             if ":" in f:
                 alias, src = f.split(":", 1)
