@@ -117,6 +117,14 @@ loud on anything else — the facade contract):
 - ``knnSearch(collection, id=, qf=, k=, [fq=, mintf=, mindf=, maxqt=])``
   — text-similarity knn (MoreLikeThis-backed) through the normal top-k
   path.
+- Math evaluators ``col(stream, f)`` / ``describe(col)`` /
+  ``corr(col, col)`` / ``percentile(col, p)`` / ``hist(col, bins=N)`` —
+  Solr materializes driver-side arrays and loops; here ``col`` stays a
+  logical column and the evaluators compile to DISTRIBUTED aggregates
+  (one partial-agg job each; hist = min/max + one width_bucket groupBy).
+  Standalone ``col`` embeds the capped array; corr requires both columns
+  to read one stream (positional alignment has no relational meaning
+  across two); percentile is exact where Solr's t-digest approximates.
 - ``shortestPath(collection, from=, to=, edge="srcField=dstField",
   maxDepth=, [fq=], [threads=], [partitionSize=])`` — breadth-first
   shortest paths: every minimal-length node sequence from ``from`` to
@@ -970,6 +978,123 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
     if c.name == "get":
         raise ValueError("get() is only valid inside let()")
 
+    if c.name == "col":
+        # col(stream, fieldName) -- Solr's array extractor. Standalone
+        # (embedded in tuple()/let()) it materializes ONE tuple whose
+        # single column holds the values in stream order (capped like
+        # tuple() embeds); inside describe()/corr()/hist()/percentile()
+        # it never materializes -- those compile to distributed
+        # aggregates over the underlying stream (the Spark-first reading
+        # of Solr's driver-side array math).
+        s, fld = _col_ref(c, idx, colls)
+        rows = s.df.select(fld).limit(_TUPLE_EMBED_CAP + 1).collect()
+        if len(rows) > _TUPLE_EMBED_CAP:
+            raise ValueError(
+                f"col(): materializing more than {_TUPLE_EMBED_CAP} values "
+                f"-- use describe()/hist()/percentile() (distributed) "
+                f"instead of the raw array"
+            )
+        from pyspark.sql import types as T
+
+        dt = s.df.schema[fld].dataType
+        return TupleStream(
+            idx.spark.createDataFrame(
+                [{fld: [r[0] for r in rows]}],
+                T.StructType([T.StructField(fld, T.ArrayType(dt))]),
+            ),
+            (),
+        )
+
+    if c.name == "describe":
+        # describe(col(stream, f)) -- Solr's summary-statistics evaluator
+        # as ONE distributed partial agg (Solr collects the array and
+        # loops; the result tuple is identical)
+        if len(c.args) != 1 or c.params:
+            raise ValueError("describe(col(stream, f))")
+        s, fld = _col_ref(_as_col(c.args[0], "describe"), idx, colls)
+        x = F.col(fld).cast("double")
+        row = s.df.agg(
+            F.count(x).alias("N"), F.avg(x).alias("mean"),
+            F.min(x).alias("min"), F.max(x).alias("max"),
+            F.stddev_samp(x).alias("stdev"), F.var_samp(x).alias("var"),
+            F.sum(x * x).alias("sumsq"), F.sum(x).alias("sum"),
+        ).collect()[0]
+        return TupleStream(idx.spark.createDataFrame(
+            [row.asDict()],
+            "N long, mean double, min double, max double, stdev double, "
+            "var double, sumsq double, sum double"), ())
+
+    if c.name == "corr":
+        # corr(col(s, x), col(s, y)) -- Pearson correlation compiled to
+        # Spark's corr aggregate. Both columns must come from the SAME
+        # stream expression (Solr's arrays are positionally aligned;
+        # only a shared source guarantees that relationally)
+        if len(c.args) != 2 or c.params:
+            raise ValueError("corr(col(stream, x), col(stream, y))")
+        (s1, f1), (s2, f2) = (_col_ref(_as_col(a, "corr") , idx, colls)
+                              for a in c.args)
+        if c.args[0].args[0] != c.args[1].args[0]:
+            raise ValueError(
+                "corr(): both columns must read ONE stream (positional "
+                "alignment has no relational meaning across two streams)"
+            )
+        row = s1.df.agg(F.corr(F.col(f1).cast("double"),
+                               F.col(f2).cast("double")).alias("corr")
+                        ).collect()[0]
+        return TupleStream(idx.spark.createDataFrame(
+            [row.asDict()], "corr double"), ())
+
+    if c.name == "percentile":
+        # percentile(col(stream, f), p) -- EXACT linear interpolation via
+        # Spark's percentile aggregate (Solr's t-digest is approximate;
+        # exact is strictly more accurate, the json.facet convention)
+        if len(c.args) != 2 or c.params or isinstance(c.args[1], Call):
+            raise ValueError("percentile(col(stream, f), p)")
+        s, fld = _col_ref(_as_col(c.args[0], "percentile"), idx, colls)
+        p = float(c.args[1])
+        if not 0 <= p <= 100:
+            raise ValueError("percentile(): p in [0, 100]")
+        row = s.df.agg(F.expr(
+            f"percentile(cast({fld} as double), {p / 100.0!r})"
+        ).alias("percentile")).collect()[0]
+        return TupleStream(idx.spark.createDataFrame(
+            [row.asDict()], "percentile double"), ())
+
+    if c.name == "hist":
+        # hist(col(stream, f), bins=N) -- equal-width histogram: one
+        # min/max agg, then ONE width_bucket groupBy (two partial-agg
+        # jobs total; the corpus never reaches the driver). Emits one
+        # tuple per bin: (bin, lo, hi, count), empty bins included.
+        if len(c.args) != 1:
+            raise ValueError("hist(col(stream, f), bins=N)")
+        _require_params(c, set(), {"bins"})
+        bins = int(c.params.get("bins", 10))
+        if bins < 1:
+            raise ValueError("hist(): bins must be >= 1")
+        s, fld = _col_ref(_as_col(c.args[0], "hist"), idx, colls)
+        x = F.col(fld).cast("double")
+        mr = s.df.agg(F.min(x).alias("mn"), F.max(x).alias("mx")
+                      ).collect()[0]
+        mn, mx = mr["mn"], mr["mx"]
+        if mn is None:
+            return TupleStream(idx.spark.createDataFrame(
+                [], "bin long, lo double, hi double, count long"),
+                (("bin", "asc"),))
+        width = ((mx - mn) / bins) or 1.0  # degenerate: all values equal
+        counts = {
+            int(r["b"]): int(r["n"])
+            for r in s.df.select(
+                F.least(F.floor((x - F.lit(mn)) / F.lit(width)),
+                        F.lit(bins - 1)).alias("b"))
+            .groupBy("b").agg(F.count("*").alias("n")).collect()
+        }
+        rows = [{"bin": i, "lo": mn + i * width, "hi": mn + (i + 1) * width,
+                 "count": counts.get(i, 0)} for i in range(bins)]
+        return TupleStream(
+            idx.spark.createDataFrame(rows).select("bin", "lo", "hi",
+                                                   "count"),
+            (("bin", "asc"),))
+
     if c.name == "parallel":
         # parallel(collection, stream, workers=N, sort="f asc") -- Solr
         # partitions the wrapped stream across N worker nodes and
@@ -1221,6 +1346,26 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
 
 
 _TUPLE_EMBED_CAP = 10_000  # rows per embedded stream in tuple()
+
+
+def _as_col(a, fname: str) -> Call:
+    """Validate an evaluator argument is a ``col(...)`` call."""
+    if not isinstance(a, Call) or a.name != "col":
+        raise ValueError(f"{fname}() takes col(stream, field) arguments")
+    return a
+
+
+def _col_ref(c: Call, idx, colls) -> tuple[TupleStream, str]:
+    """Resolve a ``col(stream, field)`` call -> (evaluated stream, field
+    name), validating the field exists on the stream."""
+    if (len(c.args) != 2 or c.params or not isinstance(c.args[0], Call)
+            or isinstance(c.args[1], Call)):
+        raise ValueError("col(stream, fieldName)")
+    s = _eval(c.args[0], idx, colls)
+    fld = str(c.args[1])
+    if fld not in s.df.columns:
+        raise ValueError(f"col(): unknown field {fld!r} in the stream")
+    return s, fld
 
 
 def _match_base(idx: BM25Index, c: Call) -> DataFrame:
