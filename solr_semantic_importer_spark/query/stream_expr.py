@@ -60,9 +60,10 @@ loud on anything else — the facade contract):
 - ``timeseries(collection, q=, field=, start=, end=, gap=, ...metrics)``
   — per-bucket metrics over ``[start, end)`` in steps of ``gap`` (exact
   op/mm DocSet, one partial-agg shuffle of at most n_buckets rows per
-  task). Numeric bounds over a numeric field (documented deviation:
-  Solr's date-math gap strings — ``+1DAY`` — are not parsed; pass epoch
-  seconds).
+  task). DATE-NATIVE over timestamp fields (Solr's actual form: ISO
+  start/end + DateMath gap — ``+1DAY``/``+6HOURS``; fixed-width units
+  only, ``+1MONTH`` fails loud rather than drifting; buckets emitted as
+  timestamps); numeric fields keep the epoch-number form.
 
 - ``fetch(collection, stream, on="tupleField=collField", fl="a,b")`` —
   enrich tuples with stored fields from the collection: ONE left join
@@ -1436,17 +1437,55 @@ def _significant_terms(idx: BM25Index, c: Call) -> TupleStream:
     return TupleStream(df, (("score", "desc"), ("term", "asc")))
 
 
+_DATEMATH_GAP_RE = re.compile(r"^\+(\d+)(SECOND|MINUTE|HOUR|DAY)S?$")
+
+
+def _datemath_gap_sec(v) -> float:
+    """Solr DateMath gap (+1DAY / +6HOURS / ...) -> seconds. Only
+    fixed-width units -- +1MONTH is variable-width and fails loud rather
+    than drifting (the date facet.range convention)."""
+    m = _DATEMATH_GAP_RE.match(str(v))
+    if m is None:
+        raise ValueError(
+            f"date gap must be +N(SECOND|MINUTE|HOUR|DAY)S, got {v!r}"
+        )
+    mult = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+    return float(m.group(1)) * mult[m.group(2)]
+
+
+def _iso_sec(v) -> float:
+    """ISO-8601 instant -> epoch seconds (Z accepted)."""
+    import datetime as _dt
+
+    return _dt.datetime.fromisoformat(
+        str(v).replace("Z", "+00:00")
+    ).timestamp()
+
+
 def _timeseries(idx: BM25Index, c: Call) -> TupleStream:
+    """timeseries(collection, q=, field=, start=, end=, gap=, metrics...).
+    Date-native over timestamp fields (Solr's actual form: ISO start/end
+    + DateMath gap, bucket column emitted as a timestamp); numeric fields
+    keep the epoch-number form. Exact op-free DocSet, ONE partial-agg
+    shuffle of at most n_buckets rows per task either way."""
     field = str(c.params["field"])
-    start, end, gap = (float(c.params[k]) for k in ("start", "end", "gap"))
+    is_ts = dict(idx.docs().dtypes).get(field, "").startswith("timestamp")
+    if is_ts:
+        start = _iso_sec(c.params["start"])
+        end = _iso_sec(c.params["end"])
+        gap = _datemath_gap_sec(c.params["gap"])
+    else:
+        start, end, gap = (
+            float(c.params[k]) for k in ("start", "end", "gap"))
     if gap <= 0 or end <= start:
         raise ValueError("timeseries(): needs gap > 0 and end > start")
     metrics = [_metric_col(a) for a in c.args[1:] if isinstance(a, Call)]
     if len(metrics) != len(c.args) - 1 or not metrics:
         raise ValueError("timeseries(): every positional arg after the "
                          "collection must be a metric")
-    x = F.col(field).cast("double")
-    bucket = (F.lit(start) + F.floor((x - start) / gap) * gap).alias(field)
+    x = F.col(field).cast("double")  # timestamps cast to epoch seconds
+    sec = F.lit(start) + F.floor((x - start) / gap) * gap
+    bucket = (F.timestamp_seconds(sec) if is_ts else sec).alias(field)
     df = (
         _match_base(idx, c)
         .filter((x >= start) & (x < end))

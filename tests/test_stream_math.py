@@ -99,3 +99,36 @@ def test_validation(setup):
         run_stream_expr(idx, f'describe({SRC})')
     with pytest.raises(ValueError, match="bins"):
         run_stream_expr(idx, f'hist(col({SRC}, dl), bins=0)')
+
+
+# ---------------------------------------------------- date-native timeseries
+
+
+def test_timeseries_datemath_over_timestamp(setup):
+    idx, _, _ = setup
+    import datetime as dt
+    row = idx.docs().selectExpr("min(ts) a", "max(ts) b").collect()[0]
+    start = row["a"].replace(minute=0, second=0, microsecond=0)
+    end = row["b"] + dt.timedelta(hours=1)
+    expr = (f'timeseries(tx, q="*:*", field=ts, '
+            f'start="{start.isoformat()}Z", end="{end.isoformat()}Z", '
+            f'gap="+1HOUR", count(*))')
+    rows = run_stream_expr(idx, expr).collect()
+    assert rows and sum(r["count(*)"] for r in rows) == idx.docs().count()
+    # brute-force one bucket
+    ts = [r["ts"] for r in idx.docs().select("ts").collect()]
+    first_lo = rows[0]["ts"]
+    first_hi = first_lo + dt.timedelta(hours=1)
+    expect = sum(1 for t in ts if first_lo <= t < first_hi)
+    assert rows[0]["count(*)"] == expect
+    # buckets are timestamps on hour boundaries
+    assert all(r["ts"].minute == start.minute for r in rows)
+
+
+def test_timeseries_variable_width_gap_fails(setup):
+    idx, _, _ = setup
+    with pytest.raises(ValueError, match="SECOND\\|MINUTE\\|HOUR\\|DAY"):
+        run_stream_expr(
+            idx, 'timeseries(tx, q="*:*", field=ts, '
+                 'start="2024-01-01T00:00:00Z", end="2024-03-01T00:00:00Z", '
+                 'gap="+1MONTH", count(*))')
