@@ -927,6 +927,7 @@ def solr_select(
     want_explain = False  # fl=[explain] doc transformer
     want_features = False  # fl=[features] (LTR feature-vector transformer)
     child_opt = None      # fl=[child ...] (block-sibling transformer)
+    extra_transformers: set[str] = set()  # [docid] / [shard]
     if fl:
         norm = []
         for f in fl:
@@ -939,6 +940,14 @@ def solr_select(
             cm = _CHILD_FL_RE.match(f)
             if cm is not None:
                 child_opt = _parse_child_fl(cm.group(1))
+                continue
+            if f in ("[docid]", "[shard]"):
+                # [docid]: Lucene's internal doc id -- HERE it coincides
+                # with the uniqueKey by construction (stable (conv_id,
+                # turn_idx) assignment IS the internal id). [shard]: the
+                # single-collection engine serves every doc itself; the
+                # index handle's data dir is the shard identifier.
+                extra_transformers.add(f)
                 continue
             if "*" in f and f != "*" and not f.startswith("["):
                 # Solr fl field globs (fl=conv_*): expand against the
@@ -962,7 +971,7 @@ def solr_select(
                 continue
             else:
                 norm.append(f)
-        if (func_fl or want_explain or want_features
+        if (func_fl or want_explain or want_features or extra_transformers
                 or child_opt is not None) and not [
             f for f in norm if f != "score"
         ]:
@@ -1438,6 +1447,10 @@ def solr_select(
             d["[features]"] = feat_map.get(d.get("doc_id"), "")
         if child_opt is not None:
             d["_childDocuments_"] = child_map.get(d.get("doc_id"), [])
+        if "[docid]" in extra_transformers:
+            d["[docid]"] = d.get("doc_id")
+        if "[shard]" in extra_transformers:
+            d["[shard]"] = idx.data_dir
         docs.append(d)
 
     resp: dict[str, Any] = {

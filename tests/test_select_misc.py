@@ -64,3 +64,11 @@ def test_hint_params_accepted_not_semantic(idx):
     with pytest.raises(ValueError, match="facet.method"):
         solr_select(idx, {"q": "error", "facet": "true",
                           "facet.field": "role", "facet.method": "bogus"})
+
+
+def test_docid_and_shard_transformers(idx):
+    r = solr_select(idx, {"q": "error", "rows": 3,
+                          "fl": "doc_id,score,[docid],[shard]"})
+    for d in r["response"]["docs"]:
+        assert d["[docid]"] == d["doc_id"]  # internal id == uniqueKey here
+        assert d["[shard]"] == idx.data_dir
