@@ -138,6 +138,7 @@ from typing import Any, Iterator
 
 from pyspark.sql import functions as F
 
+from ..functions.datemath import iso_sec, month_bucket_starts, parse_gap
 from ..functions.function_query import looks_like_function
 from .engine import (
     BM25Index,
@@ -524,14 +525,23 @@ def _apply_edismax(
     REQUIRED / would inflate the mm clause count -- Solr's phrase boosts
     sit OUTSIDE the main query's op/mm, so they route as boost queries
     (``bq``: score adds on matching docs, match set untouched) instead.
-    Returns ``(q, extra_bq)``; exactly one of the two carries the
-    phrases."""
+    The bq route is ALSO taken when the request asks for an explain
+    (debugQuery / fl=[explain]): the boosted-component pipeline keeps
+    each bq's contribution as its own column, so the breakdown folds to
+    the response score bit-exactly — where a pf-rewritten q embeds
+    phrase clauses the per-term explain kernels cannot decompose (r5:
+    closes the last explain fail-loud). Returns ``(q, extra_bq)``;
+    exactly one of the two carries the phrases."""
     if str(params.get("defType", "lucene")) != "edismax":
         return q, []
     phrases = _edismax_phrase_clauses(q, params)
     if not phrases:
         return q, []
-    if op == "AND" or mm is not None:
+    want_explain = (
+        _truthy(params.get("debugQuery", False))
+        or "[explain]" in str(params.get("fl", ""))
+    )
+    if op == "AND" or mm is not None or want_explain:
         return q, phrases
     return q + " " + " ".join(phrases), []
 
@@ -971,11 +981,13 @@ def solr_select(
                 continue
             else:
                 norm.append(f)
-        if (func_fl or want_explain or want_features or extra_transformers
-                or child_opt is not None) and not [
-            f for f in norm if f != "score"
-        ]:
-            norm.append("doc_id")  # pseudo-fields (+score) only: key by id
+        if not [f for f in norm if f != "score"]:
+            # an EXPLICIT fl that expanded to no stored columns — pseudo
+            # fields only, fl=score alone, or an all-glob miss (fl=zzz_*)
+            # — fetches by id alone. Never fall through to the fl-unset
+            # every-field path: Solr returns no stored fields for a glob
+            # that matches nothing (r5 ADVICE fix).
+            norm.append("doc_id")
         fl = norm
     want_score = bool(fl) and "score" in fl
     if fl and "*" in fl:
@@ -1005,16 +1017,19 @@ def solr_select(
     bf = _as_list(params.get("bf")) or None
     bq = _as_list(params.get("bq")) or None
     if pf_bq:
-        # pf under q.op=AND / mm rides the bq machinery (rank-only score
-        # add), so it inherits bq's dispatch constraints -- fail with a
-        # pf-specific message rather than a confusing bq one
+        # pf under q.op=AND / mm / explain rides the bq machinery
+        # (rank-only score add), so it inherits bq's dispatch
+        # constraints -- fail with a pf-specific message rather than a
+        # confusing bq one
         if sort != "score desc":
             raise ValueError(
-                "pf with q.op=AND or mm requires sort='score desc'"
+                "pf with q.op=AND, mm or explain requires "
+                "sort='score desc'"
             )
         if cursor is not None:
             raise ValueError(
-                "pf with q.op=AND or mm does not support cursorMark"
+                "pf with q.op=AND, mm or explain does not support "
+                "cursorMark"
             )
         bq = (bq or []) + pf_bq
     boost = params.get("boost")
@@ -1562,7 +1577,7 @@ def solr_select(
                 "timestamp"
             )
 
-            def _p(name, f=field, date=is_date):
+            def _raw(name, f=field):
                 # f.<field>.facet.range.X beats global (Solr override rule)
                 v = params.get(f"f.{f}.facet.range.{name}",
                                params.get(f"facet.range.{name}"))
@@ -1570,27 +1585,19 @@ def solr_select(
                     raise ValueError(
                         f"facet.range={f} needs facet.range.{name}"
                     )
-                if not date:
-                    return float(v)
-                # DATE range facet: ISO start/end, DateMath gap. Only
-                # fixed-width units (SECOND/MINUTE/HOUR/DAY) -- +1MONTH
-                # is variable-width and fails loud rather than drifting.
-                if name == "gap":
-                    m = re.match(r"^\+(\d+)(SECOND|MINUTE|HOUR|DAY)S?$",
-                                 str(v))
-                    if m is None:
-                        raise ValueError(
-                            f"date facet.range.gap must be +N(SECOND|MINUTE"
-                            f"|HOUR|DAY)S, got {v!r}"
-                        )
-                    mult = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
-                            "DAY": 86400}[m.group(2)]
-                    return float(m.group(1)) * mult
-                import datetime as _dt
+                return v
 
-                return _dt.datetime.fromisoformat(
-                    str(v).replace("Z", "+00:00")
-                ).timestamp()
+            if is_date:
+                # DATE range facet: ISO start/end (tz-naive = UTC, never
+                # the host zone), DateMath gap. Fixed-width units step
+                # seconds; +NMONTHS/+NYEARS step REAL calendar months
+                # (day-clamped from the original start, Solr
+                # RangeEndpointCalculator semantics).
+                lo, hi = iso_sec(_raw("start")), iso_sec(_raw("end"))
+                gap_kind, gap = parse_gap(_raw("gap"))
+            else:
+                lo, hi = float(_raw("start")), float(_raw("end"))
+                gap_kind, gap = "sec", float(_raw("gap"))
 
             def _label(sec, date=is_date):
                 if not date:
@@ -1601,28 +1608,44 @@ def solr_select(
                     sec, _dt.timezone.utc
                 ).strftime("%Y-%m-%dT%H:%M:%SZ")
 
-            lo, hi, gap = _p("start"), _p("end"), _p("gap")
-            # keys rounded to 9 places: the engine computes bucket starts as
-            # start + floor(..)*gap in double math; i*gap here must land on
-            # the same representation for fractional gaps
-            got = {
-                round(float(r["bucket_start"]), 9): int(r["facet_count"])
-                for r in idx.facet_range(
-                    q_main, field, lo, hi, gap, fq=fq, op=op, mm=mm
-                ).collect()
-            }
-            flat = []
-            i = 0
-            while lo + i * gap < hi:  # Solr emits EVERY bucket, zeros included
-                b = lo + i * gap
-                flat.extend([_label(b), got.get(round(b, 9), 0)])
-                i += 1
+            if gap_kind == "months":
+                bounds = month_bucket_starts(lo, hi, int(gap))
+                b_starts, b_end = bounds[:-1], bounds[-1]
+                got = {
+                    round(float(r["bucket_start"]), 9): int(r["facet_count"])
+                    for r in idx.facet_range_buckets(
+                        q_main, field, b_starts, b_end,
+                        fq=fq, op=op, mm=mm,
+                    ).collect()
+                }
+                flat = []
+                for b in b_starts:  # Solr emits EVERY bucket, zeros included
+                    flat.extend([_label(b), got.get(round(b, 9), 0)])
+                end_label = _label(b_end)
+            else:
+                # keys rounded to 9 places: the engine computes bucket
+                # starts as start + floor(..)*gap in double math; i*gap
+                # here must land on the same representation for
+                # fractional gaps
+                got = {
+                    round(float(r["bucket_start"]), 9): int(r["facet_count"])
+                    for r in idx.facet_range(
+                        q_main, field, lo, hi, gap, fq=fq, op=op, mm=mm
+                    ).collect()
+                }
+                flat = []
+                i = 0
+                while lo + i * gap < hi:  # every bucket, zeros included
+                    b = lo + i * gap
+                    flat.extend([_label(b), got.get(round(b, 9), 0)])
+                    i += 1
+                end_label = _label(lo + i * gap)
             fr[field] = {
                 "counts": flat,
                 "gap": (params.get(f"f.{field}.facet.range.gap",
                                    params.get("facet.range.gap"))
                         if is_date else _num(gap)),
-                "start": _label(lo), "end": _label(lo + i * gap),
+                "start": _label(lo), "end": end_label,
             }
             other = params.get(f"f.{field}.facet.range.other",
                                params.get("facet.range.other", "none"))

@@ -1084,7 +1084,10 @@ def _eval(c: Call, idx: BM25Index, colls=None) -> TupleStream:
         width = ((mx - mn) / bins) or 1.0  # degenerate: all values equal
         counts = {
             int(r["b"]): int(r["n"])
-            for r in s.df.select(
+            # null x never buckets (min/max above already ignore nulls;
+            # without this filter a null row produced a null bucket and
+            # int(None) crashed — r5 ADVICE fix)
+            for r in s.df.filter(x.isNotNull()).select(
                 F.least(F.floor((x - F.lit(mn)) / F.lit(width)),
                         F.lit(bins - 1)).alias("b"))
             .groupBy("b").agg(F.count("*").alias("n")).collect()
@@ -1437,46 +1440,30 @@ def _significant_terms(idx: BM25Index, c: Call) -> TupleStream:
     return TupleStream(df, (("score", "desc"), ("term", "asc")))
 
 
-_DATEMATH_GAP_RE = re.compile(r"^\+(\d+)(SECOND|MINUTE|HOUR|DAY)S?$")
-
-
-def _datemath_gap_sec(v) -> float:
-    """Solr DateMath gap (+1DAY / +6HOURS / ...) -> seconds. Only
-    fixed-width units -- +1MONTH is variable-width and fails loud rather
-    than drifting (the date facet.range convention)."""
-    m = _DATEMATH_GAP_RE.match(str(v))
-    if m is None:
-        raise ValueError(
-            f"date gap must be +N(SECOND|MINUTE|HOUR|DAY)S, got {v!r}"
-        )
-    mult = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
-    return float(m.group(1)) * mult[m.group(2)]
-
-
-def _iso_sec(v) -> float:
-    """ISO-8601 instant -> epoch seconds (Z accepted)."""
-    import datetime as _dt
-
-    return _dt.datetime.fromisoformat(
-        str(v).replace("Z", "+00:00")
-    ).timestamp()
-
-
 def _timeseries(idx: BM25Index, c: Call) -> TupleStream:
     """timeseries(collection, q=, field=, start=, end=, gap=, metrics...).
     Date-native over timestamp fields (Solr's actual form: ISO start/end
     + DateMath gap, bucket column emitted as a timestamp); numeric fields
-    keep the epoch-number form. Exact op-free DocSet, ONE partial-agg
-    shuffle of at most n_buckets rows per task either way."""
+    keep the epoch-number form. Fixed-width gaps bucket by arithmetic;
+    +NMONTHS/+NYEARS step REAL calendar months (boundaries enumerated
+    driver-side, assignment one codegen array expression — see
+    functions/datemath.py). tz-naive instants are UTC, never the host
+    zone. Exact op-free DocSet, ONE partial-agg shuffle of at most
+    n_buckets rows per task either way."""
+    from ..functions.datemath import (
+        boundary_bucket_expr, iso_sec, month_bucket_starts, parse_gap,
+    )
+
     field = str(c.params["field"])
     is_ts = dict(idx.docs().dtypes).get(field, "").startswith("timestamp")
     if is_ts:
-        start = _iso_sec(c.params["start"])
-        end = _iso_sec(c.params["end"])
-        gap = _datemath_gap_sec(c.params["gap"])
+        start = iso_sec(c.params["start"])
+        end = iso_sec(c.params["end"])
+        gap_kind, gap = parse_gap(c.params["gap"])
     else:
         start, end, gap = (
             float(c.params[k]) for k in ("start", "end", "gap"))
+        gap_kind = "sec"
     if gap <= 0 or end <= start:
         raise ValueError("timeseries(): needs gap > 0 and end > start")
     metrics = [_metric_col(a) for a in c.args[1:] if isinstance(a, Call)]
@@ -1484,7 +1471,11 @@ def _timeseries(idx: BM25Index, c: Call) -> TupleStream:
         raise ValueError("timeseries(): every positional arg after the "
                          "collection must be a metric")
     x = F.col(field).cast("double")  # timestamps cast to epoch seconds
-    sec = F.lit(start) + F.floor((x - start) / gap) * gap
+    if gap_kind == "months":
+        sec = boundary_bucket_expr(
+            x, month_bucket_starts(start, end, int(gap))[:-1])
+    else:
+        sec = F.lit(start) + F.floor((x - start) / gap) * gap
     bucket = (F.timestamp_seconds(sec) if is_ts else sec).alias(field)
     df = (
         _match_base(idx, c)

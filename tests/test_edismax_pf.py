@@ -154,7 +154,7 @@ def test_export_pf_with_and(corpus):
 
 
 def test_pf_and_requires_relevance_sort(corpus):
-    with pytest.raises(ValueError, match="pf with q.op=AND or mm"):
+    with pytest.raises(ValueError, match="pf with q.op=AND, mm"):
         solr_select(corpus, {
             "q": Q, "q.op": "AND", "defType": "edismax", "pf": "_text_",
             "sort": "ts asc",

@@ -194,8 +194,50 @@ def test_rerank_fl_explain_text(corpus):
         assert "reRankQuery(tool)" in text
 
 
-def test_pf_in_q_still_fails_loud(corpus):
+def test_pf_in_q_explain_folds_bit_exactly(corpus):
+    """r5: the last explain fail-loud closed — pf under plain q.op=OR
+    (previously appended to q, undecomposable) routes as a bq component
+    when an explain is requested, so the breakdown sums to the response
+    score bit-exactly."""
     _, idx = corpus
-    with pytest.raises(ValueError, match="do not compose"):
-        solr_select(idx, {"q": "error tool", "debugQuery": "true",
-                          "defType": "edismax", "pf": "_text_"})
+    params = {"q": "error tool", "defType": "edismax", "pf": "_text_",
+              "rows": 4, "fl": "doc_id,score", "debugQuery": "true"}
+    resp = solr_select(idx, params)
+    assert resp["response"]["docs"]
+    saw_phrase = False
+    for d in resp["response"]["docs"]:
+        e = resp["debug"]["explain"][str(d["doc_id"])]
+        comp = e["components"]
+        assert len(comp["bq"]) == 1  # the pf phrase rides the bq machinery
+        saw_phrase = saw_phrase or comp["bq"][0] != 0.0
+        v = comp["base"]
+        for x in comp["bf"]:
+            v = v + x
+        for x in comp["bq"]:
+            v = v + x
+        assert v == e["score"] == d["score"]
+    assert saw_phrase  # the corpus must exercise a phrase match
+
+
+def test_pf_in_q_fl_explain_text(corpus):
+    _, idx = corpus
+    resp = solr_select(idx, {"q": "error tool", "defType": "edismax",
+                             "pf": "_text_", "rows": 3,
+                             "fl": "doc_id,score,[explain]"})
+    for d in resp["response"]["docs"]:
+        assert d["[explain]"].startswith(f"{d['score']} = sum of:")
+
+
+def test_pf_in_q_explain_docset_matches_plain_path(corpus):
+    """The explain route (pf as bq) and the plain route (pf appended to
+    q) must agree on the DocSet and numFound — pf is rank-only."""
+    _, idx = corpus
+    base = {"q": "error tool", "defType": "edismax", "pf": "_text_",
+            "rows": 10, "fl": "doc_id,score"}
+    plain = solr_select(idx, base)
+    dbg = solr_select(idx, {**base, "debugQuery": "true"})
+    assert plain["response"]["numFound"] == dbg["response"]["numFound"]
+    assert {d["doc_id"] for d in plain["response"]["docs"]} == \
+        {d["doc_id"] for d in dbg["response"]["docs"]}
+    for a, b in zip(plain["response"]["docs"], dbg["response"]["docs"]):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)

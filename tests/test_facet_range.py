@@ -153,7 +153,8 @@ def test_date_range_facet(corpus):
             "q": "error", "rows": 0, "facet": "true", "facet.range": "ts",
             "facet.range.start": lo.strftime(fmt),
             "facet.range.end": hi.strftime(fmt),
-            "facet.range.gap": "+1MONTH",  # variable width: fail loud
+            # +1MONTH/+1YEAR are supported since r5; unknown units fail loud
+            "facet.range.gap": "+1FORTNIGHT",
         })
 
 

@@ -108,16 +108,55 @@ def test_ord_fails_loud_outside_boost_sites(corpus):
         solr_select(idx, {"q": "error", "fq": "{!frange l=1}rord(role)"})
 
 
-def test_ord_cardinality_cap_fails_loud(corpus, monkeypatch):
-    # a near-unique field (doc_id-like) has no tractable global ordinal;
-    # the guard names the wall instead of funneling the corpus into one
-    # window task
+def test_ord_above_cap_goes_distributed(corpus, monkeypatch):
+    """r5 (VERDICT item 6): past ORD_MAX_DICT the rank dictionary is
+    built DISTRIBUTED (range-partition -> per-partition counts ->
+    broadcast prefix offsets -> per-partition row_number) instead of
+    failing loud. Forcing the switch at 10 distinct values makes the
+    40-conv conv_id field take the distributed path; results must equal
+    the brute-force global rank (and therefore the in-heap path)."""
     import solr_semantic_importer_spark.query.engine as eng
     _, idx = corpus
+    ranks, n = _rank_map(idx, "conv_id")
+    assert n > 10  # the fixture must actually cross the forced cap
+    base = {r["doc_id"]: r["score"]
+            for r in idx.score_matches("error").collect()}
+    convs = {r["doc_id"]: r["conv_id"]
+             for r in idx.docs().select("doc_id", "conv_id").collect()}
+
     monkeypatch.setattr(eng, "ORD_MAX_DICT", 10)
     idx._ord_cache = {}  # drop any rank dict cached by earlier tests
-    with pytest.raises(ValueError, match="ORD_MAX_DICT"):
-        idx.search_boosted("error", bf="ord(conv_id)").collect()
+    try:
+        top = idx.search_boosted("error", k=15, bf="ord(conv_id)").collect()
+        assert top
+        for r in top:
+            expect = base[r["doc_id"]] + float(ranks[convs[r["doc_id"]]])
+            assert r["score"] == pytest.approx(expect, abs=1e-12)
+        # rord over the distributed dictionary too
+        top2 = idx.search_boosted("error", k=15,
+                                  bf="rord(conv_id)").collect()
+        for r in top2:
+            expect = base[r["doc_id"]] + float(
+                n + 1 - ranks[convs[r["doc_id"]]])
+            assert r["score"] == pytest.approx(expect, abs=1e-12)
+    finally:
+        idx._ord_cache = {}  # don't leak forced-path dicts to other tests
+
+
+def test_ord_rank_distributed_matches_brute(corpus):
+    # the distributed ranker directly: global 1-based rank over a
+    # near-unique value set (every doc_id distinct) with no single-task
+    # sort anywhere
+    _, idx = corpus
+    vals = idx.docs().select("doc_id").distinct()
+    got = {
+        r["doc_id"]: r["__ord_rank"]
+        for r in idx._ord_rank_distributed(vals, "doc_id").collect()
+    }
+    ordered = sorted(got)
+    assert len(got) == len(ordered)
+    for i, v in enumerate(ordered):
+        assert got[v] == i + 1
 
 
 def test_ord_arg_must_be_plain_field(corpus):
