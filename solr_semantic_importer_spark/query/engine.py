@@ -1248,9 +1248,9 @@ class BM25Index:
 
         A function can re-rank ANY match, so the general path scores the
         full match set exactly (Solr pays the same: boosted queries
-        collect every match). For the common bf-only shape (no boost=, no
-        bq) the bound IS recoverable -- every bf value is capped by one
-        cached corpus-wide ``max(bf)`` partial-agg job -- so
+        collect every match). For the common bf / non-negative boost
+        shapes (no bq) the bound IS recoverable -- every function value
+        is capped by one cached corpus-wide min/max partial-agg job -- so
         ``mode='wand'`` (default) first tries :meth:`_boosted_wand_frame`:
         lexical top-k seeds an exact boosted theta, then the WAND kernels
         collect only docs whose lexical score could still reach
@@ -1274,10 +1274,10 @@ class BM25Index:
                 query, k=k, op=op, fq=fq, offset=offset, mm=mm,
                 with_stored=with_stored, order_key=order_key, fl=fl,
             )
-        if (mode == "wand" and bfs and boost is None and not bq
+        if (mode == "wand" and (bfs or boost is not None) and not bq
                 and query.strip() != "*:*"):
             pruned = self._boosted_wand_frame(
-                query, bfs, k + offset, op=op, fq=fq, mm=mm
+                query, bfs, k + offset, op=op, fq=fq, mm=mm, boost=boost
             )
             if pruned is not None:
                 return self._finish(
@@ -1289,24 +1289,26 @@ class BM25Index:
         ).select("doc_id", "score")
         return self._finish(scored, k, offset, with_stored, order_key, fl)
 
-    def _bf_max(self, sql: str) -> float | None:
-        """Cached corpus-wide max of a bf function expression (one
-        column-pruned partial-agg job per distinct expr per handle -- the
-        scale() cache discipline). Valid upper bound for every match set:
+    def _bf_minmax(self, sql: str) -> tuple[float, float] | None:
+        """Cached corpus-wide (min, max) of a boost function expression
+        (one column-pruned partial-agg job per distinct expr per handle --
+        the scale() cache discipline). Valid bounds for every match set:
         match sets are subsets of the docs table, and tombstoned docs only
-        widen the bound. None when the corpus is empty or the max is not
+        widen them. None when the corpus is empty or a bound is not
         finite (no usable bound -> caller falls back to exhaustive)."""
         if not hasattr(self, "_bfmax_cache"):
-            self._bfmax_cache: dict[str, float | None] = {}
+            self._bfmax_cache: dict[str, tuple[float, float] | None] = {}
         if sql not in self._bfmax_cache:
             row = self.docs().agg(
-                F.max(F.expr(sql).cast("double")).alias("mx")
+                F.min(F.expr(sql).cast("double")).alias("mn"),
+                F.max(F.expr(sql).cast("double")).alias("mx"),
             ).collect()[0]
-            v = row["mx"]
-            self._bfmax_cache[sql] = (
-                None if v is None or not math.isfinite(float(v))
-                else float(v)
+            mn, mx = row["mn"], row["mx"]
+            ok = (
+                mn is not None and mx is not None
+                and math.isfinite(float(mn)) and math.isfinite(float(mx))
             )
+            self._bfmax_cache[sql] = (float(mn), float(mx)) if ok else None
         return self._bfmax_cache[sql]
 
     def _boosted_wand_frame(
@@ -1317,38 +1319,54 @@ class BM25Index:
         op: str = "OR",
         fq: str | list[str] | None = None,
         mm: int | str | None = None,
+        boost: str | None = None,
     ) -> DataFrame | None:
-        """bf-WAND pruning (VERDICT r4 item 5): the boosted top-``need``
-        without scoring the full match set, or None when the pruned path
-        doesn't apply (phrase/boolean-syntax q, index-backed bf terms
-        whose per-doc value has no corpus-wide max job, unbounded bf, or
-        a match set no larger than the page).
+        """bf/boost-WAND pruning (VERDICT r4 item 5): the boosted
+        top-``need`` without scoring the full match set, or None when the
+        pruned path doesn't apply (phrase/boolean-syntax q, index-backed
+        bf terms whose per-doc value has no corpus-wide max job,
+        unbounded bf, a possibly-negative multiplicative boost, or a
+        match set no larger than the page).
 
         Exactness: seed = lexical WAND top-need, boosted exactly; theta =
         the need-th boosted seed score is a LOWER bound on the true
         need-th boosted score (the true order statistic ranges over a
-        superset). With B = Σ_i max_corpus(bf_i), any doc outside the
-        candidate set has lexical < theta - B - 1e-6, hence boosted <
-        theta - 1e-6 -- strictly below the true need-th even after
-        round-6 tie handling (a 1e-6 gap survives rounding), so it can
-        never displace the top-need. The candidate pass reuses the WAND
-        zone machinery in threshold mode: zones provably under
-        theta - B never decode a byte."""
+        superset). With B = Σ_i max_corpus(bf_i) and M =
+        max_corpus(boost) (boost requires min_corpus >= 0 so base*boost
+        <= base*M for the always-positive BM25 base; M := 1 without a
+        boost), any doc outside the candidate set has lexical <
+        (theta - B - 1e-6)/M - 1e-6, hence boosted < theta -
+        1e-6*(1 + M) < theta - 1e-6 -- strictly below the true need-th
+        even after round-6 tie handling (a 1e-6 gap survives rounding),
+        so it can never displace the top-need. The candidate pass reuses
+        the WAND zone machinery in threshold mode: zones provably under
+        the threshold never decode a byte."""
         if (self.parse_phrase_q(query) is not None
                 or self.parse_boolean_q(query, op=op) is not None):
             return None
         exprs = [self.function_expr_indexed(f) for f in bfs]
+        boost_expr = (
+            self.function_expr_indexed(boost) if boost is not None else None
+        )
         if any(tfs or ords for _, _, tfs, ords in exprs):
             return None  # per-doc termfreq/ord bf: no corpus-max job shape
-        maxes = [self._bf_max(sql) for sql, _, _, _ in exprs]
+        if boost_expr is not None and (boost_expr[2] or boost_expr[3]):
+            return None
+        maxes = [self._bf_minmax(sql) for sql, _, _, _ in exprs]
         if any(m is None for m in maxes):
             return None
-        bound = float(sum(maxes))
+        bound = float(sum(mx for _, mx in maxes))
+        max_boost = 1.0
+        if boost_expr is not None:
+            bm = self._bf_minmax(boost_expr[0])
+            if bm is None or bm[0] < 0.0 or bm[1] <= 0.0:
+                return None  # negative boost breaks the monotone bound
+            max_boost = bm[1]
         lex = self.search(
             query, k=need, op=op, fq=fq, mm=mm, use_cache=False
         ).select("doc_id", "score")
         seed = self._boosted_components(
-            query, bfs, None, None, op=op, fq=fq, mm=mm, base_scores=lex
+            query, bfs, boost, None, op=op, fq=fq, mm=mm, base_scores=lex
         )
         seed_scores = sorted(
             (float(r["score"]) for r in seed.select("score").collect()),
@@ -1356,7 +1374,7 @@ class BM25Index:
         )
         if len(seed_scores) < max(need, 1):
             return None  # match set fits the page: exhaustive is trivial
-        tmin = seed_scores[need - 1] - bound
+        tmin = (seed_scores[need - 1] - bound - 1e-6) / max_boost
         if tmin <= 1e-6:
             return None  # bound too loose: the threshold prunes nothing
         terms, boosts = self.parse_boosted_query(query, synonyms=False)
@@ -1374,7 +1392,7 @@ class BM25Index:
             terms, idf, need, fq_n, op=op, mm=mm_n, min_score=tmin
         )
         return self._boosted_components(
-            query, bfs, None, None, op=op, fq=fq, mm=mm, base_scores=cand
+            query, bfs, boost, None, op=op, fq=fq, mm=mm, base_scores=cand
         )
 
     def _boosted_components(

@@ -48,6 +48,11 @@ SHAPES = [
     # linear can go NEGATIVE per doc; the max is still a valid upper
     # bound and rank identity must hold
     dict(q="error", bf="linear(turn_idx,-0.01,0.05)"),
+    # multiplicative boost (non-negative, bounded): base*M bound
+    dict(q="error", boost="recip(turn_idx,1,1,1)"),
+    dict(q="error", bf=TIGHT_BF, boost="recip(turn_idx,1,1,1)"),
+    # boost that can be 0 on some docs is still valid (min >= 0)
+    dict(q="error", boost="div(turn_idx,5)"),
 ]
 
 
@@ -98,6 +103,16 @@ def test_fallbacks_stay_exact(corpus):
     idx = corpus
     # ord() bf has no corpus-max job shape: must fall back, stay correct
     assert idx._boosted_wand_frame("error", ["ord(role)"], 10) is None
+    # a boost that can go negative breaks the monotone base*M bound
+    assert idx._boosted_wand_frame(
+        "error", [], 10, boost="linear(turn_idx,-1,1)") is None
+    got = _pairs(idx.search_boosted("error", k=5,
+                                    boost="linear(turn_idx,-1,1)",
+                                    mode="wand"))
+    want = _pairs(idx.search_boosted("error", k=5,
+                                     boost="linear(turn_idx,-1,1)",
+                                     mode="exhaustive"))
+    assert got == want
     a = _pairs(idx.search_boosted("error", k=5, bf="ord(role)",
                                   mode="wand"))
     b = _pairs(idx.search_boosted("error", k=5, bf="ord(role)",
