@@ -296,6 +296,8 @@ def run_bench(cores: int, sf_dir: str, amplify: int, keep_index: bool = False) -
         "turns_per_sec": round(n_turns / build_sec, 1),
         "postings": post.rows if post else 0,
         "postings_per_sec": round(post.rows / build_sec, 1) if post else 0,
+        # north_rule build metrics: bytes/posting, bytes/partition, skew
+        "postings_metrics": dict(post.metrics) if post else {},
         "query_p50_sec": round(p50, 3),
         "query_p95_sec": round(p95, 3),
         "queries": q_secs,
@@ -572,6 +574,7 @@ def main() -> None:
                     "turns_per_sec": r["turns_per_sec"],
                     "postings": r["postings"],
                     "postings_per_sec": r["postings_per_sec"],
+                    "postings_metrics": r["postings_metrics"],
                     # host-speed canary: the map-only (no shuffle) Arrow job
                     # over the same input. The sandbox host's effective CPU
                     # fluctuates run to run (shared machine); engine numbers

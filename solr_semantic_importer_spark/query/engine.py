@@ -836,6 +836,20 @@ class BM25Index:
         qmms = dict(mms)
 
         def score_segment_multi(pdf: pd.DataFrame, side: pd.DataFrame | None):
+            # absent cogroup sides arrive column-less (r5 fuzz finding;
+            # see _wand_segments.cogrouped). Empty left: nothing to
+            # score. Empty side keeps its semantics: an include-repr fq
+            # with no rows for this segment allows NOTHING.
+            if "term" not in pdf.columns or not len(pdf):
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []}
+                ).astype({"query_id": "str", "doc_id": "int64",
+                          "score": "float64"})
+            if side is not None and "kind" not in side.columns:
+                side = pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int64"),
+                })
             dead = allowed = excluded = None
             if side is not None:
                 dead = np.sort(
@@ -1848,6 +1862,15 @@ class BM25Index:
             res_empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
+            # absent cogroup sides arrive column-less (r5 fuzz finding;
+            # see _wand_segments.cogrouped)
+            if "term" not in left.columns or not len(left):
+                return res_empty
+            if "kind" not in right.columns:
+                right = pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int64"),
+                })
             left = left[left["term"].map(bidf.__contains__)]
             if not len(left):
                 return res_empty
@@ -5686,6 +5709,21 @@ class BM25Index:
         FQ_INCLUDE, FQ_EXCLUDE = self._FQ_INCLUDE, self._FQ_EXCLUDE
 
         def cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            # a cogroup side absent from a segment arrives as an EMPTY
+            # frame WITHOUT columns (found by the r5 /select fuzz: a rare
+            # term + fq hits segments that have fq rows but no postings).
+            # Empty left: nothing to score. Empty right: no tombstones
+            # and, under the include representation, NO allowed docs --
+            # the empty allowed array filters everything, exactly right.
+            if "term" not in left.columns or not len(left):
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+            if "kind" not in right.columns:
+                right = pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int64"),
+                })
             dead = np.sort(right.loc[right["kind"] == 0, "doc_id"].to_numpy(np.int64))
             allowed = excluded = None
             if fq_repr == FQ_INCLUDE:
