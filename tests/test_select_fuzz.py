@@ -239,6 +239,15 @@ def _gen_case(rng, vocab):
         p["facet.mincount"] = rng.choice([0, 1, 2])
         p["facet.limit"] = rng.choice([5, 100, -1])
         meta["facet"] = f
+    if rng.random() < 0.15:
+        lo = rng.choice([0, 1])
+        gap = rng.choice([1, 2, 3])
+        p["facet"] = "true"
+        p["facet.range"] = "turn_idx"
+        p["facet.range.start"] = lo
+        p["facet.range.end"] = lo + gap * rng.randint(2, 4)
+        p["facet.range.gap"] = gap
+        meta["frange"] = (lo, p["facet.range.end"], gap)
     p["fl"] = "doc_id,score"
     return p, meta
 
@@ -305,6 +314,23 @@ def test_select_differential_fuzz(setup):
             if got_fc != want_fc:
                 ok = False
                 failures.append((case_no, p, f"facet {got_fc} != {want_fc}"))
+                continue
+        if ok and "frange" in meta:
+            lo, hi, gap = meta["frange"]
+            ent = resp["facet_counts"]["facet_ranges"]["turn_idx"]
+            got_fr = dict(zip(ent["counts"][::2], ent["counts"][1::2]))
+            mrows = brute.match_rows(
+                p["q"], p.get("q.op", "OR"), p.get("mm"), fq_preds)
+            want_fr = {}
+            b = lo
+            while b < hi:
+                want_fr[float(b)] = sum(
+                    1 for r in mrows if b <= r["turn_idx"] < b + gap)
+                b += gap
+            if {float(k): v for k, v in got_fr.items()} != want_fr:
+                ok = False
+                failures.append(
+                    (case_no, p, f"facet.range {got_fr} != {want_fr}"))
                 continue
         if not ok:
             failures.append((
