@@ -1358,6 +1358,32 @@ class BM25Index:
         if (self.parse_phrase_q(query) is not None
                 or self.parse_boolean_q(query, op=op) is not None):
             return None
+        # crossover gate: the pruned path pays ~3 extra driver-visible
+        # jobs (seed search + seed collect + threshold pass). Below this
+        # many estimated matches the exhaustive single pass is cheaper --
+        # measured on this host: q_boost warm 0.89 s exhaustive vs 1.48 s
+        # pruned at a 160k-turn corpus, pruned wins from ~10^6 matches up
+        # (BASELINE.md "bf-WAND crossover"). df is a dictionary lookup,
+        # no jobs.
+        est_terms, _ = self.parse_boosted_query(query, synonyms=False)
+        dfs = self._dfs([t for t in est_terms])
+        est_matches = (
+            min(dfs.values(), default=0) if op == "AND"
+            else sum(dfs.values())
+        )
+        if est_matches < self.PRUNED_BOOST_MIN_MATCHES:
+            return None
+        # negative-verdict cache: when a (bfs, boost, op) combo proved
+        # function-DOMINATED (theta never clears Σmax_bf because the bf
+        # range exceeds the boosted seed spread -- e.g. a recency boost
+        # that shrinks base to noise), no query of that shape can prune;
+        # remember it so only the FIRST probe pays the seed jobs
+        # (measured: a failed probe costs ~6 s at 5M turns).
+        nk = (tuple(bfs), boost, op)
+        if not hasattr(self, "_bfwand_skip"):
+            self._bfwand_skip: set = set()
+        if nk in self._bfwand_skip:
+            return None
         exprs = [self.function_expr_indexed(f) for f in bfs]
         boost_expr = (
             self.function_expr_indexed(boost) if boost is not None else None
@@ -1376,8 +1402,11 @@ class BM25Index:
             if bm is None or bm[0] < 0.0 or bm[1] <= 0.0:
                 return None  # negative boost breaks the monotone bound
             max_boost = bm[1]
+        # the seed may ride the queryResultCache: a repeated boosted query
+        # (or one sharing its lexical part with a plain query) skips the
+        # whole seed search
         lex = self.search(
-            query, k=need, op=op, fq=fq, mm=mm, use_cache=False
+            query, k=need, op=op, fq=fq, mm=mm, use_cache=True
         ).select("doc_id", "score")
         seed = self._boosted_components(
             query, bfs, boost, None, op=op, fq=fq, mm=mm, base_scores=lex
@@ -1390,7 +1419,11 @@ class BM25Index:
             return None  # match set fits the page: exhaustive is trivial
         tmin = (seed_scores[need - 1] - bound - 1e-6) / max_boost
         if tmin <= 1e-6:
-            return None  # bound too loose: the threshold prunes nothing
+            # bound too loose: the threshold prunes nothing -- the shape
+            # is function-dominated, remember so later queries skip the
+            # probe entirely
+            self._bfwand_skip.add(nk)
+            return None
         terms, boosts = self.parse_boosted_query(query, synonyms=False)
         mm_n = self._norm_mm(mm, len(terms)) if op != "AND" else None
         fq_n = self._norm_fq(fq)
@@ -5045,6 +5078,13 @@ class BM25Index:
     QUERY_RESULT_WINDOW = 20
     QUERY_RESULT_MAX_DOCS = 200
     RESULT_CACHE_MAX = 512
+    # bf-WAND crossover: estimated matches below which search_boosted
+    # skips the pruned path. Measured on this host (BASELINE.md "bf-WAND
+    # crossover"): the pruned path loses at ~5M matches (its extra
+    # postings pass dominates) and wins at ~19M (the match-set join
+    # starts to dominate -- the regime a 10^12-turn corpus lives in
+    # permanently). 10M splits the measured points.
+    PRUNED_BOOST_MIN_MATCHES = 10_000_000
 
     def _fq_entry(self, fq: str) -> tuple[int, DataFrame]:
         """Solr filterCache analog (solrconfig.xml declares a filterCache
@@ -5634,8 +5674,13 @@ class BM25Index:
             best_s = np.empty(0, dtype=np.float64)
             # threshold-collection mode: theta is FIXED at min_score (the
             # zone skip needs no evolving k-th best -- every doc at or
-            # above the threshold is a result)
+            # above the threshold is a result). Survivors accumulate in
+            # LISTS, one concatenate at the end -- per-zone concatenation
+            # of a large candidate set is quadratic memory traffic
+            # (measured 4x blowup on flat-score shapes).
             theta = -np.inf if min_score is None else min_score
+            keep_d: list[np.ndarray] = []
+            keep_s: list[np.ndarray] = []
             blocks_by_zone: list[list[int]] = [[] for _ in range(nz)]
             for i in range(len(rows)):
                 for z in range(z0[i], z1[i] + 1):
@@ -5672,20 +5717,30 @@ class BM25Index:
                     uniq, sums = uniq[m], sums[m]
                 if min_score is not None:
                     m = sums >= min_score - 1e-6
-                    uniq, sums = uniq[m], sums[m]
+                    keep_d.append(uniq[m])
+                    keep_s.append(sums[m])
+                    continue
                 best_d = np.concatenate([best_d, uniq])
                 best_s = np.concatenate([best_s, sums])
-                if min_score is None:
-                    if len(best_d) > kk:
-                        order = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
-                        best_d, best_s = best_d[order], best_s[order]
-                    if len(best_d) >= kk:
-                        theta = float(np.round(best_s, 6).min())
+                if len(best_d) > kk:
+                    order = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
+                    best_d, best_s = best_d[order], best_s[order]
+                if len(best_d) >= kk:
+                    theta = float(np.round(best_s, 6).min())
+            if min_score is not None:
+                if not keep_d:
+                    return empty
+                best_d = np.concatenate(keep_d)
+                best_s = np.concatenate(keep_s)
+                if not len(best_d):
+                    return empty
+                order = np.lexsort((best_d, -np.round(best_s, 6)))
+                return pd.DataFrame(
+                    {"doc_id": best_d[order], "score": best_s[order]}
+                )
             if not len(best_d):
                 return empty
-            order = np.lexsort((best_d, -np.round(best_s, 6)))
-            if min_score is None:
-                order = order[:kk]
+            order = np.lexsort((best_d, -np.round(best_s, 6)))[:kk]
             return pd.DataFrame({"doc_id": best_d[order], "score": best_s[order]})
 
         kernel = score_segment_and if op == "AND" else score_segment

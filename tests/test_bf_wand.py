@@ -27,7 +27,11 @@ def corpus(spark, tmp_path_factory):
     df = generate_transcripts(spark, n_convs=80, turns_per_conv=6, seed=71)
     idx_dir = str(tmp_path_factory.mktemp("bfwand"))
     build_index(spark, df, idx_dir, BuildConfig(build_id="bfwand", **CFG))
-    return BM25Index(spark, idx_dir)
+    idx = BM25Index(spark, idx_dir)
+    # the crossover gate would route this tiny corpus to the exhaustive
+    # path; force the pruned machinery on so these tests exercise it
+    idx.PRUNED_BOOST_MIN_MATCHES = 0
+    return idx
 
 
 def _pairs(df):
@@ -53,6 +57,10 @@ SHAPES = [
     dict(q="error", bf=TIGHT_BF, boost="recip(turn_idx,1,1,1)"),
     # boost that can be 0 on some docs is still valid (min >= 0)
     dict(q="error", boost="div(turn_idx,5)"),
+    # multi-term clauses (wildcard/fuzzy) must bail to the structured
+    # path, never feed raw tokens into the candidate kernels
+    dict(q="err* tool", bf=TIGHT_BF),
+    dict(q="error~1", bf=TIGHT_BF),
 ]
 
 
@@ -120,6 +128,19 @@ def test_fallbacks_stay_exact(corpus):
     assert a == b
     # match set smaller than the page: falls back
     assert idx._boosted_wand_frame("error", [TIGHT_BF], 10**6) is None
+
+
+def test_crossover_gate_skips_tiny_corpora(corpus):
+    """With the default gate, a corpus this small routes to the
+    exhaustive path (the pruned path's fixed job overhead only pays on
+    ~10^6+ match sets)."""
+    idx = corpus
+    old = idx.PRUNED_BOOST_MIN_MATCHES
+    idx.PRUNED_BOOST_MIN_MATCHES = type(idx).PRUNED_BOOST_MIN_MATCHES
+    try:
+        assert idx._boosted_wand_frame("error", [TIGHT_BF], 10) is None
+    finally:
+        idx.PRUNED_BOOST_MIN_MATCHES = old
 
 
 def test_threshold_kernel_collects_all_above(corpus):
