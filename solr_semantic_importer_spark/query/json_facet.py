@@ -344,6 +344,60 @@ def _terms_facet(
     return out
 
 
+def _range_bucket_parts(idx, spec: dict):
+    """Resolve a json.facet range spec for NUMERIC or DATE fields:
+    returns ``(x, bucket_index_expr, labels, lo, hi)`` — the cast value
+    column, a codegen long bucket-index expression, the per-bucket
+    ``val`` labels (numbers, or ISO-8601 strings at the REAL calendar
+    boundaries for date fields), and the [lo, hi) filter bounds.
+
+    Date fields take ISO start/end (tz-naive = UTC) and DateMath gaps
+    including variable-width +NMONTHS/+NYEARS (functions/datemath.py:
+    boundaries stepped from the original start with per-boundary
+    day-of-month clamping); bucket assignment stays one codegen
+    expression over a literal boundary array. Buckets cover [start, end)
+    (this engine's range convention — values past ``end`` never
+    count)."""
+    import datetime as _dt
+
+    from ..functions.datemath import iso_sec, month_bucket_starts, parse_gap
+
+    field = spec["field"]
+    is_date = dict(idx.docs().dtypes).get(field, "").startswith("timestamp")
+    if not is_date:
+        start, end, gap = (float(spec["start"]), float(spec["end"]),
+                           float(spec["gap"]))
+        if gap <= 0 or end <= start:
+            raise ValueError("range facet needs gap > 0 and end > start")
+        c = F.col(field)
+        n_buckets = int(-(-(end - start) // gap))
+        labels = []
+        for i in range(n_buckets):
+            lo = start + i * gap
+            labels.append(int(lo) if float(lo).is_integer() else lo)
+        return c, F.floor((c - start) / gap).cast("long"), labels, start, end
+    start, end = iso_sec(spec["start"]), iso_sec(spec["end"])
+    kind, gap = parse_gap(spec["gap"])
+    if end <= start:
+        raise ValueError("range facet needs end > start")
+    x = F.col(field).cast("double")
+    if kind == "months":
+        starts = month_bucket_starts(start, end, int(gap))[:-1]
+    else:
+        starts, b = [], start
+        while b < end:
+            starts.append(b)
+            b += gap
+    arr = F.array(*[F.lit(float(v)) for v in starts])
+    bucket = (F.size(F.filter(arr, lambda bb: bb <= x)) - 1).cast("long")
+    labels = [
+        _dt.datetime.fromtimestamp(v, _dt.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+        for v in starts
+    ]
+    return x, bucket, labels, start, end
+
+
 def _range_facet_grouped(
     idx, base: DataFrame, spec: dict, prefix: list[str],
     parents: DataFrame,
@@ -351,14 +405,9 @@ def _range_facet_grouped(
     """A range facet NESTED under a terms facet: ONE groupBy over
     (parent path, derived bucket) semi-joined to the surviving parents,
     zero buckets filled per parent driver-side (bounded: parents x
-    n_buckets rows, a response-sized constant)."""
-    field = spec["field"]
-    start, end, gap = (float(spec["start"]), float(spec["end"]),
-                       float(spec["gap"]))
-    if gap <= 0 or end <= start:
-        raise ValueError("range facet needs gap > 0 and end > start")
-    c = F.col(field)
-    bucket = F.floor((c - start) / gap).cast("long")
+    n_buckets rows, a response-sized constant). Numeric or date fields
+    (see :func:`_range_bucket_parts`)."""
+    c, bucket, labels, start, end = _range_bucket_parts(idx, spec)
     rows = (
         base.join(F.broadcast(parents), prefix, "left_semi")
         .filter(c.isNotNull() & (c >= start) & (c < end))
@@ -370,13 +419,10 @@ def _range_facet_grouped(
     for r in rows:
         got.setdefault(tuple(r[f] for f in prefix), {})[int(r["__b"])] = \
             int(r["count"])
-    n_buckets = int(-(-(end - start) // gap))
     out: dict[tuple, list[dict]] = {}
     for p in [tuple(r[f] for f in prefix) for r in parents.collect()]:
         buckets = []
-        for i in range(n_buckets):
-            lo = start + i * gap
-            val = int(lo) if float(lo).is_integer() else lo
+        for i, val in enumerate(labels):
             buckets.append(
                 {"val": val, "count": got.get(p, {}).get(i, 0)}
             )
@@ -712,11 +758,6 @@ def json_facet(
             bad = set(s) - _RANGE_KEYS
             if bad:
                 raise ValueError(f"unsupported range facet keys: {sorted(bad)}")
-            field = s["field"]
-            start, end, gap = (float(s["start"]), float(s["end"]),
-                               float(s["gap"]))
-            if gap <= 0 or end <= start:
-                raise ValueError("range facet needs gap > 0 and end > start")
             sub = s.get("facet", {}) or {}
             named, subterms, subranges = _split_subspecs(idx, sub)
             if subterms or subranges:
@@ -725,8 +766,7 @@ def json_facet(
                 )
             aggs = [c for _, c in named]
             stat_names = [n for n, _ in named]
-            c = F.col(field)
-            bucket = F.floor((c - start) / gap).cast("long")
+            c, bucket, labels, start, end = _range_bucket_parts(idx, s)
             rows = (
                 _node_base(idx, q, fq, op, mm, s, tagged_fq, base)
                 .filter(c.isNotNull() & (c >= start) & (c < end))
@@ -735,11 +775,8 @@ def json_facet(
                 .collect()
             )
             got = {int(r["__b"]): r for r in rows}
-            n_buckets = int(-(-(end - start) // gap))
             buckets = []
-            for i in range(n_buckets):
-                lo = start + i * gap
-                val = int(lo) if float(lo).is_integer() else lo
+            for i, val in enumerate(labels):
                 r = got.get(i)
                 b = {"val": val, "count": int(r["count"]) if r else 0}
                 if r is not None:
