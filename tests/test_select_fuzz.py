@@ -248,6 +248,9 @@ def _gen_case(rng, vocab):
         p["facet.range.end"] = lo + gap * rng.randint(2, 4)
         p["facet.range.gap"] = gap
         meta["frange"] = (lo, p["facet.range.end"], gap)
+    if (p["start"] == 0 and "bf" not in p and rng.random() < 0.25
+            and "facet" not in p and "facet.range" not in p):
+        meta["walk"] = True  # cursorMark page walk (sort x fq x mm x op)
     p["fl"] = "doc_id,score"
     return p, meta
 
@@ -331,6 +334,40 @@ def test_select_differential_fuzz(setup):
                 ok = False
                 failures.append(
                     (case_no, p, f"facet.range {got_fr} != {want_fr}"))
+                continue
+        if ok and meta.get("walk"):
+            # cursorMark keyset walk: 3 pages concatenated must equal the
+            # reference's ordered prefix (every page O(page), no offsets)
+            wide = brute.select(
+                p["q"], op=p.get("q.op", "OR"), mm=p.get("mm"),
+                fq_preds=fq_preds, sort=meta.get("sort"),
+                start=0, rows=3 * p["rows"], bf=None,
+            )
+            walked, cur = [], "*"
+            try:
+                for _ in range(3):
+                    wp = dict(p)
+                    wp.pop("facet", None)
+                    wp["cursorMark"] = cur
+                    wr = solr_select(idx, wp)
+                    walked.extend(
+                        d["doc_id"] for d in wr["response"]["docs"])
+                    nxt = wr.get("nextCursorMark")
+                    if nxt is None or nxt == cur:
+                        break
+                    cur = nxt
+            except Exception as e:  # noqa: BLE001
+                ok = False
+                failures.append((case_no, p, f"cursor walk raised: {e!r}"))
+                continue
+            if walked != wide["ids"][:len(walked)] or (
+                    len(walked) < 3 * p["rows"]
+                    and len(walked) != wide["numFound"]):
+                ok = False
+                failures.append((
+                    case_no, p,
+                    f"cursor walk {walked} != {wide['ids'][:3 * p['rows']]}",
+                ))
                 continue
         if not ok:
             failures.append((
