@@ -92,23 +92,22 @@ def test_fl_explain_transformer(corpus):
         solr_select(idx, {"q": "*:*", "fl": "doc_id,[explain]"})
 
 
-def test_explain_rejects_pf_in_q(corpus):
-    """bf/bq/boost, {!rerank} and {!ltr} explains route through exact
-    component breakdowns (tests/test_explain_boosted.py,
-    tests/test_explain_ltr.py); a pf-rewritten q embeds phrase clauses
-    the per-term kernels can't decompose -- that still fails loud
-    instead of explaining wrong."""
+def test_explain_composes_with_pf_in_q(corpus):
+    """r5: the pf-in-q fail-loud is CLOSED — when an explain is
+    requested, pf phrases route as bq components even under plain
+    q.op=OR, and the breakdown folds bit-exactly (full coverage in
+    tests/test_explain_boosted.py::test_pf_in_q_explain_folds_bit_exactly)."""
     idx = corpus if not isinstance(corpus, tuple) else corpus[1]
-    for extra in (
-        # pf under the default OR op appends phrase clauses to q itself
-        {"defType": "edismax", "pf": "_text_"},
-    ):
-        with pytest.raises(ValueError, match="do not compose"):
-            solr_select(idx, {
-                "q": "error tool", "rows": 2, "debugQuery": "true", **extra,
-            })
-        with pytest.raises(ValueError, match="do not compose"):
-            solr_select(idx, {
-                "q": "error tool", "rows": 2,
-                "fl": "doc_id,score,[explain]", **extra,
-            })
+    resp = solr_select(idx, {
+        "q": "error tool", "rows": 2, "fl": "doc_id,score",
+        "debugQuery": "true", "defType": "edismax", "pf": "_text_",
+    })
+    for d in resp["response"]["docs"]:
+        e = resp["debug"]["explain"][str(d["doc_id"])]
+        comp = e["components"]
+        v = comp["base"]
+        for x in comp["bf"]:
+            v = v + x
+        for x in comp["bq"]:
+            v = v + x
+        assert v == e["score"] == d["score"]
