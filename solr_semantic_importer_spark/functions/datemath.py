@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "iso_sec",
     "parse_gap",
+    "parse_instant",
     "month_bucket_starts",
     "boundary_bucket_expr",
     "MAX_RANGE_BUCKETS",
@@ -72,6 +73,82 @@ def parse_gap(v) -> tuple[str, float]:
     if unit in _FIXED_SEC:
         return ("sec", n * _FIXED_SEC[unit])
     return ("months", float(n if unit == "MONTH" else 12 * n))
+
+
+_UNIT_ALIASES = {
+    "SECOND": "SECOND", "SECONDS": "SECOND",
+    "MINUTE": "MINUTE", "MINUTES": "MINUTE",
+    "HOUR": "HOUR", "HOURS": "HOUR",
+    "DAY": "DAY", "DAYS": "DAY", "DATE": "DAY",  # Solr: DATE ≡ DAY
+    "MONTH": "MONTH", "MONTHS": "MONTH",
+    "YEAR": "YEAR", "YEARS": "YEAR",
+}
+_UNIT_RE = "|".join(sorted(_UNIT_ALIASES, key=len, reverse=True))
+_OP_RE = re.compile(rf"(/({_UNIT_RE}))|([+-])(\d+)({_UNIT_RE})")
+
+
+def _round_down(d: _dt.datetime, unit: str) -> _dt.datetime:
+    if unit == "SECOND":
+        return d.replace(microsecond=0)
+    if unit == "MINUTE":
+        return d.replace(second=0, microsecond=0)
+    if unit == "HOUR":
+        return d.replace(minute=0, second=0, microsecond=0)
+    if unit == "DAY":
+        return d.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "MONTH":
+        return d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    return d.replace(month=1, day=1, hour=0, minute=0, second=0,
+                     microsecond=0)  # YEAR
+
+
+def parse_instant(expr, now_sec: float | None = None) -> float:
+    """Full Solr DateMath INSTANT expression -> epoch seconds. Grammar
+    (DateMathParser): base = ``NOW`` or an ISO-8601 instant, followed by
+    any chain of ``/UNIT`` round-downs and ``±N UNIT`` offsets —
+    ``NOW-7DAYS``, ``NOW/DAY+6MONTHS``, ``2024-01-31T00:00:00Z+1MONTH``.
+    ``DATE`` aliases ``DAY`` (Solr); MONTH/YEAR offsets use real UTC
+    calendar arithmetic with day-of-month clamping; all rounding is UTC.
+
+    ``now_sec`` pins NOW (the Solr ``NOW`` request param — pass it for
+    deterministic/distributed-consistent requests); defaults to the
+    current time. A plain ISO instant (no math) parses like
+    :func:`iso_sec` (tz-naive = UTC)."""
+    s = str(expr).strip()
+    if s.upper().startswith("NOW"):
+        import time as _time
+
+        base = now_sec if now_sec is not None else _time.time()
+        d = _dt.datetime.fromtimestamp(base, _dt.timezone.utc)
+        rest = s[3:]
+    else:
+        zi = s.find("Z")
+        if zi >= 0 and zi < len(s) - 1:
+            d = _dt.datetime.fromtimestamp(
+                iso_sec(s[: zi + 1]), _dt.timezone.utc)
+            rest = s[zi + 1:]
+        else:
+            return iso_sec(s)  # plain instant, math only after Z/NOW
+    pos = 0
+    while pos < len(rest):
+        m = _OP_RE.match(rest, pos)
+        if m is None:
+            raise ValueError(
+                f"bad DateMath op at {rest[pos:]!r} in {expr!r} "
+                f"(expected /UNIT or ±N UNIT)"
+            )
+        if m.group(1):  # /UNIT round-down
+            d = _round_down(d, _UNIT_ALIASES[m.group(2)])
+        else:
+            sign = 1 if m.group(3) == "+" else -1
+            n = sign * int(m.group(4))
+            unit = _UNIT_ALIASES[m.group(5)]
+            if unit in ("MONTH", "YEAR"):
+                d = _add_months_utc(d, n * (12 if unit == "YEAR" else 1))
+            else:
+                d = d + _dt.timedelta(seconds=n * _FIXED_SEC[unit])
+        pos = m.end()
+    return d.timestamp()
 
 
 def _add_months_utc(d: _dt.datetime, n: int) -> _dt.datetime:

@@ -157,7 +157,8 @@ class _Leaf:
     def __init__(self, field: str, kind: str, a=None, b=None, incl=(True, True)):
         self.field, self.kind, self.a, self.b, self.incl = field, kind, a, b, incl
 
-    def _lit(self, v: str, types: dict[str, str] | None) -> str:
+    def _lit(self, v: str, types: dict[str, str] | None,
+             now_sec: float | None = None) -> str:
         t = (types or {}).get(self.field, "")
         base = t.split("(")[0]
         if base in _NUMERIC_TYPES:
@@ -166,11 +167,34 @@ class _Leaf:
             raise _FqSyntaxError(
                 f"non-numeric value {v!r} for numeric field {self.field}"
             )
+        if base.startswith("timestamp"):
+            # pdate semantics: the value is a Solr DateMath INSTANT --
+            # an ISO instant or NOW, with /UNIT roundings and ±N UNIT
+            # offsets (`ts:[NOW/DAY-7DAYS TO NOW]`). Resolved at parse
+            # time (Solr DateMathParser does the same) and emitted as a
+            # typed TIMESTAMP literal in both dialects; garbage fails
+            # loud instead of silently casting to NULL.
+            import datetime as _dt
+
+            from .datemath import parse_instant
+
+            try:
+                sec = parse_instant(v, now_sec=now_sec)
+            except ValueError as e:
+                raise _FqSyntaxError(
+                    f"bad date value {v!r} for field {self.field}: {e}"
+                ) from e
+            d = _dt.datetime.fromtimestamp(sec, _dt.timezone.utc)
+            txt = d.strftime("%Y-%m-%d %H:%M:%S")
+            if d.microsecond:
+                txt += ".%06d" % d.microsecond
+            return f"TIMESTAMP '{txt}'"
         if types is None and _NUM_RE.fullmatch(v):
             return v  # untyped: numbers compare numerically (Solr point fields)
         return _sql_str(v)
 
-    def to_sql(self, types: dict[str, str] | None, dialect: str = "spark") -> str:
+    def to_sql(self, types: dict[str, str] | None, dialect: str = "spark",
+               now_sec: float | None = None) -> str:
         f = self.field
         if self.kind == "exists":  # field:*
             return f"({f} IS NOT NULL)"
@@ -182,20 +206,27 @@ class _Leaf:
             esc = " ESCAPE '\\'" if dialect == "duckdb" and "\\" in self.a else ""
             return f"({f} LIKE {_sql_str(self.a)}{esc})"
         if self.kind == "eq":
-            return f"({f} = {self._lit(self.a, types)})"
+            return f"({f} = {self._lit(self.a, types, now_sec)})"
         # range
         parts = []
         if self.a is not None:
-            parts.append(f"{f} {'>=' if self.incl[0] else '>'} {self._lit(self.a, types)}")
+            parts.append(
+                f"{f} {'>=' if self.incl[0] else '>'} "
+                f"{self._lit(self.a, types, now_sec)}"
+            )
         if self.b is not None:
-            parts.append(f"{f} {'<=' if self.incl[1] else '<'} {self._lit(self.b, types)}")
+            parts.append(
+                f"{f} {'<=' if self.incl[1] else '<'} "
+                f"{self._lit(self.b, types, now_sec)}"
+            )
         if not parts:  # field:[* TO *] == presence
             return f"({f} IS NOT NULL)"
         return "(" + " AND ".join(parts) + ")"
 
 
 class _MatchAll:
-    def to_sql(self, types, dialect: str = "spark") -> str:
+    def to_sql(self, types, dialect: str = "spark",
+               now_sec: float | None = None) -> str:
         return "(TRUE)"
 
 
@@ -203,10 +234,11 @@ class _Not:
     def __init__(self, child):
         self.child = child
 
-    def to_sql(self, types, dialect: str = "spark") -> str:
+    def to_sql(self, types, dialect: str = "spark",
+               now_sec: float | None = None) -> str:
         # Lucene complement: docs where the positive clause is NOT TRUE
         # (false or null) -- never plain NOT, which drops null-field docs.
-        return f"(({self.child.to_sql(types, dialect)}) IS NOT TRUE)"
+        return f"(({self.child.to_sql(types, dialect, now_sec)}) IS NOT TRUE)"
 
 
 class _Bool:
@@ -215,16 +247,18 @@ class _Bool:
     def __init__(self):
         self.must, self.should, self.must_not = [], [], []
 
-    def to_sql(self, types, dialect: str = "spark") -> str:
-        must = [c.to_sql(types, dialect) for c in self.must]
+    def to_sql(self, types, dialect: str = "spark",
+               now_sec: float | None = None) -> str:
+        must = [c.to_sql(types, dialect, now_sec) for c in self.must]
         # BooleanQuery: SHOULD clauses are optional once a MUST exists
         # (minimumNumberShouldMatch=0; they only contribute score, and fq
         # does not score). Without MUST, at least one SHOULD must match.
         if not must and self.should:
             must = ["(" + " OR ".join(
-                c.to_sql(types, dialect) for c in self.should) + ")"]
+                c.to_sql(types, dialect, now_sec)
+                for c in self.should) + ")"]
         for c in self.must_not:
-            must.append(_Not(c).to_sql(types, dialect))
+            must.append(_Not(c).to_sql(types, dialect, now_sec))
         if not must:
             raise _FqSyntaxError("empty fq")
         return "(" + " AND ".join(must) + ")"
@@ -425,7 +459,8 @@ class _Parser:
 
 
 def parse_fq(
-    fq: str, field_types: dict[str, str] | None = None, dialect: str = "spark"
+    fq: str, field_types: dict[str, str] | None = None,
+    dialect: str = "spark", now_sec: float | None = None,
 ) -> str:
     """Solr fq string -> SQL boolean expression. ``dialect`` is "spark"
     (default, the engine path) or "duckdb" (oracle/differential testing):
@@ -435,8 +470,18 @@ def parse_fq(
     needs ``ESCAPE '\\'`` spelled out -- so a wildcard over a value
     containing literal ``_``/``%`` renders differently per dialect.
     ``field_types`` is ``dict(df.dtypes)`` of the docs relation; see module
-    docstring for the accepted syntax and null semantics."""
+    docstring for the accepted syntax and null semantics.
+
+    Timestamp-field values are full Solr DateMath instants
+    (``ts:[NOW/DAY-7DAYS TO NOW]``), resolved at parse time into typed
+    TIMESTAMP literals (r5). ``now_sec`` pins NOW (the Solr ``NOW``
+    request param). Documented deviation: the engine's filterCache keys
+    DocSets by the fq STRING, so a NOW-bearing fq served from cache
+    keeps its first resolution until invalidation — Solr instead
+    re-resolves NOW per request and cache-misses every time (its own
+    docs recommend NOW/HOUR rounding for cacheability; same advice
+    here, or pass ``use_cache=False``)."""
     toks = _tokenize(fq)
     if not toks:
         raise _FqSyntaxError("empty fq")
-    return _Parser(toks).parse().to_sql(field_types, dialect)
+    return _Parser(toks).parse().to_sql(field_types, dialect, now_sec)

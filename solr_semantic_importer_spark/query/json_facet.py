@@ -360,7 +360,11 @@ def _range_bucket_parts(idx, spec: dict):
     count)."""
     import datetime as _dt
 
-    from ..functions.datemath import iso_sec, month_bucket_starts, parse_gap
+    from ..functions.datemath import (
+        month_bucket_starts,
+        parse_gap,
+        parse_instant,
+    )
 
     field = spec["field"]
     is_date = dict(idx.docs().dtypes).get(field, "").startswith("timestamp")
@@ -376,7 +380,8 @@ def _range_bucket_parts(idx, spec: dict):
             lo = start + i * gap
             labels.append(int(lo) if float(lo).is_integer() else lo)
         return c, F.floor((c - start) / gap).cast("long"), labels, start, end
-    start, end = iso_sec(spec["start"]), iso_sec(spec["end"])
+    start = parse_instant(spec["start"])
+    end = parse_instant(spec["end"])
     kind, gap = parse_gap(spec["gap"])
     if end <= start:
         raise ValueError("range facet needs end > start")

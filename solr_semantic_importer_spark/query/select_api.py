@@ -138,7 +138,7 @@ from typing import Any, Iterator
 
 from pyspark.sql import functions as F
 
-from ..functions.datemath import iso_sec, month_bucket_starts, parse_gap
+from ..functions.datemath import month_bucket_starts, parse_gap, parse_instant
 from ..functions.function_query import looks_like_function
 from .engine import (
     BM25Index,
@@ -151,6 +151,7 @@ __all__ = ["solr_select", "select_pages", "select_cursor_pages",
            "solr_export", "solr_get", "solr_suggest"]
 
 _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
+             "NOW",  # Solr NOW request param (epoch millis): pins DateMath
              "facet.field", "facet.range", "facet.query", "facet.pivot",
              "facet.pivot.mincount", "json.facet", "expand", "expand.rows",
              "tv", "tv.positions", "tv.df", "tv.tf_idf", "hl",
@@ -1588,12 +1589,17 @@ def solr_select(
                 return v
 
             if is_date:
-                # DATE range facet: ISO start/end (tz-naive = UTC, never
-                # the host zone), DateMath gap. Fixed-width units step
-                # seconds; +NMONTHS/+NYEARS step REAL calendar months
-                # (day-clamped from the original start, Solr
-                # RangeEndpointCalculator semantics).
-                lo, hi = iso_sec(_raw("start")), iso_sec(_raw("end"))
+                # DATE range facet: start/end are full DateMath INSTANTS
+                # (ISO or NOW with /UNIT roundings and ±N UNIT offsets;
+                # tz-naive = UTC, never the host zone), gap is DateMath.
+                # Fixed-width units step seconds; +NMONTHS/+NYEARS step
+                # REAL calendar months (day-clamped from the original
+                # start, Solr RangeEndpointCalculator semantics). The
+                # Solr ``NOW`` request param (epoch millis) pins NOW.
+                now_p = params.get("NOW")
+                now_sec = int(now_p) / 1000.0 if now_p is not None else None
+                lo = parse_instant(_raw("start"), now_sec=now_sec)
+                hi = parse_instant(_raw("end"), now_sec=now_sec)
                 gap_kind, gap = parse_gap(_raw("gap"))
             else:
                 lo, hi = float(_raw("start")), float(_raw("end"))

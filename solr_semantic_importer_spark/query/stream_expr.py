@@ -1451,14 +1451,15 @@ def _timeseries(idx: BM25Index, c: Call) -> TupleStream:
     zone. Exact op-free DocSet, ONE partial-agg shuffle of at most
     n_buckets rows per task either way."""
     from ..functions.datemath import (
-        boundary_bucket_expr, iso_sec, month_bucket_starts, parse_gap,
+        boundary_bucket_expr, month_bucket_starts, parse_gap, parse_instant,
     )
 
     field = str(c.params["field"])
     is_ts = dict(idx.docs().dtypes).get(field, "").startswith("timestamp")
     if is_ts:
-        start = iso_sec(c.params["start"])
-        end = iso_sec(c.params["end"])
+        # start/end are full DateMath instants (ISO or NOW±.../UNIT)
+        start = parse_instant(c.params["start"])
+        end = parse_instant(c.params["end"])
         gap_kind, gap = parse_gap(c.params["gap"])
     else:
         start, end, gap = (
