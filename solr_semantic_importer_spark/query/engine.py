@@ -3669,23 +3669,41 @@ class BM25Index:
         fq: str | list[str] | None = None,
         op: str = "OR",
         mm: int | str | None = None,
+        upper_incl: bool = False,
+        hardend: bool = False,
     ) -> DataFrame:
-        """Solr facet.range over a numeric field: half-open buckets
-        [start+i*gap, start+(i+1)*gap) for the match set; values outside
-        [start, end) are ignored (Solr's default facet.range.other=none).
-        Returns (bucket_start, facet_count) for NON-EMPTY buckets only --
-        the driver-side facade fills zero buckets (bucket count is
-        ceil((end-start)/gap), a response-sized constant, never data-sized).
+        """Solr facet.range over a numeric field. Default (``include=
+        lower``): half-open buckets [start+i*gap, start+(i+1)*gap);
+        ``upper_incl`` (Solr ``facet.range.include=upper``) flips every
+        bucket to (lo, hi] — a value ON a boundary belongs to the bucket
+        BELOW it, and a value equal to ``start`` belongs to ``before``.
+        ``hardend`` truncates the LAST bucket at ``end``; the Solr
+        default (false) extends it to a whole gap (RangeEndpointCalculator
+        semantics — no difference when end-start is a gap multiple).
+        Values outside the covered span are ignored (facet.range.other=
+        none default). Returns (bucket_start, facet_count) for NON-EMPTY
+        buckets only -- the driver-side facade fills zero buckets (bucket
+        count is ceil((end-start)/gap), a response-sized constant, never
+        data-sized).
 
         Plan shape matches :meth:`facet`: matched ids (or the live fq'd
         scan for ``*:*``) -> one groupBy on the computed bucket key --
         a single partial-agg shuffle of at most n_buckets rows per task."""
         if gap <= 0 or end <= start:
             raise ValueError("facet.range needs gap > 0 and end > start")
+        n_buckets = int(-(-(end - start) // gap))
+        f_end = end if hardend else start + n_buckets * gap
         x = F.col(field).cast("double")
-        bucket = (F.lit(start) + F.floor((x - start) / gap) * gap).alias(
-            "bucket_start"
-        )
+        if upper_incl:
+            # (lo, hi]: boundary values map to the bucket below
+            idx_expr = F.ceil((x - start) / gap) - 1
+            span = (x > start) & (x <= f_end)
+        else:
+            idx_expr = F.floor((x - start) / gap)
+            span = (x >= start) & (x < f_end)
+        # clamp the extended last bucket onto the final reported start
+        idx_expr = F.least(idx_expr, F.lit(n_buckets - 1))
+        bucket = (F.lit(start) + idx_expr * gap).alias("bucket_start")
         if query.strip() == "*:*":
             base = self._anti_dead(self._apply_fq(self.docs(), fq))
         else:
@@ -3693,7 +3711,7 @@ class BM25Index:
             matched = self._matched_ids(query, op=op, fq=fq, mm=mm)
             base = matched.join(self.docs(), "doc_id")
         return (
-            base.filter((x >= start) & (x < end))
+            base.filter(span)
             .groupBy(bucket)
             .agg(F.count("*").alias("facet_count"))
         )
@@ -3707,28 +3725,37 @@ class BM25Index:
         fq: str | list[str] | None = None,
         op: str = "OR",
         mm: int | str | None = None,
+        upper_incl: bool = False,
     ) -> DataFrame:
         """:meth:`facet_range` for NON-UNIFORM boundaries (variable-width
         DateMath gaps: +1MONTH / +1YEAR). ``starts`` are the bucket start
-        epochs (ascending), ``end`` the final exclusive boundary. Bucket
-        assignment = largest boundary <= value, compiled to ONE codegen
-        expression over the literal boundary array — the plan keeps the
-        exact shape of the fixed-width path (filter -> one groupBy
-        partial-agg shuffle of at most n_buckets rows per task)."""
-        from ..functions.datemath import boundary_bucket_expr
-
+        epochs (ascending), ``end`` the final exclusive boundary (the
+        caller clamps it to the raw end under ``hardend``). Bucket
+        assignment = largest boundary <= value (STRICTLY below under
+        ``include=upper``, where every bucket is (lo, hi]), compiled to
+        ONE codegen expression over the literal boundary array — the plan
+        keeps the exact shape of the fixed-width path (filter -> one
+        groupBy partial-agg shuffle of at most n_buckets rows per
+        task)."""
         if not starts or end <= starts[0]:
             raise ValueError("facet_range_buckets needs boundaries and "
                              "end > starts[0]")
         x = F.col(field).cast("double")
-        bucket = boundary_bucket_expr(x, starts).alias("bucket_start")
+        arr = F.array(*[F.lit(float(b)) for b in starts])
+        if upper_incl:
+            key = F.array_max(F.filter(arr, lambda b: b < x))
+            span = (x > starts[0]) & (x <= end)
+        else:
+            key = F.array_max(F.filter(arr, lambda b: b <= x))
+            span = (x >= starts[0]) & (x < end)
+        bucket = key.alias("bucket_start")
         if query.strip() == "*:*":
             base = self._anti_dead(self._apply_fq(self.docs(), fq))
         else:
             matched = self._matched_ids(query, op=op, fq=fq, mm=mm)
             base = matched.join(self.docs(), "doc_id")
         return (
-            base.filter((x >= starts[0]) & (x < end))
+            base.filter(span)
             .groupBy(bucket)
             .agg(F.count("*").alias("facet_count"))
         )
@@ -3742,20 +3769,31 @@ class BM25Index:
         fq: str | list[str] | None = None,
         op: str = "OR",
         mm: int | str | None = None,
+        upper_incl: bool = False,
     ) -> tuple[int, int, int]:
         """Solr ``facet.range.other``: the (before, between, after) counts
         relative to [start, end) over the same DocSet as
         :meth:`facet_range` -- before = value < start, after = value >=
         end, between = inside the range (Solr's RangeEndpointCalculator
-        semantics; nulls count nowhere). ONE conditional-aggregate job, a
+        semantics; nulls count nowhere). Under ``include=upper`` the
+        endpoint membership flips per the spec: before takes ``start``
+        itself, after excludes ``end``. ONE conditional-aggregate job, a
         3-value row, regardless of corpus size."""
         x = F.col(field).cast("double")
+        if upper_incl:
+            before_c, between_c, after_c = (
+                x <= start, (x > start) & (x <= end), x > end,
+            )
+        else:
+            before_c, between_c, after_c = (
+                x < start, (x >= start) & (x < end), x >= end,
+            )
         row = (
             self._facet_base(query, fq, op, mm)
             .agg(
-                F.sum((x < start).cast("long")).alias("before"),
-                F.sum(((x >= start) & (x < end)).cast("long")).alias("between"),
-                F.sum((x >= end).cast("long")).alias("after"),
+                F.sum(before_c.cast("long")).alias("before"),
+                F.sum(between_c.cast("long")).alias("between"),
+                F.sum(after_c.cast("long")).alias("after"),
             )
             .collect()[0]
         )

@@ -187,7 +187,7 @@ _RESERVED = {"q", "q.op", "fq", "start", "rows", "fl", "sort", "facet",
 # (limit/offset/mincount/sort/prefix/missing), globally or per-field
 # (Solr's f.<field>. prefix override convention)
 _FACET_RANGE_RE = re.compile(
-    r"^(?:f\.[^.]+\.)?facet\.range\.(start|end|gap|other)$"
+    r"^(?:f\.[^.]+\.)?facet\.range\.(start|end|gap|other|include|hardend)$"
 )
 _FACET_PARAM_RE = re.compile(
     r"^(?:f\.[^.]+\.)?facet\.(limit|offset|mincount|sort|prefix|missing|contains(?:\.ignoreCase)?)$"
@@ -1614,14 +1614,35 @@ def solr_select(
                     sec, _dt.timezone.utc
                 ).strftime("%Y-%m-%dT%H:%M:%SZ")
 
+            # facet.range.include (r5): `lower` (default, [lo, hi)) or
+            # `upper` ((lo, hi]). edge/outer/all need boundary values to
+            # count in TWO buckets (Solr documents the double count) --
+            # fail loud rather than emit a single-bucket approximation.
+            inc = [str(v) for v in _as_list(
+                params.get(f"f.{field}.facet.range.include",
+                           params.get("facet.range.include", "lower")))]
+            bad_inc = set(inc) - {"lower", "upper"}
+            if bad_inc or set(inc) == {"lower", "upper"}:
+                raise ValueError(
+                    f"facet.range.include supports lower|upper (one of), "
+                    f"got {inc!r} (edge/outer/all and lower+upper "
+                    f"double-count boundary values)"
+                )
+            upper_incl = inc == ["upper"]
+            hardend = _truthy(
+                params.get(f"f.{field}.facet.range.hardend",
+                           params.get("facet.range.hardend", False)))
+
             if gap_kind == "months":
                 bounds = month_bucket_starts(lo, hi, int(gap))
-                b_starts, b_end = bounds[:-1], bounds[-1]
+                b_starts = bounds[:-1]
+                # hardend: the last bucket truncates at the raw end
+                b_end = hi if hardend else bounds[-1]
                 got = {
                     round(float(r["bucket_start"]), 9): int(r["facet_count"])
                     for r in idx.facet_range_buckets(
                         q_main, field, b_starts, b_end,
-                        fq=fq, op=op, mm=mm,
+                        fq=fq, op=op, mm=mm, upper_incl=upper_incl,
                     ).collect()
                 }
                 flat = []
@@ -1636,7 +1657,8 @@ def solr_select(
                 got = {
                     round(float(r["bucket_start"]), 9): int(r["facet_count"])
                     for r in idx.facet_range(
-                        q_main, field, lo, hi, gap, fq=fq, op=op, mm=mm
+                        q_main, field, lo, hi, gap, fq=fq, op=op, mm=mm,
+                        upper_incl=upper_incl, hardend=hardend,
                     ).collect()
                 }
                 flat = []
@@ -1645,7 +1667,7 @@ def solr_select(
                     b = lo + i * gap
                     flat.extend([_label(b), got.get(round(b, 9), 0)])
                     i += 1
-                end_label = _label(lo + i * gap)
+                end_label = _label(hi if hardend else lo + i * gap)
             fr[field] = {
                 "counts": flat,
                 "gap": (params.get(f"f.{field}.facet.range.gap",
@@ -1662,7 +1684,8 @@ def solr_select(
                 )
             if str(other) != "none":
                 bef, bet, aft = idx.facet_range_other(
-                    q_main, field, lo, hi, fq=fq, op=op, mm=mm
+                    q_main, field, lo, hi, fq=fq, op=op, mm=mm,
+                    upper_incl=upper_incl,
                 )
                 vals = {"before": bef, "between": bet, "after": aft}
                 for key in (

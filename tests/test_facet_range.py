@@ -168,3 +168,85 @@ def test_omit_header_echo_params(corpus):
     assert "params" not in r2["responseHeader"]
     with pytest.raises(ValueError):
         solr_select(idx, {"q": "error", "echoParams": "bogus"})
+
+
+# ------------------------------ facet.range.include / hardend (r5)
+
+
+def test_facet_range_include_upper(corpus):
+    """include=upper: every bucket is (lo, hi] — boundary values drop to
+    the bucket below, values equal to start fall out of the range."""
+    _, idx = corpus
+    rows = [r["dl"] for r in idx.docs().select("dl").collect()
+            if r["dl"] is not None]
+    resp = solr_select(idx, {
+        "q": "*:*", "rows": 0, "facet": "true", "facet.range": "dl",
+        "facet.range.start": 0, "facet.range.end": 120,
+        "facet.range.gap": 20, "facet.range.include": "upper",
+        "facet.range.other": "all",
+    })
+    fr = resp["facet_counts"]["facet_ranges"]["dl"]
+    got = dict(zip(fr["counts"][0::2], fr["counts"][1::2]))
+    for i in range(6):
+        lo = i * 20
+        want = sum(1 for v in rows if lo < v <= lo + 20)
+        assert got[lo] == want, (lo, got[lo], want)
+    # an exact-boundary value exists in the corpus => upper differs
+    # from lower somewhere when any dl is a multiple of 20 inside range
+    assert fr["before"] == sum(1 for v in rows if v <= 0)
+    assert fr["after"] == sum(1 for v in rows if v > 120)
+
+
+def test_facet_range_include_upper_vs_lower_boundary(corpus):
+    """A synthetic check that the two modes actually differ on boundary
+    values present in the corpus (falls back to equality when none)."""
+    _, idx = corpus
+    rows = [r["dl"] for r in idx.docs().select("dl").collect()
+            if r["dl"] is not None]
+    boundary_hits = sum(1 for v in rows if v in (20, 40, 60, 80, 100))
+    lo_resp = solr_select(idx, {
+        "q": "*:*", "rows": 0, "facet": "true", "facet.range": "dl",
+        "facet.range.start": 0, "facet.range.end": 120,
+        "facet.range.gap": 20,
+    })["facet_counts"]["facet_ranges"]["dl"]["counts"][1::2]
+    up_resp = solr_select(idx, {
+        "q": "*:*", "rows": 0, "facet": "true", "facet.range": "dl",
+        "facet.range.start": 0, "facet.range.end": 120,
+        "facet.range.gap": 20, "facet.range.include": "upper",
+    })["facet_counts"]["facet_ranges"]["dl"]["counts"][1::2]
+    if boundary_hits:
+        assert lo_resp != up_resp
+    else:
+        assert lo_resp == up_resp
+
+
+def test_facet_range_hardend_unaligned(corpus):
+    """hardend=true truncates the last bucket at end; the default
+    extends it to a whole gap (Solr RangeEndpointCalculator)."""
+    _, idx = corpus
+    rows = [r["dl"] for r in idx.docs().select("dl").collect()
+            if r["dl"] is not None]
+    base = {"q": "*:*", "rows": 0, "facet": "true", "facet.range": "dl",
+            "facet.range.start": 0, "facet.range.end": 50,
+            "facet.range.gap": 20}
+    soft = solr_select(idx, base)["facet_counts"]["facet_ranges"]["dl"]
+    hard = solr_select(idx, {**base, "facet.range.hardend": "true"})[
+        "facet_counts"]["facet_ranges"]["dl"]
+    # soft: last bucket [40, 60); hard: [40, 50)
+    assert soft["end"] == 60 and hard["end"] == 50
+    s_last = dict(zip(soft["counts"][0::2], soft["counts"][1::2]))[40]
+    h_last = dict(zip(hard["counts"][0::2], hard["counts"][1::2]))[40]
+    assert s_last == sum(1 for v in rows if 40 <= v < 60)
+    assert h_last == sum(1 for v in rows if 40 <= v < 50)
+
+
+def test_facet_range_include_validation(corpus):
+    _, idx = corpus
+    for inc in ("edge", "outer", "all", ["lower", "upper"]):
+        with pytest.raises(ValueError, match="include"):
+            solr_select(idx, {
+                "q": "*:*", "rows": 0, "facet": "true",
+                "facet.range": "dl", "facet.range.start": 0,
+                "facet.range.end": 100, "facet.range.gap": 20,
+                "facet.range.include": inc,
+            })
