@@ -242,12 +242,16 @@ def _gen_case(rng, vocab):
     if rng.random() < 0.15:
         lo = rng.choice([0, 1])
         gap = rng.choice([1, 2, 3])
+        # unaligned ends exercise the hardend=false extension (the last
+        # bucket covers a whole gap past end; the reference loop below
+        # counts [b, b+gap) per emitted start, which IS that semantics)
+        end = lo + gap * rng.randint(2, 4) + rng.choice([0, 0, 1])
         p["facet"] = "true"
         p["facet.range"] = "turn_idx"
         p["facet.range.start"] = lo
-        p["facet.range.end"] = lo + gap * rng.randint(2, 4)
+        p["facet.range.end"] = end
         p["facet.range.gap"] = gap
-        meta["frange"] = (lo, p["facet.range.end"], gap)
+        meta["frange"] = (lo, end, gap)
     if (p["start"] == 0 and "bf" not in p and rng.random() < 0.25
             and "facet" not in p and "facet.range" not in p):
         meta["walk"] = True  # cursorMark page walk (sort x fq x mm x op)
